@@ -18,10 +18,54 @@ object SparkEntry {
     CoreQueries.q1Pricing(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (CoreQueries.q1Pricing _)
+    "q1_pricing_summary"   -> (CoreQueries.q1Pricing _),
+    "q2_filter_project"    -> (RelationalQueries.q2FilterProject _),
+    "q3_selector"          -> (RelationalQueries.q3Selector _),
+    "q4_dim_enrich"        -> (RelationalQueries.q4DimEnrich _),
+    "q5_revenue_by_nation" -> (RelationalQueries.q5RevenueByNation _),
+    "q6_union_evolve"      -> (RelationalQueries.q6UnionEvolve _),
+    "q7_rollup"            -> (RelationalQueries.q7Rollup _),
+    "q8_topk"              -> (RelationalQueries.q8TopK _),
+    "q9_window_rank"       -> (FunctionQueries.q9WindowRank _),
+    "q10_rolling"          -> (FunctionQueries.q10Rolling _),
+    "q11_distinct"         -> (RelationalQueries.q11Distinct _),
+    "q12_buckets"          -> (RelationalQueries.q12Buckets _),
+    "q13_json_extract"     -> (FunctionQueries.q13JsonExtract _),
+    "q14_strings"          -> (FunctionQueries.q14Strings _),
+    "q15_hash_key"         -> (FunctionQueries.q15HashKey _),
+    "q16_case_route"       -> (FunctionQueries.q16CaseRoute _),
+    "q17_source_summary"   -> (RelationalQueries.q17SourceSummary _),
+    "q18_anti_join"        -> (RelationalQueries.q18AntiJoin _),
+    "q19_intersect"        -> (RelationalQueries.q19Intersect _),
+    "q20_except"           -> (RelationalQueries.q20Except _),
+    "q21_monthly"          -> (FunctionQueries.q21Monthly _),
+    "q22_section_stats"    -> (RelationalQueries.q22SectionStats _),
+    "q23_sessionize"       -> (FunctionQueries.q23Sessionize _)
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> CoreQueries.q1PricingSql
+    "q1_pricing_summary"   -> CoreQueries.q1PricingSql,
+    "q2_filter_project"    -> RelationalQueries.q2Sql,
+    "q3_selector"          -> RelationalQueries.q3Sql,
+    "q4_dim_enrich"        -> RelationalQueries.q4Sql,
+    "q5_revenue_by_nation" -> RelationalQueries.q5Sql,
+    "q6_union_evolve"      -> RelationalQueries.q6Sql,
+    "q7_rollup"            -> RelationalQueries.q7Sql,
+    "q8_topk"              -> RelationalQueries.q8Sql,
+    "q9_window_rank"       -> FunctionQueries.q9Sql,
+    "q10_rolling"          -> FunctionQueries.q10Sql,
+    "q11_distinct"         -> RelationalQueries.q11Sql,
+    "q12_buckets"          -> RelationalQueries.q12Sql,
+    "q13_json_extract"     -> FunctionQueries.q13Sql,
+    "q14_strings"          -> FunctionQueries.q14Sql,
+    "q15_hash_key"         -> FunctionQueries.q15Sql,
+    "q16_case_route"       -> FunctionQueries.q16Sql,
+    "q17_source_summary"   -> RelationalQueries.q17Sql,
+    "q18_anti_join"        -> RelationalQueries.q18Sql,
+    "q19_intersect"        -> RelationalQueries.q19Sql,
+    "q20_except"           -> RelationalQueries.q20Sql,
+    "q21_monthly"          -> FunctionQueries.q21Sql,
+    "q22_section_stats"    -> RelationalQueries.q22Sql,
+    "q23_sessionize"       -> FunctionQueries.q23Sql
   )
 }

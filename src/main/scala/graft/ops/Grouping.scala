@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Grouping operators — A1 (group-split), A4 (buckets), A7 (hierarchical
+  * rollup).
+  *
+  * The reference's `split_dataframe_by_groups` (`df_helpers.py:80-123`)
+  * returns a list of (key-dict, sub-frame) with NaN groups kept
+  * (`dropna=False`) — Spark's `groupBy` keeps null keys by default, so
+  * the semantics line up. A distributed "split" is either an aggregation
+  * (stay lazy — the fast path) or a partitioned write; materializing each
+  * group on the driver is only for dimension-sized key sets, and the API
+  * says so.
+  */
+object Grouping {
+
+  /** A1 — grouped aggregation with the reference's empty-keys special
+    * case: empty `keys` ⇒ one whole-table group (`df_helpers.py:96-100`).
+    */
+  def aggSplit(df: DataFrame, keys: Seq[String],
+               aggs: Seq[Column]): DataFrame =
+    if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** A1 (materialized form) — the literal (key, frame) split, for
+    * dimension-sized key sets only: collects the DISTINCT KEYS (not the
+    * data) and returns lazily-filtered views. Each view's filter prunes
+    * at the scan, so iterating the splits never loads foreign groups.
+    */
+  def split(df: DataFrame, keys: Seq[String],
+            dropKeyCols: Boolean = true): Seq[(Map[String, Any], DataFrame)] = {
+    require(keys.nonEmpty, "split needs at least one key column")
+    val keyRows: Array[Row] =
+      df.select(keys.map(col): _*).distinct().collect()
+    val rest = df.columns.filterNot(keys.contains).toSeq
+    keyRows.toSeq.map { r =>
+      val keyMap = keys.zipWithIndex.map { case (k, i) => k -> r.get(i) }.toMap
+      val pred = keys.zipWithIndex.map { case (k, i) =>
+        if (r.isNullAt(i)) col(k).isNull else col(k) === lit(r.get(i))
+      }.reduce(_ && _)
+      val sub = if (dropKeyCols) df.filter(pred).select(rest.map(col): _*)
+                else df.filter(pred)
+      keyMap -> sub
+    }
+  }
+
+  /** A4 — bucket accumulation: per-key collected numeric list, the
+    * distributed form of `get_bucket`/`append_numbers`
+    * (`utils/pipeline.py:75-96`). Sorted for determinism.
+    */
+  def buckets(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col(valueCol))).as("bucket"),
+           count(lit(1)).as("n"))
+
+  /** A7 — hierarchical subtree rollup, the reference's signature
+    * post-order directory aggregation (`core/engine.py:338-370`): stats
+    * at level k cover the whole subtree below it. `rollup` computes all
+    * prefixes of the level columns in one pass (partial aggregation
+    * map-side, one shuffle).
+    */
+  def subtreeRollup(df: DataFrame, levels: Seq[String],
+                    aggs: Seq[Column]): DataFrame =
+    df.rollup(levels.map(col): _*).agg(aggs.head, aggs.tail: _*)
+}

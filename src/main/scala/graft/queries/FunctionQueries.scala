@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function and window queries (SURVEY.md §2.5, §2.8) with
+  * DuckDB oracles. All expressions are Spark built-ins → whole-stage
+  * codegen, no UDFs.
+  */
+object FunctionQueries {
+
+  /** §2.5 — ranking window: first 3 orders per customer by date.
+    * Partition-local sort after one shuffle on o_custkey.
+    */
+  def q9WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q9Sql: String =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** §2.5 — rolling window: trailing-4 average of event values per user.
+    * Frame-bound aggregation fixes the summation order → deterministic
+    * doubles without rounding tricks (still rounded for safety).
+    */
+  def q10Rolling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-3, 0)
+    Tables(spark, dir, "events")
+      .withColumn("rolling_avg", round(avg(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("rolling_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  val q10Sql: String =
+    """SELECT event_id, user_id,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** §2.8 JSON — regex-schema extraction from the events `props` JSON
+    * string (the reference parses JSON lines ad hoc,
+    * `utils/io_helpers.py:11-16`).
+    */
+  def q13JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("k")), 4).as("avg_k"),
+           max(col("k")).as("max_k"),
+           count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val q13Sql: String =
+    """SELECT event_type,
+      |  round(avg(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)), 4) AS avg_k,
+      |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS max_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** §2.8 strings — upper/lower/length/concat_ws batch. */
+  def q14Strings(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .filter(col("p_partkey") < 500)
+      .select(col("p_partkey"),
+              upper(col("p_name")).as("up_name"),
+              lower(col("p_type")).as("lo_type"),
+              length(col("p_name")).as("name_len"),
+              concat_ws("|", col("p_brand"), col("p_type")).as("tag"))
+      .orderBy(col("p_partkey"))
+
+  val q14Sql: String =
+    """SELECT p_partkey, upper(p_name) AS up_name, lower(p_type) AS lo_type,
+      |  length(p_name) AS name_len, concat_ws('|', p_brand, p_type) AS tag
+      |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin
+
+  /** §2.8 hash — stable md5 cache keys over concatenated columns
+    * (the reference's sha1 cache key, `plotting_impl.py:93-100`).
+    */
+  def q15HashKey(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+              md5(concat_ws("|", col("o_orderkey"), col("o_orderstatus"))).as("cache_key"))
+      .orderBy(col("o_orderkey"))
+
+  val q15Sql: String =
+    """SELECT o_orderkey,
+      |  md5(concat_ws('|', o_orderkey, o_orderstatus)) AS cache_key
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin
+
+  /** S10 — per-line dispatch (CASE routing), the mixed-format line router
+    * shape aggregated by route.
+    */
+  def q16CaseRoute(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("route",
+        when(col("event_type").isin("click", "view"), "engagement")
+          .when(col("event_type").isin("purchase", "signup"), "conversion")
+          .otherwise("other"))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("route"))
+
+  val q16Sql: String =
+    """SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+      |  WHEN event_type IN ('purchase','signup') THEN 'conversion'
+      |  ELSE 'other' END AS route,
+      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY route ORDER BY route""".stripMargin
+
+  /** §2.8 date/time — orders per month. */
+  def q21Monthly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .withColumn("month", to_date(date_trunc("month", col("o_orderdate"))))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("month"))
+
+  val q21Sql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+      |FROM orders GROUP BY month ORDER BY month""".stripMargin
+
+  /** §2.5 — sessionization: gap-based session ids via lag + running sum,
+    * then per-session stats. The standard large-scale event-pipeline
+    * pattern: two window passes over one shuffle on user_id.
+    */
+  def q23Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q23Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, value,
+      |    sum(CASE WHEN prev_ts IS NULL
+      |             OR date_diff('second', prev_ts, ts) > 1800
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS session_idx
+      |  FROM g)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  round(sum(value), 2) AS session_value
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+}

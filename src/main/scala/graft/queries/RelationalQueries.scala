@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops._
+import graft.ops.ConditionFilter.{Eq, In, Pred}
+
+/** Relational-core queries exercising the ops package (SURVEY.md §2.2,
+  * §2.3, §2.4, §2.6, §2.7) — each paired with a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]].
+  */
+object RelationalQueries {
+
+  /** P1+P3 — condition-map filter + validated projection.
+    * The whole predicate compiles to one Column tree → shows up as
+    * PushedFilters on the parquet scan.
+    */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val filtered = ConditionFilter(
+      Tables(spark, dir, "lineitem"),
+      Map(
+        "l_returnflag" -> Eq("A"),
+        "l_quantity"   -> In((1 to 10).map(_.toDouble)),
+        "l_shipdate"   -> Pred(_ <= lit("1996-12-31").cast("timestamp"))))
+    Projections.project(
+      filtered.withColumn("ship_date", to_date(col("l_shipdate"))),
+      Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem
+      |WHERE l_returnflag = 'A'
+      |  AND l_quantity IN (1,2,3,4,5,6,7,8,9,10)
+      |  AND l_shipdate <= TIMESTAMP '1996-12-31'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** P2 — selector mini-language: regex / glob / substring selectors
+    * compiled to one conjunctive predicate.
+    */
+  def q3Selector(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "part")
+      .filter(Selectors.predicate(Map(
+        "p_type"  -> Selectors.parse("re:^(ECONOMY|SMALL)"),
+        "p_name"  -> Selectors.parse("small *"),
+        "p_brand" -> Selectors.parse("in:1"))))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  val q3Sql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type
+      |FROM part
+      |WHERE regexp_matches(p_type, '^(ECONOMY|SMALL)')
+      |  AND p_name LIKE 'small %'
+      |  AND contains(p_brand, '1')
+      |ORDER BY p_partkey""".stripMargin
+
+  /** J1 — dimension enrichment: broadcast left join with name fallback
+    * (`coalesce(label, own name)`), the reference's `_dict.txt` lookup.
+    */
+  def q4DimEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"), "left")
+      .select(col("c_custkey"),
+              coalesce(col("n_name"), col("c_name")).as("label"),
+              col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q4Sql: String =
+    """SELECT c_custkey, coalesce(n_name, c_name) AS label, c_mktsegment
+      |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY c_custkey""".stripMargin
+
+  /** J2/J4 — star-schema revenue rollup: fact-fact shuffle join on keys,
+    * broadcast joins for the small dims. At 100 TB the lineitem⋈orders
+    * join shuffles on orderkey; nation/region stay broadcast.
+    */
+  def q5RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val nat = Tables(spark, dir, "nation")
+    val reg = Tables(spark, dir, "region")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** A8/J3 — schema-evolving union: missing columns null-filled by name. */
+  def q6UnionEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey").as("id"),
+              col("o_totalprice").as("amount"),
+              lit("order").as("kind"))
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("id"),
+              col("c_name").as("name"),
+              lit("customer").as("kind"))
+    Append.evolve(orders, cust).orderBy(col("kind"), col("id"))
+  }
+
+  val q6Sql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS kind
+      |  FROM orders WHERE o_orderkey < 100
+      |  UNION ALL BY NAME
+      |  SELECT c_custkey AS id, c_name AS name, 'customer' AS kind
+      |  FROM customer WHERE c_custkey < 100
+      |) ORDER BY kind, id""".stripMargin
+
+  /** A7 — hierarchical rollup (region → nation → grand total), the
+    * signature subtree aggregation, one pass / one shuffle via `rollup`.
+    */
+  def q7Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val nat = Tables(spark, dir, "nation")
+    val reg = Tables(spark, dir, "region")
+    val joined = cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+    Grouping.subtreeRollup(joined, Seq("r_name", "n_name"),
+        Seq(count(lit(1)).as("n_customers"),
+            round(sum(col("c_acctbal")), 2).as("total_acctbal")))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val q7Sql: String =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** O3/O4 — top-k with deterministic tiebreak. */
+  def q8TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q8Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** A9 — distinct / count-distinct per group. */
+  def q11Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+           count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  val q11Sql: String =
+    """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+      |  count(*) AS n_customers
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** A4 — bucket accumulation: per-region sorted list of nation names
+    * (serialized to CSV for a stable cross-engine representation).
+    */
+  def q12Buckets(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables(spark, dir, "nation")
+    val reg = Tables(spark, dir, "region")
+    val joined = nat.join(broadcast(reg),
+      nat("n_regionkey") === reg("r_regionkey"))
+    Grouping.buckets(joined, "r_name", "n_name")
+      .withColumn("bucket_csv", array_join(col("bucket"), ","))
+      .drop("bucket")
+      .orderBy(col("r_name"))
+  }
+
+  val q12Sql: String =
+    """SELECT r_name, count(*) AS n,
+      |  array_to_string(list_sort(list(n_name)), ',') AS bucket_csv
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** J4 — anti join: customers with no orders. */
+  def q18AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Set ops — intersect: nations present among both customers and
+    * suppliers.
+    */
+  def q19Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = Tables(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.intersect(s).orderBy(col("nationkey"))
+  }
+
+  val q19Sql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** Set ops — except: nations with customers but no suppliers. */
+  def q20Except(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = Tables(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.except(s).orderBy(col("nationkey"))
+  }
+
+  val q20Sql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** A3 — per-source document summary via Summaries.perKeySummary. */
+  def q17SourceSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("words", size(split(col("text"), " ")))
+    Summaries.perKeySummary(docs, "source", "words", "n_chars")
+      .orderBy(col("source"))
+  }
+
+  val q17Sql: String =
+    """SELECT source, max(n_chars) AS max_chars,
+      |  sum(len(string_split(text, ' '))) AS total_words,
+      |  sum(n_chars) AS total_chars, count(*) AS n_records
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** A6 — section stats: per (returnflag, linestatus) min/max/mean and
+    * half peak-to-peak of quantity — the blade-load stats shape.
+    */
+  def q22SectionStats(spark: SparkSession, dir: String): DataFrame =
+    Summaries.sectionStats(Tables(spark, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity")
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q22Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(avg(l_quantity), 4) AS mean,
+      |  round(max(l_quantity), 4) AS maximum,
+      |  round(min(l_quantity), 4) AS minimum,
+      |  round((round(max(l_quantity), 4) - round(min(l_quantity), 4)) / 2.0, 4) AS half_p2p
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+}
