@@ -6,9 +6,17 @@ Reads each <out>/<name> parquet dir written by graft.Verify, runs the
 matching oracle SQL from <out>/oracle_sql.json in DuckDB over the same
 sfDir parquet tables, and diffs: row count, sorted column names, and a
 hash of the value matrix (columns sorted by name, rows sorted).
+
+Normalization mirrors the driver's pandas/arrow fetch path:
+ - results are pulled via .df() (pandas), so DuckDB HUGEINT widens to
+   float64 and renders '3.0' while Spark BIGINT renders '3' — a real
+   mismatch the driver would flag (r01 q17/q23 regression class);
+ - floats use full precision repr, not %.6g.
 """
 import sys, os, json, glob, hashlib
+import math
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -16,24 +24,30 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def norm_cell(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if v != v:
+    if isinstance(v, (float, np.floating)):
+        if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, (list, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    # pandas NaT / NA objects
+    if v != v:
+        return "NaN"
     return str(v)
 
 def table_fingerprint(con, rel_sql):
-    df = con.sql(rel_sql)
+    df = con.sql(rel_sql).df()
     cols = sorted(df.columns)
-    sel = ", ".join(f'"{c}"' for c in cols)
-    rows = con.sql(f"SELECT {sel} FROM ({rel_sql}) t").fetchall()
+    df = df[cols]
+    # mirror pandas nullable handling: NaN/None/NaT all normalize
+    rows = df.itertuples(index=False, name=None)
     srows = sorted("|".join(norm_cell(c) for c in r) for r in rows)
     h = hashlib.sha1("\n".join(srows).encode()).hexdigest()[:16]
-    return len(rows), cols, h, srows[:3]
+    return len(srows), cols, h, srows[:3]
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()

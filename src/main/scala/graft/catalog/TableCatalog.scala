@@ -23,8 +23,14 @@ final case class TableMeta(
     * canonical across JVM runs.
     */
   def stableId: String = {
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val json = tags.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":"$v"""" }
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString

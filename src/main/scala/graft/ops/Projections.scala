@@ -42,17 +42,38 @@ object Projections {
   def prependSeq(df: DataFrame, name: String, values: Seq[Any],
                  orderCols: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "prependSeq needs explicit ordering columns")
+    require(!orderCols.contains(name),
+      s"prependSeq cannot order by the column it overwrites: $name")
     val n = df.count()
     require(n == values.size,
       s"sequence length ${values.size} != row count $n")
     val spark = df.sparkSession
     import spark.implicits._
+    // overwrite-on-collision (df_helpers.py:149-159): drop the old column
+    // BEFORE ranking so the post-join select is unambiguous.
+    val base = if (df.columns.contains(name)) df.drop(name) else df
     val w = Window.orderBy(orderCols.map(col): _*)
-    val ranked = df.withColumn("__rank", row_number().over(w))
-    val seqDf = values.zipWithIndex
-      .map { case (v, i) => (i + 1, v.toString) }
-      .toDF("__rank", name)
-    val kept = df.columns.filterNot(_ == name).toSeq
+    val ranked = base.withColumn("__rank", row_number().over(w))
+    // typed encoding: keep the runtime type the driver handed us instead
+    // of coercing everything to string (the reference preserves dtypes).
+    val seqDf: DataFrame = values.headOption match {
+      case Some(_: Int) =>
+        values.zipWithIndex.map { case (v, i) => (i + 1, v.asInstanceOf[Int]) }
+          .toDF("__rank", name)
+      case Some(_: Long) =>
+        values.zipWithIndex.map { case (v, i) => (i + 1, v.asInstanceOf[Long]) }
+          .toDF("__rank", name)
+      case Some(_: Double) =>
+        values.zipWithIndex.map { case (v, i) => (i + 1, v.asInstanceOf[Double]) }
+          .toDF("__rank", name)
+      case Some(_: Boolean) =>
+        values.zipWithIndex.map { case (v, i) => (i + 1, v.asInstanceOf[Boolean]) }
+          .toDF("__rank", name)
+      case _ =>
+        values.zipWithIndex.map { case (v, i) => (i + 1, String.valueOf(v)) }
+          .toDF("__rank", name)
+    }
+    val kept = base.columns.toSeq
     ranked.join(seqDf, "__rank")
       .select((col(name) +: kept.map(col)): _*)
   }

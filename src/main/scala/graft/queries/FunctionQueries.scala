@@ -154,7 +154,9 @@ object FunctionQueries {
       .withColumn("session_idx", sum(col("new_sess")).over(byUser))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
-           round(sum(col("value")), 2).as("session_value"))
+           // decimal sum → summation-order-independent, then back to double
+           round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+             .as("session_value"))
       .orderBy(col("user_id"), col("session_idx"))
   }
 
@@ -165,13 +167,13 @@ object FunctionQueries {
       |  FROM events),
       |s AS (
       |  SELECT user_id, event_id, value,
-      |    sum(CASE WHEN prev_ts IS NULL
+      |    CAST(sum(CASE WHEN prev_ts IS NULL
       |             OR date_diff('second', prev_ts, ts) > 1800
       |        THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY user_id ORDER BY event_id) AS session_idx
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_idx
       |  FROM g)
       |SELECT user_id, session_idx, count(*) AS n_events,
-      |  round(sum(value), 2) AS session_value
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
       |FROM s GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 }

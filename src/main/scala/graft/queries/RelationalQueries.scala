@@ -254,8 +254,8 @@ object RelationalQueries {
 
   val q17Sql: String =
     """SELECT source, max(n_chars) AS max_chars,
-      |  sum(len(string_split(text, ' '))) AS total_words,
-      |  sum(n_chars) AS total_chars, count(*) AS n_records
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_records
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** A6 — section stats: per (returnflag, linestatus) min/max/mean and

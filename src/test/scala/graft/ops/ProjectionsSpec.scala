@@ -35,6 +35,18 @@ class ProjectionsSpec extends SparkSpec {
       Projections.prependLit(df, Seq("a" -> 1, "a" -> 2))
   }
 
+  test("prependSeq overwrites a colliding column without ambiguity") {
+    val out = Projections.prependSeq(df, "tag", Seq("a", "b"), Seq("id"))
+    out.columns shouldBe Array("tag", "id")
+    out.orderBy("id").select("tag").as[String].collect() shouldBe Array("a", "b")
+  }
+
+  test("prependSeq preserves numeric types") {
+    val out = Projections.prependSeq(df, "score", Seq(1.5, 2.5), Seq("id"))
+    out.schema("score").dataType shouldBe org.apache.spark.sql.types.DoubleType
+    out.orderBy("id").select("score").as[Double].collect() shouldBe Array(1.5, 2.5)
+  }
+
   test("prependSeq joins by explicit order and validates length") {
     val out = Projections.prependSeq(df, "label", Seq("first", "second"), Seq("id"))
     out.columns shouldBe Array("label", "id", "tag")
