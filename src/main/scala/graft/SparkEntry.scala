@@ -40,7 +40,19 @@ object SparkEntry {
     "q20_except"           -> (RelationalQueries.q20Except _),
     "q21_monthly"          -> (FunctionQueries.q21Monthly _),
     "q22_section_stats"    -> (RelationalQueries.q22SectionStats _),
-    "q23_sessionize"       -> (FunctionQueries.q23Sessionize _)
+    "q23_sessionize"       -> (FunctionQueries.q23Sessionize _),
+    "q24_token_stats"      -> (ExtensionQueries.q24TokenStats _),
+    "q25_quality"          -> (ExtensionQueries.q25Quality _),
+    "q26_langid"           -> (ExtensionQueries.q26LangId _),
+    "q27_fingerprint"      -> (ExtensionQueries.q27Fingerprint _),
+    "q28_exact_dedup"      -> (ExtensionQueries.q28ExactDedup _),
+    "q29_minhash_sig"      -> (ExtensionQueries.q29MinhashSig _),
+    "q30_lsh_neardup"      -> (ExtensionQueries.q30LshNearDup _),
+    "q31_simhash"          -> (ExtensionQueries.q31Simhash _),
+    "q32_jaccard_pairs"    -> (ExtensionQueries.q32JaccardPairs _),
+    "q33_embed_neardup"    -> (ExtensionQueries.q33EmbedNearDup _),
+    "q34_knn_brute"        -> (ExtensionQueries.q34KnnBrute _),
+    "q35_knn_ivf"          -> (ExtensionQueries.q35KnnIvf _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -66,6 +78,18 @@ object SparkEntry {
     "q20_except"           -> RelationalQueries.q20Sql,
     "q21_monthly"          -> FunctionQueries.q21Sql,
     "q22_section_stats"    -> RelationalQueries.q22Sql,
-    "q23_sessionize"       -> FunctionQueries.q23Sql
+    "q23_sessionize"       -> FunctionQueries.q23Sql,
+    "q24_token_stats"      -> ExtensionQueries.q24Sql,
+    "q25_quality"          -> ExtensionQueries.q25Sql,
+    "q26_langid"           -> ExtensionQueries.q26Sql,
+    "q27_fingerprint"      -> ExtensionQueries.q27Sql,
+    "q28_exact_dedup"      -> ExtensionQueries.q28Sql,
+    "q29_minhash_sig"      -> ExtensionQueries.q29Sql,
+    "q30_lsh_neardup"      -> ExtensionQueries.q30Sql,
+    "q31_simhash"          -> ExtensionQueries.q31Sql,
+    "q32_jaccard_pairs"    -> ExtensionQueries.q32Sql,
+    "q33_embed_neardup"    -> ExtensionQueries.q33Sql,
+    "q34_knn_brute"        -> ExtensionQueries.q34Sql,
+    "q35_knn_ivf"          -> ExtensionQueries.q35Sql
   )
 }

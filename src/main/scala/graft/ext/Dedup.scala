@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star ✚):
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: signatures are pure per-row array expressions (map-side,
+  * codegen'd, no shuffle); the only shuffles are the final groupBy on a
+  * 16-byte hash (exact dedup) or the band-bucket self-join (LSH), both of
+  * which shuffle keys + ids, never full documents. Shingle sets ride along
+  * only where the verify step needs them.
+  */
+object Dedup {
+
+  /** Distinct word shingles of width `n` (n=1 → the word set).
+    * Guarded against short docs: `sequence(1, 0)` would count DOWN in
+    * Spark, so texts with fewer than n words get an empty set.
+    */
+  def shingles(text: Column, n: Int): Column =
+    if (n == 1) array_distinct(split(text, " "))
+    else {
+      val w = split(text, " ")
+      val grams = transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws("_",
+          (0 until n).map(k => call_function("element_at", w, i + lit(k))): _*))
+      when(size(w) >= n, array_distinct(grams))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** MinHash signature of `numHashes` values over a shingle array.
+    * Hash family i is the first 16 hex chars of md5("<i>#" + shingle) —
+    * portable across engines (md5 is md5 everywhere), min taken
+    * lexicographically on the hex prefix.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleArr,
+        s => substring(md5(concat(lit(s"$i#"), s)), 1, 16)))
+    }: _*)
+
+  /** LSH band keys: `numBands` bands of `rowsPerBand` signature slots,
+    * each band hashed to one md5 key. element_at is 1-based.
+    */
+  def bandHashes(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*))
+    }: _*)
+
+  /** Exact Jaccard over two distinct-element arrays. Integer sizes +
+    * one double division → bit-identical across engines.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** 16-bit portable SimHash over tokens (duplicates counted): bit j is
+    * the majority vote of hex digit j of md5(token) being >= '8' (the
+    * digit's high bit). Small by design so the oracle can replicate it;
+    * widen numBits for production use.
+    */
+  def simhash16(tokens: Column): Column = {
+    // substring/shiftleft via call_function: the Scala helpers take Int
+    // literals, but j is a lambda-bound Column here.
+    val bits = transform(sequence(lit(1), lit(16)), j =>
+      when(aggregate(tokens, lit(0),
+        (acc, t) => acc +
+          when(call_function("substring", md5(t), j, lit(1)) >= "8", 1).otherwise(-1)) > 0,
+        call_function("shiftleft", lit(1), lit(16) - j)).otherwise(0))
+    aggregate(bits, lit(0), (acc, x) => acc + x)
+  }
+
+  /** Exact duplicate groups: md5(text) → (representative id, copies). */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Full MinHash-LSH near-duplicate pipeline: shingle → signature →
+    * band explode → bucket self-join → exact-Jaccard verify.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, one row per
+    * candidate pair that clears `threshold`. The self-join shuffles on
+    * the band hash; only (band, hash, id, shingles) rows move.
+    */
+  def lshNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                      shingleWidth: Int = 1, numHashes: Int = 24,
+                      numBands: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val base = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleWidth).as("sh"))
+    // ids only through the bucket self-join — the shingle sets rejoin
+    // afterwards, so the (potentially huge) candidate shuffle moves
+    // (band, hash, id) triples, never document content.
+    val banded = base
+      .withColumn("bands", bandHashes(minhashSignature(col("sh"), numHashes),
+        numBands, rowsPerBand))
+      .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star ✚): brute-force cosine top-k
+  * as the baseline, IVF (centroid-pruned) search as the scale path.
+  *
+  * Cosine is computed over double-cast arrays with a sequential left
+  * fold (`aggregate` over `zip_with`) — the same IEEE operation order a
+  * columnar engine uses, so results are bit-identical to the DuckDB
+  * oracle's `list_cosine_similarity(CAST(.. AS DOUBLE[]), ..)`.
+  *
+  * Scale design: the query/centroid side is always the broadcast side —
+  * the corpus never shuffles for scoring, only for the per-query top-k
+  * (a window over candidates, which IVF keeps small).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity; inputs may be array<float> (cast is exact).
+    * Clamped to [-1, 1] — self-similarity folds to 1 + 2ulp otherwise
+    * (and columnar engines clamp too, so the oracle expects it).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    least(greatest(dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd))),
+      lit(-1.0)), lit(1.0))
+  }
+
+  /** Brute-force top-k: score every (query, corpus) pair, keep the k
+    * best per query (ties broken by corpus id). Queries are broadcast;
+    * the corpus is scanned once, map-side.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("q_vec"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Assign every corpus vector to its nearest centroid (argmax cosine,
+    * centroid id as tiebreak). Centroids are broadcast — assignment is
+    * map-side + one small window shuffle on the corpus id.
+    */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(c))
+      .withColumn("c_cos", cosine(col(vecCol), col("cent_vec")))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** IVF search: rank centroids per query, probe the `nprobe` nearest
+    * clusters, and brute-force only inside them. The candidate set per
+    * query shrinks by ~numCentroids/nprobe — the standard ANN recall/
+    * cost dial. Returns (query_id, neighbor_id, rank, cosine).
+    */
+  def ivfKnn(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+             k: Int, nprobe: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc_cos").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(c))
+      .withColumn("qc_cos", cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("qc_rank", row_number().over(qw))
+      .filter(col("qc_rank") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned
+      .withColumnRenamed(idCol, "neighbor_id")
+      .join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col(vecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.{Dedup, Similarity, TextStats}
+
+/** North-star ✚ queries: text analysis, dedup, similarity search over
+  * `documents` / `embeddings` — each with a DuckDB oracle that replicates
+  * the exact arithmetic (integer sums + single final division; md5-based
+  * hashing; double-cast sequential cosine) so hashes match bit-for-bit.
+  */
+object ExtensionQueries {
+
+  /** ✚ token counting: whitespace + BPE-ish regex tokens, per source.
+    * All aggregates are integer sums; ratios divide once at the end.
+    */
+  def q24TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+              size(TextStats.wsTokens(col("text"))).as("ws"),
+              size(TextStats.bpeTokens(col("text"))).as("bpe"),
+              TextStats.punctCount(col("text")).as("punct"),
+              col("n_chars"))
+      .groupBy(col("source"))
+      .agg(sum(col("ws")).as("ws_tokens"),
+           sum(col("bpe")).as("bpe_tokens"),
+           sum(col("punct")).as("punct_chars"),
+           (sum(col("n_chars")).cast("double") / sum(col("ws"))).as("chars_per_token"))
+      .orderBy(col("source"))
+
+  val q24Sql: String =
+    """SELECT source,
+      |  CAST(sum(len(string_split(text,' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+      |  CAST(sum(len(regexp_extract_all(lower(text), '[^a-z0-9 ]'))) AS BIGINT) AS punct_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(len(string_split(text,' '))) AS DOUBLE) AS chars_per_token
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** ✚ quality scoring: per-document length/punct/stopword signals and a
+    * composite keep/drop flag — the standard pre-training filter shape.
+    * Per-row arithmetic only → bit-deterministic.
+    */
+  def q25Quality(spark: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("n_chars"),
+              size(TextStats.wsTokens(col("text"))).as("n_tokens"),
+              TextStats.punctCount(col("text")).as("n_punct"),
+              TextStats.markerHits(col("text"), stops).as("n_stop"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("keep",
+        col("n_tokens") >= 20 && col("n_chars") >= 100 &&
+          col("n_punct") * 5 <= col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q25Sql: String =
+    """SELECT doc_id, n_chars,
+      |  len(string_split(text,' ')) AS n_tokens,
+      |  len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) AS n_punct,
+      |  len(list_filter(string_split(lower(text),' '),
+      |      t -> list_contains(['the','a','of','and','to','in','is'], t))) AS n_stop,
+      |  CAST(len(list_filter(string_split(lower(text),' '),
+      |      t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+      |    / len(string_split(text,' ')) AS stop_ratio,
+      |  (len(string_split(text,' ')) >= 20 AND n_chars >= 100
+      |   AND len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) * 5 <= n_chars) AS keep
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  /** ✚ language ID: marker-word scores → argmax with fixed precedence,
+    * tallied against the labeled language (a confusion matrix).
+    */
+  def q26LangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val scored = TextStats.langScores(col("text"))
+      .foldLeft(docs) { case (d, (n, c)) => d.withColumn(n, c) }
+    scored
+      .withColumn("predicted", TextStats.langId(
+        TextStats.langMarkers.map { case (l, _) => s"score_$l" -> col(s"score_$l") }.toMap))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  val q26Sql: String =
+    """WITH s AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(lower(text),' '), t -> list_contains(['the','a','of','and','to','in','is'], t))) AS s_en,
+      |    len(list_filter(string_split(lower(text),' '), t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS s_de,
+      |    len(list_filter(string_split(lower(text),' '), t -> list_contains(['el','la','los','las','de','que','es'], t))) AS s_es,
+      |    len(list_filter(string_split(lower(text),' '), t -> list_contains(['le','la','les','et','est','des'], t))) AS s_fr,
+      |    len(list_filter(string_split(lower(text),' '), t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+      |  FROM documents),
+      |p AS (
+      |  SELECT lang,
+      |    CASE WHEN s_en=0 AND s_de=0 AND s_es=0 AND s_fr=0 AND s_zh=0 THEN 'und'
+      |      WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |      WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |      WHEN s_fr >= s_zh THEN 'fr'
+      |      ELSE 'zh' END AS predicted
+      |  FROM s)
+      |SELECT lang, predicted, count(*) AS n FROM p
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  /** ✚ fingerprinting: normalize-then-md5 dedup keys. */
+  def q27Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val q27Sql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  /** ✚ exact dedup: hash-groupBy with representative-id election,
+    * summarized per source. The groupBy shuffles 16-byte hashes + ids
+    * only — the scalable exact-dedup shape.
+    */
+  def q28ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id")
+    docs.join(groups.select(col("keep_id"), col("n_copies")),
+              col("doc_id") === col("keep_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("n_copies") - 1).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
+  val q28Sql: String =
+    """WITH g AS (
+      |  SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+      |  FROM documents GROUP BY md5(text))
+      |SELECT d.source, count(*) AS n_kept,
+      |  CAST(sum(g.n_copies - 1) AS BIGINT) AS n_dropped
+      |FROM documents d JOIN g ON d.doc_id = g.keep_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** ✚ MinHash signatures (8 portable md5-min hashes over the word set),
+    * shown as the first two signature slots + first band key.
+    */
+  def q29MinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(col("text"), 1)
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .withColumn("sig", Dedup.minhashSignature(sh, 8))
+      .withColumn("bands", Dedup.bandHashes(col("sig"), 4, 2))
+      .select(col("doc_id"),
+              element_at(col("sig"), 1).as("mh0"),
+              element_at(col("sig"), 2).as("mh1"),
+              element_at(col("bands"), 1).as("band0"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q29Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(string_split(text,' ')) AS sh
+      |  FROM documents WHERE doc_id < 50),
+      |sig AS (
+      |  SELECT doc_id,
+      |    [list_aggregate(list_transform(sh,
+      |       s -> substr(md5(CAST(i AS VARCHAR)||'#'||s), 1, 16)), 'min')
+      |     for i in range(0, 8)] AS sg
+      |  FROM d)
+      |SELECT doc_id, sg[1] AS mh0, sg[2] AS mh1,
+      |  md5(sg[1]||'|'||sg[2]) AS band0
+      |FROM sig ORDER BY doc_id""".stripMargin
+
+  /** ✚ MinHash-LSH near-dup pairs: band-bucket self-join then exact
+    * Jaccard ≥ 0.9 verify. The oracle replicates the banding, so the
+    * result is the LSH candidate set, not brute force. The synthetic
+    * corpus shares one small vocabulary, so near-dup pairs are
+    * inherently quadratic in it — the query bounds the slice
+    * (doc_id < 1000) to keep the benchmark's output sane; the operator
+    * itself is the linear-in-buckets scale path.
+    */
+  def q30LshNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshNearDupPairs(
+        Tables(spark, dir, "documents").filter(col("doc_id") < 1000),
+        "text", "doc_id", shingleWidth = 1, numHashes = 24,
+        numBands = 3, threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q30Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(string_split(text,' ')) AS sh
+      |  FROM documents WHERE doc_id < 1000),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |    [list_aggregate(list_transform(sh,
+      |       s -> substr(md5(CAST(i AS VARCHAR)||'#'||s), 1, 16)), 'min')
+      |     for i in range(0, 24)] AS sg
+      |  FROM d),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    md5(sg[8*b+1]||'|'||sg[8*b+2]||'|'||sg[8*b+3]||'|'||sg[8*b+4]||'|'||
+      |        sg[8*b+5]||'|'||sg[8*b+6]||'|'||sg[8*b+7]||'|'||sg[8*b+8]) AS h
+      |  FROM sig, range(0, 3) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h
+      |  WHERE a.doc_id < b.doc_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+      |    / len(list_distinct(da.sh || db.sh)) AS jaccard
+      |FROM cand c
+      |JOIN d da ON c.id_a = da.doc_id
+      |JOIN d db ON c.id_b = db.doc_id
+      |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+      |    / len(list_distinct(da.sh || db.sh)) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** ✚ SimHash: 16-bit portable signature per document. */
+  def q31Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+              Dedup.simhash16(TextStats.wsTokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val q31Sql: String =
+    """SELECT doc_id,
+      |  CAST(list_sum([CASE WHEN list_sum(list_transform(string_split(text,' '),
+      |      t -> CASE WHEN substr(md5(t), j, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+      |    THEN 1 << (16 - j) ELSE 0 END
+      |    for j in range(1, 17)]) AS INT) AS simhash
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  /** ✚ n-gram Jaccard near-dup: brute-force word-set Jaccard over a
+    * bounded id range (the verify-stage primitive; LSH above is the
+    * scale path that avoids the quadratic join).
+    */
+  def q32JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 1).as("sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q32Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(string_split(text,' ')) AS sh
+      |  FROM documents WHERE doc_id < 40)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) AS jaccard
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / len(list_distinct(a.sh || b.sh)) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** ✚ embedding near-dup: cosine ≥ 0.35 pairs (double-cast sequential
+    * fold — bit-identical to the oracle's DOUBLE[] cosine).
+    */
+  def q33EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 150)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q33Sql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                         CAST(b.embedding AS DOUBLE[])) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE a.vec_id < 150 AND b.vec_id < 150
+      |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** ✚ brute-force cosine top-k: 5 query vectors vs the whole corpus. */
+  def q34KnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 5), k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q34Sql: String =
+    """SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS cosine,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |               CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+      |  FROM embeddings q CROSS JOIN embeddings c
+      |  WHERE q.vec_id < 5) t
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** ✚ IVF (centroid-pruned) ANN: 8 seed centroids, nprobe=2, top-5.
+    * The scale path — candidates shrink to the probed clusters.
+    */
+  def q35KnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    Similarity.ivfKnn(e, e.filter(col("vec_id") < 8),
+        e.filter(col("vec_id") < 3), k = 5, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q35Sql: String =
+    """WITH cos AS (
+      |  SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+      |    list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS c_cos
+      |  FROM embeddings v CROSS JOIN embeddings c WHERE c.vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, embedding, centroid_id FROM (
+      |    SELECT vec_id, embedding, centroid_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY c_cos DESC, centroid_id) AS rn
+      |    FROM cos) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id FROM (
+      |    SELECT vec_id, embedding, centroid_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY c_cos DESC, centroid_id) AS rn
+      |    FROM cos WHERE vec_id < 3) t WHERE rn <= 2)
+      |SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
+      |                           CAST(a.embedding AS DOUBLE[])) AS cosine,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
+      |               CAST(a.embedding AS DOUBLE[])) DESC, a.neighbor_id) AS rank
+      |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+}
