@@ -52,7 +52,10 @@ object SparkEntry {
     "q32_jaccard_pairs"    -> (ExtensionQueries.q32JaccardPairs _),
     "q33_embed_neardup"    -> (ExtensionQueries.q33EmbedNearDup _),
     "q34_knn_brute"        -> (ExtensionQueries.q34KnnBrute _),
-    "q35_knn_ivf"          -> (ExtensionQueries.q35KnnIvf _)
+    "q35_knn_ivf"          -> (ExtensionQueries.q35KnnIvf _),
+    "q36_struct_text"      -> (SourceQueries.q36StructText _),
+    "q37_path_glob"        -> (SourceQueries.q37PathGlob _),
+    "q38_line_router"      -> (SourceQueries.q38LineRouter _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -90,6 +93,9 @@ object SparkEntry {
     "q32_jaccard_pairs"    -> ExtensionQueries.q32Sql,
     "q33_embed_neardup"    -> ExtensionQueries.q33Sql,
     "q34_knn_brute"        -> ExtensionQueries.q34Sql,
-    "q35_knn_ivf"          -> ExtensionQueries.q35Sql
+    "q35_knn_ivf"          -> ExtensionQueries.q35Sql,
+    "q36_struct_text"      -> SourceQueries.q36Sql,
+    "q37_path_glob"        -> SourceQueries.q37Sql,
+    "q38_line_router"      -> SourceQueries.q38Sql
   )
 }

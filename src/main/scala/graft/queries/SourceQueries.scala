@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+import graft.sources.{LineRouter, StructTextParser, TreeScan}
+
+/** Source-layer queries — S9 struct-text extraction, S1/S2 tree-scan +
+  * glob routing, S10/S11 mixed-format line routing. Inputs are built
+  * deterministically FROM the testdata tables (blobs/paths/lines), so
+  * every query still has a DuckDB oracle over the same parquet.
+  */
+object SourceQueries {
+
+  /** S9 — struct-text round-trip: format documents into multi-record
+    * text blobs (one per source, records ordered by doc_id), parse them
+    * back with a Field/Optional/OneOf/Repeat schema, and flatten. The
+    * oracle recomputes the same projection relationally — a parse bug
+    * of any kind breaks the hash.
+    */
+  def q36StructText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 50)
+    val rec = concat(
+      lit("DOC "), col("doc_id"), lit("\n"),
+      lit("KIND: "),
+      when(col("n_chars") >= 150, "LONG").otherwise("SHORT"), lit("\n"),
+      when(col("n_chars") >= 100,
+        concat(lit("NCHARS: "), col("n_chars"), lit("\n"))).otherwise(lit("")),
+      array_join(transform(slice(split(col("text"), " "), 1, 5),
+        w => concat(lit("W: "), w)), "\n"),
+      lit("\nEND"))
+    val blobs = docs
+      .groupBy(col("source"))
+      .agg(array_join(transform(sort_array(collect_list(struct(col("doc_id"), rec.as("rec")))),
+        r => r("rec")), "\n").as("blob"))
+      .select(col("blob")).as[String]
+
+    import StructTextParser._
+    val schema = Seq(
+      FieldDef("id", "^DOC (\\d+)$", LongType),
+      OneOf(Seq(FieldDef("kind_long", "^KIND: LONG$"),
+                FieldDef("kind_short", "^KIND: SHORT$"))),
+      Opt(FieldDef("nchars", "^NCHARS: (\\d+)$", LongType)),
+      Rep("words", Seq(FieldDef("w", "^W: (.+)$")), until = "^END$"))
+    StructTextParser.parse(blobs, schema, keyEnd = Some("^END$"))
+      .select(col("id"),
+              when(col("kind_long"), "LONG").otherwise("SHORT").as("kind"),
+              col("nchars"),
+              size(col("words")).cast("long").as("n_words"),
+              expr("words[0].w").as("first_word"))
+      .orderBy(col("id"))
+  }
+
+  val q36Sql: String =
+    """SELECT doc_id AS id,
+      |  CASE WHEN n_chars >= 150 THEN 'LONG' ELSE 'SHORT' END AS kind,
+      |  CASE WHEN n_chars >= 100 THEN n_chars END AS nchars,
+      |  least(5, len(string_split(text, ' '))) AS n_words,
+      |  string_split(text, ' ')[1] AS first_word
+      |FROM documents WHERE doc_id < 50 ORDER BY id""".stripMargin
+
+  /** Glob rules used by q37 with their compiled regexes — the compiled
+    * strings are inlined in the oracle SQL and pinned by a ScalaTest so
+    * the compiler can't drift from the oracle silently.
+    */
+  val globRules: Seq[(String, String)] = Seq(
+    "all_txt"  -> "**/*.txt",
+    "src1_any" -> "src1*/**",
+    "en_dirs"  -> "*/en/*")
+
+  /** S1/S2 — path-tree rule routing: build the path inventory
+    * (source/lang/doc_<id>.txt), match each glob rule, count files and
+    * distinct top-level dirs per rule. At scale the inventory comes from
+    * a binaryFile/listing scan; the rule match is one `rlike` per rule,
+    * map-side.
+    */
+  def q37PathGlob(spark: SparkSession, dir: String): DataFrame = {
+    val paths = Tables(spark, dir, "documents")
+      .select(concat_ws("/", col("source"), col("lang"),
+        concat(lit("doc_"), col("doc_id"), lit(".txt"))).as("rel_path"),
+        col("source"))
+    globRules.map { case (tag, glob) =>
+      paths.filter(TreeScan.matchesGlob(col("rel_path"), glob))
+        .agg(count(lit(1)).as("n_files"),
+             countDistinct(col("source")).as("n_sources"))
+        .select(lit(tag).as("rule"), col("n_files"), col("n_sources"))
+    }.reduce(_ unionAll _).orderBy(col("rule"))
+  }
+
+  val q37Sql: String =
+    """WITH p AS (
+      |  SELECT source || '/' || lang || '/doc_' || doc_id || '.txt' AS rel_path,
+      |         source
+      |  FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'all_txt' AS rule, count(*) AS n_files,
+      |    count(DISTINCT source) AS n_sources
+      |  FROM p WHERE regexp_matches(rel_path, '^(?:[^/]+/)*[^/]*\.txt$')
+      |  UNION ALL
+      |  SELECT 'src1_any', count(*), count(DISTINCT source)
+      |  FROM p WHERE regexp_matches(rel_path, '^src1[^/]*/.*$')
+      |  UNION ALL
+      |  SELECT 'en_dirs', count(*), count(DISTINCT source)
+      |  FROM p WHERE regexp_matches(rel_path, '^[^/]*/en/[^/]*$'))
+      |ORDER BY rule""".stripMargin
+
+  /** S10 — mixed-format line routing: serialize events to CSV:/JSON:/
+    * plain-numeric lines, route + parse each back (bad cells → null),
+    * aggregate per route. Decimal sums keep the double aggregation
+    * order-independent.
+    */
+  def q38LineRouter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events").filter(col("event_id") < 5000)
+    val lines = ev.select(
+      when(col("event_type").isin("click", "view"),
+          concat(lit("CSV:"), col("user_id"), lit(","), col("value")))
+        .when(col("event_type") === "purchase",
+          concat(lit("JSON:{\"k\": \""), col("user_id"),
+                 lit("\", \"v\": "), col("value"), lit("}")))
+        .otherwise(col("value").cast("string"))
+        .as("value"))
+    LineRouter.parse(lines)
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("num").cast("decimal(18,6)")), 2).cast("double")
+             .as("total_v"),
+           count(col("key")).as("n_keys"))
+      .orderBy(col("route"))
+  }
+
+  val q38Sql: String =
+    """WITH l AS (
+      |  SELECT CASE
+      |    WHEN event_type IN ('click','view')
+      |      THEN 'CSV:' || user_id || ',' || value
+      |    WHEN event_type = 'purchase'
+      |      THEN 'JSON:{"k": "' || user_id || '", "v": ' || value || '}'
+      |    ELSE CAST(value AS VARCHAR) END AS line
+      |  FROM events WHERE event_id < 5000),
+      |r AS (
+      |  SELECT line,
+      |    CASE WHEN starts_with(line, 'CSV:') THEN 'csv'
+      |         WHEN starts_with(line, 'JSON:') THEN 'json'
+      |         WHEN regexp_matches(line, '^-?[0-9]+(\.[0-9]+)?$') THEN 'numeric'
+      |         ELSE 'other' END AS route,
+      |    CASE WHEN starts_with(line, 'CSV:')
+      |           THEN string_split(regexp_replace(line, '^CSV:', ''), ',')[1]
+      |         WHEN starts_with(line, 'JSON:')
+      |           THEN json_extract_string(regexp_replace(line, '^JSON:', ''), '$.k')
+      |         END AS key,
+      |    CASE WHEN starts_with(line, 'CSV:')
+      |           THEN TRY_CAST(string_split(regexp_replace(line, '^CSV:', ''), ',')[2] AS DOUBLE)
+      |         WHEN starts_with(line, 'JSON:')
+      |           THEN TRY_CAST(json_extract_string(regexp_replace(line, '^JSON:', ''), '$.v') AS DOUBLE)
+      |         WHEN regexp_matches(line, '^-?[0-9]+(\.[0-9]+)?$')
+      |           THEN TRY_CAST(line AS DOUBLE) END AS num
+      |  FROM l)
+      |SELECT route, count(*) AS n,
+      |  CAST(round(sum(CAST(num AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_v,
+      |  count(key) AS n_keys
+      |FROM r GROUP BY route ORDER BY route""".stripMargin
+}

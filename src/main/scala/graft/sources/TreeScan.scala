@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Path/tree scanning — SURVEY.md §2.1 S1 (recursive tree walk) and S2
+  * (glob rule matching, `core/engine.py:338-370, 439-462`).
+  *
+  * The reference walks a filesystem depth-first; the Spark-native shape
+  * is a DataFrame of path rows (one per file) with the hierarchy split
+  * into level columns, so "run processors per directory subtree" becomes
+  * `groupBy(level columns)` / `rollup` — shuffled once, scaled by
+  * Catalyst — instead of a sequential walk.
+  */
+object TreeScan {
+
+  /** Compile a glob rule to a Java/RE2-compatible anchored regex.
+    * Supports `**` (any depth), `*` (within a segment), `?`, `[...]`
+    * classes, trailing `/` (directory-only, mirrored by the caller via
+    * `is_dir`), and `"."` for the root — the reference's rule dialect
+    * (wcmatch GLOBSTAR, `core/engine.py:454-458`). The output uses no
+    * lookarounds, so the same string works in Spark `rlike` and the
+    * DuckDB oracle's `regexp_matches`.
+    */
+  def globToRegex(glob: String): String = {
+    val g = glob.stripSuffix("/")
+    if (g == ".") "^$"
+    else {
+      val sb = new StringBuilder("^")
+      var i = 0
+      while (i < g.length) {
+        g.charAt(i) match {
+          case '*' if i + 1 < g.length && g.charAt(i + 1) == '*' =>
+            // '**/' or '**' spans directories (including none)
+            if (i + 2 < g.length && g.charAt(i + 2) == '/') { sb ++= "(?:[^/]+/)*"; i += 3 }
+            else { sb ++= ".*"; i += 2 }
+          case '*' => sb ++= "[^/]*"; i += 1
+          case '?' => sb ++= "[^/]"; i += 1
+          case '[' =>
+            val close = g.indexOf(']', i + 1)
+            if (close < 0) { sb ++= "\\["; i += 1 }
+            else {
+              val cls = g.substring(i, close + 1).replace("[!", "[^")
+              sb ++= cls; i = close + 1
+            }
+          case c if "\\.^$+{}()|".indexOf(c) >= 0 => sb += '\\' += c; i += 1
+          case c => sb += c; i += 1
+        }
+      }
+      sb ++= "$"
+      sb.toString
+    }
+  }
+
+  /** Predicate: does the relative-path column match the glob rule? */
+  def matchesGlob(relPath: Column, glob: String): Column =
+    relPath.rlike(globToRegex(glob))
+
+  /** File inventory of a real directory tree: one row per file with
+    * (path, name, size, mtime, depth). Listing happens driver-side via
+    * the Hadoop FS client (same API a cluster uses against HDFS/S3); the
+    * resulting frame is then distributed. For 100 TB object stores the
+    * identical shape comes from `spark.read.format("binaryFile")` —
+    * this inventory is for rule routing, not data reading.
+    */
+  def scan(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = FileSystem.get(new java.net.URI(root).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+    val rootPath = new HPath(root)
+    val rootUri = rootPath.toUri.getPath
+    val it = fs.listFiles(rootPath, true)
+    val rows = Iterator.continually(it)
+      .takeWhile(_.hasNext)
+      .map(_.next())
+      .map { st =>
+        val full = st.getPath.toUri.getPath
+        val rel = full.stripPrefix(rootUri).stripPrefix("/")
+        (rel, st.getPath.getName, st.getLen, st.getModificationTime,
+          rel.count(_ == '/'))
+      }.toSeq
+    rows.toDF("rel_path", "name", "size", "mtime", "depth")
+  }
+
+  /** Split a relative path column into level columns (level0..levelN);
+    * levels beyond a path's depth are null (try_element_at).
+    */
+  def withLevels(df: DataFrame, pathCol: String, maxLevels: Int): DataFrame =
+    (0 until maxLevels).foldLeft(df) { (d, i) =>
+      d.withColumn(s"level$i", try_element_at(split(col(pathCol), "/"), lit(i + 1)))
+    }
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import StructTextParser._
+
+/** Mirrors the reference's parser spec-by-test
+  * (`__test_struct_text_parser.py:19-215`): Repeat/Optional/OneOf
+  * parsing, multi-group labels, named groups, key_end handling,
+  * nmatchmax, and flatten/explode.
+  */
+class StructTextParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val blockText = Seq(
+    "HEADER A", "X: 10", "Y: 3.14", "TYPE: ALPHA",
+    "ITEM: v1", "ITEM: v2", "FOOTER",
+    "HEADER B", "X: 20", "TYPE: BETA", "ITEM: v9", "FOOTER"
+  ).mkString("\n")
+
+  private val blockSchema = Seq(
+    FieldDef("header", "^HEADER\\s+(\\w+)"),
+    Opt(FieldDef("x", "^X:\\s*(\\d+)", LongType)),
+    Opt(FieldDef("y", "^Y:\\s*(-?\\d+\\.\\d+)", DoubleType)),
+    OneOf(Seq(FieldDef("type_alpha", "^TYPE:\\s*ALPHA"),
+              FieldDef("type_beta", "^TYPE:\\s*BETA"))),
+    Rep("items", Seq(FieldDef("item", "^ITEM:\\s*(\\w+)")), until = "^FOOTER"))
+
+  test("repeat/optional/oneof parse (reference test_repeat_optional_oneof_parse)") {
+    val recs = parseText(blockText, blockSchema, keyEnd = Some("^END$"))
+    recs should have size 2
+    val r0 = recs(0)
+    r0("header") shouldBe "A"
+    r0("x") shouldBe 10L
+    r0("y").asInstanceOf[Double] shouldBe 3.14 +- 1e-9
+    r0.contains("type_alpha") shouldBe true
+    r0("items") shouldBe List(Map("item" -> "v1"), Map("item" -> "v2"))
+    val r1 = recs(1)
+    r1("header") shouldBe "B"
+    r1("x") shouldBe 20L
+    r1.contains("y") shouldBe false
+    r1.contains("type_beta") shouldBe true
+    r1("items") shouldBe List(Map("item" -> "v9"))
+  }
+
+  test("multi-group labels expand (reference test_field_group_labels_expand)") {
+    val schema = Seq(FieldDef("vec",
+      "^V:\\s*(-?\\d+\\.\\d+)\\s+(-?\\d+\\.\\d+)\\s+(-?\\d+\\.\\d+)",
+      DoubleType, labels = Seq("vx", "vy", "vz")))
+    val recs = parseText("V: 1.0 2.5 -3.2", schema)
+    recs should have size 1
+    recs.head("vx") shouldBe 1.0
+    recs.head("vy") shouldBe 2.5
+    recs.head("vz") shouldBe -3.2
+  }
+
+  test("named groups become keys (reference test_labels_per_group_and_named_groups)") {
+    val text = Seq(
+      "OUTPUT = HEADER ONE", "COMPONENT = AIRFRAME", "V: 1.0 2.5 -3.2", "END",
+      "OUTPUT = HEADER TWO", "COMPONENT = ROTOR", "V: -1.0 0.0 3.5", "END"
+    ).mkString("\n")
+    val schema = Seq(
+      FieldDef("out", "^OUTPUT\\s*=\\s*(?<header>.+)$"),
+      FieldDef("comp_line", "^COMPONENT\\s*=\\s*(?<comp>.+)$"),
+      FieldDef("vec", "^V:\\s*(-?\\d+(?:\\.\\d+)?)\\s+(-?\\d+(?:\\.\\d+)?)\\s+(-?\\d+(?:\\.\\d+)?)",
+        DoubleType, labels = Seq("vx", "vy", "vz")))
+    val recs = parseText(text, schema, keyEnd = Some("^END$"))
+    recs should have size 2
+    recs(0)("header") shouldBe "HEADER ONE"
+    recs(0)("comp") shouldBe "AIRFRAME"
+    recs(0).contains("out") shouldBe false
+    recs(1)("header") shouldBe "HEADER TWO"
+    recs(1)("vz") shouldBe 3.5
+  }
+
+  test("nMatchMax caps records") {
+    parseText(blockText, blockSchema, nMatchMax = 1) should have size 1
+  }
+
+  test("Dataset parse + explodeField flattens repeats") {
+    val df = parse(Seq(blockText).toDS(), blockSchema, keyEnd = Some("^END$"))
+    df.columns should contain allOf ("header", "x", "y", "type_alpha", "type_beta", "items")
+    val flat = explodeField(df, "items")
+    flat.columns should contain("items_item")
+    flat.where($"header" === "A").select("items_item")
+      .as[String].collect().sorted shouldBe Array("v1", "v2")
+  }
+}

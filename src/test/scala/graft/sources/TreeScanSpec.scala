@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Glob→regex compilation (reference rule dialect,
+  * `core/engine.py:439-462`) and real-filesystem tree scan.
+  */
+class TreeScanSpec extends SparkSpec {
+
+  test("globToRegex pins the oracle regexes used by q37") {
+    // These exact strings are inlined in SourceQueries.q37Sql — if the
+    // compiler changes, this test forces the oracle to follow.
+    TreeScan.globToRegex("**/*.txt") shouldBe "^(?:[^/]+/)*[^/]*\\.txt$"
+    TreeScan.globToRegex("src1*/**") shouldBe "^src1[^/]*/.*$"
+    TreeScan.globToRegex("*/en/*") shouldBe "^[^/]*/en/[^/]*$"
+  }
+
+  test("glob semantics: *, ?, [...], **, dir-only, root") {
+    def m(glob: String, path: String): Boolean =
+      path.matches(TreeScan.globToRegex(glob))
+    m("*.csv", "a.csv") shouldBe true
+    m("*.csv", "d/a.csv") shouldBe false     // * stays within a segment
+    m("**/*.csv", "d/e/a.csv") shouldBe true
+    m("**/*.csv", "a.csv") shouldBe true     // '**/' spans zero dirs
+    m("a?c", "abc") shouldBe true
+    m("a?c", "a/c") shouldBe false
+    m("[ab]x", "ax") shouldBe true
+    m("[!ab]x", "cx") shouldBe true
+    m("[!ab]x", "ax") shouldBe false
+    m("data/", "data") shouldBe true         // trailing / = dir rule
+    TreeScan.globToRegex(".") shouldBe "^$"   // root only
+  }
+
+  test("scan lists a real tree with depth and levels") {
+    val root = Files.createTempDirectory("treescan").toFile
+    Files.createDirectories(root.toPath.resolve("a/b"))
+    Files.writeString(root.toPath.resolve("top.txt"), "x")
+    Files.writeString(root.toPath.resolve("a/mid.txt"), "yy")
+    Files.writeString(root.toPath.resolve("a/b/leaf.txt"), "zzz")
+    val df = TreeScan.scan(spark, root.getAbsolutePath)
+    df.count() shouldBe 3
+    val byName = df.collect().map(r =>
+      r.getAs[String]("name") -> r.getAs[Int]("depth")).toMap
+    byName("top.txt") shouldBe 0
+    byName("mid.txt") shouldBe 1
+    byName("leaf.txt") shouldBe 2
+    val lv = TreeScan.withLevels(df, "rel_path", 2)
+    lv.where(lv("name") === "leaf.txt").select("level0", "level1")
+      .collect().head.toSeq shouldBe Seq("a", "b")
+  }
+}
