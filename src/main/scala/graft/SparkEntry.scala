@@ -55,7 +55,9 @@ object SparkEntry {
     "q35_knn_ivf"          -> (ExtensionQueries.q35KnnIvf _),
     "q36_struct_text"      -> (SourceQueries.q36StructText _),
     "q37_path_glob"        -> (SourceQueries.q37PathGlob _),
-    "q38_line_router"      -> (SourceQueries.q38LineRouter _)
+    "q38_line_router"      -> (SourceQueries.q38LineRouter _),
+    "q39_stream_window"    -> (PipelineQueries.q39StreamWindow _),
+    "q40_pipeline"         -> (PipelineQueries.q40Pipeline _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -96,6 +98,8 @@ object SparkEntry {
     "q35_knn_ivf"          -> ExtensionQueries.q35Sql,
     "q36_struct_text"      -> SourceQueries.q36Sql,
     "q37_path_glob"        -> SourceQueries.q37Sql,
-    "q38_line_router"      -> SourceQueries.q38Sql
+    "q38_line_router"      -> SourceQueries.q38Sql,
+    "q39_stream_window"    -> PipelineQueries.q39Sql,
+    "q40_pipeline"         -> PipelineQueries.q40Sql
   )
 }

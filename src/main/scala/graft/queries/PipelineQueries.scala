@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{Phase, PipelinePlan, Registry, Rule, Runner}
+import graft.streaming.EventStream
+
+/** Pipeline-runner and streaming queries, both oracle-checked. */
+object PipelineQueries {
+
+  /** §3.1 — rule-driven pipeline end-to-end: a path inventory built
+    * from `documents`, two inline processors gated by glob rules (one
+    * tags en-language dirs, one computes word counts over *.txt), and a
+    * post-phase per-directory rollup consuming the transformed frame —
+    * the reference's pre/inline-then-post traversal as dataflow. The
+    * oracle replays the same logic relationally.
+    */
+  def q40Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val paths = Tables(spark, dir, "documents")
+      .select(concat_ws("/", col("source"), col("lang"),
+        concat(lit("doc_"), col("doc_id"), lit(".txt"))).as("rel_path"),
+        col("source"), col("text"), col("n_chars"))
+
+    val registry = new Registry
+    registry.register("tag_en") { (df, _) =>
+      df.withColumn("is_en", lit(1)) }
+    registry.register("word_count") { (df, _) =>
+      df.withColumn("n_words", size(split(col("text"), " "))) }
+    registry.register("dir_stats", kind = "post") { (df, _) =>
+      df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_files"),
+             coalesce(sum(col("is_en")), lit(0)).cast("long").as("n_en"),
+             sum(col("n_words")).as("total_words"),
+             sum(col("n_chars")).as("total_chars")) }
+
+    val plan = PipelinePlan(Seq(
+      Rule("*/en/*", Phase.Inline, "tag_en", priority = 10),
+      Rule("**/*.txt", Phase.Inline, "word_count", priority = 5),
+      Rule("**", Phase.Post, "dir_stats")))
+
+    new Runner(registry).run(paths, plan)
+      .postResults("dir_stats")
+      .orderBy(col("source"))
+  }
+
+  val q40Sql: String =
+    """SELECT source, count(*) AS n_files,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** §2.10 — Structured Streaming: replay the events parquet as a file
+    * stream, watermarked tumbling-window count/sum per hour × type,
+    * availableNow to completion. The oracle is the equivalent batch
+    * aggregation — streaming and batch must agree exactly.
+    */
+  def q39StreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = EventStream.hourlyByType(EventStream.readEvents(spark, dir))
+    EventStream.runToCompletion(spark, agg, s"q39_mem_${System.nanoTime()}")
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val q39Sql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_v
+      |FROM events GROUP BY hour, event_type
+      |ORDER BY hour, event_type""".stripMargin
+}

@@ -1,0 +1,53 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Batched history sink — the Spark face of the reference's async
+  * SQLite recorder (`processors/builtin_recorders.py:56-193`): fixed
+  * record schema, enqueue-then-flush batching (batch ≥ `batchSize`
+  * forces a write, `flush()` drains), append-mode storage, recency
+  * read-back. Storage is an append-only parquet directory instead of a
+  * WAL SQLite file — each flush is one atomic parquet batch, which at
+  * cluster scale becomes `foreachBatch` appends from a streaming job.
+  * At-most-once on failure (the reference drops the failed batch;
+  * a failed write here leaves no partial files).
+  */
+object History {
+  /** The reference's 9-column history row (`builtin_recorders.py:81-96`). */
+  final case class Record(ts: String, run_id: String, phase: String,
+                          path: String, processor: String, status: String,
+                          duration_ms: Long, rows: Long, error: String)
+}
+
+final class History(spark: SparkSession, path: String, batchSize: Int = 200) {
+  import History.Record
+  import spark.implicits._
+
+  private val queue = mutable.ListBuffer.empty[Record]
+
+  def enqueue(r: Record): Unit = synchronized {
+    queue += r
+    if (queue.size >= batchSize) flush()
+  }
+
+  def pending: Int = synchronized(queue.size)
+
+  /** Drain the queue as one appended parquet batch. */
+  def flush(): Unit = synchronized {
+    if (queue.nonEmpty) {
+      val batch = queue.toList
+      queue.clear()
+      batch.toDF().write.mode(SaveMode.Append).parquet(path)
+    }
+  }
+
+  /** `ORDER BY id DESC LIMIT n` read-back (`builtin_recorders.py:283-284`);
+    * ts is the recency key here.
+    */
+  def recent(n: Int): DataFrame =
+    spark.read.parquet(path).orderBy(desc("ts"), desc("duration_ms")).limit(n)
+
+  def all(): DataFrame = spark.read.parquet(path)
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table (SURVEY.md §2.10 — the
+  * reference is batch-only; this is the declared extension: the same
+  * engine should drive continuous event pipelines).
+  *
+  * The file source replays the parquet directory as a stream; the same
+  * code pointed at a live directory/Kafka source runs unmodified. The
+  * `availableNow` trigger processes the whole backlog as micro-batches
+  * and terminates — which is how a batch harness can exercise a genuine
+  * streaming plan (stateful aggregation, watermarks, memory sink).
+  */
+object EventStream {
+
+  /** The events schema as written by the generator: ts is parquet
+    * TIMESTAMP(NANOS), read as long (see graft.Tables) and rebuilt.
+    */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of `<sfDir>/events.parquet`. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window aggregation with a watermark: events per hour ×
+    * type, decimal value sums (order-independent). At scale this is the
+    * canonical shuffle-on-(window,type) stateful agg; the watermark
+    * bounds state.
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+             .as("total_v"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_v"))
+
+  /** Run a streaming aggregation to completion over the current backlog
+    * and return the result as a batch frame (memory sink, complete
+    * mode — append would withhold windows still inside the watermark).
+    */
+  def runToCompletion(spark: SparkSession, agg: DataFrame,
+                      name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
