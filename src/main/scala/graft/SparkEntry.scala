@@ -57,7 +57,9 @@ object SparkEntry {
     "q37_path_glob"        -> (SourceQueries.q37PathGlob _),
     "q38_line_router"      -> (SourceQueries.q38LineRouter _),
     "q39_stream_window"    -> (PipelineQueries.q39StreamWindow _),
-    "q40_pipeline"         -> (PipelineQueries.q40Pipeline _)
+    "q40_pipeline"         -> (PipelineQueries.q40Pipeline _),
+    "q41_rolling_fp"       -> (ExtensionQueries.q41RollingFp _),
+    "q42_multimodal"       -> (ExtensionQueries.q42Multimodal _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -100,6 +102,8 @@ object SparkEntry {
     "q37_path_glob"        -> SourceQueries.q37Sql,
     "q38_line_router"      -> SourceQueries.q38Sql,
     "q39_stream_window"    -> PipelineQueries.q39Sql,
-    "q40_pipeline"         -> PipelineQueries.q40Sql
+    "q40_pipeline"         -> PipelineQueries.q40Sql,
+    "q41_rolling_fp"       -> ExtensionQueries.q41Sql,
+    "q42_multimodal"       -> ExtensionQueries.q42Sql
   )
 }

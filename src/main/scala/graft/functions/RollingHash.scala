@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native rolling-hash (polynomial fingerprint) expression — the
+  * document-fingerprinting primitive (north-star ✚; the reference's
+  * nearest analog is its sha1 cache key, `plotting_impl.py:93-100`).
+  *
+  * h = fold(chars, 0, (h, c) => (h * 31 + c) mod (2^31 - 1))
+  *
+  * Implemented as a Catalyst `UnaryExpression` WITH `doGenCode` — the
+  * hot loop stays inside whole-stage codegen as a static call, no UDF
+  * serialization, no boxing, null-safe. Iteration is over UTF-16 code
+  * units, which equals code points for ASCII corpora (documented
+  * contract, matching the oracle's per-char ascii() fold).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash needs a string argument, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  final val Modulus: Long = 2147483647L // 2^31 - 1
+
+  /** Static hot-loop target for both interpreted eval and codegen. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * 31 + str.charAt(i)) % Modulus
+      i += 1
+    }
+    h
+  }
+
+  /** Idempotent session registration (the non-extensions path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+}
+
+/** SparkSessionExtensions injector: enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` to get
+  * `rolling_hash` in every session, SQL included.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+}

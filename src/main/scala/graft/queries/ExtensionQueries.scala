@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.functions.RollingHash
 
 /** North-star ✚ queries: text analysis, dedup, similarity search over
   * `documents` / `embeddings` — each with a DuckDB oracle that replicates
@@ -340,4 +341,52 @@ object ExtensionQueries {
       |               CAST(a.embedding AS DOUBLE[])) DESC, a.neighbor_id) AS rank
       |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ✚ native rolling-hash fingerprint: a custom Catalyst Expression
+    * with doGenCode (whole-stage codegen keeps the char loop inline),
+    * registered as `rolling_hash` — grouped into fingerprint buckets.
+    */
+  def q41RollingFp(spark: SparkSession, dir: String): DataFrame = {
+    RollingHash.register(spark)
+    Tables(spark, dir, "documents")
+      .withColumn("fp", expr("rolling_hash(text)"))
+      .groupBy((col("fp") % 16).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("fp")).as("min_fp"))
+      .orderBy(col("bucket"))
+  }
+
+  val q41Sql: String =
+    """WITH f AS (
+      |  SELECT list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> ascii(c))),
+      |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+      |  FROM documents)
+      |SELECT fp % 16 AS bucket, count(*) AS n, min(fp) AS min_fp
+      |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** ✚ multimodal plumbing: text bytes as an opaque binary column,
+    * decoded per-partition by the (stub) decoder into typed features.
+    * The oracle recomputes the deterministic stub features from the
+    * same bytes.
+    */
+  def q42Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), lit("text").as("kind"),
+                encode(col("text"), "UTF-8").as("data")),
+      "doc_id", "kind", "data")
+    Multimodal.decodeFeatures(media).toDF()
+      .orderBy(col("id"))
+  }
+
+  val q42Sql: String =
+    """SELECT doc_id AS id, 'text' AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  sha256(text) AS content_id,
+      |  CAST((ascii(substr(text, 1, 1)) % 64) + 16 AS INT) AS width,
+      |  CAST(octet_length(encode(text)) // 1000 + 1 AS INT) AS n_frames,
+      |  CAST((octet_length(encode(text)) // 1000 + 2) // 2 AS INT) AS n_sampled
+      |FROM documents WHERE doc_id < 100 ORDER BY id""".stripMargin
 }
