@@ -88,8 +88,12 @@ object Dedup {
                       shingleWidth: Int = 1, numHashes: Int = 24,
                       numBands: Int = 3, threshold: Double = 0.9): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    // persist: both the verify joins (base) and both sides of the
+    // bucket self-join (banded) reference these frames — without a
+    // cache Spark recomputes the md5 minhash battery per reference.
     val base = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleWidth).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids only through the bucket self-join — the shingle sets rejoin
     // afterwards, so the (potentially huge) candidate shuffle moves
     // (band, hash, id) triples, never document content.
@@ -97,6 +101,7 @@ object Dedup {
       .withColumn("bands", bandHashes(minhashSignature(col("sh"), numHashes),
         numBands, rowsPerBand))
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
     a.join(b, Seq("band_idx", "band_hash"))

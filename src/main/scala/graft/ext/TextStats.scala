@@ -32,7 +32,11 @@ object TextStats {
     * (duplicates counted — an occurrence count, not a distinct count).
     */
   def markerHits(text: Column, markers: Seq[String]): Column =
-    size(filter(wsTokens(lower(text)), t => t.isin(markers.map(lit): _*)))
+    markerHitsIn(wsTokens(lower(text)), markers)
+
+  /** Same, over an already-tokenized column — tokenize once, score many. */
+  def markerHitsIn(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers.map(lit): _*)))
 
   /** Language marker lexicons (standard function-word lists). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -45,6 +49,10 @@ object TextStats {
   /** Marker-hit score per language, as named columns `score_<lang>`. */
   def langScores(text: Column): Seq[(String, Column)] =
     langMarkers.map { case (l, ws) => (s"score_$l", markerHits(text, ws)) }
+
+  /** Scores over a shared token column (single tokenize pass). */
+  def langScoresIn(tokens: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, ws) => (s"score_$l", markerHitsIn(tokens, ws)) }
 
   /** Heuristic language ID: argmax of the marker scores with a fixed
     * precedence (en > de > es > fr > zh) on ties; 'und' when no marker

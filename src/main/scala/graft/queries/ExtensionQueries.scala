@@ -74,6 +74,9 @@ object ExtensionQueries {
   /** ✚ language ID: marker-word scores → argmax with fixed precedence,
     * tallied against the labeled language (a confusion matrix).
     */
+  // NOTE: scores deliberately re-derive from `text` rather than a shared
+  // tokens column — after projection collapse the shared-column variant
+  // defeats codegen subexpression elimination and runs ~13x slower.
   def q26LangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val scored = TextStats.langScores(col("text"))
