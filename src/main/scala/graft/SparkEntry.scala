@@ -59,7 +59,8 @@ object SparkEntry {
     "q39_stream_window"    -> (PipelineQueries.q39StreamWindow _),
     "q40_pipeline"         -> (PipelineQueries.q40Pipeline _),
     "q41_rolling_fp"       -> (ExtensionQueries.q41RollingFp _),
-    "q42_multimodal"       -> (ExtensionQueries.q42Multimodal _)
+    "q42_multimodal"       -> (ExtensionQueries.q42Multimodal _),
+    "q43_typed_sessionize" -> (PipelineQueries.q43TypedSessionize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -104,6 +105,7 @@ object SparkEntry {
     "q39_stream_window"    -> PipelineQueries.q39Sql,
     "q40_pipeline"         -> PipelineQueries.q40Sql,
     "q41_rolling_fp"       -> ExtensionQueries.q41Sql,
-    "q42_multimodal"       -> ExtensionQueries.q42Sql
+    "q42_multimodal"       -> ExtensionQueries.q42Sql,
+    "q43_typed_sessionize" -> PipelineQueries.q43Sql
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.pipeline.{Phase, PipelinePlan, Registry, Rule, Runner}
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, Sessionize}
 
 /** Pipeline-runner and streaming queries, both oracle-checked. */
 object PipelineQueries {
@@ -68,4 +68,32 @@ object PipelineQueries {
       |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_v
       |FROM events GROUP BY hour, event_type
       |ORDER BY hour, event_type""".stripMargin
+
+  /** §2.11 — typed custom-state sessionization: groupByKey +
+    * flatMapGroups building gap-based sessions imperatively per user
+    * (the Dataset API path; q23 is the window-function path, and the
+    * streaming flatMapGroupsWithState variant shares this logic). All
+    * outputs are integers → exact oracle parity.
+    */
+  def q43TypedSessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionsBatch(Tables(spark, dir, "events"), gapSecs = 1800)
+      .toDF()
+      .orderBy(col("user_id"), col("session_idx"))
+
+  val q43Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id,
+      |    CAST(sum(CASE WHEN prev_ts IS NULL
+      |             OR date_diff('second', prev_ts, ts) > 1800
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_idx
+      |  FROM g)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
 }

@@ -1,0 +1,41 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Filesystem side-effects — SURVEY.md §2.9 K9, the reference's
+  * backup/copy/rename/delete processors (`processors/file_ops.py:17-168`).
+  * Implemented over the Hadoop FS client so the same calls work on
+  * local disk, HDFS and object stores; these are pipeline-runner
+  * effects, not relational operators.
+  */
+final class FileOps(spark: SparkSession) {
+
+  private def fs(path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path).resolve("/"),
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Copy preserving the path relative to `srcRoot` under `dstRoot`
+    * (the reference's backup-with-relpath, `file_ops.py:17-78`).
+    */
+  def backup(srcRoot: String, relPath: String, dstRoot: String): Unit = {
+    val f = fs(srcRoot)
+    val src = new HPath(s"$srcRoot/$relPath")
+    val dst = new HPath(s"$dstRoot/$relPath")
+    f.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, true,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** Rename with a prefix (`file_ops.py:96-132`). */
+  def renameWithPrefix(dir: String, name: String, prefix: String): Unit = {
+    val f = fs(dir)
+    f.rename(new HPath(s"$dir/$name"), new HPath(s"$dir/$prefix$name"))
+  }
+
+  def delete(path: String): Boolean =
+    fs(path).delete(new HPath(path), false)
+
+  def exists(path: String): Boolean =
+    fs(path).exists(new HPath(path))
+}

@@ -28,17 +28,21 @@ object LineRouter {
     * Bad cells null out rather than erroring.
     */
   def numericPayload(line: Column): Column =
+    // try_cast/try_element_at: under ANSI mode (Spark 4 default) a
+    // malformed cell or short CSV line must null out, not fail the scan.
     when(line.startsWith("CSV:"),
-        element_at(split(regexp_replace(line, "^CSV:", ""), ","), 2).cast("double"))
+        try_element_at(split(regexp_replace(line, "^CSV:", ""), ","), lit(2))
+          .try_cast("double"))
       .when(line.startsWith("JSON:"),
-        get_json_object(regexp_replace(line, "^JSON:", ""), "$.v").cast("double"))
-      .when(line.rlike("^-?[0-9]+(\\.[0-9]+)?$"), line.cast("double"))
+        get_json_object(regexp_replace(line, "^JSON:", ""), "$.v")
+          .try_cast("double"))
+      .when(line.rlike("^-?[0-9]+(\\.[0-9]+)?$"), line.try_cast("double"))
       .otherwise(lit(null).cast("double"))
 
   /** Key payload: CSV → first field; JSON → "k"; else null. */
   def keyPayload(line: Column): Column =
     when(line.startsWith("CSV:"),
-        element_at(split(regexp_replace(line, "^CSV:", ""), ","), 1))
+        try_element_at(split(regexp_replace(line, "^CSV:", ""), ","), lit(1)))
       .when(line.startsWith("JSON:"),
         get_json_object(regexp_replace(line, "^JSON:", ""), "$.k"))
       .otherwise(lit(null).cast("string"))
@@ -58,7 +62,7 @@ object LineRouter {
     lines
       .filter(!trim(col(lineCol)).startsWith("#") && length(trim(col(lineCol))) > 0)
       .select(
-        regexp_extract(col(lineCol), "^(\\S+)[\\s,]+(.+)$", 1).as("key"),
-        regexp_extract(col(lineCol), "^(\\S+)[\\s,]+(.+)$", 2).as("label"))
+        regexp_extract(col(lineCol), "^([^\\s,]+)[\\s,]+(.+)$", 1).as("key"),
+        regexp_extract(col(lineCol), "^([^\\s,]+)[\\s,]+(.+)$", 2).as("label"))
       .filter(length(col("key")) > 0)
 }
