@@ -60,7 +60,8 @@ object SparkEntry {
     "q40_pipeline"         -> (PipelineQueries.q40Pipeline _),
     "q41_rolling_fp"       -> (ExtensionQueries.q41RollingFp _),
     "q42_multimodal"       -> (ExtensionQueries.q42Multimodal _),
-    "q43_typed_sessionize" -> (PipelineQueries.q43TypedSessionize _)
+    "q43_typed_sessionize" -> (PipelineQueries.q43TypedSessionize _),
+    "q44_semi_join"        -> (RelationalQueries.q44SemiJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -106,6 +107,7 @@ object SparkEntry {
     "q40_pipeline"         -> PipelineQueries.q40Sql,
     "q41_rolling_fp"       -> ExtensionQueries.q41Sql,
     "q42_multimodal"       -> ExtensionQueries.q42Sql,
-    "q43_typed_sessionize" -> PipelineQueries.q43Sql
+    "q43_typed_sessionize" -> PipelineQueries.q43Sql,
+    "q44_semi_join"        -> RelationalQueries.q44Sql
   )
 }

@@ -244,6 +244,24 @@ object RelationalQueries {
       |SELECT s_nationkey AS nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
+  /** J4 — semi join: customers that DO have a high-value order (row
+    * set from the left side only; at scale the right side reduces to a
+    * distinct-key shuffle, never widening the row).
+    */
+  def q44SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val ord = Tables(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val q44Sql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
   /** A3 — per-source document summary via Summaries.perKeySummary. */
   def q17SourceSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
