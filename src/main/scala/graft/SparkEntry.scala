@@ -61,7 +61,8 @@ object SparkEntry {
     "q41_rolling_fp"       -> (ExtensionQueries.q41RollingFp _),
     "q42_multimodal"       -> (ExtensionQueries.q42Multimodal _),
     "q43_typed_sessionize" -> (PipelineQueries.q43TypedSessionize _),
-    "q44_semi_join"        -> (RelationalQueries.q44SemiJoin _)
+    "q44_semi_join"        -> (RelationalQueries.q44SemiJoin _),
+    "q45_catalog_read"     -> (RelationalQueries.q45CatalogRead _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,6 +109,7 @@ object SparkEntry {
     "q41_rolling_fp"       -> ExtensionQueries.q41Sql,
     "q42_multimodal"       -> ExtensionQueries.q42Sql,
     "q43_typed_sessionize" -> PipelineQueries.q43Sql,
-    "q44_semi_join"        -> RelationalQueries.q44Sql
+    "q44_semi_join"        -> RelationalQueries.q44Sql,
+    "q45_catalog_read"     -> RelationalQueries.q45Sql
   )
 }

@@ -262,6 +262,28 @@ object RelationalQueries {
       |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** A2 — metadata-defaulted grouped read through the TableCatalog:
+    * declared table_keys = (source, lang), filter on lang, so the group
+    * keys INFER to (source) and the projection defaults to the declared
+    * base columns — `get_data_from_database` end to end.
+    */
+  def q45CatalogRead(spark: SparkSession, dir: String): DataFrame = {
+    val cat = new graft.catalog.TableCatalog(spark)
+    cat.write("docs_cat", Tables(spark, dir, "documents"),
+      graft.catalog.TableMeta(tableKeys = Seq("source", "lang"),
+        baseColNames = Seq("n_chars")))
+    cat.readGrouped("docs_cat",
+        Map("lang" -> Eq("en")),
+        Seq(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")))
+      .orderBy(col("source"))
+  }
+
+  val q45Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** A3 — per-source document summary via Summaries.perKeySummary. */
   def q17SourceSummary(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
