@@ -62,7 +62,8 @@ object SparkEntry {
     "q42_multimodal"       -> (ExtensionQueries.q42Multimodal _),
     "q43_typed_sessionize" -> (PipelineQueries.q43TypedSessionize _),
     "q44_semi_join"        -> (RelationalQueries.q44SemiJoin _),
-    "q45_catalog_read"     -> (RelationalQueries.q45CatalogRead _)
+    "q45_catalog_read"     -> (RelationalQueries.q45CatalogRead _),
+    "q46_centroids"        -> (ExtensionQueries.q46Centroids _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -110,6 +111,7 @@ object SparkEntry {
     "q42_multimodal"       -> ExtensionQueries.q42Sql,
     "q43_typed_sessionize" -> PipelineQueries.q43Sql,
     "q44_semi_join"        -> RelationalQueries.q44Sql,
-    "q45_catalog_read"     -> RelationalQueries.q45Sql
+    "q45_catalog_read"     -> RelationalQueries.q45Sql,
+    "q46_centroids"        -> ExtensionQueries.q46Sql
   )
 }

@@ -23,6 +23,10 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // pure function of the input → literal arguments constant-fold at
+  // plan time (Catalyst's ConstantFolding picks this up for free)
+  override def foldable: Boolean = child.foldable
+
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{CentroidAggregator, Dedup, Multimodal, Similarity, TextStats}
 import graft.functions.RollingHash
 
 /** North-star ✚ queries: text analysis, dedup, similarity search over
@@ -344,6 +344,39 @@ object ExtensionQueries {
       |               CAST(a.embedding AS DOUBLE[])) DESC, a.neighbor_id) AS rank
       |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ✚ typed custom Aggregator: per-label embedding centroids (map-side
+    * partial aggregation; dims+1 doubles shuffle per group). First four
+    * dimensions rounded to 4 dp — double summation order varies with
+    * partitioning, rounding absorbs the ~1e-13 drift.
+    */
+  def q46Centroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = CentroidAggregator(64).toColumn
+    Tables(spark, dir, "embeddings")
+      .select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("centroid"))
+      .toDF("label", "centroid")
+      .select(col("label"),
+        round(element_at(col("centroid"), 1), 4).as("c0"),
+        round(element_at(col("centroid"), 2), 4).as("c1"),
+        round(element_at(col("centroid"), 3), 4).as("c2"),
+        round(element_at(col("centroid"), 4), 4).as("c3"),
+        lit(64).as("dims"))
+      .orderBy(col("label"))
+  }
+
+  val q46Sql: String =
+    """SELECT label,
+      |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS c0,
+      |  round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS c1,
+      |  round(avg(CAST(embedding[3] AS DOUBLE)), 4) AS c2,
+      |  round(avg(CAST(embedding[4] AS DOUBLE)), 4) AS c3,
+      |  CAST(64 AS INT) AS dims
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   /** ✚ native rolling-hash fingerprint: a custom Catalyst Expression
     * with doGenCode (whole-stage codegen keeps the char loop inline),

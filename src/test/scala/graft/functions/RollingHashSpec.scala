@@ -35,6 +35,15 @@ class RollingHashSpec extends SparkSpec {
       Seq(1).toDF("i").selectExpr("rolling_hash(i)").collect()
   }
 
+  test("literal input constant-folds at plan time") {
+    RollingHash.register(spark)
+    val df = spark.range(1).selectExpr("rolling_hash('abc') AS h")
+    // after optimization the expression is gone — only a Literal remains
+    df.queryExecution.optimizedPlan.toString should include("96354")
+    df.queryExecution.optimizedPlan.toString should not include "rolling_hash"
+    df.collect().head.getLong(0) shouldBe 96354L
+  }
+
   test("GraftExtensions injects the function") {
     val ext = new GraftExtensions
     // applying to the live session's extensions object is not exposed;
