@@ -63,7 +63,8 @@ object SparkEntry {
     "q43_typed_sessionize" -> (PipelineQueries.q43TypedSessionize _),
     "q44_semi_join"        -> (RelationalQueries.q44SemiJoin _),
     "q45_catalog_read"     -> (RelationalQueries.q45CatalogRead _),
-    "q46_centroids"        -> (ExtensionQueries.q46Centroids _)
+    "q46_centroids"        -> (ExtensionQueries.q46Centroids _),
+    "q47_dup_clusters"     -> (ExtensionQueries.q47DupClusters _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -112,6 +113,7 @@ object SparkEntry {
     "q43_typed_sessionize" -> PipelineQueries.q43Sql,
     "q44_semi_join"        -> RelationalQueries.q44Sql,
     "q45_catalog_read"     -> RelationalQueries.q45Sql,
-    "q46_centroids"        -> ExtensionQueries.q46Sql
+    "q46_centroids"        -> ExtensionQueries.q46Sql,
+    "q47_dup_clusters"     -> ExtensionQueries.q47Sql
   )
 }

@@ -30,15 +30,30 @@ object Dedup {
         .otherwise(array().cast("array<string>"))
     }
 
-  /** MinHash signature of `numHashes` values over a shingle array.
-    * Hash family i is the first 16 hex chars of md5("<i>#" + shingle) —
-    * portable across engines (md5 is md5 everywhere), min taken
-    * lexicographically on the hex prefix.
+  /** 52-bit integer hash of a shingle: md5 hex prefix parsed as a
+    * number — portable (md5 + hex parse exist everywhere), and 52 bits
+    * leaves headroom for the linear combinations below in an int64.
+    */
+  def hexHash(s: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), s)), 1, 13), 16, 10).cast("long")
+
+  /** MinHash signature via the Carter-Wegman trick: only TWO md5
+    * evaluations per shingle (h1, h2), hash family i = h1 + i·h2.
+    * At 100 TB the md5 battery is the dominant map-side cost of
+    * signature computation — this cuts it numHashes/2 ×.
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    minhashFromHashes(
+      transform(shingleArr, s => hexHash(s, "a#")),
+      transform(shingleArr, s => hexHash(s, "b#")),
+      numHashes)
+
+  /** Signature from precomputed h1/h2 arrays (cache these when several
+    * stages reuse them — column expressions re-inline otherwise).
+    */
+  def minhashFromHashes(h1: Column, h2: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleArr,
-        s => substring(md5(concat(lit(s"$i#"), s)), 1, 16)))
+      array_min(zip_with(h1, h2, (a, b) => a + lit(i.toLong) * b))
     }: _*)
 
   /** LSH band keys: `numBands` bands of `rowsPerBand` signature slots,
@@ -90,15 +105,20 @@ object Dedup {
     val rowsPerBand = numHashes / numBands
     // persist: both the verify joins (base) and both sides of the
     // bucket self-join (banded) reference these frames — without a
-    // cache Spark recomputes the md5 minhash battery per reference.
+    // cache Spark recomputes the md5 battery per reference. Caching
+    // h1/h2 here also guarantees the two md5s per shingle are computed
+    // once, not re-inlined into each of the numHashes signature slots.
     val base = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleWidth).as("sh"))
+      .withColumn("h1", transform(col("sh"), s => hexHash(s, "a#")))
+      .withColumn("h2", transform(col("sh"), s => hexHash(s, "b#")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids only through the bucket self-join — the shingle sets rejoin
     // afterwards, so the (potentially huge) candidate shuffle moves
     // (band, hash, id) triples, never document content.
     val banded = base
-      .withColumn("bands", bandHashes(minhashSignature(col("sh"), numHashes),
+      .withColumn("bands", bandHashes(
+        minhashFromHashes(col("h1"), col("h2"), numHashes),
         numBands, rowsPerBand))
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{CentroidAggregator, Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{CentroidAggregator, Dedup, DupClusters, Multimodal, Similarity, TextStats}
 import graft.functions.RollingHash
 
 /** North-star ✚ queries: text analysis, dedup, similarity search over
@@ -146,8 +146,9 @@ object ExtensionQueries {
       |FROM documents d JOIN g ON d.doc_id = g.keep_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
-  /** ✚ MinHash signatures (8 portable md5-min hashes over the word set),
-    * shown as the first two signature slots + first band key.
+  /** ✚ MinHash signatures (Carter-Wegman family: two 52-bit md5-derived
+    * hashes, slot i = min(h1 + i·h2)), shown as the first two slots +
+    * first band key.
     */
   def q29MinhashSig(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(col("text"), 1)
@@ -166,12 +167,16 @@ object ExtensionQueries {
     """WITH d AS (
       |  SELECT doc_id, list_distinct(string_split(text,' ')) AS sh
       |  FROM documents WHERE doc_id < 50),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(sh, s -> CAST('0x'||substr(md5('a#'||s),1,13) AS BIGINT)) AS h1,
+      |    list_transform(sh, s -> CAST('0x'||substr(md5('b#'||s),1,13) AS BIGINT)) AS h2
+      |  FROM d),
       |sig AS (
       |  SELECT doc_id,
-      |    [list_aggregate(list_transform(sh,
-      |       s -> substr(md5(CAST(i AS VARCHAR)||'#'||s), 1, 16)), 'min')
+      |    [list_min(list_transform(list_zip(h1, h2), z -> z[1] + i*z[2]))
       |     for i in range(0, 8)] AS sg
-      |  FROM d)
+      |  FROM h)
       |SELECT doc_id, sg[1] AS mh0, sg[2] AS mh1,
       |  md5(sg[1]||'|'||sg[2]) AS band0
       |FROM sig ORDER BY doc_id""".stripMargin
@@ -195,12 +200,16 @@ object ExtensionQueries {
     """WITH d AS (
       |  SELECT doc_id, list_distinct(string_split(text,' ')) AS sh
       |  FROM documents WHERE doc_id < 1000),
+      |h AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(sh, s -> CAST('0x'||substr(md5('a#'||s),1,13) AS BIGINT)) AS h1,
+      |    list_transform(sh, s -> CAST('0x'||substr(md5('b#'||s),1,13) AS BIGINT)) AS h2
+      |  FROM d),
       |sig AS (
       |  SELECT doc_id, sh,
-      |    [list_aggregate(list_transform(sh,
-      |       s -> substr(md5(CAST(i AS VARCHAR)||'#'||s), 1, 16)), 'min')
+      |    [list_min(list_transform(list_zip(h1, h2), z -> z[1] + i*z[2]))
       |     for i in range(0, 24)] AS sg
-      |  FROM d),
+      |  FROM h),
       |bands AS (
       |  SELECT doc_id, b,
       |    md5(sg[8*b+1]||'|'||sg[8*b+2]||'|'||sg[8*b+3]||'|'||sg[8*b+4]||'|'||
@@ -377,6 +386,41 @@ object ExtensionQueries {
       |  round(avg(CAST(embedding[4] AS DOUBLE)), 4) AS c3,
       |  CAST(64 AS INT) AS dims
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+  /** ✚ dup-cluster election: connected components over the ≥0.9
+    * Jaccard pair graph, one representative (min id) per cluster —
+    * iterative min-label propagation, checked against a recursive-CTE
+    * oracle.
+    */
+  def q47DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 1).as("sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val edges = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.9)
+      .select(col("id_a").as("s"), col("id_b").as("t"))
+    DupClusters.clusters(edges, d.select(col("doc_id").as("id")), minSize = 2)
+      .orderBy(col("rep"))
+  }
+
+  val q47Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, list_distinct(string_split(text,' ')) AS sh
+      |  FROM documents WHERE doc_id < 300),
+      |pairs AS (
+      |  SELECT a.doc_id AS s, b.doc_id AS t
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(a.sh || b.sh)) >= 0.9),
+      |edges AS (SELECT s, t FROM pairs UNION ALL SELECT t, s FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT doc_id, doc_id FROM d
+      |  UNION
+      |  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node),
+      |comp AS (SELECT node, min(label) AS rep FROM reach GROUP BY node)
+      |SELECT rep, count(*) AS n_members FROM comp
+      |GROUP BY rep HAVING count(*) >= 2 ORDER BY rep""".stripMargin
 
   /** ✚ native rolling-hash fingerprint: a custom Catalyst Expression
     * with doGenCode (whole-stage codegen keeps the char loop inline),

@@ -1,0 +1,36 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Connected-components label propagation: chains, singletons,
+  * multi-component graphs, transitivity (A~B~C without A~C).
+  */
+class DupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("labels chains transitively and keeps singletons") {
+    // components: {1,2,3} (chain), {5,6}, {9} singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("s", "t")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val labels = DupClusters.components(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
+  }
+
+  test("clusters reports representatives with member counts") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("s", "t")
+    val nodes = (10L to 12L).union(Seq(20L, 21L, 30L)).toDF("id")
+    val out = DupClusters.clusters(edges, nodes).orderBy("rep")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    out shouldBe Array((10L, 3L), (20L, 2L))
+  }
+
+  test("long chain converges within iteration budget") {
+    val n = 12
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("s", "t")
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val labels = DupClusters.components(edges, nodes)
+      .collect().map(_.getLong(1)).distinct
+    labels shouldBe Array(1L)
+  }
+}
