@@ -64,7 +64,10 @@ object SparkEntry {
     "q44_semi_join"        -> (RelationalQueries.q44SemiJoin _),
     "q45_catalog_read"     -> (RelationalQueries.q45CatalogRead _),
     "q46_centroids"        -> (ExtensionQueries.q46Centroids _),
-    "q47_dup_clusters"     -> (ExtensionQueries.q47DupClusters _)
+    "q47_dup_clusters"     -> (ExtensionQueries.q47DupClusters _),
+    "q48_range_window"     -> (FunctionQueries.q48RangeWindow _),
+    "q49_cube"             -> (FunctionQueries.q49Cube _),
+    "q50_percentiles"      -> (FunctionQueries.q50Percentiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -114,6 +117,9 @@ object SparkEntry {
     "q44_semi_join"        -> RelationalQueries.q44Sql,
     "q45_catalog_read"     -> RelationalQueries.q45Sql,
     "q46_centroids"        -> ExtensionQueries.q46Sql,
-    "q47_dup_clusters"     -> ExtensionQueries.q47Sql
+    "q47_dup_clusters"     -> ExtensionQueries.q47Sql,
+    "q48_range_window"     -> FunctionQueries.q48Sql,
+    "q49_cube"             -> FunctionQueries.q49Sql,
+    "q50_percentiles"      -> FunctionQueries.q50Sql
   )
 }

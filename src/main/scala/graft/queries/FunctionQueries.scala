@@ -176,4 +176,68 @@ object FunctionQueries {
       |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS session_value
       |FROM s GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** §2.5 — RANGE-framed window: trailing-1-hour count/sum per user,
+    * keyed on truncated epoch seconds so peers group identically in
+    * both engines.
+    */
+  def q48RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, 0)
+    Tables(spark, dir, "events")
+      .filter(col("event_id") < 3000)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value").cast("decimal(18,6)")).over(w), 2)
+          .cast("double").as("v_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val q48Sql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_1h,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS v_1h
+      |FROM events
+      |WHERE event_id < 3000
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** §2.4 — CUBE over (segment, nation): all 4 grouping combinations in
+    * one pass/shuffle (A7's rollup generalized).
+    */
+  def q49Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .cube(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("c_acctbal").cast("decimal(18,4)")), 2)
+             .cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first,
+               col("c_nationkey").asc_nulls_first)
+
+  val q49Sql: String =
+    """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+      |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+      |FROM customer
+      |GROUP BY CUBE(c_mktsegment, c_nationkey)
+      |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+
+  /** §2.4 — exact percentiles (linear interpolation) per group. */
+  def q50Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+           round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val q50Sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }
