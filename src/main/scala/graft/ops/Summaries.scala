@@ -27,7 +27,10 @@ object Summaries {
   def sectionStats(df: DataFrame, keys: Seq[String],
                    valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(round(avg(col(valueCol)), 4).as("mean"),
+      // mean via exact decimal sum + one double division: partition
+      // summation order cannot move the rounded value
+      .agg(round(sum(col(valueCol).cast("decimal(18,6)")).cast("double")
+             / count(lit(1)), 4).as("mean"),
            round(max(col(valueCol)), 4).as("maximum"),
            round(min(col(valueCol)), 4).as("minimum"))
       .withColumn("half_p2p",

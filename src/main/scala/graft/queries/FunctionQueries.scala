@@ -114,14 +114,16 @@ object FunctionQueries {
           .otherwise("other"))
       .groupBy(col("route"))
       .agg(count(lit(1)).as("n"),
-           round(sum(col("value")), 2).as("total_value"))
+           round(sum(col("value").cast("decimal(18,6)")), 2)
+             .cast("double").as("total_value"))
       .orderBy(col("route"))
 
   val q16Sql: String =
     """SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
       |  WHEN event_type IN ('purchase','signup') THEN 'conversion'
       |  ELSE 'other' END AS route,
-      |  count(*) AS n, round(sum(value), 2) AS total_value
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
       |FROM events GROUP BY route ORDER BY route""".stripMargin
 
   /** §2.8 date/time — orders per month. */
@@ -130,12 +132,14 @@ object FunctionQueries {
       .withColumn("month", to_date(date_trunc("month", col("o_orderdate"))))
       .groupBy(col("month"))
       .agg(count(lit(1)).as("n_orders"),
-           round(sum(col("o_totalprice")), 2).as("total_price"))
+           round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").as("total_price"))
       .orderBy(col("month"))
 
   val q21Sql: String =
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+      |  count(*) AS n_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
       |FROM orders GROUP BY month ORDER BY month""".stripMargin
 
   /** §2.5 — sessionization: gap-based session ids via lag + running sum,

@@ -92,14 +92,15 @@ object RelationalQueries {
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
   val q5Sql: String =
     """SELECT r_name, n_name,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -308,7 +309,7 @@ object RelationalQueries {
 
   val q22Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(avg(l_quantity), 4) AS mean,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS mean,
       |  round(max(l_quantity), 4) AS maximum,
       |  round(min(l_quantity), 4) AS minimum,
       |  round((round(max(l_quantity), 4) - round(min(l_quantity), 4)) / 2.0, 4) AS half_p2p
