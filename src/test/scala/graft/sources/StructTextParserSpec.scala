@@ -77,6 +77,25 @@ class StructTextParserSpec extends SparkSpec {
     parseText(blockText, blockSchema, nMatchMax = 1) should have size 1
   }
 
+  test("empty and non-matching text yield no records") {
+    parseText("", blockSchema) shouldBe empty
+    parseText("no headers here\njust noise", blockSchema) shouldBe empty
+  }
+
+  test("record at EOF without end marker still closes") {
+    val recs = parseText("HEADER Z\nX: 7\nTYPE: ALPHA\nITEM: only",
+      blockSchema, keyEnd = Some("^END$"))
+    recs should have size 1
+    recs.head("header") shouldBe "Z"
+    recs.head("items") shouldBe List(Map("item" -> "only"))
+  }
+
+  test("preamble lines before the first record are skipped") {
+    val recs = parseText("junk\nmore junk\n" + blockText, blockSchema)
+    recs should have size 2
+    recs.head("header") shouldBe "A"
+  }
+
   test("Dataset parse + explodeField flattens repeats") {
     val df = parse(Seq(blockText).toDS(), blockSchema, keyEnd = Some("^END$"))
     df.columns should contain allOf ("header", "x", "y", "type_alpha", "type_beta", "items")
