@@ -20,6 +20,17 @@ object Exporters {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Partitioned parquet: the record-store's tag dict as partition
+    * columns (SURVEY.md §1.1) — a tag selector on the read side becomes
+    * a partition-pruning filter, so queries touching one tag value
+    * never open the other directories.
+    */
+  def partitionedParquet(df: DataFrame, path: String,
+                         partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Parquet cache keyed by a stable content key — the reference's
     * sha1-keyed cache (`plotting_impl.py:93-147`): compute once, reload
     * thereafter.

@@ -32,6 +32,20 @@ class SinksSpec extends SparkSpec {
     builds shouldBe 1
   }
 
+  test("partitioned write prunes partitions on tag-selector reads") {
+    val df = Seq(("src0", 1, "a"), ("src0", 2, "b"), ("src1", 3, "c"))
+      .toDF("source", "id", "payload")
+    val p = tmp("part")
+    Exporters.partitionedParquet(df, p, Seq("source"))
+    val read = spark.read.parquet(p).filter($"source" === "src1")
+    read.count() shouldBe 1
+    // the physical scan must carry the partition filter (pruning), not
+    // a post-scan row filter over all directories
+    val plan = read.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include("src1")
+  }
+
   test("history enqueues, auto-flushes at batch size, reads back recent") {
     val path = tmp("history")
     val h = new History(spark, path, batchSize = 5)
