@@ -67,7 +67,9 @@ object SparkEntry {
     "q47_dup_clusters"     -> (ExtensionQueries.q47DupClusters _),
     "q48_range_window"     -> (FunctionQueries.q48RangeWindow _),
     "q49_cube"             -> (FunctionQueries.q49Cube _),
-    "q50_percentiles"      -> (FunctionQueries.q50Percentiles _)
+    "q50_percentiles"      -> (FunctionQueries.q50Percentiles _),
+    "q51_from_json"        -> (FunctionQueries.q51FromJson _),
+    "q52_asof_join"        -> (FunctionQueries.q52AsofJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -120,6 +122,8 @@ object SparkEntry {
     "q47_dup_clusters"     -> ExtensionQueries.q47Sql,
     "q48_range_window"     -> FunctionQueries.q48Sql,
     "q49_cube"             -> FunctionQueries.q49Sql,
-    "q50_percentiles"      -> FunctionQueries.q50Sql
+    "q50_percentiles"      -> FunctionQueries.q50Sql,
+    "q51_from_json"        -> FunctionQueries.q51Sql,
+    "q52_asof_join"        -> FunctionQueries.q52Sql
   )
 }

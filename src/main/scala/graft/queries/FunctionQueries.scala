@@ -244,4 +244,64 @@ object FunctionQueries {
       |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** §2.8 JSON — real JSON parsing (`from_json` with a declared schema,
+    * not the regex shortcut of q13), aggregated per type.
+    */
+  def q51FromJson(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("k", from_json(col("props"), lit("k INT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+
+  val q51Sql: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+      |  count(CAST(json_extract(props, '$.k') AS INT)) AS n_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** ✚ as-of join — the operator Spark lacks natively, composed from
+    * built-ins exactly as SURVEY §7.3 prescribes (option (a)): union
+    * both sides tagged, one window pass carrying the last left-side
+    * row forward, filter the right side. One shuffle on the key,
+    * linear scan per partition — no quadratic range join. Here: the
+    * last click at-or-before each purchase per user. The oracle is
+    * DuckDB's native ASOF JOIN.
+    */
+  def q52AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("kind"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
+    // kind breaks ts ties so an equal-timestamp click sorts first
+    // (ASOF's >= semantics)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("click_event",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("click_event").isNotNull)
+      .select(col("event_id").as("p_event"), col("user_id"),
+              col("click_event"),
+              (col("ts").cast("long") - col("click_ts").cast("long"))
+                .as("gap_secs"))
+      .orderBy(col("p_event"))
+  }
+
+  val q52Sql: String =
+    """SELECT p.event_id AS p_event, p.user_id, c.event_id AS click_event,
+      |  date_diff('second', c.ts, p.ts) AS gap_secs
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p_event""".stripMargin
 }
