@@ -69,7 +69,8 @@ object SparkEntry {
     "q49_cube"             -> (FunctionQueries.q49Cube _),
     "q50_percentiles"      -> (FunctionQueries.q50Percentiles _),
     "q51_from_json"        -> (FunctionQueries.q51FromJson _),
-    "q52_asof_join"        -> (FunctionQueries.q52AsofJoin _)
+    "q52_asof_join"        -> (FunctionQueries.q52AsofJoin _),
+    "q53_topk_per_key"     -> (FunctionQueries.q53TopKPerKey _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -124,6 +125,7 @@ object SparkEntry {
     "q49_cube"             -> FunctionQueries.q49Sql,
     "q50_percentiles"      -> FunctionQueries.q50Sql,
     "q51_from_json"        -> FunctionQueries.q51Sql,
-    "q52_asof_join"        -> FunctionQueries.q52Sql
+    "q52_asof_join"        -> FunctionQueries.q52Sql,
+    "q53_topk_per_key"     -> FunctionQueries.q53Sql
   )
 }

@@ -68,12 +68,15 @@ object RollingHash {
 
 /** SparkSessionExtensions injector: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` to get
-  * `rolling_hash` in every session, SQL included.
+  * `rolling_hash` and the TopKPerKey planner strategy in every
+  * session, SQL included.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

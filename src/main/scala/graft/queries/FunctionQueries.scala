@@ -304,4 +304,28 @@ object FunctionQueries {
       |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p_event""".stripMargin
+
+  /** ✚ custom whole-operator plan: exact top-3 events by value per
+    * user through [[graft.plans.TopK]] — a custom LogicalPlan +
+    * SparkStrategy + two-stage SparkPlan with MAP-SIDE partial top-k,
+    * so the shuffle carries ≤ k rows per key per partition instead of
+    * the whole fact table (the window formulation can't pre-aggregate).
+    * The oracle is the equivalent window query.
+    */
+  def q53TopKPerKey(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.topKPerKey(
+        Tables(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value")),
+        Seq("user_id"), "value", k = 3, desc = true,
+        tiebreak = Seq("event_id"))
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+
+  val q53Sql: String =
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY value DESC, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn <= 3
+      |ORDER BY user_id, value DESC, event_id""".stripMargin
 }
