@@ -70,7 +70,10 @@ object SparkEntry {
     "q50_percentiles"      -> (FunctionQueries.q50Percentiles _),
     "q51_from_json"        -> (FunctionQueries.q51FromJson _),
     "q52_asof_join"        -> (FunctionQueries.q52AsofJoin _),
-    "q53_topk_per_key"     -> (FunctionQueries.q53TopKPerKey _)
+    "q53_topk_per_key"     -> (FunctionQueries.q53TopKPerKey _),
+    "q54_bigram_vocab"     -> (ExtensionQueries.q54BigramVocab _),
+    "q55_contamination"    -> (ExtensionQueries.q55Contamination _),
+    "q56_repetition"       -> (ExtensionQueries.q56Repetition _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -126,6 +129,9 @@ object SparkEntry {
     "q50_percentiles"      -> FunctionQueries.q50Sql,
     "q51_from_json"        -> FunctionQueries.q51Sql,
     "q52_asof_join"        -> FunctionQueries.q52Sql,
-    "q53_topk_per_key"     -> FunctionQueries.q53Sql
+    "q53_topk_per_key"     -> FunctionQueries.q53Sql,
+    "q54_bigram_vocab"     -> ExtensionQueries.q54Sql,
+    "q55_contamination"    -> ExtensionQueries.q55Sql,
+    "q56_repetition"       -> ExtensionQueries.q56Sql
   )
 }

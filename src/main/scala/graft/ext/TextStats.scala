@@ -77,4 +77,15 @@ object TextStats {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Word n-grams WITH duplicates (occurrence counting — contrast
+    * [[graft.ext.Dedup.shingles]], which dedups for set semantics).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    val grams = transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws("_",
+        (0 until n).map(k => call_function("element_at", w, i + lit(k))): _*))
+    when(size(w) >= n, grams).otherwise(array().cast("array<string>"))
+  }
 }

@@ -422,6 +422,95 @@ object ExtensionQueries {
       |SELECT rep, count(*) AS n_members FROM comp
       |GROUP BY rep HAVING count(*) >= 2 ORDER BY rep""".stripMargin
 
+  /** ✚ BPE-style vocabulary induction, first iteration: the most
+    * frequent adjacent token pairs corpus-wide (explode bigrams →
+    * count → top-20 with lexicographic tiebreak). Partial aggregation
+    * makes the explode map-side; only (bigram, count) shuffles.
+    */
+  def q54BigramVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(TextStats.ngrams(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  val q54Sql: String =
+    """WITH g AS (
+      |  SELECT unnest([w[i]||'_'||w[i+1] for i in range(1, len(w))]) AS bigram
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+      |SELECT bigram, count(*) AS n FROM g
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
+  /** ✚ benchmark decontamination: documents sharing any 4-gram with the
+    * benchmark slice (source src0) are contaminated. The benchmark
+    * shingle set stays small (broadcast side); the corpus explodes
+    * map-side and semi-joins on the gram hash.
+    */
+  def q55Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(TextStats.ngrams(col("text"), 4)).as("g"))
+    val bench = grams.filter(col("source") === "src0").select("g").distinct()
+    val contaminated = grams.filter(col("source") =!= "src0")
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated"))
+    docs.filter(col("source") =!= "src0")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(contaminated, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .orderBy(col("source"))
+  }
+
+  val q55Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    unnest([w[i]||'_'||w[i+1]||'_'||w[i+2]||'_'||w[i+3]
+      |            for i in range(1, len(w)-2)]) AS g
+      |  FROM d),
+      |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+      |hits AS (
+      |  SELECT DISTINCT s.doc_id, s.source
+      |  FROM sh s JOIN bench b ON s.g = b.g WHERE s.source <> 'src0'),
+      |c AS (SELECT source, count(*) AS n_contaminated FROM hits GROUP BY source)
+      |SELECT d.source, count(*) AS n_docs,
+      |  coalesce(any_value(c.n_contaminated), 0) AS n_contaminated
+      |FROM documents d LEFT JOIN c ON d.source = c.source
+      |WHERE d.source <> 'src0'
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** ✚ repetition scoring: within-document duplicated-3-gram fraction,
+    * the standard repetitiveness quality signal, integer-summed per
+    * source with one final division.
+    */
+  def q56Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(TextStats.ngrams(col("text"), 3)).as("n_g"),
+        size(array_distinct(TextStats.ngrams(col("text"), 3))).as("n_d"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_g")).as("total_grams"),
+           sum(col("n_d")).as("distinct_grams"),
+           (lit(1.0) - sum(col("n_d")).cast("double") / sum(col("n_g")))
+             .as("repetition"))
+      .orderBy(col("source"))
+
+  val q56Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    [w[i]||'_'||w[i+1]||'_'||w[i+2] for i in range(1, len(w)-1)] AS g
+      |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents))
+      |SELECT source,
+      |  CAST(sum(len(g)) AS BIGINT) AS total_grams,
+      |  CAST(sum(len(list_distinct(g))) AS BIGINT) AS distinct_grams,
+      |  1.0 - CAST(sum(len(list_distinct(g))) AS DOUBLE)
+      |      / CAST(sum(len(g)) AS DOUBLE) AS repetition
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** ✚ native rolling-hash fingerprint: a custom Catalyst Expression
     * with doGenCode (whole-stage codegen keeps the char loop inline),
     * registered as `rolling_hash` — grouped into fingerprint buckets.
