@@ -203,10 +203,13 @@ object RelationalQueries {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
-  /** J4 — anti join: customers with no orders. */
+  /** J4 — anti join: customers with no high-value order (the filter on
+    * the right side keeps the result non-empty at every SF, so the
+    * oracle actually compares rows instead of passing on 0=0).
+    */
   def q18AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")
-    val ord = Tables(spark, dir, "orders")
+    val ord = Tables(spark, dir, "orders").filter(col("o_totalprice") > 300000)
     cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -214,7 +217,9 @@ object RelationalQueries {
 
   val q18Sql: String =
     """SELECT c_custkey, c_name FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 300000)
       |ORDER BY c_custkey""".stripMargin
 
   /** Set ops — intersect: nations present among both customers and
@@ -232,18 +237,23 @@ object RelationalQueries {
       |SELECT s_nationkey AS nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
-  /** Set ops — except: nations with customers but no suppliers. */
+  /** Set ops — except: customers who ordered, minus those with any
+    * high-value order (non-empty at every SF so the oracle compares
+    * real rows).
+    */
   def q20Except(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
-    val s = Tables(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
-    c.except(s).orderBy(col("nationkey"))
+    val ord = Tables(spark, dir, "orders")
+    val all = ord.select(col("o_custkey").as("custkey"))
+    val big = ord.filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey"))
+    all.except(big).orderBy(col("custkey"))
   }
 
   val q20Sql: String =
-    """SELECT c_nationkey AS nationkey FROM customer
+    """SELECT o_custkey AS custkey FROM orders
       |EXCEPT
-      |SELECT s_nationkey AS nationkey FROM supplier
-      |ORDER BY nationkey""".stripMargin
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+      |ORDER BY custkey""".stripMargin
 
   /** J4 — semi join: customers that DO have a high-value order (row
     * set from the left side only; at scale the right side reduces to a

@@ -55,4 +55,13 @@ class TableCatalogSpec extends SparkSpec {
     TableMeta(tags = Map("a" -> "1")).stableId should not be
       TableMeta(tags = Map("a" -> "2")).stableId
   }
+
+  test("stableId distinguishes tags that collide without escaping") {
+    // both serialize to {"a":"1","b":"2"} if quotes aren't escaped
+    TableMeta(tags = Map("a" -> "1\",\"b\":\"2")).stableId should not be
+      TableMeta(tags = Map("a" -> "1", "b" -> "2")).stableId
+    // backslash vs escaped-quote ambiguity
+    TableMeta(tags = Map("a" -> "\\")).stableId should not be
+      TableMeta(tags = Map("a" -> "\"")).stableId
+  }
 }
