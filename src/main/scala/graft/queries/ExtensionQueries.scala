@@ -511,6 +511,95 @@ object ExtensionQueries {
       |      / CAST(sum(len(g)) AS DOUBLE) AS repetition
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** ✚ event debounce: drop repeats of (user, type) arriving within
+    * 60 s of the previous kept-or-dropped occurrence — lag-based
+    * windowed dedup, integer outputs.
+    */
+  def q57Debounce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("kept",
+        col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 60)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("event_type"))
+  }
+
+  val q57Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, ts,
+      |    lag(ts) OVER (PARTITION BY user_id, event_type
+      |                  ORDER BY event_id) AS prev_ts
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN prev_ts IS NULL
+      |           OR date_diff('second', prev_ts, ts) > 60
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** ✚ deterministic stratified sampling (data mixing): keep ~25% of
+    * each source via an md5 hash threshold on the id — portable,
+    * seedable, and reproducible across engines and reruns, unlike
+    * `rand()`-based sampling.
+    */
+  def q58StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("kept",
+        substring(md5(concat(lit("seed1#"), col("doc_id"))), 1, 2) < "40")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+
+  val q58Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN substr(md5('seed1#' || doc_id), 1, 2) < '40'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** ✚ sequence-packing stats: documents ordered by id pack greedily
+    * into 512-token sequences per source (cumulative token count div
+    * capacity) — pack counts and fill efficiency, the pretraining
+    * batch-shaping signal. Integer arithmetic end to end.
+    */
+  def q59PackingStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("total_tokens"),
+           max(ceil(col("cum_tokens").cast("double") / 512).cast("long"))
+             .as("n_packs"))
+      .withColumn("fill_pct",
+        col("total_tokens").cast("double") / (col("n_packs") * 512))
+      .orderBy(col("source"))
+  }
+
+  val q59Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM d)
+      |SELECT source,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(max(ceil(CAST(cum_tokens AS DOUBLE) / 512)) AS BIGINT) AS n_packs,
+      |  CAST(sum(n_tokens) AS DOUBLE)
+      |    / (CAST(max(ceil(CAST(cum_tokens AS DOUBLE) / 512)) AS BIGINT) * 512)
+      |    AS fill_pct
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   /** ✚ native rolling-hash fingerprint: a custom Catalyst Expression
     * with doGenCode (whole-stage codegen keeps the char loop inline),
     * registered as `rolling_hash` — grouped into fingerprint buckets.
