@@ -64,6 +64,24 @@ class RunnerSpec extends SparkSpec {
     res.steps.head.error.get should include("kaput")
   }
 
+  test("parseConfig builds the plan IR from rule lines") {
+    val plan = PipelinePlan.parseConfig(Seq(
+      "# pipeline config",
+      "rule pattern=**/*.txt phase=inline processor=word_count priority=5 cfg.mode=fast",
+      "",
+      "rule pattern=** phase=post processor=dir_stats",
+      "rule pattern=** phase=post processor=dir_stats" // duplicate kept
+    ))
+    plan.rules should have size 3
+    plan.rules.head shouldBe Rule("**/*.txt", Phase.Inline, "word_count", 5,
+      Map("mode" -> "fast"))
+    plan.forPhase(Phase.Post) should have size 2
+    an[IllegalArgumentException] should be thrownBy
+      PipelinePlan.parseConfig(Seq("rule pattern=x phase=bogus processor=p"))
+    an[IllegalArgumentException] should be thrownBy
+      PipelinePlan.parseConfig(Seq("frobnicate all-the-things"))
+  }
+
   test("describe lists steps in phase+priority order without executing") {
     val plan = PipelinePlan(Seq(
       Rule("**", Phase.Post, "c"),
