@@ -600,6 +600,54 @@ object ExtensionQueries {
       |    AS fill_pct
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** ✚ capstone: the full curation pipeline as ONE dataflow — quality
+    * filter ∧ exact-dedup representative election ∧ reproducible
+    * sample, reported per source. This is the composition a real
+    * training-data run materializes; every stage is an operator proved
+    * individually above, and the whole plan still runs in two shuffles
+    * (dedup groupBy + final rollup).
+    */
+  def q60CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val quality = docs
+      .withColumn("n_tokens", size(TextStats.wsTokens(col("text"))))
+      .withColumn("q_keep",
+        col("n_tokens") >= 20 && col("n_chars") >= 100 &&
+          TextStats.punctCount(col("text")) * 5 <= col("n_chars"))
+    val reps = Dedup.exactDupGroups(docs, "text", "doc_id")
+      .select(col("keep_id"))
+    quality
+      .join(reps, quality("doc_id") === reps("keep_id"), "left")
+      .withColumn("is_rep", col("keep_id").isNotNull)
+      .withColumn("s_keep",
+        substring(md5(concat(lit("seed1#"), col("doc_id"))), 1, 2) < "c0")
+      .withColumn("kept", col("q_keep") && col("is_rep") && col("s_keep"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+           sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q60Sql: String =
+    """WITH q AS (
+      |  SELECT doc_id, source, text, n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    (len(string_split(text, ' ')) >= 20 AND n_chars >= 100
+      |     AND len(regexp_extract_all(lower(text), '[^a-z0-9 ]')) * 5 <= n_chars)
+      |      AS q_keep
+      |  FROM documents),
+      |reps AS (
+      |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+      |j AS (
+      |  SELECT q.*, (r.keep_id IS NOT NULL) AS is_rep,
+      |    substr(md5('seed1#' || q.doc_id), 1, 2) < 'c0' AS s_keep
+      |  FROM q LEFT JOIN reps r ON q.doc_id = r.keep_id)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN q_keep AND is_rep AND s_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN q_keep AND is_rep AND s_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** ✚ native rolling-hash fingerprint: a custom Catalyst Expression
     * with doGenCode (whole-stage codegen keeps the char loop inline),
     * registered as `rolling_hash` — grouped into fingerprint buckets.
