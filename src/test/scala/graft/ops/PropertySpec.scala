@@ -42,6 +42,49 @@ object SelectorProps extends Properties("Selectors") {
   }
 }
 
+/** Struct-text parser round-trip property: render arbitrary records in
+  * the Field/Opt/OneOf/Repeat block format, parse, recover exactly.
+  */
+object StructTextProps extends Properties("StructTextParser") {
+  import graft.sources.StructTextParser._
+  import org.apache.spark.sql.types.LongType
+
+  private case class Rec(id: Long, long: Boolean, nchars: Option[Long],
+                         words: List[String])
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val recGen = for {
+    id <- Gen.chooseNum(0L, 999999L)
+    isLong <- Gen.oneOf(true, false)
+    nchars <- Gen.option(Gen.chooseNum(0L, 9999L))
+    words <- Gen.resize(6, Gen.listOf(word))
+  } yield Rec(id, isLong, nchars, words)
+
+  private val schema = Seq(
+    FieldDef("id", "^DOC (\\d+)$", LongType),
+    OneOf(Seq(FieldDef("kind_long", "^KIND: LONG$"),
+              FieldDef("kind_short", "^KIND: SHORT$"))),
+    Opt(FieldDef("nchars", "^NCHARS: (\\d+)$", LongType)),
+    Rep("words", Seq(FieldDef("w", "^W: (.+)$")), until = "^END$"))
+
+  private def render(r: Rec): String =
+    (Seq(s"DOC ${r.id}", s"KIND: ${if (r.long) "LONG" else "SHORT"}") ++
+      r.nchars.map(n => s"NCHARS: $n").toSeq ++
+      r.words.map(w => s"W: $w") :+ "END").mkString("\n")
+
+  property("render→parse recovers every record") =
+    Prop.forAll(Gen.resize(8, Gen.nonEmptyListOf(recGen))) { recs =>
+      val parsed = parseText(recs.map(render).mkString("\n"), schema,
+        keyEnd = Some("^END$"))
+      parsed.size == recs.size && parsed.zip(recs).forall { case (p, r) =>
+        p("id") == r.id &&
+        p.contains("kind_long") == r.long &&
+        p.get("nchars") == r.nchars &&
+        p("words") == r.words.map(w => Map("w" -> w))
+      }
+    }
+}
+
 /** A8 properties: evolve unions columns, keeps all rows, null-fills. */
 object AppendProps extends Properties("Append.evolve") {
   private lazy val spark = SparkSpec.spark
