@@ -1,5 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark harness (driver contract): one JSON line with per-query
+  * and total wall-clock seconds over `SparkEntry.queries`.
+  *
+  * Methodology (fixed after round 2 — see VERDICT r02 "What's wrong"):
+  *  - queries run in DETERMINISTIC sorted-name order, so JVM/codegen
+  *    warmup lands on the same queries every round and per-query
+  *    deltas are comparable round-over-round;
+  *  - one untimed WARMUP query absorbs first-action class-loading and
+  *    codegen compilation;
+  *  - the action is a `noop`-format write, which computes EVERY output
+  *    column — `.count()` let Catalyst prune projections out of
+  *    non-aggregate queries entirely (q14's string functions were
+  *    never executed).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -8,16 +24,26 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warmup: the first query in order, untimed (JVM + codegen spin-up)
+    ordered.headOption.foreach { case (_, fn) =>
+      try run(fn) catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

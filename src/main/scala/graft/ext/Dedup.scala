@@ -102,6 +102,26 @@ object Dedup {
   def lshNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleWidth: Int = 1, numHashes: Int = 24,
                       numBands: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val (pairs, caches) = lshNearDupPairsLazy(df, textCol, idCol,
+      shingleWidth, numHashes, numBands, threshold)
+    // Materialize eagerly so the intermediate caches can be released
+    // immediately — long-lived sessions otherwise accumulate signature
+    // frames until eviction pressure degrades the executor cache. The
+    // checkpointed pair list is tiny relative to the shingle frames.
+    val out = pairs.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** Lazy variant of [[lshNearDupPairs]]: returns the un-materialized
+    * pair plan plus the persisted intermediates the caller must
+    * unpersist after its action. Exists so tests can assert plan shape
+    * (no cartesian product) before checkpointing truncates lineage.
+    */
+  private[graft] def lshNearDupPairsLazy(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleWidth: Int, numHashes: Int,
+      numBands: Int, threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val rowsPerBand = numHashes / numBands
     // persist: both the verify joins (base) and both sides of the
     // bucket self-join (banded) reference these frames — without a
@@ -124,7 +144,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+    val pairs = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -133,5 +153,6 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, Seq(base, banded))
   }
 }

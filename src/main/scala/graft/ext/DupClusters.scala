@@ -24,6 +24,7 @@ object DupClusters {
     */
   def components(edges: DataFrame, nodes: DataFrame,
                  maxIter: Int = 20): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
     val sym = edges.select(col("s"), col("t"))
       .union(edges.select(col("t").as("s"), col("s").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -31,25 +32,39 @@ object DupClusters {
     // round's twice (next + convergence check), so without lineage
     // truncation the logical plan grows 2^rounds and the analyzer OOMs
     // on deep chains. (Production: reliable checkpoint dir instead.)
-    var labels = nodes.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    // Superseded rounds' checkpoint blocks are freed explicitly —
+    // tracked via the getPersistentRDDs delta around each checkpoint
+    // (the Dataset API exposes no handle to the backing RDD) — so a
+    // long CC run holds at most two rounds of labels, not all of them.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint(true)
+      (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    var (labels, labelIds) =
+      checkpointTracked(nodes.select(col("id"), col("id").as("label")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val neigh = sym.join(labels, sym("s") === labels("id"))
         .groupBy(col("t").as("nid")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neigh, labels("id") === neigh("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val (next, nextIds) = checkpointTracked(
+        labels.join(neigh, labels("id") === neigh("nid"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       changed = next.as("n")
         .join(labels.withColumnRenamed("label", "old").as("o"), "id")
         .filter(col("label") =!= col("old")).count()
+      free(labelIds) // convergence count above was the last reader
       labels = next
+      labelIds = nextIds
       i += 1
     }
     sym.unpersist()
-    labels
+    labels // final round stays checkpointed: it is the returned frame
   }
 
   /** Cluster summary: representative (min id) and member count, for

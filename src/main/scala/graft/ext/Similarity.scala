@@ -25,12 +25,16 @@ object Similarity {
   /** Cosine similarity; inputs may be array<float> (cast is exact).
     * Clamped to [-1, 1] — self-similarity folds to 1 + 2ulp otherwise
     * (and columnar engines clamp too, so the oracle expects it).
+    * Zero-magnitude vectors yield null, never a clamped NaN: Spark
+    * sorts NaN above every double, so an unguarded 0/0 would rank a
+    * zero vector as a perfect match.
     */
   def cosine(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
-    least(greatest(dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd))),
-      lit(-1.0)), lit(1.0))
+    val denom = sqrt(dot(ad, ad)) * sqrt(dot(bd, bd))
+    when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(least(greatest(dot(ad, bd) / denom, lit(-1.0)), lit(1.0)))
   }
 
   /** Brute-force top-k: score every (query, corpus) pair, keep the k

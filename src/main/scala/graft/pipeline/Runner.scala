@@ -72,7 +72,8 @@ final class Runner(registry: Registry) {
         postResults(rule.processor) = registry(rule.processor).fn(matched, rule.config)
         steps += Step(n, "Post", rule.pattern, rule.processor, -1L, ok = true, None)
       } catch {
-        case e: Exception if !registry(rule.processor).mustExecute =>
+        case e: Exception if !registry.contains(rule.processor) ||
+            !registry(rule.processor).mustExecute =>
           steps += Step(n, "Post", rule.pattern, rule.processor, -1L,
             ok = false, Some(e.getMessage))
       }

@@ -387,20 +387,22 @@ object ExtensionQueries {
       |  CAST(64 AS INT) AS dims
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
-  /** ✚ dup-cluster election: connected components over the ≥0.9
-    * Jaccard pair graph, one representative (min id) per cluster —
-    * iterative min-label propagation, checked against a recursive-CTE
-    * oracle.
+  /** ✚ dup-cluster election: connected components over the near-dup
+    * pair graph, one representative (min id) per cluster — iterative
+    * min-label propagation, checked against a recursive-CTE oracle.
+    *
+    * The edge list comes from `Dedup.lshNearDupPairs` (band-bucket
+    * self-join + Jaccard ≥ 0.9 verify) — the LSH→CC composition a real
+    * pipeline runs, with NO cartesian product anywhere in the plan
+    * (asserted in DupClustersSpec). The oracle replicates the banding
+    * exactly, as q30's does.
     */
   def q47DupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
-      .select(col("doc_id"), Dedup.shingles(col("text"), 1).as("sh"))
-    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val edges = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.9)
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
+    val edges = Dedup.lshNearDupPairs(docs, "text", "doc_id",
+        shingleWidth = 1, numHashes = 24, numBands = 3, threshold = 0.9)
       .select(col("id_a").as("s"), col("id_b").as("t"))
-    DupClusters.clusters(edges, d.select(col("doc_id").as("id")), minSize = 2)
+    DupClusters.clusters(edges, docs.select(col("doc_id").as("id")), minSize = 2)
       .orderBy(col("rep"))
   }
 
@@ -408,11 +410,32 @@ object ExtensionQueries {
     """WITH RECURSIVE d AS (
       |  SELECT doc_id, list_distinct(string_split(text,' ')) AS sh
       |  FROM documents WHERE doc_id < 300),
+      |h AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(sh, s -> CAST('0x'||substr(md5('a#'||s),1,13) AS BIGINT)) AS h1,
+      |    list_transform(sh, s -> CAST('0x'||substr(md5('b#'||s),1,13) AS BIGINT)) AS h2
+      |  FROM d),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |    [list_min(list_transform(list_zip(h1, h2), z -> z[1] + i*z[2]))
+      |     for i in range(0, 24)] AS sg
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    md5(sg[8*b+1]||'|'||sg[8*b+2]||'|'||sg[8*b+3]||'|'||sg[8*b+4]||'|'||
+      |        sg[8*b+5]||'|'||sg[8*b+6]||'|'||sg[8*b+7]||'|'||sg[8*b+8]) AS h
+      |  FROM sig, range(0, 3) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h
+      |  WHERE a.doc_id < b.doc_id),
       |pairs AS (
-      |  SELECT a.doc_id AS s, b.doc_id AS t
-      |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / len(list_distinct(a.sh || b.sh)) >= 0.9),
+      |  SELECT c.id_a AS s, c.id_b AS t
+      |  FROM cand c
+      |  JOIN d da ON c.id_a = da.doc_id
+      |  JOIN d db ON c.id_b = db.doc_id
+      |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+      |      / len(list_distinct(da.sh || db.sh)) >= 0.9),
       |edges AS (SELECT s, t FROM pairs UNION ALL SELECT t, s FROM pairs),
       |reach(node, label) AS (
       |  SELECT doc_id, doc_id FROM d

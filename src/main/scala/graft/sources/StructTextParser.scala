@@ -117,7 +117,9 @@ object StructTextParser {
     f.regex.findFirstMatchIn(line).map { m =>
       if (f.isPresence) Map(f.label -> true)
       else f.groupNames.zipWithIndex.map { case (n, gi) =>
-        n -> convert(m.group(gi + 1), f.dataType)
+        // a group that did not participate (alternation / optional
+        // suffix) returns null — keep the column null, don't convert
+        n -> Option(m.group(gi + 1)).map(convert(_, f.dataType)).orNull
       }.toMap
     }
 

@@ -33,4 +33,30 @@ class DupClustersSpec extends SparkSpec {
       .collect().map(_.getLong(1)).distinct
     labels shouldBe Array(1L)
   }
+
+  test("LSH edge generation has no cartesian product in its plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 100)
+    val (pairs, caches) = Dedup.lshNearDupPairsLazy(docs, "text", "doc_id",
+      1, 24, 3, 0.9)
+    val plan = pairs.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    caches.foreach(_.unpersist())
+  }
+
+  test("LSH edges feed connected components end-to-end") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 100)
+    val edges = Dedup.lshNearDupPairs(docs, "text", "doc_id")
+      .select($"id_a".as("s"), $"id_b".as("t"))
+    val reps = DupClusters.clusters(edges, docs.select($"doc_id".as("id")))
+      .collect()
+    // every representative must be the min id of its cluster, so no
+    // cluster member may appear as another cluster's representative
+    val labels = DupClusters.components(
+      edges, docs.select($"doc_id".as("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reps.foreach { r => labels(r.getLong(0)) shouldBe r.getLong(0) }
+  }
 }
