@@ -61,7 +61,9 @@ object PipelinePlan {
 /** A resolved plan: rules in execution order per phase. */
 final case class PipelinePlan(rules: Seq[Rule]) {
   def forPhase(p: Phase.Value): Seq[Rule] =
-    rules.filter(_.phase == p).sortBy(-_.priority) // stable sort keeps config order on ties
+    // stable sort keeps config order on ties; .toLong so Int.MinValue
+    // (the injected-recorder "always last" priority) doesn't overflow
+    rules.filter(_.phase == p).sortBy(-_.priority.toLong)
 
   /** `simulate` analog (`core/engine.py:163-314`): the step sequence as
     * data, without executing anything.

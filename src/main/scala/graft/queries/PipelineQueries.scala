@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.pipeline.{Phase, PipelinePlan, Registry, Rule, Runner}
+import graft.pipeline.{ConfigLoader, Phase, PipelinePlan, Registry, Rule, Runner}
 import graft.streaming.{EventStream, Sessionize}
 
 /** Pipeline-runner and streaming queries, both oracle-checked. */
@@ -49,6 +49,63 @@ object PipelineQueries {
       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** §3.1 front end — the same pipeline shape as q40, but defined
+    * ENTIRELY by config text: the YAML is parsed to the rule plan
+    * (`config/loader.py:28-58`), the plugin named in it registers every
+    * processor (`load_plugins`, `:115-126`), and
+    * `enable_builtin_recorders` auto-injects the inline record stage +
+    * post history-persist stage (`core/engine.py:414-435`) — the
+    * `n_recorded` output column exists ONLY because injection ran.
+    */
+  val q61ConfigYaml: String =
+    """# pipeline config (reference demo3 shape)
+      |plugins:
+      |  - graft.pipeline.plugins.DocPipelinePlugin
+      |enable_builtin_recorders: true
+      |builtin_recorders:
+      |  record: record_to_shared
+      |  persist: persist_history
+      |
+      |"*/en/*":
+      |  pre_processors:
+      |    - tag_en
+      |  priority: 10
+      |
+      |"**/*.txt":
+      |  processors:
+      |    - word_count
+      |  config:
+      |    sep: " "
+      |  priority: 5
+      |
+      |"**":
+      |  post_processors:
+      |    - dir_stats
+      |""".stripMargin
+
+  def q61ConfigPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val paths = Tables(spark, dir, "documents")
+      .select(concat_ws("/", col("source"), col("lang"),
+        concat(lit("doc_"), col("doc_id"), lit(".txt"))).as("rel_path"),
+        col("source"), col("text"))
+
+    val cfg = ConfigLoader.fromYaml(q61ConfigYaml)
+    val registry = new Registry
+    cfg.loadPlugins(registry)
+    val plan = cfg.withBuiltinRecorders(registry)
+
+    new Runner(registry).run(paths, plan)
+      .postResults("dir_stats")
+      .orderBy(col("source"))
+  }
+
+  val q61Sql: String =
+    """SELECT source, count(*) AS n_files,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+      |  CAST(count(*) AS BIGINT) AS n_recorded
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** §2.10 — Structured Streaming: replay the events parquet as a file
