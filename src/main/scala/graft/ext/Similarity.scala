@@ -75,6 +75,57 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
+  /** Lloyd k-means training over an embedding corpus — the missing
+    * half of IVF: [[ivfKnn]] searches with centroids, this builds them
+    * from data. Each round = assignToCentroids (centroids broadcast,
+    * corpus never shuffles for scoring) + per-cluster mean via the
+    * typed [[CentroidAggregator]] (map-side partial sums, dims+1
+    * doubles per group shuffle). `localCheckpoint` truncates lineage
+    * per round — the DupClusters lesson: without it the plan doubles
+    * every iteration; superseded rounds' blocks are freed.
+    *
+    * Determinism: cluster means are rounded to `roundDp` decimals each
+    * round, which absorbs summation-order drift (~1e-13) so repeated
+    * runs — and a single-threaded oracle replaying the same seeding
+    * and iteration count — stay in bit-identical lockstep.
+    *
+    * @param seeds initial centroid frame (idCol, vecCol); ids become
+    *              cluster ids. Deterministic seeding (e.g. the k
+    *              lowest-id vectors) is the caller's choice.
+    * @return (idCol, vecCol) centroid frame, vecCol array<double>;
+    *         clusters that lose all members drop out (standard Lloyd).
+    */
+  def kmeansTrain(corpus: DataFrame, seeds: DataFrame, iters: Int, dims: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  roundDp: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    val sc = spark.sparkContext
+    import spark.implicits._
+    val agg = graft.ext.CentroidAggregator(dims).toColumn
+    var centroids = seeds
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .localCheckpoint(true)
+    var prevIds = Set.empty[Int]
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+      val before = sc.getPersistentRDDs.keySet
+      val next = assigned
+        .select(col("centroid_id").cast("long"), col(vecCol))
+        .as[(Long, Seq[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(agg.name("c"))
+        .toDF("cid", "c")
+        .select(col("cid").as(idCol),
+          transform(col("c"), v => round(v, roundDp)).as(vecCol))
+        .localCheckpoint(true)
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      prevIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      centroids = next
+    }
+    centroids
+  }
+
   /** IVF search: rank centroids per query, probe the `nprobe` nearest
     * clusters, and brute-force only inside them. The candidate set per
     * query shrinks by ~numCentroids/nprobe — the standard ANN recall/

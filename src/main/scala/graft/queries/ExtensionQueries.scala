@@ -354,6 +354,69 @@ object ExtensionQueries {
       |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** ✚ k-means-trained IVF: Lloyd training (2 rounds, 8 seed
+    * centroids = lowest vec_ids, per-round means rounded to 6 dp for
+    * cross-engine lockstep) followed by the IVF search of q35 — the
+    * full train-then-search ANN pipeline. The oracle unrolls the same
+    * two assignment/mean rounds.
+    */
+  def q62KmeansIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val centroids = Similarity.kmeansTrain(e, e.filter(col("vec_id") < 8),
+      iters = 2, dims = 64)
+    Similarity.ivfKnn(e, centroids, e.filter(col("vec_id") < 3), k = 5, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q62Sql: String =
+    """WITH c0 AS (
+      |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, embedding, cid FROM (
+      |    SELECT v.vec_id, v.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cvec)
+      |          DESC, c.cid) AS rn
+      |    FROM embeddings v CROSS JOIN c0 c) t WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cid, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+      |  FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+      |c1 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY cid),
+      |a2 AS (
+      |  SELECT vec_id, embedding, cid FROM (
+      |    SELECT v.vec_id, v.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cvec)
+      |          DESC, c.cid) AS rn
+      |    FROM embeddings v CROSS JOIN c1 c) t WHERE rn = 1),
+      |m2 AS (
+      |  SELECT cid, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+      |  FROM a2, range(1, 65) t(i) GROUP BY cid, i),
+      |c2 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m2 GROUP BY cid),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, embedding, cid FROM (
+      |    SELECT v.vec_id, v.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cvec)
+      |          DESC, c.cid) AS rn
+      |    FROM embeddings v CROSS JOIN c2 c) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec, cid FROM (
+      |    SELECT v.vec_id, v.embedding, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cvec)
+      |          DESC, c.cid) AS rn
+      |    FROM embeddings v CROSS JOIN c2 c WHERE v.vec_id < 3) t WHERE rn <= 2)
+      |SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    list_cosine_similarity(p.q_vec, CAST(a.embedding AS DOUBLE[])) AS cosine,
+      |    row_number() OVER (PARTITION BY p.query_id ORDER BY
+      |      list_cosine_similarity(p.q_vec, CAST(a.embedding AS DOUBLE[]))
+      |        DESC, a.neighbor_id) AS rank
+      |  FROM probes p JOIN assigned a ON p.cid = a.cid) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** ✚ typed custom Aggregator: per-label embedding centroids (map-side
     * partial aggregation; dims+1 doubles shuffle per group). First four
     * dimensions rounded to 4 dp — double summation order varies with

@@ -42,4 +42,39 @@ class SimilaritySpec extends SparkSpec {
     assigned.count() shouldBe emb.count()
     assigned.select("vec_id").distinct().count() shouldBe emb.count()
   }
+
+  test("kmeansTrain moves centroids off their seeds and is deterministic") {
+    val seeds = emb.filter(col("vec_id") < 8)
+    val t1 = Similarity.kmeansTrain(emb, seeds, iters = 2, dims = 64)
+    val t2 = Similarity.kmeansTrain(emb, seeds, iters = 2, dims = 64)
+    val c1 = t1.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val c2 = t2.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    c1.length should be <= 8
+    c1.length should be > 0
+    // bit-identical across runs (rounded means absorb summation order)
+    c1.zip(c2).foreach { case (a, b) => a shouldBe b }
+    // trained centroids differ from the raw seed vectors
+    val seedVecs = seeds.orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    c1.zip(seedVecs).exists { case (t, s) => t != s } shouldBe true
+  }
+
+  test("training improves IVF recall over raw seed centroids") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceKnn(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Similarity.ivfKnn(emb, centroids, queries, k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val seeds = emb.filter(col("vec_id") < 8)
+    val trained = Similarity.kmeansTrain(emb, seeds, iters = 3, dims = 64)
+    val trainedRecall = recall(trained)
+    trainedRecall should be > 0.5
+    // Lloyd rounds should not make the index WORSE than untrained seeds
+    trainedRecall should be >= recall(seeds) - 0.1
+  }
 }
