@@ -108,6 +108,42 @@ object PipelineQueries {
       |  CAST(count(*) AS BIGINT) AS n_recorded
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** K5 — batched history sink round-trip, oracle-gated: one record
+    * per orders row (deterministic fields derived from the row) is
+    * enqueued through the History sink's batch machinery (batch ≥ 200
+    * forces a flush, `builtin_recorders.py:56-193`), then the
+    * READ-BACK of the appended parquet is aggregated — the output is
+    * correct only if every batch landed exactly once.
+    */
+  def q65HistoryRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.History
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_q65_").toString + "/h"
+    val sink = new History(spark, sinkDir, batchSize = 200)
+    Tables(spark, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+      .collect().foreach { r =>
+        sink.enqueue(History.Record(
+          ts = r.get(2).toString, run_id = "q65",
+          phase = "inline", path = s"orders/${r.getLong(0)}",
+          processor = "enqueue", status = r.getString(1),
+          duration_ms = r.getLong(0), rows = 1L, error = ""))
+      }
+    sink.flush()
+    sink.all()
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("duration_ms")).as("key_sum"),
+           max(col("ts")).as("last_ts"))
+      .orderBy(col("status"))
+  }
+
+  val q65Sql: String =
+    """SELECT o_orderstatus AS status, count(*) AS n,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(max(o_orderdate) AS VARCHAR) AS last_ts
+      |FROM orders WHERE o_orderkey < 2000
+      |GROUP BY status ORDER BY status""".stripMargin
+
   /** §2.10 — Structured Streaming: replay the events parquet as a file
     * stream, watermarked tumbling-window count/sum per hour × type,
     * availableNow to completion. The oracle is the equivalent batch

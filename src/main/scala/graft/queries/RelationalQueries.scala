@@ -325,4 +325,28 @@ object RelationalQueries {
       |  round((round(max(l_quantity), 4) - round(min(l_quantity), 4)) / 2.0, 4) AS half_p2p
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A1 — materialized group-split, oracle-gated: `Grouping.split`
+    * collects only the distinct keys and hands back lazily-filtered
+    * per-group views (`split_dataframe_by_groups`,
+    * `df_helpers.py:80-123`); each view is aggregated independently
+    * and the re-union must equal the oracle's plain GROUP BY.
+    */
+  def q64GroupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val parts = graft.ops.Grouping.split(orders, Seq("o_orderstatus"))
+    parts.map { case (key, sub) =>
+      sub.agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").as("total_price"))
+        .withColumn("o_orderstatus", lit(key("o_orderstatus").toString))
+        .select(col("o_orderstatus"), col("n"), col("total_price"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q64Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

@@ -161,4 +161,36 @@ object SourceQueries {
       |  CAST(round(sum(CAST(num AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_v,
       |  count(key) AS n_keys
       |FROM r GROUP BY route ORDER BY route""".stripMargin
+
+  /** S1 — recursive tree scan, oracle-gated end to end: a real
+    * directory tree is materialized from the documents slice
+    * (`source/lang/doc_N.txt`, file bytes = the text), TreeScan walks
+    * it with the Hadoop FS client, withLevels splits the hierarchy,
+    * and the per-(level0, level1) rollup of file counts and byte
+    * totals must equal the oracle's aggregation of the source table.
+    */
+  def q63TreeScan(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_q63_").toString
+    Tables(spark, dir, "documents").filter(col("doc_id") < 60)
+      .select(col("source"), col("lang"), col("doc_id"), col("text"))
+      .collect().foreach { r =>
+        val d = Paths.get(root, r.getString(0), r.getString(1))
+        Files.createDirectories(d)
+        Files.write(d.resolve(s"doc_${r.getLong(2)}.txt"),
+          r.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    val scanned = TreeScan.withLevels(
+      TreeScan.scan(spark, root), "rel_path", maxLevels = 2)
+    scanned
+      .groupBy(col("level0").as("source"), col("level1").as("lang"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q63Sql: String =
+    """SELECT source, lang, count(*) AS n_files,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+      |FROM documents WHERE doc_id < 60
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
 }
