@@ -80,12 +80,14 @@ object TextStats {
 
   /** Word n-grams WITH duplicates (occurrence counting — contrast
     * [[graft.ext.Dedup.shingles]], which dedups for set semantics).
+    *
+    * Delegates to the native [[graft.functions.WordNGrams]] expression:
+    * the higher-order `transform(sequence(...))` formulation this
+    * replaces is CodegenFallback in Spark and cost an interpreted
+    * expression-tree walk per gram (~100 s for q56 at sf0.1).
+    * Tokenization contract unchanged: split on ' ', empties kept,
+    * '_'-joined windows, empty array below n tokens.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val w = split(text, " ")
-    val grams = transform(sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws("_",
-        (0 until n).map(k => call_function("element_at", w, i + lit(k))): _*))
-    when(size(w) >= n, grams).otherwise(array().cast("array<string>"))
-  }
+  def ngrams(text: Column, n: Int): Column =
+    graft.functions.GramFunctions.wordNgrams(text, n)
 }

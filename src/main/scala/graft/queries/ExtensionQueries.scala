@@ -576,8 +576,10 @@ object ExtensionQueries {
   def q56Repetition(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("source"),
-        size(TextStats.ngrams(col("text"), 3)).as("n_g"),
-        size(array_distinct(TextStats.ngrams(col("text"), 3))).as("n_d"))
+        graft.functions.GramFunctions.gramStats(col("text"), 3).as("gs"))
+      .select(col("source"),
+        col("gs.total_grams").as("n_g"),
+        col("gs.distinct_grams").as("n_d"))
       .groupBy(col("source"))
       .agg(sum(col("n_g")).as("total_grams"),
            sum(col("n_d")).as("distinct_grams"),

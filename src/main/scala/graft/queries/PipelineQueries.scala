@@ -120,10 +120,13 @@ object PipelineQueries {
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_q65_").toString + "/h"
     val sink = new History(spark, sinkDir, batchSize = 200)
     Tables(spark, dir, "orders").filter(col("o_orderkey") < 2000)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        // format in-frame: Timestamp.toString renders a trailing ".0"
+        // that DuckDB's CAST(ts AS VARCHAR) does not
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
       .collect().foreach { r =>
         sink.enqueue(History.Record(
-          ts = r.get(2).toString, run_id = "q65",
+          ts = r.getString(2), run_id = "q65",
           phase = "inline", path = s"orders/${r.getLong(0)}",
           processor = "enqueue", status = r.getString(1),
           duration_ms = r.getLong(0), rows = 1L, error = ""))
