@@ -34,11 +34,22 @@ final class Runner(registry: Registry) {
   /** Execute a plan over a file-inventory frame (must carry `pathCol`).
     * Returns the transformed file frame, the per-post-processor result
     * frames, and the step log.
+    *
+    * `cancel`: checked BETWEEN rules (the reference's `_is_cancelled`
+    * early return, `core/engine.py:127,360-361,477-478`) — once set, no
+    * further rule is planned and the partial result is returned with a
+    * terminal "cancelled" step. In-flight Spark jobs are killed by the
+    * token's job group, not by this check.
     */
   def run(files: DataFrame, plan: PipelinePlan,
-          pathCol: String = "rel_path"): Result = {
+          pathCol: String = "rel_path",
+          cancel: Option[CancelToken] = None): Result = {
     val steps = mutable.ListBuffer.empty[Step]
     var n = 0
+
+    def cancelled: Boolean = cancel.exists(_.isCancelled)
+    def markCancelled(phase: String): Unit =
+      steps += Step(n + 1, phase, "", "", -1L, ok = false, Some("cancelled"))
 
     def exec(df: DataFrame, rule: Rule): DataFrame = {
       n += 1
@@ -46,8 +57,14 @@ final class Runner(registry: Registry) {
       try {
         val matched = df.filter(pred)
         val rest = df.filter(!pred)
+        // unconditional evolve: rest may be planned-empty (pattern
+        // matches everything) but testing THAT with `rest.isEmpty`
+        // costs an eager Spark job per rule at plan-build time — a
+        // 50-rule config would block the driver 50 times before any
+        // real work. unionByName with an empty side is a no-op row-wise
+        // and adds no columns (rest's are a subset of out's inputs).
         val out = registry(rule.processor).fn(matched, rule.config)
-        val merged = if (rest.isEmpty) out else Append.evolve(out, rest)
+        val merged = Append.evolve(out, rest)
         steps += Step(n, rule.phase.toString, rule.pattern, rule.processor,
           -1L, ok = true, None)
         merged
@@ -60,24 +77,33 @@ final class Runner(registry: Registry) {
       }
     }
 
-    val afterPre = plan.forPhase(Phase.Pre).foldLeft(files)(exec)
-    val afterInline = plan.forPhase(Phase.Inline).foldLeft(afterPre)(exec)
+    /** foldLeft with the between-step cancellation check. */
+    def phaseFold(start: DataFrame, rules: Seq[Rule]): DataFrame =
+      rules.foldLeft(start) { (df, rule) =>
+        if (cancelled) df else exec(df, rule)
+      }
+
+    val afterPre = phaseFold(files, plan.forPhase(Phase.Pre))
+    val afterInline = phaseFold(afterPre, plan.forPhase(Phase.Inline))
 
     val postResults = mutable.LinkedHashMap.empty[String, DataFrame]
     plan.forPhase(Phase.Post).foreach { rule =>
-      n += 1
-      try {
-        val matched = afterInline.filter(
-          TreeScan.matchesGlob(col(pathCol), rule.pattern))
-        postResults(rule.processor) = registry(rule.processor).fn(matched, rule.config)
-        steps += Step(n, "Post", rule.pattern, rule.processor, -1L, ok = true, None)
-      } catch {
-        case e: Exception if !registry.contains(rule.processor) ||
-            !registry(rule.processor).mustExecute =>
-          steps += Step(n, "Post", rule.pattern, rule.processor, -1L,
-            ok = false, Some(e.getMessage))
+      if (!cancelled) {
+        n += 1
+        try {
+          val matched = afterInline.filter(
+            TreeScan.matchesGlob(col(pathCol), rule.pattern))
+          postResults(rule.processor) = registry(rule.processor).fn(matched, rule.config)
+          steps += Step(n, "Post", rule.pattern, rule.processor, -1L, ok = true, None)
+        } catch {
+          case e: Exception if !registry.contains(rule.processor) ||
+              !registry(rule.processor).mustExecute =>
+            steps += Step(n, "Post", rule.pattern, rule.processor, -1L,
+              ok = false, Some(e.getMessage))
+        }
       }
     }
+    if (cancelled) markCancelled("Run")
     Result(afterInline, postResults.toMap, steps.toList)
   }
 }
