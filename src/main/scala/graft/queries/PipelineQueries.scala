@@ -147,6 +147,41 @@ object PipelineQueries {
       |FROM orders WHERE o_orderkey < 2000
       |GROUP BY status ORDER BY status""".stripMargin
 
+  /** S7 external / K5 SQL sink — JDBC round-trip, oracle-gated: a
+    * customer slice is written to an embedded-Derby table (the
+    * reference's SQLite file, `builtin_recorders.py:56-193`), read BACK
+    * over JDBC with a partitioned parallel scan (4 range queries — the
+    * 100-TB shape; an unpartitioned JDBC read is a single-connection
+    * bottleneck), and aggregated. Output is correct only if the
+    * write+read preserved every row exactly once across the range
+    * boundaries.
+    */
+  def q66JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Jdbc
+    import org.apache.spark.sql.SaveMode
+    val url = s"jdbc:derby:memory:graft_q66_${System.nanoTime()};create=true"
+    val slice = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    Jdbc.write(slice, url, "cust_slice", SaveMode.Overwrite)
+    Jdbc.read(spark, url, "cust_slice",
+        Some(Jdbc.Partitioning("c_custkey", 1L, 1000L, 4)))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("c_custkey")).as("key_sum"),
+           // decimal sum: double addition is order-dependent across
+           // partitionings; DECIMAL(18,2) is exact on both engines
+           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q66Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+      |FROM customer WHERE c_custkey <= 1000
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** §2.10 — Structured Streaming: replay the events parquet as a file
     * stream, watermarked tumbling-window count/sum per hour × type,
     * availableNow to completion. The oracle is the equivalent batch

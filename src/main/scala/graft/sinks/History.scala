@@ -51,3 +51,42 @@ final class History(spark: SparkSession, path: String, batchSize: Int = 200) {
 
   def all(): DataFrame = spark.read.parquet(path)
 }
+
+/** Database-backed history sink — same enqueue/flush batching contract
+  * as [[History]], but each flushed batch is appended to a JDBC table
+  * (the reference's actual storage: a SQLite `processed_history` table
+  * written by a batching writer, `builtin_recorders.py:56-193`; WAL +
+  * executemany there ≙ one batched-insert connection per partition
+  * here). The table is created by the first append.
+  */
+final class JdbcHistory(spark: SparkSession, url: String,
+                        table: String = "processed_history",
+                        batchSize: Int = 200) {
+  import History.Record
+  import spark.implicits._
+
+  private val queue = mutable.ListBuffer.empty[Record]
+
+  def enqueue(r: Record): Unit = synchronized {
+    queue += r
+    if (queue.size >= batchSize) flush()
+  }
+
+  def pending: Int = synchronized(queue.size)
+
+  /** Drain the queue as one batched JDBC append (a driver-side record
+    * buffer is tiny by construction — one coalesced writer connection).
+    */
+  def flush(): Unit = synchronized {
+    if (queue.nonEmpty) {
+      val batch = queue.toList
+      queue.clear()
+      graft.sources.Jdbc.write(batch.toDF().coalesce(1), url, table)
+    }
+  }
+
+  def recent(n: Int): DataFrame =
+    all().orderBy(desc("ts"), desc("duration_ms")).limit(n)
+
+  def all(): DataFrame = graft.sources.Jdbc.read(spark, url, table)
+}
