@@ -134,6 +134,70 @@ object StructTextParser {
     def atNextRecord(itemIdx: Int): Boolean =
       itemIdx > 0 && i > start && firstField.regex.findFirstIn(lines(i)).isDefined
 
+    /** Repeat body, nested-Repeat capable. Each iteration runs the
+      * items SEQUENTIALLY over successive lines (required items scan
+      * forward; a nested Rep loops until its own `until`) and yields
+      * one sub-record — the reference's production shape, where one
+      * iteration consumes a header line, then MEAN/MAX/MIN/PTP lines,
+      * then an inner Repeat of PSI rows
+      * (`test/blade_load_extract/plugins/process_blade_load.py:83-108`).
+      * `outerBounds` holds the `until` patterns of enclosing Repeats —
+      * no scan may consume a line that terminates an enclosing scope.
+      */
+    def parseRep(rep: Rep, outerBounds: List[Regex],
+                 itemIdx: Int): List[Map[String, Any]] = {
+      val untilRe = rep.until.r
+      val bounds = untilRe :: outerBounds
+      def closedByOuter: Boolean = atEnd || atNextRecord(itemIdx) ||
+        outerBounds.exists(_.findFirstIn(lines(i)).isDefined)
+      def boundHere: Boolean = atEnd || atNextRecord(itemIdx) ||
+        bounds.exists(_.findFirstIn(lines(i)).isDefined)
+      val collected = mutable.ListBuffer.empty[Map[String, Any]]
+      var repeating = true
+      while (repeating && !closedByOuter) {
+        if (untilRe.findFirstIn(lines(i)).isDefined) repeating = false
+        else {
+          val startPos = i
+          val sub = mutable.Map.empty[String, Any]
+          var matchedAny = false
+          var open = true
+          for (item <- rep.items if open) item match {
+            case f: FieldDef =>
+              var found = false
+              while (!found && !boundHere) {
+                matchField(f, lines(i)) match {
+                  case Some(v) => sub ++= v; found = true; matchedAny = true; i += 1
+                  case None    => i += 1
+                }
+              }
+              if (!found) open = false
+            case Opt(f) =>
+              if (!boundHere)
+                matchField(f, lines(i)).foreach { v =>
+                  sub ++= v; matchedAny = true; i += 1
+                }
+            case OneOf(alts) =>
+              var found = false
+              while (!found && !boundHere) {
+                alts.view.flatMap(a => matchField(a, lines(i))).headOption match {
+                  case Some(v) => sub ++= v; found = true; matchedAny = true; i += 1
+                  case None    => i += 1
+                }
+              }
+              if (!found) open = false
+            case r2: Rep =>
+              val nested = parseRep(r2, bounds, itemIdx)
+              sub(r2.label) = nested
+              if (nested.nonEmpty) matchedAny = true
+          }
+          if (matchedAny) collected += sub.toMap
+          // a line matching nothing is skipped (per-line tolerance)
+          if (i == startPos && repeating) i += 1
+        }
+      }
+      collected.toList
+    }
+
     var itemIdx = 0
     var open = true
     for (item <- schema if open) {
@@ -160,30 +224,8 @@ object StructTextParser {
             }
           }
           if (!found) open = false
-        case Rep(label, items, until) =>
-          val untilRe = until.r
-          val collected = mutable.ListBuffer.empty[Map[String, Any]]
-          var repeating = true
-          while (repeating && !atEnd && !atNextRecord(itemIdx)) {
-            if (untilRe.findFirstIn(lines(i)).isDefined) repeating = false
-            else {
-              val sub = mutable.Map.empty[String, Any]
-              var matchedAny = false
-              for (it <- items) it match {
-                case f: FieldDef =>
-                  matchField(f, lines(i)).foreach { v => sub ++= v; matchedAny = true }
-                case Opt(f) =>
-                  matchField(f, lines(i)).foreach { v => sub ++= v; matchedAny = true }
-                case OneOf(alts) =>
-                  alts.view.flatMap(a => matchField(a, lines(i))).headOption
-                    .foreach { v => sub ++= v; matchedAny = true }
-                case _: Rep => () // nested Repeat unsupported inside Repeat
-              }
-              if (matchedAny) collected += sub.toMap
-              i += 1
-            }
-          }
-          rec(label) = collected.toList
+        case rep: Rep =>
+          rec(rep.label) = parseRep(rep, Nil, itemIdx)
       }
       itemIdx += 1
     }
@@ -202,17 +244,40 @@ object StructTextParser {
       }
     }.toSeq)
 
+  /** Map a parsed record to Catalyst's internal representation. */
+  private[sources] def internalRow(rec: Map[String, Any], st: StructType):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    new GenericInternalRow(st.fields.map { f =>
+      (f.dataType, rec.get(f.name)) match {
+        case (ArrayType(sub: StructType, _), Some(items: Seq[_])) =>
+          new GenericArrayData(items.map(m =>
+            internalRow(m.asInstanceOf[Map[String, Any]], sub)).toArray[Any])
+        case (ArrayType(_, _), None) =>
+          new GenericArrayData(Array.empty[Any])
+        case (StringType, v) =>
+          v.map(s => UTF8String.fromString(s.asInstanceOf[String])).orNull
+        case (_, v) => v.orNull
+      }
+    }.toArray[Any])
+  }
+
   /** Generator-style entry: each blob row of `ds` → N record rows with
-    * the declared schema. flatMap = map-side, no shuffle.
+    * the declared schema, via a true Catalyst [[ParseStructText]]
+    * Generator (a `Generate` plan node, like `explode`) — NOT an
+    * `ds.rdd` flatMap, so the plan stays a single logical tree:
+    * Catalyst prunes unused record columns into the generator's
+    * output and the exchange-free map-side shape is visible to AQE.
     */
   def parse(ds: Dataset[String], schema: Seq[SchemaItem],
             keyEnd: Option[String] = None,
             nMatchMax: Int = Int.MaxValue): DataFrame = {
-    val st = sparkSchema(schema)
-    val spark = ds.sparkSession
-    val rdd = ds.rdd.flatMap(t => parseText(t, schema, keyEnd, nMatchMax)
-      .map(toRow(_, st)))
-    spark.createDataFrame(rdd, st)
+    import org.apache.spark.sql.GraftSql
+    val blobs = ds.toDF("__graft_text")
+    blobs.select(GraftSql.column(ParseStructText(
+      GraftSql.expression(blobs(blobs.columns.head)), schema, keyEnd, nMatchMax)))
   }
 
   /** `flatten_to_dataframe(records, explode_field=...)` analog: explode
@@ -227,4 +292,50 @@ object StructTextParser {
       d.withColumn(s"${field}_$n", col(s"__e.$n"))
     }.drop("__e")
   }
+}
+
+/** True Catalyst Generator for the struct-text parse: one text blob →
+  * N record rows, planned as a `Generate` node exactly like `explode`.
+  * Versus the former `ds.rdd.flatMap` boundary this keeps the whole
+  * query one logical plan — predicates/projections on parsed fields
+  * stay visible to the optimizer, and `Generate.unrequiredChildIndex`
+  * drops the (large) text column the moment it's consumed. Per-row
+  * work is the interpreted `parseText` (regex-bound, CodegenFallback
+  * by nature) — the surrounding plan still codegens.
+  */
+case class ParseStructText(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                           schema: Seq[StructTextParser.SchemaItem],
+                           keyEnd: Option[String],
+                           nMatchMax: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.Generator
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def elementSchema: StructType = StructTextParser.sparkSchema(schema)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"parse_struct_text needs a string blob, got ${child.dataType}")
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val blob = child.eval(input)
+    if (blob == null) Nil
+    else {
+      val st = elementSchema
+      StructTextParser.parseText(
+          blob.asInstanceOf[UTF8String].toString, schema, keyEnd, nMatchMax)
+        .map(StructTextParser.internalRow(_, st))
+    }
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): ParseStructText =
+    copy(child = newChild)
 }

@@ -104,4 +104,81 @@ class StructTextParserSpec extends SparkSpec {
     flat.where($"header" === "A").select("items_item")
       .as[String].collect().sorted shouldBe Array("v1", "v2")
   }
+
+  // The reference's production battery is nested 4-deep: per-rotor
+  // blocks, each consuming a header + MEAN/MAX/MIN lines, then an
+  // inner Repeat of PSI rows until a blank line
+  // (`test/blade_load_extract/plugins/process_blade_load.py:83-108`).
+  private val nestedText = Seq(
+    "RUN 7",
+    "BLADE 1 LOAD 0.25R",
+    "  MEAN 1.0 2.0",
+    "  MAXIMUM 3.0 4.0",
+    "  PSI = 0.0 10.0",
+    "  PSI = 90.0 11.0",
+    "",
+    "BLADE 1 LOAD 0.50R",
+    "  MEAN 5.0 6.0",
+    "  MAXIMUM 7.0 8.0",
+    "  PSI = 0.0 12.0",
+    "",
+    "=== END OF RUN"
+  ).mkString("\n")
+
+  private val nestedSchema = Seq(
+    FieldDef("run", "^RUN\\s+(\\d+)", LongType),
+    Rep("blades", Seq(
+      FieldDef("station", "^BLADE 1 LOAD (\\d+\\.\\d+)R", DoubleType),
+      FieldDef("mean", "^\\s+MEAN\\s+(\\S+)\\s+(\\S+)", DoubleType,
+        labels = Seq("mean_1", "mean_2")),
+      FieldDef("max", "^\\s+MAXIMUM\\s+(\\S+)\\s+(\\S+)", DoubleType,
+        labels = Seq("max_1", "max_2")),
+      Rep("psi", Seq(
+        FieldDef("psi_row", "^\\s+PSI = (\\S+)\\s+(\\S+)", DoubleType,
+          labels = Seq("azimuth", "load"))
+      ), until = "^$")
+    ), until = "^==="))
+
+  test("nested Repeat: sequential items + inner repeat per iteration") {
+    val recs = parseText(nestedText, nestedSchema)
+    recs should have size 1
+    recs.head("run") shouldBe 7L
+    val blades = recs.head("blades").asInstanceOf[List[Map[String, Any]]]
+    blades should have size 2
+    blades(0)("station") shouldBe 0.25
+    blades(0)("mean_1") shouldBe 1.0
+    blades(0)("max_2") shouldBe 4.0
+    val psi0 = blades(0)("psi").asInstanceOf[List[Map[String, Any]]]
+    psi0.map(_("azimuth")) shouldBe List(0.0, 90.0)
+    psi0.map(_("load")) shouldBe List(10.0, 11.0)
+    blades(1)("station") shouldBe 0.5
+    blades(1)("psi").asInstanceOf[List[Map[String, Any]]] should have size 1
+  }
+
+  test("nested Repeat survives the Dataset parse with nested array schema") {
+    val df = parse(Seq(nestedText).toDS(), nestedSchema)
+    val bladeType = df.schema("blades").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    bladeType.fieldNames should contain("psi")
+    import org.apache.spark.sql.functions._
+    df.select(explode(col("blades")).as("b"))
+      .select(col("b.station"),
+        org.apache.spark.sql.functions.size(col("b.psi")).as("n_psi"))
+      .orderBy(col("b.station"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+      .toSeq shouldBe Seq((0.25, 2), (0.5, 1))
+  }
+
+  test("parse plans as a Generate node, not an opaque RDD scan") {
+    val df = parse(Seq(blockText).toDS(), blockSchema)
+    df.queryExecution.optimizedPlan.toString should include("Generate")
+    // pruning: selecting one field must not fail and keeps Generate
+    df.select("header").queryExecution.optimizedPlan.toString should
+      include("Generate")
+  }
+
+  test("generator handles null blobs") {
+    val df = parse(Seq(Some(blockText), None).flatten.toDS(), blockSchema)
+    df.count() shouldBe 2
+  }
 }
