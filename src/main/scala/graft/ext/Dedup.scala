@@ -15,20 +15,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word shingles of width `n` (n=1 → the word set).
-    * Guarded against short docs: `sequence(1, 0)` would count DOWN in
-    * Spark, so texts with fewer than n words get an empty set.
+    * n>1 rides the native [[graft.functions.WordNGrams]] expression
+    * (same '_'-joined windows, empty below n tokens, codegen'd instead
+    * of an interpreted HOF chain).
     */
   def shingles(text: Column, n: Int): Column =
     if (n == 1) array_distinct(split(text, " "))
-    else {
-      val w = split(text, " ")
-      val grams = transform(
-        sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws("_",
-          (0 until n).map(k => call_function("element_at", w, i + lit(k))): _*))
-      when(size(w) >= n, array_distinct(grams))
-        .otherwise(array().cast("array<string>"))
-    }
+    else array_distinct(graft.functions.GramFunctions.wordNgrams(text, n))
 
   /** 52-bit integer hash of a shingle: md5 hex prefix parsed as a
     * number — portable (md5 + hex parse exist everywhere), and 52 bits
@@ -40,21 +33,24 @@ object Dedup {
   /** MinHash signature via the Carter-Wegman trick: only TWO md5
     * evaluations per shingle (h1, h2), hash family i = h1 + i·h2.
     * At 100 TB the md5 battery is the dominant map-side cost of
-    * signature computation — this cuts it numHashes/2 ×.
+    * signature computation — this cuts it numHashes/2 ×, and the
+    * native [[graft.functions.HexHashArray]] /
+    * [[graft.functions.MinhashArray]] expressions run it in one
+    * codegen'd pass per row (the HOF formulation they replaced walked
+    * an interpreted expression tree per shingle, then re-walked both
+    * hash arrays once per signature slot).
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
     minhashFromHashes(
-      transform(shingleArr, s => hexHash(s, "a#")),
-      transform(shingleArr, s => hexHash(s, "b#")),
+      graft.functions.MinHashFunctions.hexHashArray(shingleArr, "a#"),
+      graft.functions.MinHashFunctions.hexHashArray(shingleArr, "b#"),
       numHashes)
 
   /** Signature from precomputed h1/h2 arrays (cache these when several
     * stages reuse them — column expressions re-inline otherwise).
     */
   def minhashFromHashes(h1: Column, h2: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(zip_with(h1, h2, (a, b) => a + lit(i.toLong) * b))
-    }: _*)
+    graft.functions.MinHashFunctions.minhashArray(h1, h2, numHashes)
 
   /** LSH band keys: `numBands` bands of `rowsPerBand` signature slots,
     * each band hashed to one md5 key. element_at is 1-based.
@@ -130,8 +126,8 @@ object Dedup {
     // once, not re-inlined into each of the numHashes signature slots.
     val base = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleWidth).as("sh"))
-      .withColumn("h1", transform(col("sh"), s => hexHash(s, "a#")))
-      .withColumn("h2", transform(col("sh"), s => hexHash(s, "b#")))
+      .withColumn("h1", graft.functions.MinHashFunctions.hexHashArray(col("sh"), "a#"))
+      .withColumn("h2", graft.functions.MinHashFunctions.hexHashArray(col("sh"), "b#"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids only through the bucket self-join — the shingle sets rejoin
     // afterwards, so the (potentially huge) candidate shuffle moves

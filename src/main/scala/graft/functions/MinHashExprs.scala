@@ -1,0 +1,145 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash primitives — the map-side hot loop of the dedup
+  * family (q29 signatures, q30 LSH pairs, q47 cluster edges).
+  *
+  * The Column formulations they replace — `transform(sh, s =>
+  * conv(substring(md5(concat(salt, s)), 1, 13), 16, 10))` and
+  * `numHashes × array_min(zip_with(h1, h2, a + i·b))` — are
+  * higher-order functions, which Spark evaluates interpreted
+  * (CodegenFallback): every shingle cost an expression-tree walk, and
+  * the signature battery re-walked both hash arrays once per slot.
+  * These expressions produce BIT-IDENTICAL values (md5 of the UTF-8
+  * bytes, first 13 hex nibbles as a 52-bit int; mins of h1 + i·h2) in
+  * one static-call pass per row inside whole-stage codegen.
+  */
+object MinHashOps {
+
+  private val digests: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** 52-bit hash battery: md5(salt ++ s) per element, first 13 hex
+    * nibbles parsed as a long (== `conv(substring(md5_hex, 1, 13), 16,
+    * 10)` — bytes 0..5 whole plus the high nibble of byte 6).
+    */
+  def hexHashArray(arr: ArrayData, salt: UTF8String): ArrayData = {
+    val digest = digests.get()
+    val saltBytes = salt.getBytes
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      digest.reset()
+      digest.update(saltBytes)
+      digest.update(arr.getUTF8String(i).getBytes)
+      val h = digest.digest()
+      var v = 0L
+      var k = 0
+      while (k < 6) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+      v = (v << 4) | ((h(6) & 0xf0L) >>> 4)
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Carter-Wegman signature: slot i = min over shingles of h1+i·h2,
+    * all `num` slots in ONE pass over the hash arrays. Empty input →
+    * all-null slots (the `array_min(empty) = null` contract the band
+    * hasher downstream relies on).
+    */
+  def minhash(h1: ArrayData, h2: ArrayData, num: Int): ArrayData = {
+    val m = h1.numElements()
+    if (m == 0) return new GenericArrayData(Array.fill[Any](num)(null))
+    val mins = new Array[Long](num)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val a = h1.getLong(j)
+      val b = h2.getLong(j)
+      var v = a
+      var i = 0
+      while (i < num) {
+        if (v < mins(i)) mins(i) = v
+        v += b
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Any](num)
+    var i = 0
+    while (i < num) { out(i) = mins(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `hex_hash_array(shingles, salt)` → array<long> of 52-bit hashes. */
+case class HexHashArray(child: Expression, salt: String) extends UnaryExpression {
+  private lazy val saltUtf8 = UTF8String.fromString(salt)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hex_hash_array"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hex_hash_array needs array<string>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.hexHashArray(input.asInstanceOf[ArrayData], saltUtf8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", saltUtf8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps.hexHashArray($c, $saltRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HexHashArray =
+    copy(child = newChild)
+}
+
+/** `minhash_array(h1, h2, num)` → array<long> signature. */
+case class MinhashArray(left: Expression, right: Expression, num: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_array"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) if num > 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_array needs (array<long>, array<long>) and num > 0, got $other")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    MinHashOps.minhash(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], num)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MinHashOps.minhash($a, $b, $num)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashArray =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashFunctions {
+  /** Column-level entry points. */
+  def hexHashArray(shingles: Column, salt: String): Column =
+    GraftSql.column(HexHashArray(GraftSql.expression(shingles), salt))
+
+  def minhashArray(h1: Column, h2: Column, num: Int): Column =
+    GraftSql.column(MinhashArray(
+      GraftSql.expression(h1), GraftSql.expression(h2), num))
+}
