@@ -155,4 +155,67 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** Deterministic Rademacher (±1) hyperplanes for sign-random-
+    * projection LSH: sign(p, i) = +1 iff the first hex digit of
+    * md5("srp<p>_<i>") is >= '8'. Derivable in ANY engine with md5 —
+    * the oracle rebuilds the identical planes in SQL, no shipped state.
+    */
+  def srpPlanes(numPlanes: Int, dims: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dims).map { i =>
+        md.reset()
+        val h = md.digest(s"srp${p}_${i}".getBytes("UTF-8"))
+        if ((h(0) & 0x80) != 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Per-band SRP bucket ids: band b's bucket packs `planesPerBand`
+    * sign bits (bit p set iff round(v·plane, 6) >= 0 — rounded so an
+    * at-the-boundary dot can't flip between engines on summation-order
+    * ulps). Map-side only; broadcast-free (planes are plan literals).
+    */
+  def srpBuckets(vec: Column, numBands: Int, planesPerBand: Int,
+                 dims: Int): Column = {
+    val planes = srpPlanes(numBands * planesPerBand, dims)
+    val vd = vec.cast("array<double>")
+    array((0 until numBands).map { b =>
+      (0 until planesPerBand).map { p =>
+        val plane = array(planes(b * planesPerBand + p).map(lit): _*)
+        when(round(dot(vd, plane), 6) >= 0.0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** SRP-LSH near-duplicate pairs — the embedding analog of the
+    * MinHash-LSH text path (and the scale path behind the brute-force
+    * [[cosine]] cross join): bucket per band map-side, self-join on
+    * (band, bucket) with ids only, then exact-cosine verify on the
+    * candidates. Recall is the standard SRP curve
+    * (1 - (1 - (1 - θ/π)^planesPerBand)^numBands); more bands buy
+    * recall linearly in candidate cost, never quadratically in corpus.
+    */
+  def srpNearDupPairs(df: DataFrame, threshold: Double,
+                      numBands: Int, planesPerBand: Int, dims: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val bucketed = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        srpBuckets(col(vecCol), numBands, planesPerBand, dims).as("buckets"))
+    val banded = bucketed
+      .select(col("id"), posexplode(col("buckets")).as(Seq("band_idx", "bucket")))
+    val a = banded.select(col("band_idx"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band_idx"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(bucketed.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(bucketed.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
 }

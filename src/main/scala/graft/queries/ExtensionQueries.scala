@@ -354,6 +354,48 @@ object ExtensionQueries {
       |  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** ✚ SRP-LSH embedding near-dup — the scale path behind q33's
+    * brute-force cross join: deterministic Rademacher hyperplanes
+    * (md5-derived, rebuilt identically by the oracle), per-band sign
+    * buckets map-side, ids-only self-join on (band, bucket), exact
+    * cosine verify on candidates. Candidate volume scales with bucket
+    * collisions, never corpus².
+    */
+  def q69SrpNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.srpNearDupPairs(
+        Tables(spark, dir, "embeddings").filter(col("vec_id") < 300),
+        threshold = 0.35, numBands = 2, planesPerBand = 6, dims = 64)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q69Sql: String =
+    """WITH planes AS (
+      |  SELECT p.p,
+      |    list(CASE WHEN substring(md5('srp' || p.p || '_' || i.i), 1, 1) >= '8'
+      |              THEN 1.0 ELSE -1.0 END ORDER BY i.i) AS plane
+      |  FROM range(12) p(p), range(64) i(i) GROUP BY p.p),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |      FROM embeddings WHERE vec_id < 300),
+      |bits AS (
+      |  SELECT v.vec_id, p.p // 6 AS band_idx,
+      |    CASE WHEN round(list_dot_product(v.e, p.plane), 6) >= 0
+      |         THEN CAST(power(2, p.p % 6) AS BIGINT) ELSE 0 END AS bit
+      |  FROM v, planes p),
+      |buckets AS (
+      |  SELECT vec_id, band_idx, sum(bit) AS bucket
+      |  FROM bits GROUP BY vec_id, band_idx),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+      |   AND a.vec_id < b.vec_id)
+      |SELECT c.id_a, c.id_b,
+      |  list_cosine_similarity(va.e, vb.e) AS cosine
+      |FROM cand c
+      |JOIN v va ON va.vec_id = c.id_a
+      |JOIN v vb ON vb.vec_id = c.id_b
+      |WHERE list_cosine_similarity(va.e, vb.e) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** ✚ k-means-trained IVF: Lloyd training (2 rounds, 8 seed
     * centroids = lowest vec_ids, per-round means rounded to 6 dp for
     * cross-engine lockstep) followed by the IVF search of q35 — the

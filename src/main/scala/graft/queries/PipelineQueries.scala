@@ -182,6 +182,59 @@ object PipelineQueries {
       |FROM customer WHERE c_custkey <= 1000
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** K1 + S6 — CSV export/read round-trip, oracle-gated: a lineitem
+    * slice goes out through the CSV exporter (header, partition-
+    * parallel files) and back through the header+inferSchema reader;
+    * the aggregate is correct only if every row and type survived the
+    * text round-trip. l_quantity is integral-valued (TPC-H), so the
+    * double sum is order-independent-exact.
+    */
+  def q67CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Exporters
+    import graft.sources.Readers
+    val out = java.nio.file.Files.createTempDirectory("graft_q67_").toString + "/csv"
+    Exporters.csv(
+      Tables(spark, dir, "lineitem").filter(col("l_orderkey") < 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity")),
+      out)
+    Readers.csv(spark, out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_orderkey")).as("key_sum"),
+           sum(col("l_quantity")).cast("double").as("qty_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q67Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS qty_sum
+      |FROM lineitem WHERE l_orderkey < 500
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** K2 + S4 — JSON export/read round-trip, oracle-gated (same shape
+    * as q67 over the documents table; JSON re-infers longs as longs).
+    */
+  def q68JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Exporters
+    import graft.sources.Readers
+    val out = java.nio.file.Files.createTempDirectory("graft_q68_").toString + "/json"
+    Exporters.json(
+      Tables(spark, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      out)
+    Readers.json(spark, out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q68Sql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE doc_id < 2000
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** §2.10 — Structured Streaming: replay the events parquet as a file
     * stream, watermarked tumbling-window count/sum per hour × type,
     * availableNow to completion. The oracle is the equivalent batch

@@ -77,4 +77,38 @@ class SimilaritySpec extends SparkSpec {
     // Lloyd rounds should not make the index WORSE than untrained seeds
     trainedRecall should be >= recall(seeds) - 0.1
   }
+
+  test("SRP planes are deterministic ±1 and engine-rebuildable") {
+    val p1 = Similarity.srpPlanes(4, 16)
+    val p2 = Similarity.srpPlanes(4, 16)
+    p1 shouldBe p2
+    p1.flatten.toSet.subsetOf(Set(1.0, -1.0)) shouldBe true
+    // not degenerate: both signs appear
+    p1.flatten.toSet should have size 2
+  }
+
+  test("SRP-LSH pairs are a subset of brute-force pairs, with recall") {
+    val sub = emb.filter(col("vec_id") < 200)
+    val brute = {
+      val a = sub.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+      val b = sub.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= 0.35)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lsh = Similarity.srpNearDupPairs(sub, threshold = 0.35,
+        numBands = 4, planesPerBand = 4, dims = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh.subsetOf(brute) shouldBe true // verify stage guarantees precision
+    if (brute.nonEmpty)
+      (lsh intersect brute).size.toDouble / brute.size should be > 0.3
+  }
+
+  test("SRP-LSH plan has no cartesian product") {
+    val plan = Similarity.srpNearDupPairs(emb, threshold = 0.9,
+        numBands = 2, planesPerBand = 6, dims = 64)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+  }
 }
