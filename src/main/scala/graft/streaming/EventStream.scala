@@ -67,4 +67,26 @@ object EventStream {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** K5's streaming shape (SURVEY §2.9): drive a sink with
+    * `foreachBatch` — each micro-batch is appended exactly once per
+    * epoch through the caller's writer (parquet history dir, JDBC
+    * table, …). This is the cluster-scale replacement for the
+    * driver-side enqueue loop: the reference's queue+background-thread
+    * batching IS micro-batching, so the stream engine's epochs take
+    * over batch formation, retries and exactly-once bookkeeping.
+    */
+  def streamTo(df: DataFrame, name: String)
+              (write: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        write(batch.toDF(), epoch)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }
