@@ -106,4 +106,44 @@ final class Runner(registry: Registry) {
     if (cancelled) markCancelled("Run")
     Result(afterInline, postResults.toMap, steps.toList)
   }
+
+  /** Dry-run plan — the reference's `simulate` (`core/engine.py:163-314`):
+    * which processor would run for which path, per phase, WITHOUT
+    * executing anything. One distributed pass: the rule table (glob
+    * pre-compiled to regex at plan time) is exploded against the file
+    * frame and matched with `regexp_like` — no per-rule scan, no
+    * driver-side walk, so a dry run over a billion-file inventory is
+    * the same shape as the real run.
+    *
+    * @param patternFilter reference's substring path filter
+    * @param maxItems      reference's entry cap (`LIMIT`)
+    */
+  def simulate(files: DataFrame, plan: PipelinePlan,
+               pathCol: String = "rel_path",
+               patternFilter: Option[String] = None,
+               maxItems: Option[Int] = None): DataFrame = {
+    val ordered = Seq(Phase.Pre, Phase.Inline, Phase.Post)
+      .flatMap(p => plan.forPhase(p))
+    val ruleRows = ordered.zipWithIndex.map { case (r, i) =>
+      struct(
+        lit(i).as("step_order"),
+        lit(r.phase.toString).as("phase"),
+        lit(r.pattern).as("pattern"),
+        lit(TreeScan.globToRegex(r.pattern)).as("regex"),
+        lit(r.processor).as("processor"),
+        lit(r.priority).as("priority"))
+    }
+    val base = files.select(col(pathCol).as("path"))
+    val filtered = patternFilter.fold(base)(s => base.filter(col("path").contains(s)))
+    val sim = filtered
+      .select(col("path"), explode(array(ruleRows: _*)).as("rule"))
+      .filter(call_function("regexp_like", col("path"), col("rule.regex")))
+      .select(col("path"), col("rule.phase").as("phase"),
+        col("rule.pattern").as("pattern"),
+        col("rule.processor").as("processor"),
+        col("rule.priority").as("priority"),
+        col("rule.step_order").as("step_order"))
+      .orderBy(col("path"), col("step_order"))
+    maxItems.fold(sim)(sim.limit)
+  }
 }

@@ -52,6 +52,27 @@ class CancellationSpec extends SparkSpec {
     out.orderBy("rel_path").select("v").as[Int].collect() shouldBe Array(6, 5, 14)
   }
 
+  test("simulate dry-runs the rule plan without executing processors") {
+    val reg = new Registry
+    var executed = false
+    reg.register("touch") { (df, _) => executed = true; df }
+    val plan = PipelinePlan(Seq(
+      Rule("**/*.txt", Phase.Inline, "touch", priority = 5),
+      Rule("a/*", Phase.Inline, "touch", priority = 9),
+      Rule("**", Phase.Post, "stats")))
+    val sim = new Runner(reg).simulate(files, plan).collect()
+    executed shouldBe false
+    // a/x.txt matches all three rules; priority orders inline steps
+    val ax = sim.filter(_.getString(0) == "a/x.txt")
+    ax.map(r => (r.getString(1), r.getString(2))).toSeq shouldBe Seq(
+      ("Inline", "a/*"), ("Inline", "**/*.txt"), ("Post", "**"))
+    // pattern filter + cap
+    new Runner(reg).simulate(files, plan, patternFilter = Some("b/"))
+      .select("path").distinct().collect().map(_.getString(0)).toSeq shouldBe
+      Seq("b/z.txt")
+    new Runner(reg).simulate(files, plan, maxItems = Some(2)).count() shouldBe 2
+  }
+
   test("cancel kills an in-flight Spark job via the job group") {
     val token = CancelToken(spark)
     val slow = spark.range(0, 400, 1, 4).as[Long].map { i =>
