@@ -21,8 +21,10 @@ import scala.collection.mutable
   * Fail-soft: a processor that throws records an error step and the run
   * continues (`core/engine.py:519-543`); `mustExecute` errors rethrow.
   */
-final class Runner(registry: Registry) {
-
+object Runner {
+  /** Top-level (not inner) case classes: Spark can't derive an Encoder
+    * for an inner class, and the CLI frames the step log via toDF.
+    */
   final case class Step(step: Int, phase: String, pattern: String,
                         processor: String, rows: Long, ok: Boolean,
                         error: Option[String])
@@ -30,6 +32,10 @@ final class Runner(registry: Registry) {
   final case class Result(files: DataFrame,
                           postResults: Map[String, DataFrame],
                           steps: Seq[Step])
+}
+
+final class Runner(registry: Registry) {
+  import Runner.{Result, Step}
 
   /** Execute a plan over a file-inventory frame (must carry `pathCol`).
     * Returns the transformed file frame, the per-post-processor result
