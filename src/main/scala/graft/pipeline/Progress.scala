@@ -41,3 +41,32 @@ object Progress {
   final case class Snapshot(jobsStarted: Int, jobsEnded: Int,
                             stagesCompleted: Int, tasksCompleted: Long)
 }
+
+/** Current-status surface — `set_status_log`/`get_current_status`
+  * (`core/engine.py:60-80`): a live status string any observer can
+  * poll, optionally appended (timestamped) to a status file a GUI or
+  * `tail -f` watches. Driver-side by design: one line per pipeline
+  * step, never per row.
+  */
+final class StatusLog(path: Option[java.nio.file.Path] = None) {
+
+  @volatile private var current: Option[String] = None
+
+  // a directory path gets the reference's default file name inside it
+  private val target: Option[java.nio.file.Path] = path.map { p =>
+    if (java.nio.file.Files.isDirectory(p)) p.resolve("status.log") else p
+  }
+
+  def set(status: String): Unit = {
+    current = Some(status)
+    target.foreach { p =>
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p,
+        s"${java.time.Instant.now()} $status\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+  }
+
+  def currentStatus: Option[String] = current
+}

@@ -49,7 +49,8 @@ final class Runner(registry: Registry) {
     */
   def run(files: DataFrame, plan: PipelinePlan,
           pathCol: String = "rel_path",
-          cancel: Option[CancelToken] = None): Result = {
+          cancel: Option[CancelToken] = None,
+          status: Option[StatusLog] = None): Result = {
     val steps = mutable.ListBuffer.empty[Step]
     var n = 0
 
@@ -59,6 +60,7 @@ final class Runner(registry: Registry) {
 
     def exec(df: DataFrame, rule: Rule): DataFrame = {
       n += 1
+      status.foreach(_.set(s"${rule.phase} ${rule.pattern} -> ${rule.processor}"))
       val pred = TreeScan.matchesGlob(col(pathCol), rule.pattern)
       try {
         val matched = df.filter(pred)
@@ -96,6 +98,7 @@ final class Runner(registry: Registry) {
     plan.forPhase(Phase.Post).foreach { rule =>
       if (!cancelled) {
         n += 1
+        status.foreach(_.set(s"Post ${rule.pattern} -> ${rule.processor}"))
         try {
           val matched = afterInline.filter(
             TreeScan.matchesGlob(col(pathCol), rule.pattern))
@@ -110,6 +113,7 @@ final class Runner(registry: Registry) {
       }
     }
     if (cancelled) markCancelled("Run")
+    status.foreach(_.set(if (cancelled) "cancelled" else "done"))
     Result(afterInline, postResults.toMap, steps.toList)
   }
 

@@ -52,6 +52,26 @@ class CancellationSpec extends SparkSpec {
     out.orderBy("rel_path").select("v").as[Int].collect() shouldBe Array(6, 5, 14)
   }
 
+  test("status log tracks the current step and lands in the file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_status_")
+    val log = new StatusLog(Some(dir)) // directory → status.log inside it
+    val seen = scala.collection.mutable.ListBuffer.empty[String]
+    val reg = new Registry
+    reg.register("p1") { (df, _) => seen += log.currentStatus.get; df }
+    reg.register("stats", kind = "post") { (df, _) =>
+      seen += log.currentStatus.get; df.groupBy().count()
+    }
+    val plan = PipelinePlan(Seq(
+      Rule("**", Phase.Inline, "p1"),
+      Rule("**", Phase.Post, "stats")))
+    new Runner(reg).run(files, plan, status = Some(log))
+    seen.toList shouldBe List("Inline ** -> p1", "Post ** -> stats")
+    log.currentStatus shouldBe Some("done")
+    val lines = java.nio.file.Files.readAllLines(dir.resolve("status.log"))
+    lines.size shouldBe 3
+    lines.get(2) should endWith("done")
+  }
+
   test("simulate dry-runs the rule plan without executing processors") {
     val reg = new Registry
     var executed = false
