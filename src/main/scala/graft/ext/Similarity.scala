@@ -58,20 +58,25 @@ object Similarity {
   }
 
   /** Assign every corpus vector to its nearest centroid (argmax cosine,
-    * centroid id as tiebreak). Centroids are broadcast — assignment is
-    * map-side + one small window shuffle on the corpus id.
+    * centroid id as tiebreak). Centroids are broadcast; the argmax is a
+    * `max_by` hash aggregation, NOT a window — partial aggregation
+    * combines map-side, so the shuffle carries one row per corpus
+    * vector instead of one per (vector × centroid) plus a sort. The
+    * tie-break key (cos, -centroid_id) reproduces the window's
+    * `ORDER BY c_cos DESC, centroid_id` rank-1 row exactly.
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("c_cos").desc, col("centroid_id"))
     corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(c))
       .withColumn("c_cos", cosine(col(vecCol), col("cent_vec")))
-      .withColumn("c_rank", row_number().over(w))
-      .filter(col("c_rank") === 1)
+      .groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol),
+           max_by(col("centroid_id"),
+             struct(col("c_cos"), (-col("centroid_id")).as("neg_id")))
+             .as("centroid_id"))
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
