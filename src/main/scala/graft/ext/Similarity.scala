@@ -206,14 +206,35 @@ object Similarity {
                       numBands: Int, planesPerBand: Int, dims: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    val (pairs, cache) = srpNearDupPairsLazy(df, threshold, numBands,
+      planesPerBand, dims, idCol, vecCol)
+    // materialize then release the bucketed cache (the Dedup.lshNearDupPairs
+    // discipline): the pair list is tiny next to the bucketed corpus
+    val out = pairs.localCheckpoint(true)
+    cache.unpersist()
+    out
+  }
+
+  /** Lazy variant: un-materialized pair plan + the persisted
+    * intermediate the caller must unpersist (exists so tests can
+    * assert plan shape before checkpointing truncates lineage).
+    */
+  private[graft] def srpNearDupPairsLazy(
+      df: DataFrame, threshold: Double,
+      numBands: Int, planesPerBand: Int, dims: Int,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    // persist: the banded explode plus BOTH verify joins re-reference
+    // this frame — without a cache the scan and the full
+    // numBands×planesPerBand dot-product battery run three times
     val bucketed = df
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         srpBuckets(col(vecCol), numBands, planesPerBand, dims).as("buckets"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bucketed
       .select(col("id"), posexplode(col("buckets")).as(Seq("band_idx", "bucket")))
     val a = banded.select(col("band_idx"), col("bucket"), col("id").as("id_a"))
     val b = banded.select(col("band_idx"), col("bucket"), col("id").as("id_b"))
-    a.join(b, Seq("band_idx", "bucket"))
+    val pairs = a.join(b, Seq("band_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -222,5 +243,6 @@ object Similarity {
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+    (pairs, bucketed)
   }
 }

@@ -38,15 +38,19 @@ object MinHashOps {
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
-      digest.reset()
-      digest.update(saltBytes)
-      digest.update(arr.getUTF8String(i).getBytes)
-      val h = digest.digest()
-      var v = 0L
-      var k = 0
-      while (k < 6) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
-      v = (v << 4) | ((h(6) & 0xf0L) >>> 4)
-      out(i) = v
+      // null element → null hash, matching the transform() formulation
+      if (arr.isNullAt(i)) out(i) = null
+      else {
+        digest.reset()
+        digest.update(saltBytes)
+        digest.update(arr.getUTF8String(i).getBytes)
+        val h = digest.digest()
+        var v = 0L
+        var k = 0
+        while (k < 6) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+        v = (v << 4) | ((h(6) & 0xf0L) >>> 4)
+        out(i) = v
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -59,22 +63,28 @@ object MinHashOps {
     */
   def minhash(h1: ArrayData, h2: ArrayData, num: Int): ArrayData = {
     val m = h1.numElements()
-    if (m == 0) return new GenericArrayData(Array.fill[Any](num)(null))
     val mins = new Array[Long](num)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
     var j = 0
     while (j < m) {
-      val a = h1.getLong(j)
-      val b = h2.getLong(j)
-      var v = a
-      var i = 0
-      while (i < num) {
-        if (v < mins(i)) mins(i) = v
-        v += b
-        i += 1
+      // null slots are skipped — array_min ignores null elements, so
+      // the zip_with/array_min formulation did the same
+      if (!h1.isNullAt(j) && !h2.isNullAt(j)) {
+        any = true
+        val a = h1.getLong(j)
+        val b = h2.getLong(j)
+        var v = a
+        var i = 0
+        while (i < num) {
+          if (v < mins(i)) mins(i) = v
+          v += b
+          i += 1
+        }
       }
       j += 1
     }
+    if (!any) return new GenericArrayData(Array.fill[Any](num)(null))
     val out = new Array[Any](num)
     var i = 0
     while (i < num) { out(i) = mins(i); i += 1 }
@@ -86,7 +96,8 @@ object MinHashOps {
 case class HexHashArray(child: Expression, salt: String) extends UnaryExpression {
   private lazy val saltUtf8 = UTF8String.fromString(salt)
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null input elements yield null hashes
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "hex_hash_array"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -52,8 +52,11 @@ final class StatusLog(path: Option[java.nio.file.Path] = None) {
 
   @volatile private var current: Option[String] = None
 
-  // a directory path gets the reference's default file name inside it
-  private val target: Option[java.nio.file.Path] = path.map { p =>
+  // resolved at WRITE time, not construction: the target directory may
+  // not exist yet (a run's output dir created later) — deciding
+  // file-vs-directory too early would append log lines to a file named
+  // like the directory and break its later creation
+  private def target: Option[java.nio.file.Path] = path.map { p =>
     if (java.nio.file.Files.isDirectory(p)) p.resolve("status.log") else p
   }
 

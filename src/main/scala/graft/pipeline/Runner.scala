@@ -64,15 +64,16 @@ final class Runner(registry: Registry) {
       val pred = TreeScan.matchesGlob(col(pathCol), rule.pattern)
       try {
         val matched = df.filter(pred)
-        val rest = df.filter(!pred)
-        // unconditional evolve: rest may be planned-empty (pattern
-        // matches everything) but testing THAT with `rest.isEmpty`
-        // costs an eager Spark job per rule at plan-build time — a
-        // 50-rule config would block the driver 50 times before any
-        // real work. unionByName with an empty side is a no-op row-wise
-        // and adds no columns (rest's are a subset of out's inputs).
+        // plan-level emptiness: a match-everything pattern leaves no
+        // remainder, so skip the union entirely — this both avoids the
+        // old per-rule eager `rest.isEmpty` Spark job AND keeps the
+        // processor's exact output schema (a data-level-empty union
+        // would null-fill every column the processor dropped).
+        val matchesAll = TreeScan.globToRegex(rule.pattern) == "^.*$"
         val out = registry(rule.processor).fn(matched, rule.config)
-        val merged = Append.evolve(out, rest)
+        val merged =
+          if (matchesAll) out
+          else Append.evolve(out, df.filter(!pred))
         steps += Step(n, rule.phase.toString, rule.pattern, rule.processor,
           -1L, ok = true, None)
         merged
@@ -134,6 +135,17 @@ final class Runner(registry: Registry) {
                maxItems: Option[Int] = None): DataFrame = {
     val ordered = Seq(Phase.Pre, Phase.Inline, Phase.Post)
       .flatMap(p => plan.forPhase(p))
+    if (ordered.isEmpty) {
+      // explode(array()) would resolve to NullType and fail field
+      // extraction — an empty plan is a valid dry run, return no steps
+      import org.apache.spark.sql.types._
+      return files.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField("path", StringType), StructField("phase", StringType),
+          StructField("pattern", StringType), StructField("processor", StringType),
+          StructField("priority", IntegerType), StructField("step_order", IntegerType))))
+    }
     val ruleRows = ordered.zipWithIndex.map { case (r, i) =>
       struct(
         lit(i).as("step_order"),

@@ -63,15 +63,21 @@ object StructTextParser {
 
   /** The flat output schema of a record: one column per field label,
     * Repeat → array<struct>.
+    *
+    * EVERY column is nullable — including required fields: a truncated
+    * blob can emit a partial record (the record opens on its first
+    * field but a later required field never appears before EOF/keyEnd).
+    * Declaring those non-nullable would let codegen read the stored
+    * null as 0/0.0/false silently; nullable keeps the null visible.
     */
   def sparkSchema(schema: Seq[SchemaItem]): StructType = {
-    def fieldCols(f: FieldDef, nullable: Boolean): Seq[StructField] =
+    def fieldCols(f: FieldDef): Seq[StructField] =
       if (f.isPresence) Seq(StructField(f.label, BooleanType, nullable = true))
-      else f.groupNames.map(StructField(_, f.dataType, nullable))
+      else f.groupNames.map(StructField(_, f.dataType, nullable = true))
     StructType(schema.flatMap {
-      case f: FieldDef => fieldCols(f, nullable = false)
-      case Opt(f)      => fieldCols(f, nullable = true)
-      case OneOf(alts) => alts.flatMap(fieldCols(_, nullable = true))
+      case f: FieldDef => fieldCols(f)
+      case Opt(f)      => fieldCols(f)
+      case OneOf(alts) => alts.flatMap(fieldCols)
       case Rep(label, items, _) =>
         Seq(StructField(label,
           ArrayType(sparkSchema(items), containsNull = false), nullable = true))

@@ -69,19 +69,31 @@ object EventStream {
   }
 
   /** K5's streaming shape (SURVEY §2.9): drive a sink with
-    * `foreachBatch` — each micro-batch is appended exactly once per
-    * epoch through the caller's writer (parquet history dir, JDBC
-    * table, …). This is the cluster-scale replacement for the
-    * driver-side enqueue loop: the reference's queue+background-thread
-    * batching IS micro-batching, so the stream engine's epochs take
-    * over batch formation, retries and exactly-once bookkeeping.
+    * `foreachBatch` — each micro-batch goes through the caller's
+    * writer (parquet history dir, JDBC table, …). This is the
+    * cluster-scale replacement for the driver-side enqueue loop: the
+    * reference's queue+background-thread batching IS micro-batching,
+    * so the stream engine's epochs take over batch formation.
+    *
+    * Delivery contract: with a durable `checkpointDir`, a killed or
+    * re-launched run resumes AFTER the last committed epoch instead of
+    * re-reading the whole source. foreachBatch itself is at-least-once
+    * on an epoch retry (the crash window between the write and the
+    * commit), so a non-idempotent writer should stamp `epoch` into the
+    * output (e.g. partition by it, or key the JDBC rows on it) to make
+    * the replay overwrite rather than double-append. Without a
+    * checkpointDir Spark allocates a throwaway location — fine for
+    * one-shot backfills, wrong for anything incremental.
     */
-  def streamTo(df: DataFrame, name: String)
+  def streamTo(df: DataFrame, name: String,
+               checkpointDir: Option[String] = None)
               (write: (DataFrame, Long) => Unit): Unit = {
-    val q = df.writeStream
+    val base = df.writeStream
       .queryName(name)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
+    val withCkpt = checkpointDir.fold(base)(base.option("checkpointLocation", _))
+    val q = withCkpt
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        epoch: Long) =>
         write(batch.toDF(), epoch)

@@ -42,8 +42,19 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val a = args.toList
     def flag(name: String): Boolean = a.contains(name)
+    // a following "--flag" is NOT this option's value
     def opt(name: String): Option[String] =
-      a.sliding(2).collectFirst { case `name` :: v :: Nil => v }
+      a.sliding(2).collectFirst {
+        case `name` :: v :: Nil if !v.startsWith("--") => v
+      }
+    def intOpt(name: String): Option[Int] =
+      opt(name).map { v =>
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          System.err.println(s"$name needs an integer, got '$v'\n$usage")
+          sys.exit(2)
+        }
+      }
 
     if (flag("--generate-template")) {
       val path = opt("--generate-template").getOrElse("config.yaml")
@@ -95,26 +106,34 @@ object Cli {
     if (flag("--simulate")) {
       runner.simulate(files, plan,
           patternFilter = opt("--filter"),
-          maxItems = opt("--max-items").map(_.toInt))
+          maxItems = intOpt("--max-items"))
         .show(1000, truncate = false)
       stopIfOwned()
       return
     }
 
     val token = CancelToken(spark)
-    sys.addShutdownHook(token.cancel())
-    val result = token.withJobGroup(s"cli run of $root") {
-      runner.run(files, plan, cancel = Some(token))
-    }
-
-    result.postResults.foreach { case (name, df) =>
-      graft.sinks.Exporters.csv(df, s"$outDir/$name", singleFile = true)
-      println(s"wrote $outDir/$name")
-    }
-    import spark.implicits._
-    graft.sinks.Exporters.csv(
-      result.steps.toDF(), s"$outDir/steps", singleFile = true)
-    println(s"wrote $outDir/steps (${result.steps.size} steps)")
+    // Ctrl-C → cooperative cancel; guard against firing on a normal
+    // exit after spark.stop(), and deregister once the run completes
+    // so repeated in-JVM invocations don't accumulate hooks
+    val hook = new Thread(() =>
+      if (!spark.sparkContext.isStopped) token.cancel())
+    Runtime.getRuntime.addShutdownHook(hook)
+    try
+      // the job group must wrap the EXPORTS too — plan building runs
+      // no jobs; the cancellable work happens at write time
+      token.withJobGroup(s"cli run of $root") {
+        val result = runner.run(files, plan, cancel = Some(token))
+        result.postResults.foreach { case (name, df) =>
+          graft.sinks.Exporters.csv(df, s"$outDir/$name", singleFile = true)
+          println(s"wrote $outDir/$name")
+        }
+        import spark.implicits._
+        graft.sinks.Exporters.csv(
+          result.steps.toDF(), s"$outDir/steps", singleFile = true)
+        println(s"wrote $outDir/steps (${result.steps.size} steps)")
+      }
+    finally Runtime.getRuntime.removeShutdownHook(hook)
     stopIfOwned()
   }
 }

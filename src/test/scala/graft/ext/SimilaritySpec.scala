@@ -106,9 +106,12 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("SRP-LSH plan has no cartesian product") {
-    val plan = Similarity.srpNearDupPairs(emb, threshold = 0.9,
-        numBands = 2, planesPerBand = 6, dims = 64)
-      .queryExecution.executedPlan.toString
-    plan should not include "CartesianProduct"
+    // lazy variant: the public entry checkpoints, truncating the plan
+    val (pairs, cache) = Similarity.srpNearDupPairsLazy(emb, 0.9,
+      numBands = 2, planesPerBand = 6, dims = 64,
+      idCol = "vec_id", vecCol = "embedding")
+    try pairs.queryExecution.executedPlan.toString should
+      not include "CartesianProduct"
+    finally cache.unpersist()
   }
 }

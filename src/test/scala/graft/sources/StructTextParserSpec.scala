@@ -178,7 +178,21 @@ class StructTextParserSpec extends SparkSpec {
   }
 
   test("generator handles null blobs") {
-    val df = parse(Seq(Some(blockText), None).flatten.toDS(), blockSchema)
-    df.count() shouldBe 2
+    val ds = spark.createDataset(Seq[String](blockText, null))(
+      org.apache.spark.sql.Encoders.STRING)
+    val df = parse(ds, blockSchema)
+    df.count() shouldBe 2 // the null blob yields zero records, no NPE
+  }
+
+  test("partial record at EOF keeps required fields null, not zero") {
+    // record opens (header matches) but the required long field 'x'
+    // never appears — under a non-nullable schema codegen would read 0
+    val truncated = "HEADER A"
+    val schema = Seq(
+      FieldDef("header", "^HEADER\\s+(\\w+)"),
+      FieldDef("x", "^X:\\s*(\\d+)", LongType))
+    val row = parse(Seq(truncated).toDS(), schema).collect().head
+    row.getString(0) shouldBe "A"
+    row.isNullAt(1) shouldBe true
   }
 }
