@@ -104,9 +104,10 @@ object Dedup {
     // immediately — long-lived sessions otherwise accumulate signature
     // frames until eviction pressure degrades the executor cache. The
     // checkpointed pair list is tiny relative to the shingle frames.
-    val out = pairs.localCheckpoint(true)
-    caches.foreach(_.unpersist())
-    out
+    // unpersist in finally: a failed/cancelled materialization must
+    // not leave the caches pinned.
+    try pairs.localCheckpoint(true)
+    finally caches.foreach(_.unpersist())
   }
 
   /** Lazy variant of [[lshNearDupPairs]]: returns the un-materialized

@@ -209,10 +209,11 @@ object Similarity {
     val (pairs, cache) = srpNearDupPairsLazy(df, threshold, numBands,
       planesPerBand, dims, idCol, vecCol)
     // materialize then release the bucketed cache (the Dedup.lshNearDupPairs
-    // discipline): the pair list is tiny next to the bucketed corpus
-    val out = pairs.localCheckpoint(true)
-    cache.unpersist()
-    out
+    // discipline): the pair list is tiny next to the bucketed corpus.
+    // unpersist in finally — a failed/cancelled checkpoint must not pin
+    // the corpus in the executor cache for the session's lifetime
+    try pairs.localCheckpoint(true)
+    finally cache.unpersist()
   }
 
   /** Lazy variant: un-materialized pair plan + the persisted

@@ -52,10 +52,13 @@ final class StatusLog(path: Option[java.nio.file.Path] = None) {
 
   @volatile private var current: Option[String] = None
 
-  // resolved at WRITE time, not construction: the target directory may
-  // not exist yet (a run's output dir created later) — deciding
-  // file-vs-directory too early would append log lines to a file named
-  // like the directory and break its later creation
+  // Contract (reference parity, `core/engine.py:70-78`): a path that
+  // IS a directory at write time gets the conventional status.log
+  // inside it; anything else is treated as a file. Resolution happens
+  // per write so a directory created after construction is honored —
+  // but a path only created as a directory AFTER the first status
+  // write will already hold a log file; point at the file explicitly
+  // if the directory is made mid-run.
   private def target: Option[java.nio.file.Path] = path.map { p =>
     if (java.nio.file.Files.isDirectory(p)) p.resolve("status.log") else p
   }

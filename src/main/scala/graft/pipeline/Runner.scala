@@ -69,7 +69,7 @@ final class Runner(registry: Registry) {
         // old per-rule eager `rest.isEmpty` Spark job AND keeps the
         // processor's exact output schema (a data-level-empty union
         // would null-fill every column the processor dropped).
-        val matchesAll = TreeScan.globToRegex(rule.pattern) == "^.*$"
+        val matchesAll = TreeScan.isMatchAll(rule.pattern)
         val out = registry(rule.processor).fn(matched, rule.config)
         val merged =
           if (matchesAll) out
@@ -135,16 +135,15 @@ final class Runner(registry: Registry) {
                maxItems: Option[Int] = None): DataFrame = {
     val ordered = Seq(Phase.Pre, Phase.Inline, Phase.Post)
       .flatMap(p => plan.forPhase(p))
+    // ONE schema definition for both branches
+    val outCols = Seq("path", "phase", "pattern", "processor", "priority",
+      "step_order")
     if (ordered.isEmpty) {
       // explode(array()) would resolve to NullType and fail field
       // extraction — an empty plan is a valid dry run, return no steps
-      import org.apache.spark.sql.types._
-      return files.sparkSession.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        StructType(Seq(
-          StructField("path", StringType), StructField("phase", StringType),
-          StructField("pattern", StringType), StructField("processor", StringType),
-          StructField("priority", IntegerType), StructField("step_order", IntegerType))))
+      import files.sparkSession.implicits._
+      return Seq.empty[(String, String, String, String, Int, Int)]
+        .toDF(outCols: _*)
     }
     val ruleRows = ordered.zipWithIndex.map { case (r, i) =>
       struct(
@@ -160,11 +159,7 @@ final class Runner(registry: Registry) {
     val sim = filtered
       .select(col("path"), explode(array(ruleRows: _*)).as("rule"))
       .filter(call_function("regexp_like", col("path"), col("rule.regex")))
-      .select(col("path"), col("rule.phase").as("phase"),
-        col("rule.pattern").as("pattern"),
-        col("rule.processor").as("processor"),
-        col("rule.priority").as("priority"),
-        col("rule.step_order").as("step_order"))
+      .select(col("path") +: outCols.tail.map(c => col(s"rule.$c").as(c)): _*)
       .orderBy(col("path"), col("step_order"))
     maxItems.fold(sim)(sim.limit)
   }

@@ -57,6 +57,12 @@ object TreeScan {
   def matchesGlob(relPath: Column, glob: String): Column =
     relPath.rlike(globToRegex(glob))
 
+  /** Whether a glob matches every path — stated on the GLOB, not by
+    * string-comparing compiled regex output (which would silently
+    * break if the rendering ever changed).
+    */
+  def isMatchAll(glob: String): Boolean = glob.stripSuffix("/") == "**"
+
   /** File inventory of a real directory tree: one row per file with
     * (path, name, size, mtime, depth). Listing happens driver-side via
     * the Hadoop FS client (same API a cluster uses against HDFS/S3); the

@@ -42,22 +42,36 @@ object Cli {
   def main(args: Array[String]): Unit = {
     val a = args.toList
     def flag(name: String): Boolean = a.contains(name)
-    // a following "--flag" is NOT this option's value
-    def opt(name: String): Option[String] =
+    def die(msg: String): Nothing = {
+      System.err.println(s"$msg\n$usage"); sys.exit(2)
+    }
+    // lenient lookup for options whose value is OPTIONAL
+    // (--generate-template): a following "--flag" is not a value
+    def optValue(name: String): Option[String] =
       a.sliding(2).collectFirst {
         case `name` :: v :: Nil if !v.startsWith("--") => v
       }
+    // strict lookup for value-REQUIRING options: a missing value is a
+    // usage error, not a silent no-op (otherwise `--max-items --filter
+    // x` would ignore the cap the user asked for)
+    def opt(name: String): Option[String] =
+      if (!a.contains(name)) None
+      else optValue(name) match {
+        case None => die(s"$name needs a value")
+        case some => some
+      }
     def intOpt(name: String): Option[Int] =
       opt(name).map { v =>
-        try v.toInt
-        catch { case _: NumberFormatException =>
-          System.err.println(s"$name needs an integer, got '$v'\n$usage")
-          sys.exit(2)
+        try {
+          val n = v.toInt
+          if (n < 0) die(s"$name must be >= 0, got '$v'") else n
+        } catch { case _: NumberFormatException =>
+          die(s"$name needs an integer, got '$v'")
         }
       }
 
     if (flag("--generate-template")) {
-      val path = opt("--generate-template").getOrElse("config.yaml")
+      val path = optValue("--generate-template").getOrElse("config.yaml")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), template)
       println(s"template written: $path")
       return
@@ -133,7 +147,11 @@ object Cli {
           result.steps.toDF(), s"$outDir/steps", singleFile = true)
         println(s"wrote $outDir/steps (${result.steps.size} steps)")
       }
-    finally Runtime.getRuntime.removeShutdownHook(hook)
+    finally
+      // during an actual Ctrl-C shutdown removal itself throws —
+      // swallowing it keeps the informative cancellation exception
+      try Runtime.getRuntime.removeShutdownHook(hook)
+      catch { case _: IllegalStateException => () }
     stopIfOwned()
   }
 }
