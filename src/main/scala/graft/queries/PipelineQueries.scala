@@ -213,6 +213,60 @@ object PipelineQueries {
       |FROM lineitem WHERE l_orderkey < 500
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** S5 — skip-bad-cells numeric extract, oracle-gated: a CSV is
+    * written with every third value corrupted (non-numeric prefix);
+    * the reader must DROP those cells (try_cast tolerance,
+    * `io_helpers.py:37-79`) and the aggregate over survivors must
+    * match the oracle replaying the same corruption + TRY_CAST.
+    */
+  def q70CsvNumeric(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Readers
+    val out = java.nio.file.Files.createTempDirectory("graft_q70_").toString + "/csv"
+    Tables(spark, dir, "documents").filter(col("doc_id") < 3000)
+      .select(when(col("doc_id") % 3 === 0,
+          concat(lit("x"), col("n_chars").cast("string")))
+        .otherwise(col("n_chars").cast("string")).as("n_chars"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    Readers.csvNumericColumn(spark, out, Some("n_chars"))
+      .agg(count(lit(1)).as("n_good"),
+           sum(col("n_chars")).cast("double").as("total"))
+  }
+
+  val q70Sql: String =
+    """WITH raw AS (
+      |  SELECT TRY_CAST(CASE WHEN doc_id % 3 = 0
+      |                       THEN 'x' || CAST(n_chars AS VARCHAR)
+      |                       ELSE CAST(n_chars AS VARCHAR) END AS DOUBLE) AS v
+      |  FROM documents WHERE doc_id < 3000)
+      |SELECT count(*) AS n_good, CAST(sum(v) AS DOUBLE) AS total
+      |FROM raw WHERE v IS NOT NULL""".stripMargin
+
+  /** S11 — kv-dict line parsing, oracle-gated: a line frame is built
+    * with comments (#), blanks, and "key,label" payload lines; the
+    * parser must skip the former and split the latter
+    * (`_dict.txt` shape). The oracle replays the line construction
+    * relationally — counts match only if exactly the payload lines
+    * survive and split correctly.
+    */
+  def q71KvDict(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LineRouter
+    val lines = Tables(spark, dir, "documents").filter(col("doc_id") < 3000)
+      .select(
+        when(col("doc_id") % 10 === 0, concat(lit("# comment "), col("doc_id")))
+          .when(col("doc_id") % 10 === 1, lit("   "))
+          .otherwise(concat(col("lang"), lit(","), col("source"))).as("value"))
+    LineRouter.parseKvDict(lines)
+      .groupBy(col("key"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("key"), col("label"))
+  }
+
+  val q71Sql: String =
+    """SELECT lang AS key, source AS label, count(*) AS n
+      |FROM documents
+      |WHERE doc_id < 3000 AND doc_id % 10 NOT IN (0, 1)
+      |GROUP BY lang, source ORDER BY key, label""".stripMargin
+
   /** K2 + S4 — JSON export/read round-trip, oracle-gated (same shape
     * as q67 over the documents table; JSON re-infers longs as longs).
     */
