@@ -267,6 +267,39 @@ object PipelineQueries {
       |WHERE doc_id < 3000 AND doc_id % 10 NOT IN (0, 1)
       |GROUP BY lang, source ORDER BY key, label""".stripMargin
 
+  /** K7 — plot-data extraction, oracle-gated: two (filter, x, y)
+    * series specs over events → the long-form (series, x, y) frame
+    * every renderer consumes (`plotting_impl.py:344-376`), aggregated
+    * per series for a deterministic compare. Decimal value sums keep
+    * the double aggregation order-independent.
+    */
+  def q72PlotSeries(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.PlotData
+    val e = Tables(spark, dir, "events")
+    val series = Seq(
+      PlotData.SeriesSpec("clicks", col("event_type") === "click",
+        col("event_id"), col("value")),
+      PlotData.SeriesSpec("purchases", col("event_type") === "purchase",
+        col("event_id"), col("value")))
+    PlotData.extract(e, series)
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_points"),
+           max(col("x")).as("max_x"),
+           round(sum(col("y").cast("decimal(18,6)")), 2).cast("double").as("sum_y"))
+      .orderBy(col("series"))
+  }
+
+  val q72Sql: String =
+    """WITH s AS (
+      |  SELECT 'clicks' AS series, event_id AS x, value AS y
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT 'purchases', event_id, value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT series, count(*) AS n_points, max(x) AS max_x,
+      |  CAST(round(sum(CAST(y AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_y
+      |FROM s GROUP BY series ORDER BY series""".stripMargin
+
   /** K2 + S4 — JSON export/read round-trip, oracle-gated (same shape
     * as q67 over the documents table; JSON re-infers longs as longs).
     */
