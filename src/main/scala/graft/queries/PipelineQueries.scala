@@ -340,6 +340,51 @@ object PipelineQueries {
       |FROM events GROUP BY hour, event_type
       |ORDER BY hour, event_type""".stripMargin
 
+  /** §2.11 streaming state — flatMapGroupsWithState sessionization run
+    * as a REAL stream to completion, oracle-gated: per-user state
+    * carries the open session across micro-batches and emits sessions
+    * as they close; the final open session stays in state (it would
+    * close via timeout on a live stream). The oracle is the batch
+    * sessionization minus each user's last session — exactly the
+    * completed-only contract.
+    */
+  def q73StreamSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val events = EventStream.readEvents(spark, dir)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long").as("ts_secs"))
+      .as[Sessionize.Event]
+    val name = s"q73_mem_${System.nanoTime()}"
+    val q = Sessionize.sessionsStreaming(events, gapSecs = 1800)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q73Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id,
+      |    CAST(sum(CASE WHEN prev_ts IS NULL
+      |             OR date_diff('second', prev_ts, ts) > 1800
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_idx
+      |  FROM g),
+      |agg AS (
+      |  SELECT user_id, session_idx, count(*) AS n_events,
+      |    min(event_id) AS first_event, max(event_id) AS last_event
+      |  FROM s GROUP BY user_id, session_idx)
+      |SELECT user_id, session_idx, n_events, first_event, last_event
+      |FROM agg
+      |WHERE session_idx < (SELECT max(a2.session_idx) FROM agg a2
+      |                     WHERE a2.user_id = agg.user_id)
+      |ORDER BY user_id, session_idx""".stripMargin
+
   /** §2.11 — typed custom-state sessionization: groupByKey +
     * flatMapGroups building gap-based sessions imperatively per user
     * (the Dataset API path; q23 is the window-function path, and the
