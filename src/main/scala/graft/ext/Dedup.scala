@@ -71,17 +71,14 @@ object Dedup {
     * the majority vote of hex digit j of md5(token) being >= '8' (the
     * digit's high bit). Small by design so the oracle can replicate it;
     * widen numBits for production use.
+    *
+    * Native [[graft.functions.SimHash16]] expression: ONE md5 per token
+    * covers all 16 bits in a codegen'd pass — the HOF formulation this
+    * replaces re-folded the whole token array interpreted once per bit
+    * (16 md5 evaluations per token).
     */
-  def simhash16(tokens: Column): Column = {
-    // substring/shiftleft via call_function: the Scala helpers take Int
-    // literals, but j is a lambda-bound Column here.
-    val bits = transform(sequence(lit(1), lit(16)), j =>
-      when(aggregate(tokens, lit(0),
-        (acc, t) => acc +
-          when(call_function("substring", md5(t), j, lit(1)) >= "8", 1).otherwise(-1)) > 0,
-        call_function("shiftleft", lit(1), lit(16) - j)).otherwise(0))
-    aggregate(bits, lit(0), (acc, x) => acc + x)
-  }
+  def simhash16(tokens: Column): Column =
+    graft.functions.MinHashFunctions.simhash16(tokens)
 
   /** Exact duplicate groups: md5(text) → (representative id, copies). */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =

@@ -90,6 +90,42 @@ object MinHashOps {
     while (i < num) { out(i) = mins(i); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** 16-bit SimHash: one md5 per token, vote on every hex digit's high
+    * bit, pack majorities. Bit layout and the null-token −1 vote match
+    * the HOF formulation exactly (`substring(md5(null),j,1) >= '8'` is
+    * null → otherwise(−1)).
+    */
+  def simhash16(tokens: ArrayData): Int = {
+    val votes = new Array[Int](16)
+    val digest = digests.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) {
+        var j = 0
+        while (j < 16) { votes(j) -= 1; j += 1 }
+      } else {
+        digest.reset()
+        val h = digest.digest(tokens.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 16) {
+          val b = h(j >> 1) & 0xff
+          val nib = if ((j & 1) == 0) b >>> 4 else b & 0xf
+          if (nib >= 8) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0
+    var j = 0
+    while (j < 16) {
+      if (votes(j) > 0) out |= 1 << (15 - j)
+      j += 1
+    }
+    out
+  }
 }
 
 /** `hex_hash_array(shingles, salt)` → array<long> of 52-bit hashes. */
@@ -145,6 +181,33 @@ case class MinhashArray(left: Expression, right: Expression, num: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** `simhash16(tokens)` → int — 16-bit SimHash over tokens (duplicates
+  * counted): bit j set iff the majority of tokens have md5 hex digit j
+  * >= '8' (hex digit j's high bit). ONE md5 per token for all 16 bits,
+  * versus the HOF formulation's `transform(sequence(1,16), j =>
+  * aggregate(tokens, ...))` which re-folded the whole token array
+  * interpreted once per bit.
+  */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "simhash16"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash16 needs array<string>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.simhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
 object MinHashFunctions {
   /** Column-level entry points. */
   def hexHashArray(shingles: Column, salt: String): Column =
@@ -153,4 +216,7 @@ object MinHashFunctions {
   def minhashArray(h1: Column, h2: Column, num: Int): Column =
     GraftSql.column(MinhashArray(
       GraftSql.expression(h1), GraftSql.expression(h2), num))
+
+  def simhash16(tokens: Column): Column =
+    GraftSql.column(SimHash16(GraftSql.expression(tokens)))
 }
