@@ -34,9 +34,14 @@ object TextStats {
   def markerHits(text: Column, markers: Seq[String]): Column =
     markerHitsIn(wsTokens(lower(text)), markers)
 
-  /** Same, over an already-tokenized column — tokenize once, score many. */
+  /** Same, over an already-tokenized column — tokenize once, score
+    * many. Native [[graft.functions.MarkerHits]]: the lexicon is a
+    * hash set probed once per token inside codegen (the
+    * `size(filter(tokens, isin(...)))` HOF it replaces evaluated an
+    * interpreted isin chain per token per lexicon).
+    */
   def markerHitsIn(tokens: Column, markers: Seq[String]): Column =
-    size(filter(tokens, t => t.isin(markers.map(lit): _*)))
+    graft.functions.MinHashFunctions.markerHits(tokens, markers)
 
   /** Language marker lexicons (standard function-word lists). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

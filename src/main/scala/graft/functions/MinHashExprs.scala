@@ -126,6 +126,20 @@ object MinHashOps {
     }
     out
   }
+
+  /** Occurrence count of tokens in a marker set (null tokens miss —
+    * `isin` over null is not-true, same as the HOF it replaces).
+    */
+  def markerHits(tokens: ArrayData, markers: java.util.HashSet[UTF8String]): Int = {
+    var hits = 0
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i) && markers.contains(tokens.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
 }
 
 /** `hex_hash_array(shingles, salt)` → array<long> of 52-bit hashes. */
@@ -181,6 +195,42 @@ case class MinhashArray(left: Expression, right: Expression, num: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** `marker_hits(tokens, markers)` → int — occurrence count of tokens
+  * in a fixed marker lexicon (language-ID / stopword scoring). The
+  * `size(filter(tokens, isin(...)))` HOF this replaces evaluated an
+  * interpreted isin chain per token per lexicon; here the lexicon is a
+  * hash set probed once per token inside codegen.
+  */
+case class MarkerHits(child: Expression, markers: Seq[String])
+  extends UnaryExpression {
+
+  private lazy val markerSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](markers.size * 2)
+    markers.foreach(m => s.add(UTF8String.fromString(m)))
+    s
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "marker_hits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"marker_hits needs array<string>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.markerHits(input.asInstanceOf[ArrayData], markerSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("markers", markerSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps.markerHits($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerHits =
+    copy(child = newChild)
+}
+
 /** `simhash16(tokens)` → int — 16-bit SimHash over tokens (duplicates
   * counted): bit j set iff the majority of tokens have md5 hex digit j
   * >= '8' (hex digit j's high bit). ONE md5 per token for all 16 bits,
@@ -219,4 +269,7 @@ object MinHashFunctions {
 
   def simhash16(tokens: Column): Column =
     GraftSql.column(SimHash16(GraftSql.expression(tokens)))
+
+  def markerHits(tokens: Column, markers: Seq[String]): Column =
+    GraftSql.column(MarkerHits(GraftSql.expression(tokens), markers))
 }
