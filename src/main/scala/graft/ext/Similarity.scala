@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Sequential-fold dot product of two array<double> columns — the
+    * native [[graft.functions.DotProduct]] expression: same IEEE fold
+    * order as the `aggregate(zip_with(...))` HOF it replaces (so the
+    * bit-parity with the columnar oracle is preserved), but codegen'd
+    * instead of interpreted per element.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct.dot(a, b)
 
   /** Cosine similarity; inputs may be array<float> (cast is exact).
     * Clamped to [-1, 1] — self-similarity folds to 1 + 2ulp otherwise
