@@ -87,6 +87,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
       (exprs: Seq[Expression]) =>
         GramStats(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (exprs: Seq[Expression]) => SimHash16(exprs.head)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
