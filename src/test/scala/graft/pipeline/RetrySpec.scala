@@ -33,4 +33,32 @@ class RetrySpec extends org.scalatest.funsuite.AnyFunSuite
     o.error.get should include("down")
     delays.toList shouldBe List(100L, 200L) // no sleep after the last try
   }
+
+  test("registerWithRetry retries a flaky processor, fail-soft on exhaustion") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val files = Seq(("a/x.txt", 1)).toDF("rel_path", "v")
+    val reg = new Registry
+    var calls = 0
+    reg.registerWithRetry("flaky", attempts = 3, sleep = _ => ()) { (df, _) =>
+      calls += 1
+      if (calls < 2) throw new RuntimeException("transient")
+      df
+    }
+    var always = 0
+    reg.registerWithRetry("dead", attempts = 2, sleep = _ => ()) { (_, _) =>
+      always += 1; throw new RuntimeException("permanent")
+    }
+    val plan = PipelinePlan(Seq(
+      Rule("**/*.txt", Phase.Inline, "flaky"),
+      Rule("**/*.txt", Phase.Inline, "dead")))
+    val res = new Runner(reg).run(files, plan)
+    calls shouldBe 2   // one transient failure, then success
+    always shouldBe 2  // exhausted both attempts
+    res.steps.find(_.processor == "flaky").get.ok shouldBe true
+    val deadStep = res.steps.find(_.processor == "dead").get
+    deadStep.ok shouldBe false
+    deadStep.error.get should include("after 2 attempts")
+    res.files.count() shouldBe 1 // fail-soft: the run completed
+  }
 }
