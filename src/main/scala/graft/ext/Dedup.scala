@@ -91,12 +91,23 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b, one row per
     * candidate pair that clears `threshold`. The self-join shuffles on
     * the band hash; only (band, hash, id, shingles) rows move.
+    *
+    * `maxBucketSize` is the 100 TB skew guard: a degenerate band
+    * bucket (empty strings, boilerplate headers, templated docs)
+    * otherwise makes the self-join quadratic WITHIN the bucket — a
+    * 1M-row bucket is 10^12 candidate pairs from one key. Buckets
+    * with more than `maxBucketSize` members are dropped from candidate
+    * generation (and the drop is logged); members can still pair in
+    * their other, more selective bands, which is exactly the LSH
+    * recall story. Default = no cap (zero extra work, bit-identical
+    * output).
     */
   def lshNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleWidth: Int = 1, numHashes: Int = 24,
-                      numBands: Int = 3, threshold: Double = 0.9): DataFrame = {
+                      numBands: Int = 3, threshold: Double = 0.9,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val (pairs, caches) = lshNearDupPairsLazy(df, textCol, idCol,
-      shingleWidth, numHashes, numBands, threshold)
+      shingleWidth, numHashes, numBands, threshold, maxBucketSize)
     // Materialize eagerly so the intermediate caches can be released
     // immediately — long-lived sessions otherwise accumulate signature
     // frames until eviction pressure degrades the executor cache. The
@@ -115,7 +126,8 @@ object Dedup {
   private[graft] def lshNearDupPairsLazy(
       df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int, numHashes: Int,
-      numBands: Int, threshold: Double): (DataFrame, Seq[DataFrame]) = {
+      numBands: Int, threshold: Double,
+      maxBucketSize: Int = Int.MaxValue): (DataFrame, Seq[DataFrame]) = {
     val rowsPerBand = numHashes / numBands
     // persist: both the verify joins (base) and both sides of the
     // bucket self-join (banded) reference these frames — without a
@@ -136,8 +148,10 @@ object Dedup {
         numBands, rowsPerBand))
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
+    val capped = LshSkew.capBuckets(banded, Seq("band_idx", "band_hash"),
+      maxBucketSize, "lshNearDupPairs")
+    val a = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+    val b = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

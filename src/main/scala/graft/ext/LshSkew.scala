@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucket-size skew guard shared by the two LSH candidate generators
+  * ([[Dedup.lshNearDupPairs]] text path, [[Similarity.srpNearDupPairs]]
+  * embedding path).
+  *
+  * The classic LSH scale-killer: bucket self-join cost is
+  * Σ |bucket|², so ONE degenerate bucket (empty documents, a
+  * boilerplate header shared by millions of pages, the all-zeros
+  * embedding) dominates everything — 1M rows in one (band, hash) key
+  * is 10^12 candidate pairs. The guard censuses bucket sizes on the
+  * already-persisted banded frame (one cheap aggregate), drops every
+  * bucket over the cap from candidate generation, and logs the drop.
+  * Dropped members can still match through their other, smaller
+  * bands — the standard recall argument for banding applies unchanged.
+  *
+  * Dropping (vs salt-splitting) is the right semantics here: a bucket
+  * over any sane cap is near-certainly a degenerate-content cluster,
+  * and salting it would keep the quadratic blow-up, just spread
+  * across tasks. Callers that want those clusters handled should
+  * route them through [[Dedup.exactDupGroups]] first.
+  */
+object LshSkew {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Rows of `banded` whose (keyCols) bucket has ≤ `maxBucketSize`
+    * members. `Int.MaxValue` (the default everywhere) short-circuits
+    * to `banded` itself — zero extra work, bit-identical plans.
+    *
+    * The oversized-bucket list is bounded by rows/maxBucketSize keys,
+    * so it is localCheckpoint'd (tiny, lineage-free) and broadcast
+    * into a left-anti join — the big banded frame never reshuffles
+    * for the guard.
+    */
+  def capBuckets(banded: DataFrame, keyCols: Seq[String],
+                 maxBucketSize: Int, what: String): DataFrame = {
+    if (maxBucketSize == Int.MaxValue) banded
+    else {
+      val keys = keyCols.map(col)
+      val oversized = banded.groupBy(keys: _*)
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > maxBucketSize)
+        .select(keys: _*)
+        .localCheckpoint(true)
+      val nDropped = oversized.count()
+      if (nDropped > 0)
+        log.warn(s"$what: dropped $nDropped bucket(s) over " +
+          s"maxBucketSize=$maxBucketSize from candidate generation")
+      banded.join(broadcast(oversized), keyCols, "left_anti")
+    }
+  }
+}

@@ -210,9 +210,10 @@ object Similarity {
   def srpNearDupPairs(df: DataFrame, threshold: Double,
                       numBands: Int, planesPerBand: Int, dims: Int,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val (pairs, cache) = srpNearDupPairsLazy(df, threshold, numBands,
-      planesPerBand, dims, idCol, vecCol)
+      planesPerBand, dims, idCol, vecCol, maxBucketSize)
     // materialize then release the bucketed cache (the Dedup.lshNearDupPairs
     // discipline): the pair list is tiny next to the bucketed corpus.
     // unpersist in finally — a failed/cancelled checkpoint must not pin
@@ -228,7 +229,8 @@ object Similarity {
   private[graft] def srpNearDupPairsLazy(
       df: DataFrame, threshold: Double,
       numBands: Int, planesPerBand: Int, dims: Int,
-      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+      idCol: String, vecCol: String,
+      maxBucketSize: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     // persist: the banded explode plus BOTH verify joins re-reference
     // this frame — without a cache the scan and the full
     // numBands×planesPerBand dot-product battery run three times
@@ -238,8 +240,10 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bucketed
       .select(col("id"), posexplode(col("buckets")).as(Seq("band_idx", "bucket")))
-    val a = banded.select(col("band_idx"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band_idx"), col("bucket"), col("id").as("id_b"))
+    val capped = LshSkew.capBuckets(banded, Seq("band_idx", "bucket"),
+      maxBucketSize, "srpNearDupPairs")
+    val a = capped.select(col("band_idx"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("band_idx"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

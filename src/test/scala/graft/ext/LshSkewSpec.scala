@@ -1,0 +1,73 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Bucket-size skew guard (the 100 TB LSH scale-killer defense):
+  * adversarial all-identical-docs fixtures must produce BOUNDED
+  * candidate counts under a cap, and the default (no cap) must stay
+  * bit-identical to the pre-guard behavior.
+  */
+class LshSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 200 byte-identical docs (the degenerate bucket: every band key
+  // collides for all of them) plus one genuine small near-dup pair
+  // whose buckets stay tiny.
+  private def adversarialDocs = {
+    val boiler = (1 to 200).map(i => (i.toLong, "the same boilerplate page body repeated verbatim"))
+    // byte-identical so every band matches deterministically (J = 1.0)
+    val pairA = Seq((900L, "alpha beta gamma delta epsilon zeta"),
+                    (901L, "alpha beta gamma delta epsilon zeta"))
+    (boiler ++ pairA).toDF("doc_id", "text")
+  }
+
+  test("uncapped: identical-doc cluster goes quadratic (C(200,2) pairs)") {
+    val pairs = Dedup.lshNearDupPairs(adversarialDocs, "text", "doc_id")
+    pairs.filter($"id_a" < 900).count() shouldBe 200L * 199 / 2
+  }
+
+  test("capped: oversized buckets dropped, candidate count bounded, small buckets survive") {
+    val pairs = Dedup.lshNearDupPairs(adversarialDocs, "text", "doc_id",
+      maxBucketSize = 10)
+    // the 200-member bucket is dropped in every band → zero pairs from it
+    pairs.filter($"id_a" < 900).count() shouldBe 0L
+    // the genuine 2-member near-dup bucket is untouched
+    val kept = pairs.filter($"id_a" === 900L).collect()
+    kept.length shouldBe 1
+    kept.head.getLong(1) shouldBe 901L
+  }
+
+  test("cap at or above the cluster size is bit-identical to uncapped") {
+    val base = Dedup.lshNearDupPairs(adversarialDocs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val capped = Dedup.lshNearDupPairs(adversarialDocs, "text", "doc_id",
+      maxBucketSize = 200)
+    capped.collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe base
+  }
+
+  test("capped text plan keeps no cartesian product") {
+    val (pairs, caches) = Dedup.lshNearDupPairsLazy(adversarialDocs,
+      "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 10)
+    val plan = pairs.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    caches.foreach(_.unpersist())
+  }
+
+  test("SRP: identical-embedding cluster is dropped under a cap, real pair survives") {
+    val dims = 8
+    val same = (1 to 100).map(i => (i.toLong, Array.fill(dims)(0.5f)))
+    val near = Seq(
+      (900L, Array.tabulate(dims)(d => if (d == 0) 1.0f else 0.01f)),
+      (901L, Array.tabulate(dims)(d => if (d == 0) 1.0f else 0.012f)))
+    val df = (same ++ near).toDF("vec_id", "embedding")
+
+    val uncapped = Similarity.srpNearDupPairs(df, 0.99, 4, 8, dims)
+    uncapped.filter($"id_a" < 900).count() shouldBe 100L * 99 / 2
+
+    val capped = Similarity.srpNearDupPairs(df, 0.99, 4, 8, dims,
+      maxBucketSize = 10)
+    capped.filter($"id_a" < 900).count() shouldBe 0L
+    capped.filter($"id_a" === 900L).count() shouldBe 1L
+  }
+}
