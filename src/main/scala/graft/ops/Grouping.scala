@@ -46,6 +46,40 @@ object Grouping {
     }
   }
 
+  /** A1 (partitioned-write form) — the 100 TB shape of a materialized
+    * split: ONE distributed write partitioned by the keys, instead of
+    * [[split]]'s N driver-built filtered views (N+1 scans if the
+    * caller iterates every group). Hive-style `key=value` directories
+    * mean reading one group back is partition-pruned at the source,
+    * and the returned (key-map → directory) index is recovered from
+    * the directory names, not a separate key scan.
+    *
+    * Key columns become partition directories, so (as with any
+    * partitioned write) they are not stored in the row data — reading
+    * a single partition directory yields the non-key columns, exactly
+    * [[split]]'s `dropKeyCols = true` view of a group.
+    */
+  def splitToDir(df: DataFrame, keys: Seq[String],
+                 path: String): Seq[(Map[String, String], String)] = {
+    require(keys.nonEmpty, "splitToDir needs at least one key column")
+    df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path).resolve("/"),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    def walk(dir: org.apache.hadoop.fs.Path, acc: Map[String, String],
+             remaining: Seq[String]): Seq[(Map[String, String], String)] =
+      if (remaining.isEmpty) Seq(acc -> dir.toUri.getPath)
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(remaining.head + "="))
+        .flatMap { s =>
+          val v = java.net.URLDecoder.decode(
+            s.getPath.getName.drop(remaining.head.length + 1), "UTF-8")
+          walk(s.getPath, acc + (remaining.head -> v), remaining.tail)
+        }
+    walk(new org.apache.hadoop.fs.Path(path), Map.empty, keys)
+      .sortBy(_._2)
+  }
+
   /** A4 — bucket accumulation: per-key collected numeric list, the
     * distributed form of `get_bucket`/`append_numbers`
     * (`utils/pipeline.py:75-96`). Sorted for determinism.

@@ -89,6 +89,41 @@ object TreeScan {
     rows.toDF("rel_path", "name", "size", "mtime", "depth")
   }
 
+  /** Distributed file inventory — same output frame as [[scan]], but
+    * the listing runs on executors via the `binaryFile` source with
+    * schema pruned to metadata only (path/length/modificationTime —
+    * column pruning drops `content`, so NO file bytes are read; the
+    * scan node's ReadSchema shows the 3-column projection). This is
+    * the shape for tens-of-millions-of-files object-store inventories
+    * where [[scan]]'s driver-side walk becomes the bottleneck:
+    * binaryFile's listing is parallelized by Spark's
+    * InMemoryFileIndex (driver thread pool + distributed listing over
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` dirs).
+    */
+  def scanDistributed(spark: SparkSession, root: String): DataFrame = {
+    val rootUri = new HPath(root).toUri.getPath
+    spark.read.format("binaryFile")
+      // recursiveFileLookup walks the whole subtree like scan's
+      // listFiles(recursive = true) — no partition-dir inference
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        // binaryFile yields file:/abs/path URIs; rel_path mirrors
+        // scan's URI-path strip of the root prefix
+        regexp_replace(col("path"), "^[a-z0-9+.-]+:/+", "/").as("uri_path"),
+        col("length").as("size"),
+        // binaryFile reports millisecond timestamps; scan reports the
+        // raw Hadoop mtime millis — unwrap to the same long
+        (unix_millis(col("modificationTime"))).as("mtime"))
+      .withColumn("rel_path",
+        regexp_replace(col("uri_path"), "^" + java.util.regex.Pattern.quote(rootUri) + "/?", ""))
+      .select(
+        col("rel_path"),
+        element_at(split(col("rel_path"), "/"), -1).as("name"),
+        col("size"), col("mtime"),
+        (size(split(col("rel_path"), "/")) - 1).as("depth"))
+  }
+
   /** Split a relative path column into level columns (level0..levelN);
     * levels beyond a path's depth are null (try_element_at).
     */

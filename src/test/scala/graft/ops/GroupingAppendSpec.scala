@@ -37,6 +37,22 @@ class GroupingAppendSpec extends SparkSpec {
     byKey("a").count() shouldBe 2
   }
 
+  test("splitToDir partitions one write per key and reads back one group pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("splitdir").toString
+    val idx = Grouping.splitToDir(df.filter($"g".isNotNull), Seq("g", "sub"),
+      s"$dir/out")
+    // 3 non-null (g, sub) combinations → 3 partition directories
+    idx.map(_._1) shouldBe Seq(
+      Map("g" -> "a", "sub" -> "1"), Map("g" -> "a", "sub" -> "2"),
+      Map("g" -> "b", "sub" -> "1"))
+    // one partition read back = that group's non-key columns only
+    val one = spark.read.parquet(idx.head._2)
+    one.columns shouldBe Array("v")
+    one.collect().map(_.getDouble(0)) shouldBe Array(10.0)
+    // whole-tree read recovers every row with keys as partition columns
+    spark.read.parquet(s"$dir/out").count() shouldBe 3
+  }
+
   test("buckets collects sorted per-key lists") {
     val out = Grouping.buckets(df.filter($"g".isNotNull), "g", "v")
       .orderBy("g").collect()

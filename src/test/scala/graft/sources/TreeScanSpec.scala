@@ -49,4 +49,35 @@ class TreeScanSpec extends SparkSpec {
     lv.where(lv("name") === "leaf.txt").select("level0", "level1")
       .collect().head.toSeq shouldBe Seq("a", "b")
   }
+
+  test("scanDistributed returns a frame identical to scan (schema + rows)") {
+    val root = Files.createTempDirectory("treescan-dist").toFile
+    Files.createDirectories(root.toPath.resolve("src1/en"))
+    Files.createDirectories(root.toPath.resolve("src2"))
+    Files.writeString(root.toPath.resolve("readme.txt"), "r")
+    Files.writeString(root.toPath.resolve("src1/en/doc.txt"), "dd")
+    Files.writeString(root.toPath.resolve("src1/en/data.csv"), "c,v")
+    Files.writeString(root.toPath.resolve("src2/notes.md"), "nnnn")
+    val a = TreeScan.scan(spark, root.getAbsolutePath)
+    val b = TreeScan.scanDistributed(spark, root.getAbsolutePath)
+    // names + types must match exactly; nullability legitimately
+    // differs (binaryFile marks source metadata nullable, a local
+    // toDF of primitives does not) and affects no downstream operator
+    b.schema.map(f => (f.name, f.dataType)) shouldBe
+      a.schema.map(f => (f.name, f.dataType))
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[String]("rel_path")
+    val rowsA = a.collect().sortBy(key).map(_.toSeq)
+    val rowsB = b.collect().sortBy(key).map(_.toSeq)
+    rowsB shouldBe rowsA
+  }
+
+  test("scanDistributed plan prunes binaryFile content (metadata-only read)") {
+    val root = Files.createTempDirectory("treescan-prune").toFile
+    Files.writeString(root.toPath.resolve("f.txt"), "x")
+    val plan = TreeScan.scanDistributed(spark, root.getAbsolutePath)
+      .queryExecution.executedPlan.toString
+    // column pruning must drop the bytes column from the scan itself
+    plan should include("ReadSchema")
+    plan should not include "content"
+  }
 }
