@@ -14,9 +14,9 @@ import org.apache.spark.sql.DataFrame
   * through the driver.
   *
   * The document model is backend-neutral; [[MarkdownRenderer]] and
-  * [[HtmlRenderer]] are the in-sandbox backends (python-docx has no
-  * JVM analog here), and a docx/odf writer plugs in as another
-  * [[Report.Renderer]] over the same blocks.
+  * [[HtmlRenderer]] are the text backends, and [[DocxRenderer]] emits
+  * the reference's native OOXML format (zip + WordprocessingML,
+  * dependency-free) over the same blocks.
   */
 object Report {
 
@@ -84,6 +84,8 @@ object Report {
     def write(path: String, renderer: Renderer): Unit =
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
         renderer.render(build()))
+    /** The binary backend ([[DocxRenderer]] emits a zip, not text). */
+    def writeDocx(path: String): Unit = DocxRenderer.write(build(), path)
   }
 
   def builder(): Builder = new Builder
