@@ -412,4 +412,163 @@ object PipelineQueries {
       |  min(event_id) AS first_event, max(event_id) AS last_event
       |FROM s GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
+
+  /** S3 — whole-file text read, oracle-gated: document texts are
+    * written as real text files partitioned by lang (several part
+    * files per lang dir), read back WHOLE-FILE via `Readers.wholeText`,
+    * re-split into lines, and aggregated per lang (lang recovered from
+    * the partition directory in the file path). Counts and length sums
+    * are file-order-independent, so the gate is deterministic while
+    * still proving the whole-file read saw every byte of every file.
+    */
+  def q74WholeText(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Readers
+    val out = java.nio.file.Files.createTempDirectory("graft_q74_").toString + "/txt"
+    Tables(spark, dir, "documents").filter(col("doc_id") < 2000)
+      .select(col("lang"),
+        concat(col("doc_id"), lit("|"), col("text")).as("value"))
+      .write.partitionBy("lang").text(out)
+    Readers.wholeText(spark, s"$out/lang=*")
+      .select(regexp_extract(col("path"), "lang=([^/]+)", 1).as("lang"),
+        explode(split(col("content"), "\n")).as("line"))
+      .filter(length(col("line")) > 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(length(col("line"))).as("total_len"))
+      .orderBy(col("lang"))
+  }
+
+  val q74Sql: String =
+    """SELECT lang, count(*) AS n_lines,
+      |  CAST(sum(strlen(CAST(doc_id AS VARCHAR) || '|' || text)) AS BIGINT) AS total_len
+      |FROM documents WHERE doc_id < 2000
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** S4 — NESTED JSON round-trip, oracle-gated (q68 covers the flat
+    * case): rows are exported with a struct column, read back with
+    * auto-schema, and aggregated BY A NESTED FIELD — correct only if
+    * the struct survived the round-trip as a struct (a flattened or
+    * stringified read would miss `meta.lang`).
+    */
+  def q75NestedJson(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Exporters
+    import graft.sources.Readers
+    val out = java.nio.file.Files.createTempDirectory("graft_q75_").toString + "/json"
+    Exporters.json(
+      Tables(spark, dir, "documents").filter(col("doc_id") < 2000)
+        .select(struct(col("source"), col("lang")).as("meta"),
+          col("doc_id"), col("n_chars")),
+      out)
+    Readers.json(spark, out)
+      .groupBy(col("meta.lang").as("lang"), col("meta.source").as("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q75Sql: String =
+    """SELECT lang, source, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE doc_id < 2000
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** S8 + K2/K3 — parquet cache round-trip, oracle-gated: the build
+    * closure runs ONCE (first `cached` call writes the parquet); the
+    * second call's closure THROWS if evaluated, so the returned frame
+    * can only come from the cache file — the gate passes only if the
+    * cache write+hit round-trip preserved every row. (The parquet
+    * export path K2 is the same writer.)
+    */
+  def q76ParquetCache(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Exporters
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft_q76_").toString
+    def build = Tables(spark, dir, "orders").filter(col("o_orderkey") < 5000)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Exporters.cached(spark, cacheDir, "orders_slice")(build).count()
+    Exporters.cached(spark, cacheDir, "orders_slice")(
+        sys.error("cache miss: build closure must not re-run"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q76Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderkey < 5000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** O2 — priority scheduling, oracle-gated: three rules on the same
+    * glob — double at priority 10, inc at priority 5 listed TWICE —
+    * must run descending-stable WITH duplicates kept
+    * (`core/engine.py:403-412`), giving v = 2·n_chars + 2. Any other
+    * discipline produces a different value: inc-before-double gives
+    * 2·(n_chars+1)+1, deduping gives 2·n_chars+1 — the output hash
+    * encodes the exact scheduling contract.
+    */
+  def q78PriorityOrder(spark: SparkSession, dir: String): DataFrame = {
+    val paths = Tables(spark, dir, "documents").filter(col("doc_id") < 2000)
+      .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("rel_path"),
+        col("lang"), col("n_chars").cast("long").as("v"))
+    val registry = new Registry
+    registry.register("double") { (df, _) => df.withColumn("v", col("v") * 2) }
+    registry.register("inc") { (df, _) => df.withColumn("v", col("v") + 1) }
+    registry.register("lang_stats", kind = "post") { (df, _) =>
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("v_sum")) }
+    val plan = PipelinePlan(Seq(
+      Rule("**", Phase.Inline, "inc", priority = 5),
+      Rule("**", Phase.Inline, "double", priority = 10),
+      Rule("**", Phase.Inline, "inc", priority = 5),
+      Rule("**", Phase.Post, "lang_stats")))
+    new Runner(registry).run(paths, plan)
+      .postResults("lang_stats")
+      .orderBy(col("lang"))
+  }
+
+  val q78Sql: String =
+    """SELECT lang, count(*) AS n,
+      |  CAST(sum(n_chars * 2 + 2) AS BIGINT) AS v_sum
+      |FROM documents WHERE doc_id < 2000
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** K6 — results log, oracle-gated: the step log of a run (incl. a
+    * fail-soft step for an unregistered processor) framed as data and
+    * compared to the literal expected log. Row counts stay -1 by
+    * design (the log never forces an eager job), so every field is
+    * deterministic.
+    */
+  def q79ResultsLog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val paths = Tables(spark, dir, "documents").filter(col("doc_id") < 100)
+      .select(concat_ws("/", col("source"), col("lang"),
+        concat(lit("doc_"), col("doc_id"), lit(".txt"))).as("rel_path"),
+        col("text"))
+    val registry = new Registry
+    registry.register("tag_en") { (df, _) => df.withColumn("is_en", lit(1)) }
+    registry.register("word_count") { (df, _) =>
+      df.withColumn("n_words", size(split(col("text"), " "))) }
+    registry.register("dir_stats", kind = "post") { (df, _) =>
+      df.groupBy(col("rel_path")).count() }
+    val plan = PipelinePlan(Seq(
+      Rule("*/en/*", Phase.Inline, "tag_en", priority = 10),
+      Rule("**/*.txt", Phase.Inline, "word_count", priority = 5),
+      Rule("**/*.bin", Phase.Inline, "missing_proc"), // fail-soft step
+      Rule("**", Phase.Post, "dir_stats")))
+    new Runner(registry).run(paths, plan)
+      .steps.toDF()
+      .select(col("step"), col("phase"), col("pattern"), col("processor"),
+        col("ok").cast("int").as("ok_int"))
+      .orderBy(col("step"))
+  }
+
+  val q79Sql: String =
+    """SELECT * FROM (VALUES
+      |  (1, 'Inline', '*/en/*', 'tag_en', 1),
+      |  (2, 'Inline', '**/*.txt', 'word_count', 1),
+      |  (3, 'Inline', '**/*.bin', 'missing_proc', 0),
+      |  (4, 'Post', '**', 'dir_stats', 1))
+      |AS t(step, phase, pattern, processor, ok_int)
+      |ORDER BY step""".stripMargin
 }

@@ -349,4 +349,117 @@ object RelationalQueries {
     """SELECT o_orderstatus, count(*) AS n,
       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** P4 — literal + sequence prepend, oracle-gated: a driver-held
+    * sequence joins by explicit rank order and a literal column lands
+    * in front (`df_helpers.py:126-181` semantics: new columns first,
+    * overwrite on collision). The oracle replays the rank as
+    * row_number over the same total order.
+    */
+  def q77Prepend(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val seq = (1L to 25L).map(i => i * 100)
+    val withSeq = graft.ops.Projections.prependSeq(
+      nation, "seq_tag", seq, orderCols = Seq("n_nationkey"))
+    graft.ops.Projections.prependLit(withSeq, Seq("batch" -> "b1"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val q77Sql: String =
+    """SELECT 'b1' AS batch,
+      |  (row_number() OVER (ORDER BY n_nationkey)) * 100 AS seq_tag,
+      |  n_nationkey, n_name, n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** A1 (partitioned-write form) — group-split as ONE `partitionBy`
+    * write, oracle-gated: `Grouping.splitToDir` materializes every
+    * group in a single distributed job (no per-key driver filters),
+    * and reading ONE partition directory back must yield exactly that
+    * group's rows — the gate aggregates the 'F' partition and compares
+    * to the oracle's WHERE o_orderstatus = 'F'.
+    */
+  def q80SplitDir(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_q80_").toString + "/split"
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    val idx = graft.ops.Grouping.splitToDir(orders, Seq("o_orderstatus"), out)
+    val fDir = idx.collectFirst {
+      case (k, p) if k("o_orderstatus") == "F" => p
+    }.getOrElse(sys.error("no 'F' partition written"))
+    spark.read.parquet(fDir)
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_orderkey")).as("key_sum"),
+           round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").as("total_price"))
+  }
+
+  val q80Sql: String =
+    """SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  /** Bucketed co-located join, oracle-gated (the 100 TB repeated-join
+    * layout): both sides are written bucketed+sorted on the join key,
+    * and the join of the two TABLES must plan with ZERO shuffle
+    * exchanges — asserted HERE, in the gated query itself, so the
+    * scale strategy is hash-checked against the oracle every round,
+    * not just plan-asserted in a spec. At 100 TB this layout turns
+    * every repeated fact-fact join on the bucket key into a local
+    * merge per bucket.
+    */
+  def q81BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bucketing
+    // a fresh in-memory catalog + a leftover warehouse dir from an
+    // earlier session = LOCATION_ALREADY_EXISTS; clear both
+    Seq("graft_q81_lineitem", "graft_q81_orders").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + "/" + t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    Bucketing.writeBucketed(
+      Tables(spark, dir, "lineitem").filter(col("l_orderkey") < 3000)
+        .select(col("l_orderkey").as("orderkey"), col("l_quantity"),
+          col("l_extendedprice")),
+      "graft_q81_lineitem", numBuckets = 8, keys = Seq("orderkey"))
+    Bucketing.writeBucketed(
+      Tables(spark, dir, "orders").filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey").as("orderkey"), col("o_orderstatus")),
+      "graft_q81_orders", numBuckets = 8, keys = Seq("orderkey"))
+    // pin the co-located SortMergeJoin: with auto-broadcast on, the
+    // small side would broadcast (also shuffle-free, but then the
+    // gate wouldn't be exercising the bucketed layout at all). The
+    // DataFrame captures its plan here, so the restore below doesn't
+    // re-plan it.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (joined, plan) =
+      try {
+        val j = Bucketing.bucketedJoin(spark,
+          "graft_q81_lineitem", "graft_q81_orders", Seq("orderkey"))
+        // force planning NOW, while broadcast is off — queryExecution
+        // caches the physical plan, so later actions reuse it
+        (j, j.queryExecution.executedPlan.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    require(!plan.contains("Exchange"),
+      "bucketed join must be exchange-free — got:\n" + plan)
+    require(plan.contains("SortMergeJoin"),
+      "bucketed join must plan as a co-located SortMergeJoin — got:\n" + plan)
+    joined.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty_sum"),
+           round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+             .cast("double").as("price_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q81Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty_sum,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price_sum
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_orderkey < 3000 AND o_orderkey < 3000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }

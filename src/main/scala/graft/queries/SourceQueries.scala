@@ -193,4 +193,32 @@ object SourceQueries {
       |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
       |FROM documents WHERE doc_id < 60
       |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  /** S1 at scale — the DISTRIBUTED inventory path: the same fixture
+    * tree and rollup as q63, but listed by executors through
+    * `TreeScan.scanDistributed` (binaryFile source, metadata-only
+    * read) instead of the driver-side Hadoop walk. Same oracle as
+    * q63 — the two listing paths must agree byte-for-byte on the
+    * hierarchy they report.
+    */
+  def q82TreeScanDistributed(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_q82_").toString
+    Tables(spark, dir, "documents").filter(col("doc_id") < 60)
+      .select(col("source"), col("lang"), col("doc_id"), col("text"))
+      .collect().foreach { r =>
+        val d = Paths.get(root, r.getString(0), r.getString(1))
+        Files.createDirectories(d)
+        Files.write(d.resolve(s"doc_${r.getLong(2)}.txt"),
+          r.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    val scanned = TreeScan.withLevels(
+      TreeScan.scanDistributed(spark, root), "rel_path", maxLevels = 2)
+    scanned
+      .groupBy(col("level0").as("source"), col("level1").as("lang"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val q82Sql: String = q63Sql
 }
