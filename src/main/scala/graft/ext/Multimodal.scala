@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * per partition, not per row — the standard Spark pattern for
   * wrapping native decoders.
   *
-  * The actual byte decoding is a STUB (no media codecs in this
-  * environment): [[StubDecoder.decode]] derives deterministic fake
-  * features from the bytes. Everything around it — the binary schema,
-  * the typed row shape, per-partition batching, frame sampling — is
-  * real and tested; swap `StubDecoder` for a JNI/codec-backed decoder
-  * to productionize.
+  * The IMAGE path is real: [[ImageDecoder]] decodes PNG/JPEG/GIF/BMP
+  * through the JDK's `javax.imageio` (dimensions, channels, Rec. 601
+  * mean luma, bilinear resize + PNG re-encode), with undecodable
+  * records carried through as visible `decode_ok = false` rows.
+  * AUDIO/VIDEO decoding remains a STUB ([[StubDecoder.decode]],
+  * deterministic fake features — the JDK has no codecs for them);
+  * swap it for a JNI/codec-backed decoder to productionize. The
+  * plumbing — binary schema, typed row shape, per-partition batching,
+  * frame sampling — is shared and tested for both paths.
   */
 object Multimodal {
 
@@ -55,6 +58,100 @@ object Multimodal {
       // real impl: val codec = Codec.open() — once per partition
       it.map(StubDecoder.decode)
     }
+  }
+
+  /** REAL image features — decoded with `javax.imageio` (PNG/JPEG/
+    * GIF/BMP readers ship in the JDK; no external codec needed).
+    * `decode_ok = false` rows carry the undecodable records through
+    * the pipeline visibly — a curation flow counts and routes them
+    * instead of silently dropping (the reference's skip-bad-cells
+    * discipline applied to bytes).
+    */
+  final case class ImageFeatures(id: Long, n_bytes: Long, content_id: String,
+                                 decode_ok: Boolean, format: String,
+                                 width: Int, height: Int, n_channels: Int,
+                                 mean_luma: Double)
+
+  /** Image decoder over the JDK's ImageIO registry. Deterministic:
+    * fixed row-major traversal for the luma mean (Rec. 601 weights
+    * over sRGB), content id = sha-256 of the raw bytes.
+    */
+  object ImageDecoder {
+    private def sha256(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(b).map("%02x".format(_)).mkString
+
+    def decode(r: MediaRecord): ImageFeatures = {
+      val base = ImageFeatures(r.id, r.data.length.toLong, sha256(r.data),
+        decode_ok = false, format = "", width = 0, height = 0,
+        n_channels = 0, mean_luma = 0.0)
+      val iis = try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.data)) catch { case _: Exception => null }
+      if (iis == null) base
+      else try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) base
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            base.copy(decode_ok = true, format = fmt, width = w, height = h,
+              n_channels = img.getColorModel.getNumComponents,
+              mean_luma = if (w * h == 0) 0.0 else sum / (w.toLong * h))
+          } finally reader.dispose()
+        }
+      } catch { case _: Exception => base
+      } finally iis.close()
+    }
+
+    /** Real resize (area-averaging scale, PNG re-encode) — the
+      * thumbnail/normalize step of an image-curation pipeline. Runs
+      * per record inside the partition loop; undecodable input
+      * returns None.
+      */
+    def resize(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+      val img = try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))) catch { case _: Exception => None }
+      img.map { src =>
+        val scale = maxDim.toDouble / math.max(src.getWidth, src.getHeight)
+        val (w, h) = (math.max(1, (src.getWidth * scale).round.toInt),
+          math.max(1, (src.getHeight * scale).round.toInt))
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
+    }
+  }
+
+  /** Per-partition REAL image decode — same distribution shape as
+    * [[decodeFeatures]], backed by ImageIO instead of the stub.
+    */
+  def decodeImages(ds: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(ImageDecoder.decode))
   }
 
   /** Lift a (id, kind, binary) frame into the typed media Dataset. */

@@ -825,4 +825,55 @@ object ExtensionQueries {
       |  CAST(octet_length(encode(text)) // 1000 + 1 AS INT) AS n_frames,
       |  CAST((octet_length(encode(text)) // 1000 + 2) // 2 AS INT) AS n_sampled
       |FROM documents WHERE doc_id < 100 ORDER BY id""".stripMargin
+
+  /** Executor-side PNG encode for the q83 fixture: a flat-black image
+    * whose dimensions are derived from table columns, so the oracle
+    * can predict the decoded geometry relationally. Runs inside the
+    * partition loop (ImageIO is JDK-built-in on every executor).
+    */
+  private def blackPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB) // zero-initialized = black
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** ✚ REAL image decode, oracle-gated end-to-end: per-row PNGs are
+    * ENCODED on executors with table-derived dimensions, shipped as
+    * binary media records, DECODED distributed via the ImageIO path
+    * (`Multimodal.decodeImages`), and the per-lang rollup of decoded
+    * geometry must match the oracle's relational prediction — the
+    * aggregate is correct only if every byte round-tripped through a
+    * real codec. Flat-black pixels make the Rec. 601 luma mean exactly
+    * 0.0, so the luma column is oracle-exact too.
+    */
+  def q83ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val slice = Tables(spark, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % 16 + 1).cast("int").as("w"),
+        (col("n_chars") % 16 + 1).cast("int").as("h"))
+    val media = slice.select(col("doc_id"), col("w"), col("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) =>
+        Multimodal.MediaRecord(id, "img", blackPng(w, h), Map.empty) }
+    Multimodal.decodeImages(media).toDF()
+      .filter(col("decode_ok"))
+      .join(slice.select(col("doc_id").as("id"), col("lang"), col("w"), col("h")), "id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_imgs"),
+           sum(col("width").cast("long") * col("height")).as("px_sum"),
+           max(col("n_channels")).as("max_ch"),
+           max(col("mean_luma")).as("luma_max"))
+      .orderBy(col("lang"))
+  }
+
+  val q83Sql: String =
+    """SELECT lang, count(*) AS n_imgs,
+      |  CAST(sum((doc_id % 16 + 1) * (n_chars % 16 + 1)) AS BIGINT) AS px_sum,
+      |  CAST(3 AS INT) AS max_ch,
+      |  CAST(0.0 AS DOUBLE) AS luma_max
+      |FROM documents WHERE doc_id < 500
+      |GROUP BY lang ORDER BY lang""".stripMargin
 }
