@@ -413,6 +413,34 @@ object PipelineQueries {
       |FROM s GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** ✚ streaming exactly-once dedup, oracle-gated: the events source
+    * is read as TWO file streams unioned (every row arrives exactly
+    * twice), pushed through the watermark-bounded
+    * `dropDuplicatesWithinWatermark` (state evicted past the horizon —
+    * the 100 TB-safe variant), and the appended memory-sink output is
+    * aggregated. Counts match the plain batch table only if every
+    * duplicate was dropped and every original kept — exactly once.
+    */
+  def q84StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val doubled = EventStream.readEvents(spark, dir)
+      .union(EventStream.readEvents(spark, dir))
+    val name = s"q84_mem_${System.nanoTime()}"
+    val q = EventStream.dedupEvents(doubled)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+      .orderBy(col("event_type"))
+  }
+
+  val q84Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS id_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** S3 — whole-file text read, oracle-gated: document texts are
     * written as real text files partitioned by lang (several part
     * files per lang dir), read back WHOLE-FILE via `Readers.wholeText`,

@@ -68,6 +68,21 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Streaming exactly-once dedup — the streaming face of the dedup
+    * family (✚): `dropDuplicatesWithinWatermark` keys state by the id
+    * and EVICTS entries once the watermark passes them, so state is
+    * bounded by the dedup horizon instead of growing with the stream
+    * (plain `dropDuplicates` on an id column never evicts — the
+    * 100 TB state-store killer). Duplicates arriving within
+    * `horizon` of the first sighting are dropped; later re-sends are
+    * treated as new, which is the standard at-least-once-source
+    * contract.
+    */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+                  horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** K5's streaming shape (SURVEY §2.9): drive a sink with
     * `foreachBatch` — each micro-batch goes through the caller's
     * writer (parquet history dir, JDBC table, …). This is the
