@@ -41,15 +41,21 @@ final class RecordStore {
   private val store =
     mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[String, mutable.ArrayBuffer[Record]]]
 
-  /** Canonical JSON of a key dict (sorted keys, compact separators) —
-    * must render identically to python's
-    * `json.dumps(d, sort_keys=True, separators=(",", ":"))` so
-    * prefixes are portable across the two implementations.
+  /** Canonical JSON of a key dict (sorted keys, compact separators,
+    * non-ASCII \u-escaped) — renders identically to python's
+    * `json.dumps(d, sort_keys=True, separators=(",", ":"))` for the
+    * value types the reference exercises (strings, bools, ints,
+    * lists, nested dicts). Floats are best-effort: integral floats
+    * match (`1.0`), but exotic exponents may differ from CPython's
+    * repr — use strings for keys that must be byte-portable. An empty
+    * dict is FALSY in python (`if not keys`), so it serializes to
+    * "default" exactly like None.
     */
   private[catalog] def serializeKeys(keys: Option[Map[String, Any]]): String =
     keys match {
-      case None    => "default"
-      case Some(m) => jsonValue(m)
+      case None                  => "default"
+      case Some(m) if m.isEmpty  => "default"
+      case Some(m)               => jsonValue(m)
     }
 
   private def jsonValue(v: Any): String = v match {
@@ -63,6 +69,11 @@ final class RecordStore {
     case b: Boolean      => if (b) "true" else "false"
     case i: Int          => i.toString
     case l: Long         => l.toString
+    case s: Short        => s.toString
+    case b: Byte         => b.toString
+    case bd: BigDecimal  => bd.toString
+    case bi: BigInt      => bi.toString
+    case f: Float        => jsonValue(f.toDouble)
     case d: Double       => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
                               s"${d.toLong}.0" else d.toString
     case other           => jsonString(other.toString)
@@ -70,10 +81,13 @@ final class RecordStore {
 
   private def jsonString(s: String): String =
     s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
+      case '"'               => "\\\""
+      case '\\'              => "\\\\"
+      // ensure_ascii like python's default: control chars AND
+      // everything past ASCII go out as \uXXXX (surrogate halves
+      // escape individually, matching CPython's astral rendering)
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
+      case c                 => c.toString
     }.mkString("\"", "", "\"")
 
   /** Path parts → level0..levelN dict, merged UNDER tableKeys so the

@@ -148,8 +148,8 @@ object Dedup {
         numBands, rowsPerBand))
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val capped = LshSkew.capBuckets(banded, Seq("band_idx", "band_hash"),
-      maxBucketSize, "lshNearDupPairs")
+    val (capped, guardCaches) = LshSkew.capBuckets(banded,
+      Seq("band_idx", "band_hash"), maxBucketSize, "lshNearDupPairs")
     val a = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     val b = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band_idx", "band_hash"))
@@ -161,6 +161,6 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (pairs, Seq(base, banded))
+    (pairs, Seq(base, banded) ++ guardCaches)
   }
 }

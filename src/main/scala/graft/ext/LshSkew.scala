@@ -27,8 +27,11 @@ object LshSkew {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Rows of `banded` whose (keyCols) bucket has ≤ `maxBucketSize`
-    * members. `Int.MaxValue` (the default everywhere) short-circuits
-    * to `banded` itself — zero extra work, bit-identical plans.
+    * members, plus the cached guard frame the CALLER must unpersist
+    * after its action (empty when the cap is off) — same discipline
+    * as the lazy pair generators' own intermediates. `Int.MaxValue`
+    * (the default everywhere) short-circuits to `banded` itself —
+    * zero extra work, bit-identical plans.
     *
     * The oversized-bucket list is bounded by rows/maxBucketSize keys,
     * so it is localCheckpoint'd (tiny, lineage-free) and broadcast
@@ -36,8 +39,8 @@ object LshSkew {
     * for the guard.
     */
   def capBuckets(banded: DataFrame, keyCols: Seq[String],
-                 maxBucketSize: Int, what: String): DataFrame = {
-    if (maxBucketSize == Int.MaxValue) banded
+                 maxBucketSize: Int, what: String): (DataFrame, Seq[DataFrame]) = {
+    if (maxBucketSize == Int.MaxValue) (banded, Nil)
     else {
       val keys = keyCols.map(col)
       val oversized = banded.groupBy(keys: _*)
@@ -49,7 +52,7 @@ object LshSkew {
       if (nDropped > 0)
         log.warn(s"$what: dropped $nDropped bucket(s) over " +
           s"maxBucketSize=$maxBucketSize from candidate generation")
-      banded.join(broadcast(oversized), keyCols, "left_anti")
+      (banded.join(broadcast(oversized), keyCols, "left_anti"), Seq(oversized))
     }
   }
 }

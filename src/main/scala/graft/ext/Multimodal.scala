@@ -112,7 +112,7 @@ object Multimodal {
             }
             base.copy(decode_ok = true, format = fmt, width = w, height = h,
               n_channels = img.getColorModel.getNumComponents,
-              mean_luma = if (w * h == 0) 0.0 else sum / (w.toLong * h))
+              mean_luma = if (w == 0 || h == 0) 0.0 else sum / (w.toLong * h))
           } finally reader.dispose()
         }
       } catch { case _: Exception => base

@@ -212,14 +212,14 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val (pairs, cache) = srpNearDupPairsLazy(df, threshold, numBands,
+    val (pairs, caches) = srpNearDupPairsLazy(df, threshold, numBands,
       planesPerBand, dims, idCol, vecCol, maxBucketSize)
     // materialize then release the bucketed cache (the Dedup.lshNearDupPairs
     // discipline): the pair list is tiny next to the bucketed corpus.
     // unpersist in finally — a failed/cancelled checkpoint must not pin
     // the corpus in the executor cache for the session's lifetime
     try pairs.localCheckpoint(true)
-    finally cache.unpersist()
+    finally caches.foreach(_.unpersist())
   }
 
   /** Lazy variant: un-materialized pair plan + the persisted
@@ -230,7 +230,7 @@ object Similarity {
       df: DataFrame, threshold: Double,
       numBands: Int, planesPerBand: Int, dims: Int,
       idCol: String, vecCol: String,
-      maxBucketSize: Int = Int.MaxValue): (DataFrame, DataFrame) = {
+      maxBucketSize: Int = Int.MaxValue): (DataFrame, Seq[DataFrame]) = {
     // persist: the banded explode plus BOTH verify joins re-reference
     // this frame — without a cache the scan and the full
     // numBands×planesPerBand dot-product battery run three times
@@ -240,8 +240,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bucketed
       .select(col("id"), posexplode(col("buckets")).as(Seq("band_idx", "bucket")))
-    val capped = LshSkew.capBuckets(banded, Seq("band_idx", "bucket"),
-      maxBucketSize, "srpNearDupPairs")
+    val (capped, guardCaches) = LshSkew.capBuckets(banded,
+      Seq("band_idx", "bucket"), maxBucketSize, "srpNearDupPairs")
     val a = capped.select(col("band_idx"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("band_idx"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band_idx", "bucket"))
@@ -253,6 +253,6 @@ object Similarity {
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-    (pairs, bucketed)
+    (pairs, bucketed +: guardCaches)
   }
 }

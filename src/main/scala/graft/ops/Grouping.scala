@@ -72,8 +72,10 @@ object Grouping {
       else fs.listStatus(dir).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(remaining.head + "="))
         .flatMap { s =>
-          val v = java.net.URLDecoder.decode(
-            s.getPath.getName.drop(remaining.head.length + 1), "UTF-8")
+          // the exact inverse of the writer's escapePathName —
+          // URLDecoder would corrupt '+' (it is not encoded on write)
+          val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(s.getPath.getName.drop(remaining.head.length + 1))
           walk(s.getPath, acc + (remaining.head -> v), remaining.tail)
         }
     walk(new org.apache.hadoop.fs.Path(path), Map.empty, keys)

@@ -34,9 +34,7 @@ object DocxRenderer {
   private val EmuPerInch = 914400L
   private val EmuPerPx = 9525L // 96 dpi reference pixel
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+  private def esc(s: String): String = Escape.xml(s)
 
   /** One embedded image: relationship id + bytes + EMU extent. */
   private final case class Media(rId: String, name: String,

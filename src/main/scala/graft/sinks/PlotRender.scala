@@ -96,14 +96,14 @@ object PlotRender {
   }
 
   private def fmt(d: Double): String = {
-    // fixed two-decimal formatting, "-0.00" normalized → deterministic
-    val s = f"$d%.2f"
+    // fixed two-decimal formatting, "-0.00" normalized — Locale.ROOT,
+    // not the f-interpolator: a comma-decimal default locale would
+    // corrupt every coordinate (and the byte-determinism contract)
+    val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     if (s == "-0.00") "0.00" else s
   }
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-      .replace("\"", "&quot;")
+  private def esc(s: String): String = Escape.xml(s)
 
   /** ~`n` "nice" tick values covering [lo, hi] (1/2/5 ladder). */
   private[sinks] def ticks(lo: Double, hi: Double, n: Int = 5): Seq[Double] = {
@@ -246,24 +246,27 @@ object PlotRender {
       }
     }
 
-    // legend: inside top-right, or outside-bottom past the threshold
-    if (sp.legend && labeled.nonEmpty) {
+    // legend: inside top-right, or outside-bottom past the threshold.
+    // Swatch colors key on the TRUE series index (indexOf would
+    // resolve duplicate series to the first occurrence's color).
+    val labeledIdx = sp.series.zipWithIndex.filter(_._1.label.nonEmpty)
+    if (sp.legend && labeledIdx.nonEmpty) {
       if (!legendOutside) {
-        labeled.zipWithIndex.foreach { case (s, i) =>
+        labeledIdx.zipWithIndex.foreach { case ((s, si2), i) =>
           val ly = py + 12 + i * 13
-          val color = s.color.getOrElse(cycle(sp.series.indexOf(s)))
+          val color = s.color.getOrElse(cycle(si2))
           out ++= s"""<line x1="${fmt(px + pw - 70)}" y1="${fmt(ly - 3)}" x2="${fmt(px + pw - 56)}" y2="${fmt(ly - 3)}" stroke="$color" stroke-width="1.5"/>\n"""
           out ++= s"""<text x="${fmt(px + pw - 52)}" y="${fmt(ly)}" font-size="9" font-family="sans-serif">${esc(s.label)}</text>\n"""
         }
       } else {
         // reference default strategy: centered below, up to 4 columns
-        val ncol = math.min(4, labeled.size)
+        val ncol = math.min(4, labeledIdx.size)
         val colW = pw / ncol
-        labeled.zipWithIndex.foreach { case (s, i) =>
+        labeledIdx.zipWithIndex.foreach { case ((s, si2), i) =>
           val (r, c) = (i / ncol, i % ncol)
           val lx = px + c * colW
           val ly = py + ph + 36 + r * 14
-          val color = s.color.getOrElse(cycle(sp.series.indexOf(s)))
+          val color = s.color.getOrElse(cycle(si2))
           out ++= s"""<line x1="${fmt(lx)}" y1="${fmt(ly - 3)}" x2="${fmt(lx + 14)}" y2="${fmt(ly - 3)}" stroke="$color" stroke-width="1.5"/>\n"""
           out ++= s"""<text x="${fmt(lx + 18)}" y="${fmt(ly)}" font-size="9" font-family="sans-serif">${esc(s.label)}</text>\n"""
         }

@@ -116,8 +116,10 @@ object MarkdownRenderer extends Report.Renderer {
 object HtmlRenderer extends Report.Renderer {
   import Report._
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  // shared escaper INCLUDING quotes: esc is used inside attribute
+  // values (class="..."), where an unescaped quote breaks out of the
+  // attribute
+  private def esc(s: String): String = Escape.xml(s)
 
   override def render(blocks: Seq[Block]): String = {
     val body = blocks.map {

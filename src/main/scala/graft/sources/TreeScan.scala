@@ -99,6 +99,13 @@ object TreeScan {
     * binaryFile's listing is parallelized by Spark's
     * InMemoryFileIndex (driver thread pool + distributed listing over
     * `spark.sql.sources.parallelPartitionDiscovery.threshold` dirs).
+    *
+    * ONE documented divergence from [[scan]]: the FileIndex applies
+    * Spark's data-source convention and skips hidden entries (names
+    * starting with `_` or `.` — metadata like `_SUCCESS`); the
+    * driver-side walk lists them. For rule routing over data trees
+    * that is the convention callers want; use [[scan]] when hidden
+    * files must be inventoried.
     */
   def scanDistributed(spark: SparkSession, root: String): DataFrame = {
     val rootUri = new HPath(root).toUri.getPath
@@ -108,9 +115,14 @@ object TreeScan {
       .option("recursiveFileLookup", "true")
       .load(root)
       .select(
-        // binaryFile yields file:/abs/path URIs; rel_path mirrors
-        // scan's URI-path strip of the root prefix
-        regexp_replace(col("path"), "^[a-z0-9+.-]+:/+", "/").as("uri_path"),
+        // binaryFile yields file:/abs/path URIs with percent-encoding
+        // ("my file" → "my%20file"); strip the scheme and decode to
+        // the raw path scan reports. '+' is pre-escaped because
+        // url_decode is form-decoding (it would turn '+' into space,
+        // which URI encoding never produces for a literal '+').
+        url_decode(regexp_replace(
+          regexp_replace(col("path"), "^[a-z0-9+.-]+:/+", "/"),
+          "\\+", "%2B")).as("uri_path"),
         col("length").as("size"),
         // binaryFile reports millisecond timestamps; scan reports the
         // raw Hadoop mtime millis — unwrap to the same long

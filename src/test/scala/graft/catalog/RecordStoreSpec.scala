@@ -32,6 +32,23 @@ class RecordStoreSpec extends SparkSpec {
     dm.map(_._1) shouldBe Seq("default_data_0")
   }
 
+  test("an EMPTY key dict is falsy like python's — also 'default'") {
+    val rs = new RecordStore
+    rs.writeTable("d", Nil, Some(Map.empty), frame(1))
+    rs.getTables("d", None)._1.map(_._1) shouldBe Seq("default_data_0")
+  }
+
+  test("non-ASCII key values escape like json.dumps ensure_ascii") {
+    val rs = new RecordStore
+    rs.writeTable("d", Nil, Some(Map("k" -> "café")), frame(1))
+    // python: json.dumps({"k":"café"}, ...) == '{"k":"café"}' with
+    // a literal backslash-u sequence (built by concat so the Scala
+    // compiler can't pre-process it as a source unicode escape)
+    val esc = "caf" + "\\" + "u00e9"
+    rs.getTables("d", None)._1.map(_._1) shouldBe
+      Seq(s"""{"k":"$esc"}_data_0""")
+  }
+
   test("table_keys None with a path still yields level keys") {
     val rs = new RecordStore
     rs.writeTable("t_none", Seq("p0", "p1"), None, frame(10))

@@ -107,11 +107,11 @@ class SimilaritySpec extends SparkSpec {
 
   test("SRP-LSH plan has no cartesian product") {
     // lazy variant: the public entry checkpoints, truncating the plan
-    val (pairs, cache) = Similarity.srpNearDupPairsLazy(emb, 0.9,
+    val (pairs, caches) = Similarity.srpNearDupPairsLazy(emb, 0.9,
       numBands = 2, planesPerBand = 6, dims = 64,
       idCol = "vec_id", vecCol = "embedding")
     try pairs.queryExecution.executedPlan.toString should
       not include "CartesianProduct"
-    finally cache.unpersist()
+    finally caches.foreach(_.unpersist())
   }
 }

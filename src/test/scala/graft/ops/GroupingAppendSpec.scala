@@ -53,6 +53,13 @@ class GroupingAppendSpec extends SparkSpec {
     spark.read.parquet(s"$dir/out").count() shouldBe 3
   }
 
+  test("splitToDir recovers special characters in key values ('c++', 'a b')") {
+    val dir = java.nio.file.Files.createTempDirectory("splitdir-esc").toString
+    val special = Seq(("c++", 1.0), ("a b", 2.0)).toDF("g", "v")
+    val idx = Grouping.splitToDir(special, Seq("g"), s"$dir/out")
+    idx.map(_._1("g")).sorted shouldBe Seq("a b", "c++")
+  }
+
   test("buckets collects sorted per-key lists") {
     val out = Grouping.buckets(df.filter($"g".isNotNull), "g", "v")
       .orderBy("g").collect()

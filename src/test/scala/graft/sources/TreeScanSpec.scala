@@ -71,6 +71,18 @@ class TreeScanSpec extends SparkSpec {
     rowsB shouldBe rowsA
   }
 
+  test("scanDistributed decodes percent-encoded URIs ('my file.txt', 'a+b.txt')") {
+    val root = Files.createTempDirectory("treescan-enc").toFile
+    Files.writeString(root.toPath.resolve("my file.txt"), "x")
+    Files.writeString(root.toPath.resolve("a+b.txt"), "yy")
+    val a = TreeScan.scan(spark, root.getAbsolutePath)
+    val b = TreeScan.scanDistributed(spark, root.getAbsolutePath)
+    val names = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.getAs[String]("name")).sorted.toSeq
+    names(b) shouldBe Seq("a+b.txt", "my file.txt")
+    names(b) shouldBe names(a)
+  }
+
   test("scanDistributed plan prunes binaryFile content (metadata-only read)") {
     val root = Files.createTempDirectory("treescan-prune").toFile
     Files.writeString(root.toPath.resolve("f.txt"), "x")
