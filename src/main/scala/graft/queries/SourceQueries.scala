@@ -221,4 +221,65 @@ object SourceQueries {
   }
 
   val q82Sql: String = q63Sql
+
+  /** K9 — file effects, oracle-gated end to end: a fixture tree is
+    * materialized (q63 shape, doc_id < 40), then the FileOps surface
+    * runs against it — every `en` file is BACKUPED (relpath
+    * preserved) into a second root, every file with
+    * `n_chars % 5 == 0` is DELETED from the first, and the survivors
+    * of source `web` are RENAMED with a `bak_` prefix. Both roots are
+    * re-scanned and rolled up per (root, source); the counts and
+    * byte totals match the oracle's relational replay only if every
+    * copy/delete/rename hit exactly the right files.
+    */
+  def q85FileOps(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_q85_").toString
+    val backupRoot = Files.createTempDirectory("graft_q85_bak_").toString
+    val rows = Tables(spark, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("source"), col("lang"), col("doc_id"), col("text"),
+        col("n_chars"))
+      .collect()
+    rows.foreach { r =>
+      val d = Paths.get(root, r.getString(0), r.getString(1))
+      Files.createDirectories(d)
+      Files.write(d.resolve(s"doc_${r.getLong(2)}.txt"),
+        r.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val ops = new graft.sinks.FileOps(spark)
+    rows.foreach { r =>
+      val rel = s"${r.getString(0)}/${r.getString(1)}/doc_${r.getLong(2)}.txt"
+      if (r.getString(1) == "en") ops.backup(root, rel, backupRoot)
+      if (r.getLong(4) % 5 == 0) ops.delete(s"$root/$rel")
+      else if (r.getString(0) == "web")
+        ops.renameWithPrefix(s"$root/${r.getString(0)}/${r.getString(1)}",
+          s"doc_${r.getLong(2)}.txt", "bak_")
+    }
+    val scans = TreeScan.scan(spark, root).withColumn("root", lit("main"))
+      .unionByName(TreeScan.scan(spark, backupRoot).withColumn("root", lit("backup")))
+    TreeScan.withLevels(scans, "rel_path", maxLevels = 1)
+      .groupBy(col("root"), col("level0").as("source"))
+      .agg(count(lit(1)).as("n_files"),
+           sum(col("size")).as("total_bytes"),
+           sum(when(col("name").startsWith("bak_"), 1).otherwise(0))
+             .cast("long").as("n_renamed"))
+      .orderBy(col("root"), col("source"))
+  }
+
+  val q85Sql: String =
+    """WITH docs AS (
+      |  SELECT source, lang, doc_id, strlen(text) AS n_bytes, n_chars
+      |  FROM documents WHERE doc_id < 40),
+      |main AS (
+      |  SELECT 'main' AS root, source, count(*) AS n_files,
+      |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |    CAST(sum(CASE WHEN source = 'web' THEN 1 ELSE 0 END) AS BIGINT) AS n_renamed
+      |  FROM docs WHERE n_chars % 5 <> 0 GROUP BY source),
+      |backup AS (
+      |  SELECT 'backup' AS root, source, count(*) AS n_files,
+      |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |    CAST(0 AS BIGINT) AS n_renamed
+      |  FROM docs WHERE lang = 'en' GROUP BY source)
+      |SELECT * FROM main UNION ALL SELECT * FROM backup
+      |ORDER BY root, source""".stripMargin
 }
