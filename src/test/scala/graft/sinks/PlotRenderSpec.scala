@@ -72,15 +72,25 @@ class PlotRenderSpec extends AnyFunSuite with Matchers {
     r.svg should include("#123456")
   }
 
-  test("legend over the threshold moves outside (below the axes)") {
-    val many = (0 until 10).map(i => Series(s"s$i", lin))
-    val inside = render(Spec(Seq(Subplot(many.take(2)))))
-    val outside = render(Spec(Seq(Subplot(many))))
-    // the outside legend renders below the plot frame: its first
-    // swatch y exceeds every inside-legend swatch y
-    inside.svg should include("""data-series="s0"""")
-    outside.svg should include("""data-series="s9"""")
+  test("legend over the threshold moves outside, geometrically below the axes") {
+    // mirrors test_generic_plot_legend.py:8-66: many lines + a low
+    // threshold must push the legend below the plot frame
+    val many = (0 until 12).map(i => Series(s"line$i", lin))
+    val outside = render(Spec(Seq(Subplot(many)), legendThreshold = 1))
     outside.warnings shouldBe empty
+    // frame bottom = rect y + height; every legend text must sit below
+    val rect = """<rect x="[0-9.]+" y="([0-9.]+)" width="[0-9.]+" height="([0-9.]+)" fill="none"""".r
+    val m = rect.findFirstMatchIn(outside.svg).get
+    val frameBottom = m.group(1).toDouble + m.group(2).toDouble
+    val legendText = """<text x="[0-9.]+" y="([0-9.]+)" font-size="9" font-family="sans-serif">line\d+</text>""".r
+    val ys = legendText.findAllMatchIn(outside.svg).map(_.group(1).toDouble).toSeq
+    ys should have size 12
+    all(ys) should be > frameBottom
+    // and below the threshold the legend stays inside the frame
+    val inside = render(Spec(Seq(Subplot(many.take(2)))))
+    val insideYs = """<text x="[0-9.]+" y="([0-9.]+)" font-size="9" font-family="sans-serif">line\d+</text>""".r
+      .findAllMatchIn(inside.svg).map(_.group(1).toDouble).toSeq
+    all(insideYs) should be < frameBottom
   }
 
   test("dashed and marker styles emit dasharray / circles") {
