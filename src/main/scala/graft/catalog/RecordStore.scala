@@ -83,8 +83,15 @@ final class RecordStore {
     s.flatMap {
       case '"'               => "\\\""
       case '\\'              => "\\\\"
-      // ensure_ascii like python's default: control chars AND
-      // everything past ASCII go out as \uXXXX (surrogate halves
+      // CPython json emits the SHORT escapes for these five, \uXXXX
+      // only for other control chars
+      case '\n'              => "\\n"
+      case '\t'              => "\\t"
+      case '\r'              => "\\r"
+      case '\b'              => "\\b"
+      case '\f'              => "\\f"
+      // ensure_ascii like python's default: remaining control chars
+      // AND everything past ASCII go out as \uXXXX (surrogate halves
       // escape individually, matching CPython's astral rendering)
       case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c                 => c.toString

@@ -34,9 +34,12 @@ object LshSkew {
     * zero extra work, bit-identical plans.
     *
     * The oversized-bucket list is bounded by rows/maxBucketSize keys,
-    * so it is localCheckpoint'd (tiny, lineage-free) and broadcast
-    * into a left-anti join — the big banded frame never reshuffles
-    * for the guard.
+    * so it is persist+count materialized (persist, NOT
+    * localCheckpoint: Dataset.unpersist releases CacheManager
+    * entries but does nothing for checkpoint RDD blocks, which would
+    * make the caller's release a silent no-op) and broadcast into a
+    * left-anti join — the big banded frame never reshuffles for the
+    * guard.
     */
   def capBuckets(banded: DataFrame, keyCols: Seq[String],
                  maxBucketSize: Int, what: String): (DataFrame, Seq[DataFrame]) = {
@@ -47,7 +50,7 @@ object LshSkew {
         .agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") > maxBucketSize)
         .select(keys: _*)
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nDropped = oversized.count()
       if (nDropped > 0)
         log.warn(s"$what: dropped $nDropped bucket(s) over " +

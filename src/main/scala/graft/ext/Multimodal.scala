@@ -77,6 +77,12 @@ object Multimodal {
     * over sRGB), content id = sha-256 of the raw bytes.
     */
   object ImageDecoder {
+    /** Raster-allocation ceiling (64 M pixels ≈ 256 MB ARGB): a
+      * few-KB crafted file declaring 50000×50000 would otherwise OOM
+      * the executor — an Error, not an Exception, so uncatchable.
+      */
+    val MaxDecodedPixels: Long = 64L * 1024 * 1024
+
     private def sha256(b: Array[Byte]): String =
       java.security.MessageDigest.getInstance("SHA-256")
         .digest(b).map("%02x".format(_)).mkString
@@ -96,23 +102,32 @@ object Multimodal {
           try {
             reader.setInput(iis)
             val fmt = reader.getFormatName.toLowerCase
-            val img = reader.read(0)
-            val (w, h) = (img.getWidth, img.getHeight)
-            var sum = 0.0
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += 0.299 * ((rgb >> 16) & 0xff) +
-                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                x += 1
+            // decompression-bomb guard: header dims are readable
+            // BEFORE allocating the raster; over-cap images flow
+            // through as decode_ok = false (with the declared dims
+            // visible) like any other bad record
+            val (hw, hh) = (reader.getWidth(0), reader.getHeight(0))
+            if (hw.toLong * hh > MaxDecodedPixels)
+              base.copy(format = fmt, width = hw, height = hh)
+            else {
+              val img = reader.read(0)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              base.copy(decode_ok = true, format = fmt, width = w, height = h,
+                n_channels = img.getColorModel.getNumComponents,
+                mean_luma = if (w == 0 || h == 0) 0.0 else sum / (w.toLong * h))
             }
-            base.copy(decode_ok = true, format = fmt, width = w, height = h,
-              n_channels = img.getColorModel.getNumComponents,
-              mean_luma = if (w == 0 || h == 0) 0.0 else sum / (w.toLong * h))
           } finally reader.dispose()
         }
       } catch { case _: Exception => base

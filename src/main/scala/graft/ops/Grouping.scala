@@ -63,12 +63,12 @@ object Grouping {
                  path: String): Seq[(Map[String, String], String)] = {
     require(keys.nonEmpty, "splitToDir needs at least one key column")
     df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path).resolve("/"),
-      df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = graft.sinks.FileOps.fileSystem(path, df.sparkSession)
     def walk(dir: org.apache.hadoop.fs.Path, acc: Map[String, String],
              remaining: Seq[String]): Seq[(Map[String, String], String)] =
-      if (remaining.isEmpty) Seq(acc -> dir.toUri.getPath)
+      // full URI, not toUri.getPath: a scheme-less path would resolve
+      // against fs.defaultFS on read-back — wrong filesystem off-local
+      if (remaining.isEmpty) Seq(acc -> dir.toString)
       else fs.listStatus(dir).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(remaining.head + "="))
         .flatMap { s =>

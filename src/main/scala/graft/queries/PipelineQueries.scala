@@ -454,7 +454,12 @@ object PipelineQueries {
     val out = java.nio.file.Files.createTempDirectory("graft_q74_").toString + "/txt"
     Tables(spark, dir, "documents").filter(col("doc_id") < 2000)
       .select(col("lang"),
-        concat(col("doc_id"), lit("|"), col("text")).as("value"))
+        // newline-sanitize BEFORE the line-oriented write: a text
+        // containing '\n' would otherwise split into extra physical
+        // lines and break the one-line-per-row contract (the oracle
+        // applies the identical replace)
+        concat(col("doc_id"), lit("|"),
+          regexp_replace(col("text"), "[\\n\\r]", " ")).as("value"))
       .write.partitionBy("lang").text(out)
     Readers.wholeText(spark, s"$out/lang=*")
       .select(regexp_extract(col("path"), "lang=([^/]+)", 1).as("lang"),
@@ -468,7 +473,8 @@ object PipelineQueries {
 
   val q74Sql: String =
     """SELECT lang, count(*) AS n_lines,
-      |  CAST(sum(strlen(CAST(doc_id AS VARCHAR) || '|' || text)) AS BIGINT) AS total_len
+      |  CAST(sum(strlen(CAST(doc_id AS VARCHAR) || '|' ||
+      |           regexp_replace(text, '[\n\r]', ' ', 'g'))) AS BIGINT) AS total_len
       |FROM documents WHERE doc_id < 2000
       |GROUP BY lang ORDER BY lang""".stripMargin
 

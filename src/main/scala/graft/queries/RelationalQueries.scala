@@ -428,31 +428,50 @@ object RelationalQueries {
       Tables(spark, dir, "orders").filter(col("o_orderkey") < 3000)
         .select(col("o_orderkey").as("orderkey"), col("o_orderstatus")),
       "graft_q81_orders", numBuckets = 8, keys = Seq("orderkey"))
-    // pin the co-located SortMergeJoin: with auto-broadcast on, the
-    // small side would broadcast (also shuffle-free, but then the
-    // gate wouldn't be exercising the bucketed layout at all). The
-    // DataFrame captures its plan here, so the restore below doesn't
-    // re-plan it.
+    // pin the co-located SortMergeJoin for the WHOLE gated query:
+    // with auto-broadcast on, the small side would broadcast (also
+    // shuffle-free, but then the gate wouldn't exercise the bucketed
+    // layout), and with AQE on the adaptive wrapper both hides the
+    // join from tree assertions and may re-pick broadcast at runtime.
+    // Asserting only a standalone join frame would be vacuous — the
+    // aggregate built from it re-plans at action time — so the FULL
+    // output plan (join + agg + sort) is forced inside the conf
+    // window; queryExecution caches it, making the executed query
+    // exactly the asserted one.
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val (joined, plan) =
-      try {
-        val j = Bucketing.bucketedJoin(spark,
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val gated = Bucketing.bucketedJoin(spark,
           "graft_q81_lineitem", "graft_q81_orders", Seq("orderkey"))
-        // force planning NOW, while broadcast is off — queryExecution
-        // caches the physical plan, so later actions reuse it
-        (j, j.queryExecution.executedPlan.toString)
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-    require(!plan.contains("Exchange"),
-      "bucketed join must be exchange-free — got:\n" + plan)
-    require(plan.contains("SortMergeJoin"),
-      "bucketed join must plan as a co-located SortMergeJoin — got:\n" + plan)
-    joined.groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty_sum"),
-           round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
-             .cast("double").as("price_sum"))
-      .orderBy(col("o_orderstatus"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty_sum"),
+             round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+               .cast("double").as("price_sum"))
+        .orderBy(col("o_orderstatus"))
+      // tree-level assertion on the plan that will actually run: the
+      // join is a SortMergeJoin with ZERO shuffle exchanges in its
+      // subtree (the agg/sort ABOVE it legitimately shuffle)
+      val smjs = gated.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      require(smjs.nonEmpty,
+        "bucketed join must plan as a SortMergeJoin — got:\n" +
+          gated.queryExecution.executedPlan)
+      smjs.foreach { j =>
+        val shuffles = j.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        require(shuffles.isEmpty,
+          "bucketed join subtree must be exchange-free — got:\n" + j)
+      }
+      gated
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   val q81Sql: String =

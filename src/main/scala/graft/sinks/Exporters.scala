@@ -38,8 +38,7 @@ object Exporters {
   def cached(spark: SparkSession, cacheDir: String, key: String)
             (build: => DataFrame): DataFrame = {
     val path = s"$cacheDir/$key.parquet"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path).resolve("/"), spark.sparkContext.hadoopConfiguration)
+    val fs = FileOps.fileSystem(path, spark)
     if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
     else {
       val df = build

@@ -9,11 +9,19 @@ import org.apache.spark.sql.SparkSession
   * local disk, HDFS and object stores; these are pipeline-runner
   * effects, not relational operators.
   */
-final class FileOps(spark: SparkSession) {
-
-  private def fs(path: String): FileSystem =
+object FileOps {
+  /** The one place the path→FileSystem resolution idiom lives (it
+    * was inlined in four call sites; scheme/authority quirks must be
+    * fixed once).
+    */
+  private[graft] def fileSystem(path: String, spark: SparkSession): FileSystem =
     FileSystem.get(new java.net.URI(path).resolve("/"),
       spark.sparkContext.hadoopConfiguration)
+}
+
+final class FileOps(spark: SparkSession) {
+
+  private def fs(path: String): FileSystem = FileOps.fileSystem(path, spark)
 
   /** Copy preserving the path relative to `srcRoot` under `dstRoot`
     * (the reference's backup-with-relpath, `file_ops.py:17-78`).

@@ -232,14 +232,18 @@ object PlotRender {
       if (s.points.isEmpty) warnings += s"subplot $si series '${s.label}': no data"
       else {
         val color = s.color.getOrElse(cycle(i))
+        // empty style = matplotlib's default solid line ("" would
+        // otherwise satisfy both the markers-only vacuous-forall and
+        // !contains('o') → render nothing, silently)
+        val style = if (s.style.isEmpty) "-" else s.style
         val dash =
-          if (s.style.contains("--")) """ stroke-dasharray="6 3""""
-          else if (s.style.contains(":")) """ stroke-dasharray="2 2""""
+          if (style.contains("--")) """ stroke-dasharray="6 3""""
+          else if (style.contains(":")) """ stroke-dasharray="2 2""""
           else ""
         val coords = s.points.map { case (x, y) => s"${fmt(sx(x))},${fmt(sy(y))}" }
-        if (!s.style.forall(_ == 'o')) // "o" alone = markers only
+        if (!style.forall(_ == 'o')) // "o" alone = markers only
           out ++= s"""<polyline points="${coords.mkString(" ")}" fill="none" stroke="$color" stroke-width="1.5"$dash data-series="${esc(s.label)}"/>\n"""
-        if (s.style.contains("o"))
+        if (style.contains("o"))
           s.points.foreach { case (x, y) =>
             out ++= s"""<circle cx="${fmt(sx(x))}" cy="${fmt(sy(y))}" r="2.5" fill="$color"/>\n"""
           }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -72,8 +72,7 @@ object TreeScan {
     */
   def scan(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    val fs = FileSystem.get(new java.net.URI(root).resolve("/"),
-      spark.sparkContext.hadoopConfiguration)
+    val fs = graft.sinks.FileOps.fileSystem(root, spark)
     val rootPath = new HPath(root)
     val rootUri = rootPath.toUri.getPath
     val it = fs.listFiles(rootPath, true)
@@ -108,27 +107,37 @@ object TreeScan {
     * files must be inventoried.
     */
   def scanDistributed(spark: SparkSession, root: String): DataFrame = {
-    val rootUri = new HPath(root).toUri.getPath
+    // Build the strip pattern from the FULLY-QUALIFIED root so
+    // scheme AND authority are handled: "s3a://bucket/data/x" must
+    // strip "s3a://bucket/data", not just the scheme (a scheme-only
+    // strip silently promotes the bucket to level0). getRawPath keeps
+    // the percent-encoding binaryFile's path strings carry; ":/{0,2}"
+    // absorbs both the "file:/p" and "scheme://auth/p" URI renderings.
+    val rootPath = new HPath(root)
+    val q = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(rootPath).toUri
+    val quote = (s: String) => java.util.regex.Pattern.quote(s)
+    val rootPat = "^" + quote(q.getScheme) + ":/{0,2}" +
+      quote(Option(q.getAuthority).getOrElse("")) +
+      quote(q.getRawPath) + "/?"
     spark.read.format("binaryFile")
       // recursiveFileLookup walks the whole subtree like scan's
       // listFiles(recursive = true) — no partition-dir inference
       .option("recursiveFileLookup", "true")
       .load(root)
       .select(
-        // binaryFile yields file:/abs/path URIs with percent-encoding
-        // ("my file" → "my%20file"); strip the scheme and decode to
-        // the raw path scan reports. '+' is pre-escaped because
-        // url_decode is form-decoding (it would turn '+' into space,
-        // which URI encoding never produces for a literal '+').
+        // binaryFile yields percent-encoded URIs ("my file" →
+        // "my%20file"); strip the qualified-root prefix then decode.
+        // '+' is pre-escaped because url_decode is form-decoding (it
+        // would turn '+' into space, which URI encoding never
+        // produces for a literal '+').
         url_decode(regexp_replace(
-          regexp_replace(col("path"), "^[a-z0-9+.-]+:/+", "/"),
-          "\\+", "%2B")).as("uri_path"),
+          regexp_replace(col("path"), rootPat, ""),
+          "\\+", "%2B")).as("rel_path"),
         col("length").as("size"),
         // binaryFile reports millisecond timestamps; scan reports the
         // raw Hadoop mtime millis — unwrap to the same long
         (unix_millis(col("modificationTime"))).as("mtime"))
-      .withColumn("rel_path",
-        regexp_replace(col("uri_path"), "^" + java.util.regex.Pattern.quote(rootUri) + "/?", ""))
       .select(
         col("rel_path"),
         element_at(split(col("rel_path"), "/"), -1).as("name"),
