@@ -15,8 +15,10 @@ object FileOps {
     * fixed once).
     */
   private[graft] def fileSystem(path: String, spark: SparkSession): FileSystem =
-    FileSystem.get(new java.net.URI(path).resolve("/"),
-      spark.sparkContext.hadoopConfiguration)
+    // Hadoop Path, not java.net.URI: a raw local path with a space is
+    // legal input here but an URISyntaxException for the URI parser
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 }
 
 final class FileOps(spark: SparkSession) {

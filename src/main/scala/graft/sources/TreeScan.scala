@@ -107,33 +107,27 @@ object TreeScan {
     * files must be inventoried.
     */
   def scanDistributed(spark: SparkSession, root: String): DataFrame = {
-    // Build the strip pattern from the FULLY-QUALIFIED root so
-    // scheme AND authority are handled: "s3a://bucket/data/x" must
-    // strip "s3a://bucket/data", not just the scheme (a scheme-only
-    // strip silently promotes the bucket to level0). getRawPath keeps
-    // the percent-encoding binaryFile's path strings carry; ":/{0,2}"
-    // absorbs both the "file:/p" and "scheme://auth/p" URI renderings.
+    // Strip the FULLY-QUALIFIED root: "s3a://bucket/data/x" must
+    // lose "s3a://bucket/data", not just the scheme (a scheme-only
+    // strip silently promotes the bucket to level0). binaryFile's
+    // `path` column is the plain Hadoop `Path.toString` rendering —
+    // unencoded, spaces and '+' literal (NOT a percent-encoded URI;
+    // measured, and pinned by the special-characters specs) — and
+    // `makeQualified(root).toString` is produced by the same
+    // renderer, so a literal prefix strip is exact. No decoding step:
+    // url_decode here would corrupt filenames containing literal '%'.
     val rootPath = new HPath(root)
-    val q = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(rootPath).toUri
-    val quote = (s: String) => java.util.regex.Pattern.quote(s)
-    val rootPat = "^" + quote(q.getScheme) + ":/{0,2}" +
-      quote(Option(q.getAuthority).getOrElse("")) +
-      quote(q.getRawPath) + "/?"
+    val rootQualified = rootPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(rootPath).toString
+    val rootPat = "^" + java.util.regex.Pattern.quote(rootQualified) + "/?"
     spark.read.format("binaryFile")
       // recursiveFileLookup walks the whole subtree like scan's
       // listFiles(recursive = true) — no partition-dir inference
       .option("recursiveFileLookup", "true")
       .load(root)
       .select(
-        // binaryFile yields percent-encoded URIs ("my file" →
-        // "my%20file"); strip the qualified-root prefix then decode.
-        // '+' is pre-escaped because url_decode is form-decoding (it
-        // would turn '+' into space, which URI encoding never
-        // produces for a literal '+').
-        url_decode(regexp_replace(
-          regexp_replace(col("path"), rootPat, ""),
-          "\\+", "%2B")).as("rel_path"),
+        regexp_replace(col("path"), rootPat, "").as("rel_path"),
         col("length").as("size"),
         // binaryFile reports millisecond timestamps; scan reports the
         // raw Hadoop mtime millis — unwrap to the same long

@@ -71,16 +71,34 @@ class TreeScanSpec extends SparkSpec {
     rowsB shouldBe rowsA
   }
 
-  test("scanDistributed decodes percent-encoded URIs ('my file.txt', 'a+b.txt')") {
+  test("scanDistributed keeps special characters intact ('my file.txt', 'a+b.txt', '50%.txt')") {
+    // pins the measured binaryFile contract: `path` is the plain
+    // Path.toString rendering, NOT a percent-encoded URI — so no
+    // decode runs and a literal '%' survives
     val root = Files.createTempDirectory("treescan-enc").toFile
     Files.writeString(root.toPath.resolve("my file.txt"), "x")
     Files.writeString(root.toPath.resolve("a+b.txt"), "yy")
+    Files.writeString(root.toPath.resolve("50%.txt"), "zzz")
     val a = TreeScan.scan(spark, root.getAbsolutePath)
     val b = TreeScan.scanDistributed(spark, root.getAbsolutePath)
     val names = (df: org.apache.spark.sql.DataFrame) =>
       df.collect().map(_.getAs[String]("name")).sorted.toSeq
-    names(b) shouldBe Seq("a+b.txt", "my file.txt")
+    names(b) shouldBe Seq("50%.txt", "a+b.txt", "my file.txt")
     names(b) shouldBe names(a)
+  }
+
+  test("scanDistributed handles a root whose own path needs URI encoding") {
+    // the strip pattern is built from the ENCODED qualified root, so a
+    // root dir with a space must still yield clean relative paths
+    val parent = Files.createTempDirectory("treescan enc root").toFile
+    Files.createDirectories(parent.toPath.resolve("sub"))
+    Files.writeString(parent.toPath.resolve("sub/f one.txt"), "x")
+    val a = TreeScan.scan(spark, parent.getAbsolutePath)
+    val b = TreeScan.scanDistributed(spark, parent.getAbsolutePath)
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getAs[String]("rel_path"), r.getAs[Int]("depth"))).toSeq
+    rows(b) shouldBe Seq(("sub/f one.txt", 1))
+    rows(b) shouldBe rows(a)
   }
 
   test("scanDistributed plan prunes binaryFile content (metadata-only read)") {
