@@ -27,13 +27,17 @@ final class FileOps(spark: SparkSession) {
 
   /** Copy preserving the path relative to `srcRoot` under `dstRoot`
     * (the reference's backup-with-relpath, `file_ops.py:17-78`).
+    * Source and destination resolve their filesystems INDEPENDENTLY —
+    * backing a local tree up to an object store is the normal cluster
+    * use, and a single-FS copy would write to the wrong place.
     */
   def backup(srcRoot: String, relPath: String, dstRoot: String): Unit = {
-    val f = fs(srcRoot)
+    val sfs = fs(srcRoot)
+    val dfs = fs(dstRoot)
     val src = new HPath(s"$srcRoot/$relPath")
     val dst = new HPath(s"$dstRoot/$relPath")
-    f.mkdirs(dst.getParent)
-    org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false, true,
+    dfs.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false, true,
       spark.sparkContext.hadoopConfiguration)
   }
 
