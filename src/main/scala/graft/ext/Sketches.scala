@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Distributed cardinality sketch (the prompt's "novel sketch"
+  * category): KMV — k minimum values (Bar-Yossef et al. 2002,
+  * "Counting distinct elements in a data stream").
+  *
+  * Why KMV and not HLL here: the estimator is a pure function of the
+  * k smallest DISTINCT hash values, and our hash is the portable
+  * 52-bit md5 prefix ([[Dedup.hexHash]]) — so a SQL oracle can
+  * replay the sketch EXACTLY (row_number over ordered hashes), which
+  * `approx_count_distinct`'s HLL++ registers never allow. Same
+  * estimator family, hash-checkable.
+  *
+  * Scale shape: the buffer is a bounded sorted array (≤ k longs),
+  * partial-aggregated map-side and MERGEABLE (merge of two k-min
+  * sets = k-min of the union) — one pass, k·8 bytes per group
+  * shuffled, no matter how many billions of rows. Estimate:
+  * exact count when fewer than k distinct hashes were seen, else
+  * (k-1) · 2^52 / kth-smallest-hash.
+  */
+object Sketches {
+
+  /** Hash-space size matching [[Dedup.hexHash]]'s 52-bit output. */
+  val HashSpace: Double = 4503599627370496.0 // 2^52
+
+  /** Bounded buffer: ascending, distinct, at most k entries. */
+  final case class KmvBuf(var mins: Array[Long])
+
+  /** KMV estimate from a final buffer (exposed for the oracle-parity
+    * spec): < k distinct hashes observed → that exact count.
+    */
+  def estimate(mins: Array[Long], k: Int): Double =
+    if (mins.length < k) mins.length.toDouble
+    else (k - 1) * HashSpace / mins.last
+
+  /** Typed KMV aggregator over any input with a long-hash extractor:
+    * `ds.groupByKey(...).agg(Sketches.kmv[T](k)(_.hashCol))`.
+    */
+  def kmv[T](k: Int)(hash: T => Long): Aggregator[T, KmvBuf, Double] =
+    new Aggregator[T, KmvBuf, Double] {
+      require(k >= 2, "kmv needs k >= 2")
+
+      override def zero: KmvBuf = KmvBuf(Array.empty)
+
+      override def reduce(b: KmvBuf, row: T): KmvBuf = {
+        val h = hash(row)
+        val a = b.mins
+        val pos = java.util.Arrays.binarySearch(a, h)
+        if (pos >= 0) b // already one of the k minima
+        else {
+          val ins = -pos - 1
+          if (a.length < k) {
+            val out = new Array[Long](a.length + 1)
+            System.arraycopy(a, 0, out, 0, ins)
+            out(ins) = h
+            System.arraycopy(a, ins, out, ins + 1, a.length - ins)
+            b.mins = out
+          } else if (ins < k) {
+            // displaces the current maximum; array length stays k
+            System.arraycopy(a, ins, a, ins + 1, k - ins - 1)
+            a(ins) = h
+          }
+          b
+        }
+      }
+
+      override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+        // k-min of the union: both inputs are sorted+distinct, so a
+        // linear merge stopping at k suffices
+        val (a, b) = (x.mins, y.mins)
+        val out = new Array[Long](math.min(k, a.length + b.length))
+        var (i, j, n) = (0, 0, 0)
+        while (n < out.length && (i < a.length || j < b.length)) {
+          val take =
+            if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+              if (j < b.length && a(i) == b(j)) j += 1 // dedup across inputs
+              val v = a(i); i += 1; v
+            } else { val v = b(j); j += 1; v }
+          out(n) = take; n += 1
+        }
+        x.mins = if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+        x
+      }
+
+      override def finish(b: KmvBuf): Double = estimate(b.mins, k)
+
+      override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+      override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+}

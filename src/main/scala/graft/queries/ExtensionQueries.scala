@@ -876,4 +876,55 @@ object ExtensionQueries {
       |  CAST(0.0 AS DOUBLE) AS luma_max
       |FROM documents WHERE doc_id < 500
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** ✚ KMV cardinality sketch, oracle-gated EXACTLY (not approximately):
+    * the estimator is a pure function of the k smallest distinct
+    * 52-bit md5 hashes, so DuckDB replays the sketch with a
+    * row_number over ordered hashes and must reproduce the estimate
+    * bit-for-bit — the per-group exact distinct rides along to show
+    * the estimator lands near it. One pass, ≤ k longs per group
+    * shuffled: the 100 TB distinct-count shape.
+    */
+  def q86KmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 128
+    val hashed = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_partkey"),
+        Dedup.hexHash(col("l_partkey").cast("string"), "k#").as("hv"))
+    val est = hashed.select(col("l_returnflag"), col("hv"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(graft.ext.Sketches.kmv[(String, Long)](k)(_._2)
+        .toColumn.name("kmv_raw"))
+      .toDF("l_returnflag", "kmv_raw")
+    val exact = hashed.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    exact.join(est, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"),
+        round(col("kmv_raw"), 4).as("kmv_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q86Sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag,
+      |    CAST('0x'||substr(md5('k#'||CAST(l_partkey AS VARCHAR)),1,13) AS BIGINT) AS hv
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, hv,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+      |  FROM h),
+      |s AS (
+      |  SELECT l_returnflag, count(*) AS nd,
+      |    max(CASE WHEN rn = 128 THEN hv END) AS kth
+      |  FROM r GROUP BY l_returnflag),
+      |e AS (
+      |  SELECT lineitem.l_returnflag, count(DISTINCT l_partkey) AS n_exact
+      |  FROM lineitem GROUP BY lineitem.l_returnflag)
+      |SELECT e.l_returnflag, e.n_exact,
+      |  CASE WHEN s.nd < 128 THEN round(CAST(s.nd AS DOUBLE), 4)
+      |       ELSE round(127 * CAST(4503599627370496 AS DOUBLE) / s.kth, 4) END AS kmv_est
+      |FROM e JOIN s ON e.l_returnflag = s.l_returnflag
+      |ORDER BY e.l_returnflag""".stripMargin
 }

@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KMV cardinality sketch: exact below k, partitioning-invariant
+  * (merge correctness), estimator within theory error, bounded
+  * buffer.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kmvOver(values: Seq[Long], k: Int, partitions: Int): Double = {
+    val hashed = values.toDF("v")
+      .repartition(partitions)
+      .select(Dedup.hexHash(col("v").cast("string"), "t#").as("hv"))
+      .as[Long]
+    hashed.groupByKey(_ => 1).agg(Sketches.kmv[Long](k)(identity).toColumn)
+      .collect().head._2
+  }
+
+  test("fewer than k distinct values → exact count (duplicates collapse)") {
+    val vs = (1L to 50L) ++ (1L to 50L) // 100 rows, 50 distinct
+    kmvOver(vs, k = 128, partitions = 4) shouldBe 50.0
+  }
+
+  test("merge correctness: estimate is partitioning-invariant") {
+    val vs = (1L to 5000L)
+    val one = kmvOver(vs, k = 64, partitions = 1)
+    val eight = kmvOver(vs, k = 64, partitions = 8)
+    eight shouldBe one // same k-min set regardless of partial-agg split
+  }
+
+  test("estimate lands within theory error of the true cardinality") {
+    // KMV relative standard error ≈ 1/sqrt(k-2); at k=256 that is
+    // ~6.3%, so ±4σ = ±25% is a deterministic-fixture-safe bound
+    val n = 20000L
+    val est = kmvOver(1L to n, k = 256, partitions = 8)
+    est should be > n * 0.75
+    est should be < n * 1.25
+  }
+
+  test("estimate matches the closed-form formula on the final buffer") {
+    Sketches.estimate(Array(10L, 20L, 30L), k = 8) shouldBe 3.0 // below k: exact
+    Sketches.estimate(Array(100L, 200L, 400L), k = 3) shouldBe
+      (2 * Sketches.HashSpace / 400L)
+  }
+}
