@@ -36,6 +36,31 @@ object Sketches {
     if (mins.length < k) mins.length.toDouble
     else (k - 1) * HashSpace / mins.last
 
+  /** Integer-weighted reproducible sample key (data mixing): the
+    * item's key is the MIN of `weight` independent 52-bit md5 hashes,
+    * so taking the k smallest keys across the corpus is weighted
+    * sampling WITHOUT replacement — an item with weight w holds w
+    * "tickets" in the same uniform hash space, P(next pick) ∝ w,
+    * exactly the successive-minima scheme of Efraimidis-Spirakis but
+    * with NO transcendentals: pow/log differ in ulps across engines
+    * and could flip the k-th boundary, while md5+min is bit-portable,
+    * so a SQL oracle replays the sample EXACTLY. Deterministic in
+    * (salt, id, weight) → re-runs and retries pick the same sample.
+    *
+    * Scale shape: map-side key computation (weight hashes per row,
+    * keep weights small-integer), then `orderBy(key).limit(k)` plans
+    * as TakeOrdered — per-partition top-k, only k rows per partition
+    * move. No shuffle of the corpus.
+    */
+  def weightedKey(id: org.apache.spark.sql.Column,
+                  weight: org.apache.spark.sql.Column,
+                  salt: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    array_min(transform(sequence(lit(1), weight),
+      j => Dedup.hexHash(
+        concat(id.cast("string"), lit("#"), j.cast("string")), salt)))
+  }
+
   /** Typed KMV aggregator over any input with a long-hash extractor:
     * `ds.groupByKey(...).agg(Sketches.kmv[T](k)(_.hashCol))`.
     */

@@ -927,4 +927,46 @@ object ExtensionQueries {
       |       ELSE round(127 * CAST(4503599627370496 AS DOUBLE) / s.kth, 4) END AS kmv_est
       |FROM e JOIN s ON e.l_returnflag = s.l_returnflag
       |ORDER BY e.l_returnflag""".stripMargin
+
+  /** ✚ weighted reproducible sampling (data mixing), oracle-gated
+    * EXACTLY: each document gets `weight` md5 "tickets"
+    * ([[graft.ext.Sketches.weightedKey]]); the 600 smallest keys are
+    * the weighted without-replacement sample. The per-weight-class
+    * rollup matches the oracle only if BOTH engines picked the
+    * identical 600 documents — the boundary is a 52-bit integer
+    * comparison, no float ordering to drift. Higher-weight sources
+    * land in the sample at ~weight× their share.
+    */
+  def q87WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("weight", (length(col("source")) % 3 + 1).cast("int"))
+    val sampled = docs
+      .withColumn("ws_key",
+        graft.ext.Sketches.weightedKey(col("doc_id"), col("weight"), "ws#"))
+      .orderBy(col("ws_key")).limit(600)
+    val totals = docs.groupBy(col("weight"))
+      .agg(count(lit(1)).as("n_total"))
+    sampled.groupBy(col("weight"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("ws_key")).as("min_key"))
+      .join(totals, "weight")
+      .select(col("weight"), col("n_total"), col("n_sampled"), col("min_key"))
+      .orderBy(col("weight"))
+  }
+
+  val q87Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, (strlen(source) % 3 + 1) AS weight
+      |  FROM documents),
+      |k AS (
+      |  SELECT doc_id, weight,
+      |    list_min([CAST('0x'||substr(md5('ws#'||CAST(doc_id AS VARCHAR)||'#'||CAST(j AS VARCHAR)),1,13) AS BIGINT)
+      |              for j in range(1, weight + 1)]) AS ws_key
+      |  FROM w),
+      |s AS (SELECT * FROM k ORDER BY ws_key LIMIT 600),
+      |t AS (SELECT weight, count(*) AS n_total FROM w GROUP BY weight)
+      |SELECT t.weight, t.n_total, agg.n_sampled, agg.min_key
+      |FROM (SELECT weight, count(*) AS n_sampled, min(ws_key) AS min_key
+      |      FROM s GROUP BY weight) agg
+      |JOIN t ON t.weight = agg.weight
+      |ORDER BY t.weight""".stripMargin
 }

@@ -45,4 +45,32 @@ class SketchesSpec extends SparkSpec {
     Sketches.estimate(Array(100L, 200L, 400L), k = 3) shouldBe
       (2 * Sketches.HashSpace / 400L)
   }
+
+  test("weighted sampling: weight-3 items picked at ~3x the weight-1 rate") {
+    // 2000 items, half weight 1, half weight 3 → expected sample
+    // composition 1:3; the fixture is deterministic (md5), so a
+    // generous ±30% band around the expected ratio never flakes
+    val df = (1L to 2000L).toDF("id")
+      .withColumn("w", when(col("id") % 2 === 0, 3).otherwise(1))
+    val sample = df
+      .withColumn("k", Sketches.weightedKey(col("id"), col("w"), "t#"))
+      .orderBy(col("k")).limit(400)
+    val byW = sample.groupBy("w").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ratio = byW(3).toDouble / byW(1)
+    ratio should be > 2.1
+    ratio should be < 4.2
+    byW(3) + byW(1) shouldBe 400L
+  }
+
+  test("weighted sampling is deterministic and plans as TakeOrdered (no full sort)") {
+    val df = (1L to 500L).toDF("id").withColumn("w", lit(2))
+    def pick() = df
+      .withColumn("k", Sketches.weightedKey(col("id"), col("w"), "s#"))
+      .orderBy(col("k")).limit(50)
+    pick().collect().map(_.getLong(0)).toSeq shouldBe
+      pick().collect().map(_.getLong(0)).toSeq
+    // per-partition top-k, not a global sort shuffle
+    pick().queryExecution.executedPlan.toString should include("TakeOrderedAndProject")
+  }
 }
