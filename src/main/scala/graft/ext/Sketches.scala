@@ -54,12 +54,13 @@ object Sketches {
     */
   def weightedKey(id: org.apache.spark.sql.Column,
                   weight: org.apache.spark.sql.Column,
-                  salt: String): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    array_min(transform(sequence(lit(1), weight),
-      j => Dedup.hexHash(
-        concat(id.cast("string"), lit("#"), j.cast("string")), salt)))
-  }
+                  salt: String): org.apache.spark.sql.Column =
+    // native codegen'd kernel; the interpreted HOF formulation
+    // `array_min(transform(sequence(1, w), j -> hexHash(id#j)))` it
+    // replaces bit-identically lives on as SketchesSpec's parity
+    // reference
+    graft.functions.MinHashFunctions.weightedMinKey(
+      id.cast("string"), weight.cast("int"), salt)
 
   /** Typed KMV aggregator over any input with a long-hash extractor:
     * `ds.groupByKey(...).agg(Sketches.kmv[T](k)(_.hashCol))`.

@@ -127,6 +127,36 @@ object MinHashOps {
     out
   }
 
+  /** Weighted-sample key ([[graft.ext.Sketches.weightedKey]] hot
+    * loop): min over j in 1..weight of the 52-bit hash of
+    * salt ++ id ++ "#" ++ j — byte-identical to the HOF formulation
+    * `array_min(transform(sequence(1, w), j -> hexHash(id#j)))`.
+    * Weights must be ≥ 1 (`sequence(1, 0)` would count DOWN in the
+    * HOF form; the sampler contract never passes w < 1).
+    */
+  def weightedMinKey(id: UTF8String, weight: Int, salt: UTF8String): Long = {
+    val digest = digests.get()
+    val saltBytes = salt.getBytes
+    val idBytes = id.getBytes
+    var best = Long.MaxValue
+    var j = 1
+    while (j <= weight) {
+      digest.reset()
+      digest.update(saltBytes)
+      digest.update(idBytes)
+      digest.update('#'.toByte)
+      digest.update(String.valueOf(j).getBytes)
+      val h = digest.digest()
+      var v = 0L
+      var k = 0
+      while (k < 6) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
+      v = (v << 4) | ((h(6) & 0xf0L) >>> 4)
+      if (v < best) best = v
+      j += 1
+    }
+    best
+  }
+
   /** Occurrence count of tokens in a marker set (null tokens miss —
     * `isin` over null is not-true, same as the HOF it replaces).
     */
@@ -258,6 +288,41 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `weighted_min_key(id, weight, salt)` → the 52-bit weighted-sample
+  * key (min of `weight` independent hashes). Codegen'd static call —
+  * the HOF formulation it replaces walks an interpreted tree per
+  * ticket.
+  */
+case class WeightedMinKey(left: Expression, right: Expression, salt: String)
+  extends BinaryExpression {
+  private lazy val saltUtf8 = UTF8String.fromString(salt)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "weighted_min_key"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"weighted_min_key needs (string, int), got $other")
+    }
+
+  override protected def nullSafeEval(id: Any, weight: Any): Any =
+    MinHashOps.weightedMinKey(id.asInstanceOf[UTF8String],
+      weight.asInstanceOf[Int], saltUtf8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("salt", saltUtf8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, (id, w) =>
+      s"graft.functions.MinHashOps.weightedMinKey($id, $w, $saltRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WeightedMinKey =
+    copy(left = newLeft, right = newRight)
+}
+
 object MinHashFunctions {
   /** Column-level entry points. */
   def hexHashArray(shingles: Column, salt: String): Column =
@@ -272,4 +337,8 @@ object MinHashFunctions {
 
   def markerHits(tokens: Column, markers: Seq[String]): Column =
     GraftSql.column(MarkerHits(GraftSql.expression(tokens), markers))
+
+  def weightedMinKey(id: Column, weight: Column, salt: String): Column =
+    GraftSql.column(WeightedMinKey(
+      GraftSql.expression(id), GraftSql.expression(weight), salt))
 }

@@ -63,6 +63,20 @@ class SketchesSpec extends SparkSpec {
     byW(3) + byW(1) shouldBe 400L
   }
 
+  test("native weightedKey is bit-identical to the HOF formulation it replaced") {
+    val hof = (1L to 300L).toDF("id")
+      .withColumn("w", (col("id") % 3 + 1).cast("int"))
+      .withColumn("k", array_min(transform(sequence(lit(1), col("w")),
+        j => Dedup.hexHash(
+          concat(col("id").cast("string"), lit("#"), j.cast("string")), "p#"))))
+      .select("id", "k").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = (1L to 300L).toDF("id")
+      .withColumn("w", (col("id") % 3 + 1).cast("int"))
+      .withColumn("k", Sketches.weightedKey(col("id"), col("w"), "p#"))
+      .select("id", "k").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    native shouldBe hof
+  }
+
   test("weighted sampling is deterministic and plans as TakeOrdered (no full sort)") {
     val df = (1L to 500L).toDF("id").withColumn("w", lit(2))
     def pick() = df
