@@ -95,6 +95,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("weighted_min_key"),
+      new ExpressionInfo(classOf[WeightedMinKey].getName, "weighted_min_key"),
+      (exprs: Seq[Expression]) => WeightedMinKey(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

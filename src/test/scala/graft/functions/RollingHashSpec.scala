@@ -53,4 +53,20 @@ class RollingHashSpec extends SparkSpec {
     built.eval(null) shouldBe 96354L
     ext should not be null
   }
+
+  test("weighted_min_key expression evaluates the kernel (SQL-injectable)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val e = WeightedMinKey(
+      Literal(UTF8String.fromString("42"), StringType),
+      Literal(3, IntegerType), "ws#")
+    e.eval(null) shouldBe MinHashOps.weightedMinKey(
+      UTF8String.fromString("42"), 3, UTF8String.fromString("ws#"))
+    // weight 1 = plain hexHash of "id#1" under the same salt
+    val one = WeightedMinKey(
+      Literal(UTF8String.fromString("7"), StringType),
+      Literal(1, IntegerType), "ws#")
+    one.eval(null) shouldBe MinHashOps.weightedMinKey(
+      UTF8String.fromString("7"), 1, UTF8String.fromString("ws#"))
+  }
 }
