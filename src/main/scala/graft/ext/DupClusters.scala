@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -9,41 +9,64 @@ import org.apache.spark.storage.StorageLevel
   * component (the kept representative). The missing last step of every
   * dedup pipeline — pairs alone over-delete when A~B and B~C but A≁C.
   *
-  * Implementation is iterative min-label propagation as dataflow: each
-  * round joins labels to the symmetric edge list, takes the min
-  * neighbor label, and stops when no label changes. Rounds needed =
-  * graph diameter (near-dup clusters are dense → few rounds). Each
-  * round is one shuffle on node id; for trillion-edge graphs swap in
-  * the alternating big-star/small-star variant — same join shapes.
+  * Two interchangeable algorithms, same output contract:
+  *
+  *  - [[components]] — iterative min-label propagation. Rounds needed
+  *    = graph diameter, one shuffle per round. The right pick for
+  *    near-dup graphs, whose clusters are dense (diameter 2–3).
+  *  - [[componentsStar]] — alternating big-star/small-star (Kiveris
+  *    et al. 2014, "Connected Components in MapReduce and Beyond").
+  *    Rounds = O(log n) REGARDLESS of diameter, so a million-hop
+  *    chain finishes in ~20 rounds where min-label would need a
+  *    million. Two grouped-join shuffles per round. The large-graph
+  *    path for arbitrary edge sets at 100 TB scale.
+  *
+  * Both throw on iteration-budget exhaustion rather than silently
+  * returning unconverged (= wrong) labels.
   */
 object DupClusters {
 
-  /** Label every node with its component's min node id.
+  /** Per-round lineage truncation, shared by both algorithms.
+    *
+    * localCheckpoint, not persist: each round's plan embeds the prior
+    * round's twice (next + convergence check), so without lineage
+    * truncation the logical plan grows 2^rounds and the analyzer OOMs
+    * on deep chains. (Production: reliable checkpoint dir instead.)
+    * Superseded rounds' checkpoint blocks are freed explicitly —
+    * tracked via the getPersistentRDDs delta around each checkpoint
+    * (the Dataset API exposes no handle to the backing RDD) — so a
+    * long run holds at most two rounds of state, not all of them.
+    */
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint(true)
+    (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  private def free(spark: SparkSession, ids: Set[Int]): Unit = {
+    val sc = spark.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
+  /** Label every node with its component's min node id, by min-label
+    * propagation: each round joins labels to the symmetric edge list,
+    * takes the min neighbor label, and stops when no label changes.
+    *
+    * Rounds needed = graph diameter; throws if `maxIter` rounds pass
+    * without convergence (a silently returned unconverged frame would
+    * mislabel any chain longer than `maxIter` hops). For graphs whose
+    * diameter may exceed a small constant, use [[componentsStar]].
+    *
     * @param edges (s, t) pair frame, undirected (one direction enough)
     * @param nodes (id) frame: all nodes incl. singletons
     */
   def components(edges: DataFrame, nodes: DataFrame,
                  maxIter: Int = 20): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
+    val spark = edges.sparkSession
     val sym = edges.select(col("s"), col("t"))
       .union(edges.select(col("t").as("s"), col("s").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint, not persist: each round's plan embeds the prior
-    // round's twice (next + convergence check), so without lineage
-    // truncation the logical plan grows 2^rounds and the analyzer OOMs
-    // on deep chains. (Production: reliable checkpoint dir instead.)
-    // Superseded rounds' checkpoint blocks are freed explicitly —
-    // tracked via the getPersistentRDDs delta around each checkpoint
-    // (the Dataset API exposes no handle to the backing RDD) — so a
-    // long CC run holds at most two rounds of labels, not all of them.
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val cp = df.localCheckpoint(true)
-      (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-
     var (labels, labelIds) =
       checkpointTracked(nodes.select(col("id"), col("id").as("label")))
     var changed = 1L
@@ -58,13 +81,102 @@ object DupClusters {
       changed = next.as("n")
         .join(labels.withColumnRenamed("label", "old").as("o"), "id")
         .filter(col("label") =!= col("old")).count()
-      free(labelIds) // convergence count above was the last reader
+      free(spark, labelIds) // convergence count above was the last reader
       labels = next
       labelIds = nextIds
       i += 1
     }
     sym.unpersist()
+    if (changed > 0) {
+      free(spark, labelIds)
+      throw new IllegalStateException(
+        s"DupClusters.components did not converge in $maxIter rounds " +
+          s"($changed labels still changing): the graph diameter exceeds " +
+          "the iteration budget. Raise maxIter, or use componentsStar " +
+          "(O(log n) rounds regardless of diameter).")
+    }
     labels // final round stays checkpointed: it is the returned frame
+  }
+
+  /** One large-star round: every node connects its LARGER neighbors to
+    * the minimum of its neighborhood (incl. itself). Operates on the
+    * symmetrized edge list; one groupBy + one join shuffle, both on
+    * node id.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("t").as("s"), col("s").as("t"))).distinct()
+    val mins = sym.groupBy(col("s").as("u")).agg(min(col("t")).as("mn"))
+    sym.join(mins, sym("s") === mins("u"))
+      .filter(col("t") > col("s"))
+      .select(col("t").as("s"), least(col("u"), col("mn")).as("t"))
+      .distinct()
+  }
+
+  /** One small-star round: edges oriented larger→smaller, every node
+    * connects its (all smaller) neighbors and itself to its minimum
+    * neighbor. Same two-shuffle shape as [[largeStar]].
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("s"), col("t")).as("s"),
+        least(col("s"), col("t")).as("t"))
+      .filter(col("s") =!= col("t")).distinct()
+    val mins = or.groupBy(col("s").as("u")).agg(min(col("t")).as("mn"))
+    val j = or.join(mins, or("s") === mins("u"))
+    j.select(col("t").as("s"), col("mn").as("t"))
+      .union(j.select(col("u").as("s"), col("mn").as("t")))
+      .filter(col("s") =!= col("t"))
+      .distinct()
+  }
+
+  /** Label every node with its component's min node id, by alternating
+    * big-star/small-star contraction. Converges in O(log n) rounds for
+    * ANY graph shape — the large-diameter-safe path that min-label
+    * propagation is not. Each round costs two grouped-join shuffles
+    * (vs one for min-label), so prefer [[components]] when the
+    * diameter is known small (e.g. near-dup clusters).
+    *
+    * Convergence = the edge set reaches a fixed point (a star forest
+    * whose centers are the component minima), detected by an
+    * order-free fingerprint (count + bit_xor of xxhash64) staying
+    * stable across a round. Throws on budget exhaustion.
+    */
+  def componentsStar(edges: DataFrame, nodes: DataFrame,
+                     maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    var (e, eIds) = checkpointTracked(
+      edges.select(col("s"), col("t")).filter(col("s") =!= col("t")))
+    var prev: (Long, Long) = (-1L, 0L)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val (next, nextIds) = checkpointTracked(smallStar(largeStar(e)))
+      val row = next.agg(
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("s"), col("t"))), lit(0L)).as("sig")).head()
+      val sig = (row.getLong(0), row.getLong(1))
+      converged = sig == prev // same count + same xor fingerprint = stable set
+      prev = sig
+      free(spark, eIds)
+      e = next
+      eIds = nextIds
+      i += 1
+    }
+    if (!converged) {
+      free(spark, eIds)
+      throw new IllegalStateException(
+        s"DupClusters.componentsStar did not converge in $maxIter rounds " +
+          "— raise maxIter (expected rounds are O(log n) in node count).")
+    }
+    // e is now a star forest: (member, root) with root = component min.
+    // The defensive min-agg collapses any duplicate star edge instead
+    // of fanning the node out into two label rows.
+    val labels = nodes.select(col("id"))
+      .join(e.select(col("s").as("id"), col("t").as("root")), Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("root"), col("id"))).as("label"))
+    val (out, _) = checkpointTracked(labels) // eager: reads e's blocks now
+    free(spark, eIds)
+    out
   }
 
   /** Cluster summary: representative (min id) and member count, for

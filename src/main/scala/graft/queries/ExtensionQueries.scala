@@ -969,4 +969,39 @@ object ExtensionQueries {
       |      FROM s GROUP BY weight) agg
       |JOIN t ON t.weight = agg.weight
       |ORDER BY t.weight""".stripMargin
+
+  /** ✚ adversarial large-diameter connected components: two path
+    * graphs over doc ids (0–50, a 50-hop chain; 100–130, a 30-hop
+    * chain), per-node labels vs a recursive-CTE oracle. Min-label
+    * propagation provably CANNOT converge here inside its default
+    * 20-round budget (the label must walk 50 hops) — it now throws
+    * instead of returning wrong labels (asserted in DupClustersSpec);
+    * the alternating big-star/small-star path labels both chains in
+    * O(log n) rounds. This is the gate that separates "works on dense
+    * near-dup clusters" from "works on any 100 TB edge set".
+    */
+  def q91ChainComponents(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir, "documents").select(col("doc_id").as("id"))
+    val nodes = ids.filter(col("id") <= 50 ||
+      (col("id") >= 100 && col("id") <= 130))
+    val edges = nodes
+      .filter(col("id") < 50 || (col("id") >= 100 && col("id") < 130))
+      .select(col("id").as("s"), (col("id") + 1).as("t"))
+    DupClusters.componentsStar(edges, nodes).orderBy(col("id"))
+  }
+
+  val q91Sql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT doc_id AS id FROM documents
+      |  WHERE doc_id <= 50 OR doc_id BETWEEN 100 AND 130),
+      |e0 AS (
+      |  SELECT id AS s, id + 1 AS t FROM n
+      |  WHERE id < 50 OR (id >= 100 AND id < 130)),
+      |edges AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+      |reach(node, label) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node)
+      |SELECT node AS id, min(label) AS label FROM reach
+      |GROUP BY node ORDER BY id""".stripMargin
 }

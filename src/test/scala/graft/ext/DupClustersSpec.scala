@@ -34,6 +34,44 @@ class DupClustersSpec extends SparkSpec {
     labels shouldBe Array(1L)
   }
 
+  test("min-label THROWS instead of mislabeling when diameter exceeds maxIter") {
+    // 50-hop chain: label 1 must walk 50 hops; 20 rounds can't do it
+    val edges = (1 until 51).map(i => (i.toLong, i.toLong + 1)).toDF("s", "t")
+    val nodes = (1 to 51).map(_.toLong).toDF("id")
+    val ex = intercept[IllegalStateException] {
+      DupClusters.components(edges, nodes, maxIter = 20).collect()
+    }
+    ex.getMessage should include("did not converge")
+  }
+
+  test("big-star/small-star labels a 50-hop chain in O(log n) rounds") {
+    val edges = (1 until 51).map(i => (i.toLong, i.toLong + 1)).toDF("s", "t")
+    val nodes = (1 to 51).map(_.toLong).toDF("id")
+    val labels = DupClusters.componentsStar(edges, nodes, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    labels.length shouldBe 51
+    labels.foreach { case (_, l) => l shouldBe 1L }
+  }
+
+  test("big-star/small-star matches min-label on a multi-component graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 7L)).toDF("s", "t")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L).toDF("id")
+    val star = DupClusters.componentsStar(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = DupClusters.components(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    star shouldBe prop
+    star(9L) shouldBe 9L // singleton keeps itself
+  }
+
+  test("big-star/small-star handles an empty edge set (all singletons)") {
+    val edges = Seq.empty[(Long, Long)].toDF("s", "t")
+    val nodes = Seq(3L, 4L).toDF("id")
+    val labels = DupClusters.componentsStar(edges, nodes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels shouldBe Map(3L -> 3L, 4L -> 4L)
+  }
+
   test("LSH edge generation has no cartesian product in its plan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .filter($"doc_id" < 100)
