@@ -137,6 +137,10 @@ final class RecordStore {
         case v: Seq[_] => v == sel          // sequence equality
         case v         => sel.contains(v)   // membership
       }
+      // Map before Function1 for the same reason as Seq: scala Maps ARE
+      // Function1s (key lookup), but a python dict selector isn't
+      // callable — the reference falls through to equality for it
+      case m: Map[_, _] => value == m
       case f: Function1[_, _] =>
         try f.asInstanceOf[Any => Boolean](value) catch { case _: Exception => false }
       case s: String =>
@@ -181,10 +185,14 @@ final class RecordStore {
                 sep: String = "_"): (Seq[(String, DataFrame)], Seq[(String, Any)]) = {
     val outData = mutable.ArrayBuffer.empty[(String, DataFrame)]
     val outMeta = mutable.LinkedHashMap.empty[String, Any]
+    // python `if not req_keys` treats an EMPTY selector dict as falsy →
+    // match-all (including keyless 'default' records); Some(empty) must
+    // behave like None, not like an unsatisfiable selector
+    val normalized = selector.filter(_.nonEmpty)
     store.getOrElse(dataname, mutable.LinkedHashMap.empty).foreach {
       case (prefix, records) =>
         val storedKeys = records.headOption.flatMap(_.tableKeys)
-        val selected = selector match {
+        val selected = normalized match {
           case None => true
           case Some(req) => storedKeys match {
             // a prefix with no keys can never satisfy a selector

@@ -26,6 +26,16 @@ import org.apache.spark.sql.functions._
 object LshSkew {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Above this many oversized-bucket keys the anti-join falls back
+    * from broadcast to a regular shuffle join: the key list's size is
+    * rows/maxBucketSize, so an aggressive (small) cap on a large
+    * corpus could otherwise push the broadcast past the driver /
+    * executor broadcast limits. 1M keys ≈ low tens of MB — safely
+    * inside default broadcast budgets, far below where a shuffled
+    * anti-join hurts.
+    */
+  val MaxBroadcastKeys: Long = 1000000L
+
   /** Rows of `banded` whose (keyCols) bucket has ≤ `maxBucketSize`
     * members, plus the cached guard frame the CALLER must unpersist
     * after its action (empty when the cap is off) — same discipline
@@ -39,7 +49,8 @@ object LshSkew {
     * entries but does nothing for checkpoint RDD blocks, which would
     * make the caller's release a silent no-op) and broadcast into a
     * left-anti join — the big banded frame never reshuffles for the
-    * guard.
+    * guard. Past [[MaxBroadcastKeys]] keys the hint is omitted and
+    * the anti-join shuffles instead of overflowing the broadcast.
     */
   def capBuckets(banded: DataFrame, keyCols: Seq[String],
                  maxBucketSize: Int, what: String): (DataFrame, Seq[DataFrame]) = {
@@ -55,7 +66,9 @@ object LshSkew {
       if (nDropped > 0)
         log.warn(s"$what: dropped $nDropped bucket(s) over " +
           s"maxBucketSize=$maxBucketSize from candidate generation")
-      (banded.join(broadcast(oversized), keyCols, "left_anti"), Seq(oversized))
+      val guard =
+        if (nDropped <= MaxBroadcastKeys) broadcast(oversized) else oversized
+      (banded.join(guard, keyCols, "left_anti"), Seq(oversized))
     }
   }
 }

@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   * through the JDK's `javax.imageio` (dimensions, channels, Rec. 601
   * mean luma, bilinear resize + PNG re-encode), with undecodable
   * records carried through as visible `decode_ok = false` rows.
-  * AUDIO/VIDEO decoding remains a STUB ([[StubDecoder.decode]],
-  * deterministic fake features — the JDK has no codecs for them);
-  * swap it for a JNI/codec-backed decoder to productionize. The
-  * plumbing — binary schema, typed row shape, per-partition batching,
-  * frame sampling — is shared and tested for both paths.
+  * The AUDIO path is real for the containers the JDK ships codecs
+  * for — WAV/AIFF/AU PCM via `javax.sound.sampled` ([[AudioDecoder]]:
+  * sample rate, channels, frame count, duration, RMS energy).
+  * Compressed audio (mp3/ogg) and VIDEO remain STUBS
+  * ([[StubDecoder.decode]], deterministic fake features — no JDK
+  * codecs exist for those); swap in a JNI/codec-backed decoder to
+  * productionize. The plumbing — binary schema, typed row shape,
+  * per-partition batching, frame sampling — is shared and tested for
+  * all paths.
   */
 object Multimodal {
 
@@ -167,6 +171,110 @@ object Multimodal {
   def decodeImages(ds: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map(ImageDecoder.decode))
+  }
+
+  /** REAL audio features for PCM containers (WAV/AIFF/AU), decoded
+    * with the JDK's `javax.sound.sampled`. Undecodable or non-PCM-16
+    * records flow through as `decode_ok = false` rows, same
+    * discipline as [[ImageFeatures]].
+    */
+  final case class AudioFeatures(id: Long, n_bytes: Long, content_id: String,
+                                 decode_ok: Boolean, format: String,
+                                 sample_rate: Int, n_channels: Int,
+                                 n_frames: Long, duration_s: Double,
+                                 rms: Double)
+
+  /** Audio decoder over `javax.sound.sampled.AudioSystem` — in the
+    * JDK since 1.3 (the "no JDK audio codecs" folklore is wrong for
+    * PCM containers). Deterministic: RMS is a fixed-order pass over
+    * the normalized samples of every channel; content id = sha-256 of
+    * the raw bytes.
+    */
+  object AudioDecoder {
+    /** PCM-buffer ceiling (256 MB): a crafted header declaring hours
+      * of audio would otherwise OOM the executor on the read —
+      * checked from the header BEFORE allocating, like
+      * [[ImageDecoder.MaxDecodedPixels]].
+      */
+    val MaxPcmBytes: Long = 256L * 1024 * 1024
+
+    private def sha256(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(b).map("%02x".format(_)).mkString
+
+    def decode(r: MediaRecord): AudioFeatures = {
+      val base = AudioFeatures(r.id, r.data.length.toLong, sha256(r.data),
+        decode_ok = false, format = "", sample_rate = 0, n_channels = 0,
+        n_frames = 0L, duration_s = 0.0, rms = 0.0)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.data))
+        try {
+          val fmt = ais.getFormat
+          val ftype = javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new java.io.ByteArrayInputStream(r.data))
+            .getType.toString.toLowerCase
+          val frames = ais.getFrameLength
+          val fsize = fmt.getFrameSize
+          val header = base.copy(format = ftype,
+            sample_rate = fmt.getSampleRate.toInt,
+            n_channels = fmt.getChannels, n_frames = math.max(frames, 0L))
+          // bomb guard: header-declared PCM size checked before alloc
+          if (frames < 0 || fsize <= 0 || frames * fsize > MaxPcmBytes) header
+          else if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16)
+            header // only 16-bit signed PCM measured; others flow as not-ok
+          else {
+            val pcm = ais.readAllBytes()
+            val n = pcm.length / 2
+            var sumSq = 0.0
+            var i = 0
+            while (i < n) {
+              val (b0, b1) =
+                if (fmt.isBigEndian) (pcm(2 * i + 1), pcm(2 * i))
+                else (pcm(2 * i), pcm(2 * i + 1))
+              val s = ((b1 << 8) | (b0 & 0xff)).toShort / 32768.0
+              sumSq += s * s
+              i += 1
+            }
+            header.copy(decode_ok = true,
+              duration_s = frames.toDouble / fmt.getFrameRate,
+              rms = if (n == 0) 0.0 else math.sqrt(sumSq / n))
+          }
+        } finally ais.close()
+      } catch { case _: Exception => base } // Unsupported/IO → visible not-ok
+    }
+
+    /** PCM-16 WAV encode (test/fixture side of the round-trip): raw
+      * samples → RIFF/WAVE bytes through the same JDK stack.
+      */
+    def encodeWavPcm16(samples: Array[Short], sampleRate: Float,
+                       channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels,
+        true, false) // signed, little-endian
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length / channels)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Per-partition REAL audio decode — same distribution shape as
+    * [[decodeImages]], backed by javax.sound.sampled.
+    */
+  def decodeAudio(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(AudioDecoder.decode))
   }
 
   /** Lift a (id, kind, binary) frame into the typed media Dataset. */

@@ -62,6 +62,114 @@ object Sketches {
     graft.functions.MinHashFunctions.weightedMinKey(
       id.cast("string"), weight.cast("int"), salt)
 
+  /** Bounded quantile-sketch buffer: parallel arrays sorted by hash,
+    * at most k entries. `hs` are distinct 52-bit sample-selection
+    * hashes; `vs` the sampled values (min value on hash collision, so
+    * the buffer content is a pure function of the input SET).
+    */
+  final case class QSketchBuf(var hs: Array[Long], var vs: Array[Double])
+
+  /** Deterministic sample quantile: value at rank floor(q·(n−1)) of
+    * the ascending-sorted sample (the "lower" interpolation — an
+    * integer rank pick, so a SQL oracle replays it exactly; no
+    * midpoint float arithmetic to drift).
+    */
+  def sampleQuantile(sortedVs: Array[Double], q: Double): Double =
+    if (sortedVs.isEmpty) Double.NaN
+    else sortedVs(math.floor(q * (sortedVs.length - 1)).toInt)
+
+  /** Bounded mergeable quantile sketch: a bottom-k-by-hash uniform
+    * sample of (hash, value) pairs, quantiles read off the sample.
+    * The 100 TB companion to exact `percentile`, whose aggregation
+    * buffer holds every distinct value of a group (unbounded for a
+    * pathological group) — this buffer is ≤ k pairs (k·16 bytes per
+    * group shuffled), partial-aggregated map-side, and MERGEABLE:
+    * merge of two bottom-k sets = bottom-k of the union, which is
+    * associative AND commutative, so the result is independent of
+    * partitioning (a fixed-seed KLL compactor would not be — its
+    * output depends on merge order).
+    *
+    * Like [[kmv]], selection uses the portable 52-bit md5 prefix
+    * ([[Dedup.hexHash]]) over a row key, so a SQL oracle replays the
+    * EXACT sample (row_number over hash order) and the exact
+    * estimates — not just estimate-within-ε. Standard sample-quantile
+    * error: O(1/sqrt(k)) in rank.
+    *
+    * @param qs quantiles to report, each in [0, 1]
+    * @param hash sample-selection hash (hash row identity, NOT the
+    *             value: equal values must not collapse)
+    * @param value the measured column
+    */
+  def quantileSketch[T](k: Int, qs: Seq[Double])(
+      hash: T => Long, value: T => Double): Aggregator[T, QSketchBuf, Seq[Double]] =
+    new Aggregator[T, QSketchBuf, Seq[Double]] {
+      require(k >= 2, "quantileSketch needs k >= 2")
+      require(qs.forall(q => q >= 0 && q <= 1), "quantiles must be in [0,1]")
+
+      override def zero: QSketchBuf = QSketchBuf(Array.empty, Array.empty)
+
+      override def reduce(b: QSketchBuf, row: T): QSketchBuf = {
+        val h = hash(row)
+        val v = value(row)
+        val a = b.hs
+        val pos = java.util.Arrays.binarySearch(a, h)
+        if (pos >= 0) {
+          // hash collision: keep the min value so content is set-determined
+          if (v < b.vs(pos)) b.vs(pos) = v
+          b
+        } else {
+          val ins = -pos - 1
+          if (a.length < k) {
+            val oh = new Array[Long](a.length + 1)
+            val ov = new Array[Double](a.length + 1)
+            System.arraycopy(a, 0, oh, 0, ins)
+            System.arraycopy(b.vs, 0, ov, 0, ins)
+            oh(ins) = h; ov(ins) = v
+            System.arraycopy(a, ins, oh, ins + 1, a.length - ins)
+            System.arraycopy(b.vs, ins, ov, ins + 1, a.length - ins)
+            b.hs = oh; b.vs = ov
+          } else if (ins < k) {
+            // displaces the current max-hash entry; length stays k
+            System.arraycopy(a, ins, a, ins + 1, k - ins - 1)
+            System.arraycopy(b.vs, ins, b.vs, ins + 1, k - ins - 1)
+            a(ins) = h; b.vs(ins) = v
+          }
+          b
+        }
+      }
+
+      override def merge(x: QSketchBuf, y: QSketchBuf): QSketchBuf = {
+        val (ah, av, bh, bv) = (x.hs, x.vs, y.hs, y.vs)
+        val n0 = math.min(k, ah.length + bh.length)
+        val oh = new Array[Long](n0)
+        val ov = new Array[Double](n0)
+        var (i, j, n) = (0, 0, 0)
+        while (n < n0 && (i < ah.length || j < bh.length)) {
+          if (j >= bh.length || (i < ah.length && ah(i) < bh(j))) {
+            oh(n) = ah(i); ov(n) = av(i); i += 1
+          } else if (i >= ah.length || bh(j) < ah(i)) {
+            oh(n) = bh(j); ov(n) = bv(j); j += 1
+          } else { // equal hash across inputs: min value, consume both
+            oh(n) = ah(i); ov(n) = math.min(av(i), bv(j)); i += 1; j += 1
+          }
+          n += 1
+        }
+        x.hs = if (n == n0) oh else java.util.Arrays.copyOf(oh, n)
+        x.vs = if (n == n0) ov else java.util.Arrays.copyOf(ov, n)
+        x
+      }
+
+      override def finish(b: QSketchBuf): Seq[Double] = {
+        val sorted = b.vs.clone()
+        java.util.Arrays.sort(sorted)
+        qs.map(q => sampleQuantile(sorted, q))
+      }
+
+      override def bufferEncoder: Encoder[QSketchBuf] = Encoders.product[QSketchBuf]
+      override def outputEncoder: Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    }
+
   /** Typed KMV aggregator over any input with a long-hash extractor:
     * `ds.groupByKey(...).agg(Sketches.kmv[T](k)(_.hashCol))`.
     */

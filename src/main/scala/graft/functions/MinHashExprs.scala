@@ -323,6 +323,28 @@ case class WeightedMinKey(left: Expression, right: Expression, salt: String)
     copy(left = newLeft, right = newRight)
 }
 
+object WeightedMinKey {
+  /** SQL-registration builder: the salt is baked into the codegen'd
+    * kernel, so it must be a string literal — checked here for a clean
+    * AnalysisException naming the function instead of an eval()-time
+    * cast / index failure on a malformed call.
+    */
+  def build(exprs: Seq[Expression]): WeightedMinKey = {
+    def fail(msg: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3102",
+        messageParameters = Map("msg" -> msg))
+    if (exprs.length != 3)
+      fail(s"weighted_min_key(id, weight, salt) takes 3 arguments, got ${exprs.length}")
+    if (!exprs(2).foldable || exprs(2).dataType != StringType)
+      fail("weighted_min_key: salt (arg 3) must be a string literal")
+    val salt = exprs(2).eval()
+    if (salt == null)
+      fail("weighted_min_key: salt (arg 3) must not be null")
+    WeightedMinKey(exprs.head, exprs(1), salt.asInstanceOf[UTF8String].toString)
+  }
+}
+
 object MinHashFunctions {
   /** Column-level entry points. */
   def hexHashArray(shingles: Column, salt: String): Column =

@@ -98,8 +98,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       new FunctionIdentifier("weighted_min_key"),
       new ExpressionInfo(classOf[WeightedMinKey].getName, "weighted_min_key"),
-      (exprs: Seq[Expression]) => WeightedMinKey(exprs.head, exprs(1),
-        exprs(2).eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)))
+      (exprs: Seq[Expression]) => WeightedMinKey.build(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -970,6 +970,130 @@ object ExtensionQueries {
       |JOIN t ON t.weight = agg.weight
       |ORDER BY t.weight""".stripMargin
 
+  /** ✚ REAL audio decode, oracle-gated end-to-end like q83: per-row
+    * WAV PCM-16 clips are ENCODED on executors (square wave with
+    * table-derived sample rate / channels / amplitude / length),
+    * shipped as binary media records, DECODED distributed through the
+    * JDK's `javax.sound.sampled` ([[Multimodal.decodeAudio]]), and the
+    * per-lang rollup of decoded sample rate, frame count, duration and
+    * RMS must match the oracle's relational prediction. A ±A square
+    * wave has RMS exactly A/32768 in normalized units and A ≤ 2^13
+    * keeps every intermediate double exact, so the energy column is
+    * oracle-exact, not approximate. Aggregates are max/sum over exact
+    * values — order-independent, so partitioning can't drift the hash.
+    */
+  def q89AudioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val slice = Tables(spark, dir, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 3 === 0, 8000)
+          .when(col("doc_id") % 3 === 1, 16000)
+          .otherwise(44100).cast("int").as("sr"),
+        (col("doc_id") % 2 + 1).cast("int").as("ch"),
+        ((col("doc_id") % 8 + 1) * 1024).cast("int").as("amp"),
+        ((col("doc_id") % 16 + 1) * 500).cast("int").as("frames"))
+    val media = slice
+      .select(col("doc_id"), col("sr"), col("ch"), col("amp"), col("frames"))
+      .as[(Long, Int, Int, Int, Int)]
+      .map { case (id, sr, ch, amp, frames) =>
+        val samples = Array.tabulate(frames * ch)(
+          j => (if (j % 2 == 0) amp else -amp).toShort)
+        Multimodal.MediaRecord(id, "audio",
+          Multimodal.AudioDecoder.encodeWavPcm16(samples, sr.toFloat, ch),
+          Map.empty)
+      }
+    Multimodal.decodeAudio(media).toDF()
+      .filter(col("decode_ok"))
+      .join(slice.select(col("doc_id").as("id"), col("lang")), "id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_clips"),
+           sum(col("n_frames")).as("frames_sum"),
+           max(col("sample_rate")).as("max_sr"),
+           max(col("n_channels")).as("max_ch"),
+           round(max(col("duration_s")), 6).as("dur_max"),
+           round(max(col("rms")), 6).as("rms_max"))
+      .orderBy(col("lang"))
+  }
+
+  val q89Sql: String =
+    """SELECT lang, count(*) AS n_clips,
+      |  CAST(sum((doc_id % 16 + 1) * 500) AS BIGINT) AS frames_sum,
+      |  CAST(max(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |           ELSE 44100 END) AS INT) AS max_sr,
+      |  CAST(max(doc_id % 2 + 1) AS INT) AS max_ch,
+      |  round(max(CAST((doc_id % 16 + 1) * 500 AS DOUBLE) /
+      |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |     ELSE 44100 END)), 6) AS dur_max,
+      |  round(max(((doc_id % 8) + 1) * 1024 / 32768.0), 6) AS rms_max
+      |FROM documents WHERE doc_id < 500
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** ✚ bounded mergeable quantile sketch, oracle-gated EXACTLY: a
+    * bottom-k-by-md5 uniform sample per group (k = 256 pairs max in
+    * the aggregation buffer, vs exact `percentile` whose buffer holds
+    * every distinct value — unbounded on a pathological group). The
+    * sample selection hash is the portable 52-bit md5 prefix over the
+    * row key, so DuckDB replays the identical sample (row_number over
+    * hash order) and the identical rank-pick estimates bit-for-bit.
+    * The exact p50 rides along to show estimator proximity; n_rows to
+    * show the sample is a vanishing fraction of the group.
+    */
+  def q88QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 256
+    val base = Tables(spark, dir, "lineitem").select(
+      col("l_returnflag"),
+      Dedup.hexHash(
+        concat(col("l_orderkey").cast("string"), lit("#"),
+               col("l_linenumber").cast("string")), "qs#").as("hv"),
+      col("l_extendedprice").cast("double").as("v"))
+    val est = base.as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .agg(graft.ext.Sketches.quantileSketch[(String, Long, Double)](
+        k, Seq(0.5, 0.9, 0.99))(_._2, _._3).toColumn.name("qs"))
+      .toDF("l_returnflag", "qs")
+      .select(col("l_returnflag"),
+        col("qs")(0).as("p50_est"), col("qs")(1).as("p90_est"),
+        col("qs")(2).as("p99_est"))
+    val exact = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(expr("percentile(v, 0.5)"), 4).as("p50_exact"))
+    exact.join(est, "l_returnflag")
+      .select(col("l_returnflag"), col("n_rows"), col("p50_exact"),
+        col("p50_est"), col("p90_est"), col("p99_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q88Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    CAST('0x'||substr(md5('qs#'||CAST(l_orderkey AS VARCHAR)||'#'||CAST(l_linenumber AS VARCHAR)),1,13) AS BIGINT) AS hv,
+      |    CAST(l_extendedprice AS DOUBLE) AS v
+      |  FROM lineitem),
+      |d AS (SELECT l_returnflag, hv, min(v) AS v FROM b GROUP BY l_returnflag, hv),
+      |r AS (SELECT l_returnflag, v,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+      |      FROM d),
+      |s AS (SELECT l_returnflag, v FROM r WHERE rn <= 256),
+      |o AS (SELECT l_returnflag, v,
+      |        row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr,
+      |        count(*) OVER (PARTITION BY l_returnflag) AS n
+      |      FROM s),
+      |est AS (
+      |  SELECT l_returnflag,
+      |    max(CASE WHEN vr = CAST(floor(0.5  * (n - 1)) AS BIGINT) + 1 THEN v END) AS p50_est,
+      |    max(CASE WHEN vr = CAST(floor(0.9  * (n - 1)) AS BIGINT) + 1 THEN v END) AS p90_est,
+      |    max(CASE WHEN vr = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p99_est
+      |  FROM o GROUP BY l_returnflag),
+      |ex AS (
+      |  SELECT l_returnflag, count(*) AS n_rows,
+      |    round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50_exact
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT ex.l_returnflag, ex.n_rows, ex.p50_exact,
+      |  est.p50_est, est.p90_est, est.p99_est
+      |FROM ex JOIN est ON ex.l_returnflag = est.l_returnflag
+      |ORDER BY ex.l_returnflag""".stripMargin
+
   /** ✚ adversarial large-diameter connected components: two path
     * graphs over doc ids (0–50, a 50-hop chain; 100–130, a 30-hop
     * chain), per-node labels vs a recursive-CTE oracle. Min-label

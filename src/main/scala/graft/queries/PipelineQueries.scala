@@ -426,10 +426,15 @@ object PipelineQueries {
     val doubled = EventStream.readEvents(spark, dir)
       .union(EventStream.readEvents(spark, dir))
     val name = s"q84_mem_${System.nanoTime()}"
-    val q = EventStream.dedupEvents(doubled)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // the gate runs under the RocksDB state store — the provider any
+    // 100 TB-keyspace dedup must use (default HDFS-backed state is
+    // on-heap); same dedup semantics, so the same oracle gates it
+    EventStream.withRocksDbStateStore(spark) {
+      val q = EventStream.dedupEvents(doubled)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
@@ -473,7 +478,7 @@ object PipelineQueries {
 
   val q74Sql: String =
     """SELECT lang, count(*) AS n_lines,
-      |  CAST(sum(strlen(CAST(doc_id AS VARCHAR) || '|' ||
+      |  CAST(sum(length(CAST(doc_id AS VARCHAR) || '|' ||
       |           regexp_replace(text, '[\n\r]', ' ', 'g'))) AS BIGINT) AS total_len
       |FROM documents WHERE doc_id < 2000
       |GROUP BY lang ORDER BY lang""".stripMargin

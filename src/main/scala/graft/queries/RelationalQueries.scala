@@ -481,4 +481,78 @@ object RelationalQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_orderkey < 3000 AND o_orderkey < 3000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** J4/scale — adversarial skew-join gate: ~90% of lineitem rows are
+    * forced onto ONE join key, and the join is routed through
+    * [[graft.ops.Salting.saltedJoin]]. Without salting, every hot-key
+    * row lands on a single reducer — the classic straggler; salting
+    * splits the hot key across 8 salt buckets and replicates the
+    * 25-row dim side per bucket.
+    *
+    * Like q81, the WHOLE gated query is planned inside a
+    * broadcast-off/AQE-off conf window and tree-asserted: the join is
+    * a SortMergeJoin and EVERY shuffle feeding it hash-partitions on
+    * the salt column too — the plan-level guarantee that no partition
+    * receives the whole hot key. The result itself is oracle-checked
+    * against the plain (unsalted) relational join: salting must not
+    * change a single row.
+    */
+  def q90SaltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Salting
+    val big = Tables(spark, dir, "lineitem").select(
+      when(col("l_partkey") % 10 < 9, lit(7L))
+        .otherwise(col("l_partkey") % 25).cast("long").as("key"),
+      col("l_quantity"))
+    val small = Tables(spark, dir, "nation").select(
+      col("n_nationkey").cast("long").as("key"), col("n_name").as("label"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val gated = Salting.saltedJoin(big, small, "key", buckets = 8)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double").as("qty_sum"))
+        .orderBy(col("label"))
+      val smjs = gated.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      require(smjs.nonEmpty,
+        "salted join must plan as a SortMergeJoin — got:\n" +
+          gated.queryExecution.executedPlan)
+      smjs.foreach { j =>
+        val parts = j.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.outputPartitioning
+        }
+        require(parts.nonEmpty, "salted join sides must shuffle — got:\n" + j)
+        parts.foreach {
+          case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            require(hp.expressions.exists(_.toString.contains("__salt")),
+              "join-side shuffle must partition on the salt (hot key split " +
+                "across buckets) — got: " + hp)
+          case p =>
+            throw new IllegalStateException(
+              "expected hash partitioning under the salted join, got: " + p)
+        }
+      }
+      gated
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  val q90Sql: String =
+    """WITH big AS (
+      |  SELECT CASE WHEN l_partkey % 10 < 9 THEN 7
+      |              ELSE l_partkey % 25 END AS key,
+      |         l_quantity
+      |  FROM lineitem)
+      |SELECT n_name AS label, count(*) AS n,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_sum
+      |FROM big JOIN nation ON n_nationkey = key
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 }

@@ -83,6 +83,31 @@ object EventStream {
     events.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Run `body` with the session's streaming state store switched to
+    * RocksDB, restoring the previous provider after. The default
+    * (HDFSBackedStateStoreProvider) holds every state row ON-HEAP in
+    * the executor — fine for bounded windows, a guaranteed OOM when
+    * dedup/session state approaches the 100 TB-corpus keyspace.
+    * RocksDB keeps state off-heap and spills to local disk, bounded
+    * by disk instead of heap, and is the config any large-keyspace
+    * deployment of [[dedupEvents]] / sessionization should run
+    * (`spark.sql.streaming.stateStore.providerClass`; the provider
+    * applies to queries STARTED inside the window — a running query
+    * keeps the provider it started with, so scoping it per-launch is
+    * sound).
+    */
+  def withRocksDbStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** K5's streaming shape (SURVEY §2.9): drive a sink with
     * `foreachBatch` — each micro-batch goes through the caller's
     * writer (parquet history dir, JDBC table, …). This is the

@@ -38,6 +38,27 @@ class RecordStoreSpec extends SparkSpec {
     rs.getTables("d", None)._1.map(_._1) shouldBe Seq("default_data_0")
   }
 
+  test("an EMPTY selector dict is falsy like python's — matches everything") {
+    // reference: `if not req_keys` → match-all, INCLUDING keyless
+    // 'default' records; Some(empty) must behave like None
+    val rs = new RecordStore
+    rs.writeTable("d", Nil, None, frame(1))
+    rs.writeTable("d", Seq("x"), Some(Map("k" -> "v")), frame(2))
+    rs.getTables("d", Some(Map.empty))._1.map(_._1) shouldBe
+      rs.getTables("d", None)._1.map(_._1)
+    rs.getTables("d", Some(Map.empty))._1.map(_._1) should contain("default_data_0")
+  }
+
+  test("a Map-valued selector compares by equality, not as a predicate") {
+    // scala Maps are Function1 (key lookup); python dicts are NOT
+    // callable, so the reference falls through to value == selector
+    val rs = new RecordStore
+    rs.writeTable("d_map", Seq("a"),
+      Some(Map("cfg" -> Map("x" -> 1))), frame(1))
+    rs.getTables("d_map", Some(Map("cfg" -> Map("x" -> 1))))._1.size shouldBe 1
+    rs.getTables("d_map", Some(Map("cfg" -> Map("x" -> 2))))._1.size shouldBe 0
+  }
+
   test("non-ASCII key values escape like json.dumps ensure_ascii") {
     val rs = new RecordStore
     rs.writeTable("d", Nil, Some(Map("k" -> "café")), frame(1))

@@ -37,6 +37,58 @@ class MultimodalSpec extends SparkSpec {
     StubDecoder.sampleFrames(0, 2) shouldBe Seq.empty
   }
 
+  test("WAV PCM-16 round-trips through the real JDK audio decoder") {
+    // 1 s of 440-frame square wave at 8 kHz stereo, amplitude 4096
+    val frames = 8000
+    val samples = Array.tabulate(frames * 2)(
+      j => (if (j % 2 == 0) 4096 else -4096).toShort)
+    val wav = AudioDecoder.encodeWavPcm16(samples, 8000f, channels = 2)
+    val f = AudioDecoder.decode(MediaRecord(1L, "audio", wav, Map.empty))
+    f.decode_ok shouldBe true
+    f.format shouldBe "wave"
+    f.sample_rate shouldBe 8000
+    f.n_channels shouldBe 2
+    f.n_frames shouldBe frames.toLong
+    f.duration_s shouldBe 1.0
+    f.rms shouldBe (4096.0 / 32768.0) // ±A square wave: RMS exactly A/2^15
+  }
+
+  test("undecodable audio bytes flow through as decode_ok = false") {
+    val junk = AudioDecoder.decode(
+      MediaRecord(2L, "audio", "not a wav".getBytes("UTF-8"), Map.empty))
+    junk.decode_ok shouldBe false
+    junk.n_bytes shouldBe 9L
+  }
+
+  test("audio bomb guard rejects a header declaring gigabytes of PCM") {
+    val wav = AudioDecoder.encodeWavPcm16(
+      Array.tabulate(100)(_.toShort), 8000f, channels = 1)
+    // canonical 44-byte RIFF header: patch the data-chunk size (offset
+    // 40) and RIFF size (offset 4) to declare ~2 GB of samples
+    def putLE(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = (v >>> 24).toByte
+    }
+    val bomb = wav.clone()
+    putLE(bomb, 40, 0x7ffffff0)
+    putLE(bomb, 4, 0x7ffffff0 + 36)
+    val f = AudioDecoder.decode(MediaRecord(3L, "audio", bomb, Map.empty))
+    f.decode_ok shouldBe false // declared size tripped MaxPcmBytes pre-alloc
+    f.sample_rate shouldBe 8000 // header fields still reported
+  }
+
+  test("decodeAudio runs distributed over the typed carrier") {
+    val recs = (1 to 6).map { i =>
+      val wav = AudioDecoder.encodeWavPcm16(
+        Array.tabulate(400 * i)(j => (if (j % 2 == 0) 1024 else -1024).toShort),
+        16000f, channels = 1)
+      MediaRecord(i.toLong, "audio", wav, Map.empty)
+    }
+    val out = decodeAudio(recs.toDS().repartition(3)).collect().sortBy(_.id)
+    out.map(_.n_frames).toSeq shouldBe (1 to 6).map(_ * 400L)
+    out.foreach { f => f.decode_ok shouldBe true; f.rms shouldBe 1024.0 / 32768.0 }
+  }
+
   private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

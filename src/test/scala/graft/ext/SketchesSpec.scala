@@ -46,6 +46,65 @@ class SketchesSpec extends SparkSpec {
       (2 * Sketches.HashSpace / 400L)
   }
 
+  private def qsAgg(k: Int) =
+    Sketches.quantileSketch[(Long, Double)](k, Seq(0.5, 0.9))(_._1, _._2)
+
+  test("quantile sketch: merge is associative and commutative") {
+    val agg = qsAgg(8)
+    def buf(vs: Seq[(Long, Double)]) =
+      vs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+    def pairs(seed: Int, n: Int): Seq[(Long, Double)] =
+      (1 to n).map(i => ((i * 2654435761L + seed * 40503L) & ((1L << 52) - 1),
+        (i * seed).toDouble))
+    val (a, b, c) = (pairs(1, 20), pairs(2, 7), pairs(3, 31))
+    def snap(x: Sketches.QSketchBuf) = (x.hs.toSeq, x.vs.toSeq)
+    snap(agg.merge(agg.merge(buf(a), buf(b)), buf(c))) shouldBe
+      snap(agg.merge(buf(a), agg.merge(buf(b), buf(c))))
+    snap(agg.merge(buf(b), buf(a))) shouldBe snap(agg.merge(buf(a), buf(b)))
+  }
+
+  test("quantile sketch: buffer is bounded by k and keeps the k min hashes") {
+    val agg = qsAgg(4)
+    val rows = (1L to 100L).map(h => (h, h * 10.0))
+    val b = rows.foldLeft(agg.zero)((x, r) => agg.reduce(x, r))
+    b.hs.toSeq shouldBe Seq(1L, 2L, 3L, 4L)
+    b.vs.toSeq shouldBe Seq(10.0, 20.0, 30.0, 40.0)
+  }
+
+  test("quantile sketch: hash collision keeps the min value (set-determined)") {
+    val agg = qsAgg(4)
+    val b = agg.reduce(agg.reduce(agg.zero, (7L, 5.0)), (7L, 3.0))
+    b.vs.toSeq shouldBe Seq(3.0)
+    // same via merge across buffers
+    val m = agg.merge(agg.reduce(agg.zero, (7L, 5.0)),
+                      agg.reduce(agg.zero, (7L, 3.0)))
+    m.vs.toSeq shouldBe Seq(3.0)
+  }
+
+  test("quantile sketch: estimate is partitioning-invariant and near exact") {
+    val rows = (1L to 10000L).map(i => (i, i.toDouble)) // values 1..10000
+    def estimate(partitions: Int): Seq[Double] =
+      rows.toDF("id", "v")
+        .repartition(partitions)
+        .select(Dedup.hexHash(col("id").cast("string"), "q#").as("h"),
+          col("v"))
+        .as[(Long, Double)]
+        .groupByKey(_ => 1)
+        .agg(qsAgg(256).toColumn).collect().head._2
+    val one = estimate(1)
+    estimate(8) shouldBe one // same bottom-k sample regardless of split
+    // sample-quantile rank error O(1/sqrt(k)) → generous deterministic band
+    one(0) should be(5000.0 +- 1500.0)
+    one(1) should be(9000.0 +- 1200.0)
+  }
+
+  test("sampleQuantile picks the floor(q*(n-1)) rank") {
+    Sketches.sampleQuantile(Array(1.0, 2.0, 3.0, 4.0), 0.5) shouldBe 2.0
+    Sketches.sampleQuantile(Array(1.0, 2.0, 3.0, 4.0), 1.0) shouldBe 4.0
+    Sketches.sampleQuantile(Array(1.0, 2.0, 3.0, 4.0), 0.0) shouldBe 1.0
+    Sketches.sampleQuantile(Array.empty[Double], 0.5).isNaN shouldBe true
+  }
+
   test("weighted sampling: weight-3 items picked at ~3x the weight-1 rate") {
     // 2000 items, half weight 1, half weight 3 → expected sample
     // composition 1:3; the fixture is deterministic (md5), so a

@@ -54,6 +54,24 @@ class RollingHashSpec extends SparkSpec {
     ext should not be null
   }
 
+  test("weighted_min_key builder rejects bad arity / non-literal salt cleanly") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val id = Literal(UTF8String.fromString("1"), StringType)
+    val w = Literal(1, IntegerType)
+    val salt = Literal(UTF8String.fromString("s#"), StringType)
+    WeightedMinKey.build(Seq(id, w, salt)).salt shouldBe "s#"
+    val twoArgs = intercept[org.apache.spark.sql.AnalysisException] {
+      WeightedMinKey.build(Seq(id, w))
+    }
+    twoArgs.getMessage should include("3 arguments")
+    val nonLiteral = intercept[org.apache.spark.sql.AnalysisException] {
+      WeightedMinKey.build(Seq(id, w,
+        AttributeReference("c", StringType)()))
+    }
+    nonLiteral.getMessage should include("string literal")
+  }
+
   test("weighted_min_key expression evaluates the kernel (SQL-injectable)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{IntegerType, StringType}

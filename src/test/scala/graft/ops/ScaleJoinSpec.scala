@@ -26,6 +26,31 @@ class ScaleJoinSpec extends SparkSpec {
     spark.sql("DROP TABLE bkt_b")
   }
 
+  test("salting spreads the hot key: no shuffle partition holds it whole") {
+    // the runtime side of the q90 plan assertion — measure the actual
+    // (key, salt) group sizes the join shuffle would produce
+    val hot = 8000
+    val big = ((1 to hot).map(_ => 1L) ++ (1 to 100).map(_.toLong + 1))
+      .toDF("k")
+    val sizes = big
+      .withColumn("__salt", pmod(xxhash64(col("k")), lit(8)))
+      .groupBy("k", "__salt").count()
+      .filter(col("k") === 1L)
+      .collect().map(_.getLong(2))
+    sizes.sum shouldBe hot.toLong
+    // one salt value per row here (k is the only hash input), so the
+    // hot key collapses to a single bucket UNLESS a disambiguator is
+    // hashed too — which saltedJoin does by hashing the whole row.
+    // This test pins the failure mode the full-row hash prevents:
+    val spread = big.withColumn("rid", monotonically_increasing_id())
+      .withColumn("__salt", pmod(xxhash64(col("k"), col("rid")), lit(8)))
+      .groupBy("k", "__salt").count()
+      .filter(col("k") === 1L)
+      .collect().map(_.getLong(2))
+    spread.length shouldBe 8 // all 8 buckets in use
+    spread.max should be < (hot * 0.25).toLong // no straggler bucket
+  }
+
   test("salted join equals the plain join under heavy key skew") {
     // 9000 rows on one key + tail: the canonical skew shape
     val big = ((1 to 9000).map(_ => (1L, "hot")) ++

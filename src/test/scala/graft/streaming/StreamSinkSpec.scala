@@ -25,4 +25,29 @@ class StreamSinkSpec extends SparkSpec {
     back.select(countDistinct(col("event_id"))).head().getLong(0) shouldBe
       direct.count()
   }
+
+  test("streaming dedup is provider-agnostic: RocksDB state matches on-heap") {
+    import org.apache.spark.sql.streaming.Trigger
+    def dedupCounts(name: String): Map[String, Long] = {
+      val doubled = EventStream.readEvents(spark, sf)
+        .union(EventStream.readEvents(spark, sf))
+      val q = EventStream.dedupEvents(doubled)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name).groupBy(col("event_type")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val onHeap = dedupCounts(s"sdh_${System.nanoTime()}")
+    val rocks = EventStream.withRocksDbStateStore(spark) {
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass") should
+        include("RocksDBStateStoreProvider")
+      dedupCounts(s"sdr_${System.nanoTime()}")
+    }
+    // conf restored after the window
+    spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .foreach(_ should not include "RocksDB")
+    rocks shouldBe onHeap
+    rocks.values.sum should be > 0L
+  }
 }
