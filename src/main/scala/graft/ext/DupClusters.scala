@@ -104,7 +104,12 @@ object DupClusters {
     * node id.
     */
   private def largeStar(e: DataFrame): DataFrame = {
-    val sym = e.union(e.select(col("t").as("s"), col("s").as("t"))).distinct()
+    // no input distinct: duplicate edges can't change the min-agg or the
+    // emitted pairs (the round's OUTPUT distinct bounds growth), and
+    // without it the groupBy and the join below shuffle the IDENTICAL
+    // frame on the identical key — one reusable exchange instead of a
+    // dedup shuffle plus two more
+    val sym = e.union(e.select(col("t").as("s"), col("s").as("t")))
     val mins = sym.groupBy(col("s").as("u")).agg(min(col("t")).as("mn"))
     sym.join(mins, sym("s") === mins("u"))
       .filter(col("t") > col("s"))
@@ -117,9 +122,11 @@ object DupClusters {
     * neighbor. Same two-shuffle shape as [[largeStar]].
     */
   private def smallStar(e: DataFrame): DataFrame = {
+    // input distinct elided for the same exchange-reuse reason as
+    // [[largeStar]]; orientation alone is enough for correctness
     val or = e.select(greatest(col("s"), col("t")).as("s"),
         least(col("s"), col("t")).as("t"))
-      .filter(col("s") =!= col("t")).distinct()
+      .filter(col("s") =!= col("t"))
     val mins = or.groupBy(col("s").as("u")).agg(min(col("t")).as("mn"))
     val j = or.join(mins, or("s") === mins("u"))
     j.select(col("t").as("s"), col("mn").as("t"))
