@@ -170,58 +170,88 @@ object Sketches {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
     }
 
+  /** Bottom-k insert kernel (buffer stays sorted + distinct). */
+  private def kmvInsert(b: KmvBuf, h: Long, k: Int): KmvBuf = {
+    val a = b.mins
+    val pos = java.util.Arrays.binarySearch(a, h)
+    if (pos >= 0) b // already one of the k minima
+    else {
+      val ins = -pos - 1
+      if (a.length < k) {
+        val out = new Array[Long](a.length + 1)
+        System.arraycopy(a, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(a, ins, out, ins + 1, a.length - ins)
+        b.mins = out
+      } else if (ins < k) {
+        // displaces the current maximum; array length stays k
+        System.arraycopy(a, ins, a, ins + 1, k - ins - 1)
+        a(ins) = h
+      }
+      b
+    }
+  }
+
+  /** Bottom-k merge kernel: k-min of the union. Both inputs are
+    * sorted+distinct, so a linear merge stopping at k suffices.
+    */
+  private def kmvUnion(x: KmvBuf, y: KmvBuf, k: Int): KmvBuf = {
+    val (a, b) = (x.mins, y.mins)
+    val out = new Array[Long](math.min(k, a.length + b.length))
+    var (i, j, n) = (0, 0, 0)
+    while (n < out.length && (i < a.length || j < b.length)) {
+      val take =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+          if (j < b.length && a(i) == b(j)) j += 1 // dedup across inputs
+          val v = a(i); i += 1; v
+        } else { val v = b(j); j += 1; v }
+      out(n) = take; n += 1
+    }
+    x.mins = if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    x
+  }
+
   /** Typed KMV aggregator over any input with a long-hash extractor:
     * `ds.groupByKey(...).agg(Sketches.kmv[T](k)(_.hashCol))`.
     */
   def kmv[T](k: Int)(hash: T => Long): Aggregator[T, KmvBuf, Double] =
     new Aggregator[T, KmvBuf, Double] {
       require(k >= 2, "kmv needs k >= 2")
-
       override def zero: KmvBuf = KmvBuf(Array.empty)
-
-      override def reduce(b: KmvBuf, row: T): KmvBuf = {
-        val h = hash(row)
-        val a = b.mins
-        val pos = java.util.Arrays.binarySearch(a, h)
-        if (pos >= 0) b // already one of the k minima
-        else {
-          val ins = -pos - 1
-          if (a.length < k) {
-            val out = new Array[Long](a.length + 1)
-            System.arraycopy(a, 0, out, 0, ins)
-            out(ins) = h
-            System.arraycopy(a, ins, out, ins + 1, a.length - ins)
-            b.mins = out
-          } else if (ins < k) {
-            // displaces the current maximum; array length stays k
-            System.arraycopy(a, ins, a, ins + 1, k - ins - 1)
-            a(ins) = h
-          }
-          b
-        }
-      }
-
-      override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
-        // k-min of the union: both inputs are sorted+distinct, so a
-        // linear merge stopping at k suffices
-        val (a, b) = (x.mins, y.mins)
-        val out = new Array[Long](math.min(k, a.length + b.length))
-        var (i, j, n) = (0, 0, 0)
-        while (n < out.length && (i < a.length || j < b.length)) {
-          val take =
-            if (j >= b.length || (i < a.length && a(i) <= b(j))) {
-              if (j < b.length && a(i) == b(j)) j += 1 // dedup across inputs
-              val v = a(i); i += 1; v
-            } else { val v = b(j); j += 1; v }
-          out(n) = take; n += 1
-        }
-        x.mins = if (n == out.length) out else java.util.Arrays.copyOf(out, n)
-        x
-      }
-
+      override def reduce(b: KmvBuf, row: T): KmvBuf = kmvInsert(b, hash(row), k)
+      override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = kmvUnion(x, y, k)
       override def finish(b: KmvBuf): Double = estimate(b.mins, k)
-
       override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  /** KMV variant returning the bottom-k hash SET itself (ascending),
+    * the carrier for KMV set algebra (Beyer et al. 2007, "On synopses
+    * for distinct-value estimation under multiset operations"):
+    *
+    *  - the k-min of two sketches' union IS the sketch of A ∪ B
+    *    (merge = union — same kernel as [[kmv]]'s merge);
+    *  - an element of bottom-k(A ∪ B) that belongs to A necessarily
+    *    belongs to bottom-k(A) (fewer than k hashes of A lie below
+    *    it), so membership against the SKETCH equals membership
+    *    against the full set;
+    *
+    * hence Jaccard ≈ |{h ∈ bottom-k(A∪B)} ∩ sk(A) ∩ sk(B)| / k' and
+    * |A ∩ B| ≈ Jaccard · est(A∪B) are computable from the two bounded
+    * arrays alone — cross-corpus overlap (decontamination) WITHOUT
+    * ever joining the corpora. Deterministic given the portable md5
+    * hash, so a SQL oracle replays the arrays and the estimates
+    * exactly.
+    */
+  def kmvSet[T](k: Int)(hash: T => Long): Aggregator[T, KmvBuf, Seq[Long]] =
+    new Aggregator[T, KmvBuf, Seq[Long]] {
+      require(k >= 2, "kmvSet needs k >= 2")
+      override def zero: KmvBuf = KmvBuf(Array.empty)
+      override def reduce(b: KmvBuf, row: T): KmvBuf = kmvInsert(b, hash(row), k)
+      override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = kmvUnion(x, y, k)
+      override def finish(b: KmvBuf): Seq[Long] = b.mins.toSeq
+      override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+      override def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     }
 }

@@ -1128,4 +1128,84 @@ object ExtensionQueries {
       |  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node)
       |SELECT node AS id, min(label) AS label FROM reach
       |GROUP BY node ORDER BY id""".stripMargin
+
+  /** ✚ KMV set algebra — cross-corpus overlap (decontamination)
+    * WITHOUT joining the corpora: a "train" corpus (doc_id % 7 ≠ 0)
+    * and a "benchmark" corpus (doc_id % 5 = 0) are each reduced to a
+    * bounded bottom-k sketch of their text hashes ([[Sketches.kmvSet]],
+    * k = 64 longs per corpus, one pass each); union cardinality,
+    * Jaccard, and |train ∩ bench| are then read off the two arrays
+    * with built-in array functions (array_union/sort/slice/intersect —
+    * all codegen'd). At 100 TB this is the only workable shape: the
+    * exact path's distinct-hash shuffle moves the corpus, the sketch
+    * path moves 2·k·8 bytes. Exact counts ride along (one
+    * distinct-hash pass with membership flags) to show estimator
+    * proximity, and the portable md5 hash means DuckDB replays the
+    * sketches and every estimate bit-for-bit.
+    */
+  def q92ContaminationEst(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 64
+    val docs = Tables(spark, dir, "documents")
+    val hashed = docs.select(col("doc_id"),
+      Dedup.hexHash(col("text"), "ct#").as("h"),
+      (col("doc_id") % 7 =!= 0).as("in_t"),
+      (col("doc_id") % 5 === 0).as("in_b"))
+    // exact side: ONE distinct-hash pass, membership flags OR-folded
+    val exact = hashed.groupBy(col("h"))
+      .agg(max(col("in_t")).as("in_t"), max(col("in_b")).as("in_b"))
+      .agg(count(when(col("in_t"), 1)).as("n_train"),
+           count(when(col("in_b"), 1)).as("n_bench"),
+           count(when(col("in_t") && col("in_b"), 1)).as("inter_exact"))
+    // sketch side: bounded arrays, corpus never joined
+    val agg = graft.ext.Sketches.kmvSet[Long](k)(identity)
+    def sketch(flag: String, as: String) =
+      hashed.filter(col(flag)).select(col("h")).as[Long]
+        .groupByKey(_ => 0).agg(agg.toColumn.name("arr"))
+        .toDF("g", as).drop("g")
+    val est = sketch("in_t", "t_arr").crossJoin(sketch("in_b", "b_arr"))
+      .withColumn("u",
+        slice(array_sort(array_union(col("t_arr"), col("b_arr"))), 1, k))
+      .select(
+        size(col("u")).as("kp"),
+        element_at(col("u"), size(col("u"))).as("kk"),
+        size(array_intersect(array_intersect(col("u"), col("t_arr")),
+          col("b_arr"))).as("m"))
+      .withColumn("union_est_raw",
+        when(col("kp") < k, col("kp").cast("double"))
+          .otherwise(lit((k - 1) * graft.ext.Sketches.HashSpace) / col("kk")))
+      .withColumn("jaccard_raw", col("m").cast("double") / col("kp"))
+      .select(
+        round(col("union_est_raw"), 4).as("union_est"),
+        round(col("jaccard_raw"), 4).as("jaccard_est"),
+        round(col("jaccard_raw") * col("union_est_raw"), 4).as("inter_est"))
+    exact.crossJoin(est)
+  }
+
+  val q92Sql: String =
+    """WITH h0 AS (
+      |  SELECT CAST('0x'||substr(md5('ct#'||text),1,13) AS BIGINT) AS h,
+      |         doc_id % 7 <> 0 AS in_t, doc_id % 5 = 0 AS in_b
+      |  FROM documents),
+      |f AS (SELECT h, max(in_t) AS in_t, max(in_b) AS in_b FROM h0 GROUP BY h),
+      |ex AS (SELECT count(*) FILTER (in_t) AS n_train,
+      |              count(*) FILTER (in_b) AS n_bench,
+      |              count(*) FILTER (in_t AND in_b) AS inter_exact FROM f),
+      |tk AS (SELECT h FROM f WHERE in_t ORDER BY h LIMIT 64),
+      |bk AS (SELECT h FROM f WHERE in_b ORDER BY h LIMIT 64),
+      |u AS (SELECT h FROM (SELECT h FROM tk UNION SELECT h FROM bk) ORDER BY h LIMIT 64),
+      |st AS (SELECT count(*) AS kp, max(h) AS kk,
+      |         count(*) FILTER (h IN (SELECT h FROM tk)
+      |                      AND h IN (SELECT h FROM bk)) AS m
+      |       FROM u),
+      |raw AS (SELECT kp, m,
+      |         CASE WHEN kp < 64 THEN CAST(kp AS DOUBLE)
+      |              ELSE 283726776524341248.0 / kk END AS union_raw,
+      |         CAST(m AS DOUBLE) / kp AS jac_raw
+      |       FROM st)
+      |SELECT n_train, n_bench, inter_exact,
+      |  round(union_raw, 4) AS union_est,
+      |  round(jac_raw, 4) AS jaccard_est,
+      |  round(jac_raw * union_raw, 4) AS inter_est
+      |FROM ex, raw""".stripMargin
 }

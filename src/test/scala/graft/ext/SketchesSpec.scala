@@ -46,6 +46,45 @@ class SketchesSpec extends SparkSpec {
       (2 * Sketches.HashSpace / 400L)
   }
 
+  test("kmvSet: merged sketches equal the sketch of the union (set algebra)") {
+    // the property q92 rests on: sk(A) ⊕ sk(B) = sk(A ∪ B)
+    val k = 32
+    def sk(vs: Seq[Long], salt: String = "t#"): Seq[Long] =
+      vs.toDF("v")
+        .select(Dedup.hexHash(col("v").cast("string"), salt).as("hv"))
+        .as[Long].groupByKey(_ => 1)
+        .agg(Sketches.kmvSet[Long](k)(identity).toColumn)
+        .collect().head._2
+    val a = (1L to 300L)
+    val b = (200L to 500L) // overlaps a
+    val merged = (sk(a) ++ sk(b)).distinct.sorted.take(k)
+    merged shouldBe sk(a ++ b)
+    // membership transfer: every union-sketch element that is in set A
+    // is in sketch(A) — membership against the sketch IS membership
+    // against the set
+    val hashA = sk(a, "t#").toSet
+    merged.filter(hashA.contains).toSet shouldBe (merged.toSet intersect hashA)
+  }
+
+  test("kmvSet intersection estimate lands near the true overlap") {
+    val k = 256
+    def sk(vs: Seq[Long]): Seq[Long] =
+      vs.toDF("v")
+        .select(Dedup.hexHash(col("v").cast("string"), "x#").as("hv"))
+        .as[Long].groupByKey(_ => 1)
+        .agg(Sketches.kmvSet[Long](k)(identity).toColumn)
+        .collect().head._2
+    val a = (1L to 1000L)
+    val b = (501L to 1500L) // |A∩B| = 500, |A∪B| = 1500, J = 1/3
+    val (sa, sb) = (sk(a), sk(b))
+    val u = (sa ++ sb).distinct.sorted.take(k)
+    val m = u.count(h => sa.contains(h) && sb.contains(h))
+    val unionEst = Sketches.estimate(u.toArray, k)
+    val interEst = (m.toDouble / u.length) * unionEst
+    interEst should be(500.0 +- 250.0) // J·U each ~1/sqrt(k) rel. error
+    unionEst should be(1500.0 +- 400.0)
+  }
+
   private def qsAgg(k: Int) =
     Sketches.quantileSketch[(Long, Double)](k, Seq(0.5, 0.9))(_._1, _._2)
 
