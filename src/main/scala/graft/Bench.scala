@@ -52,15 +52,21 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the driver's stdout capture window kept head-truncating the line
-    // (r05 lost 9 queries, r06 lost 8 despite the 3-decimal shrink), so
-    // the same JSON is also written to an in-repo artifact every run —
-    // per-query data survives regardless of the capture window
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL_r07.json"))
-    java.nio.file.Files.write(out,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+    // stop FIRST so Spark's shutdown logging lands before the JSON —
+    // the driver's stdout capture window keeps the LAST bytes, so
+    // every line printed after the JSON pushes its head out of the
+    // window (r05 lost 9 queries, r06 lost 8, r07 failed to parse).
+    // After this println only sbt's short epilogue follows.
     spark.stop()
+    println(json)
+    // belt-and-braces: the same JSON as a working-dir artifact, so
+    // per-query data survives any capture truncation. Best-effort and
+    // AFTER the println — a failed write must not cost the stdout line
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
   }
 }

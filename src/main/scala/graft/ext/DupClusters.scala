@@ -145,7 +145,15 @@ object DupClusters {
     * Convergence = the edge set reaches a fixed point (a star forest
     * whose centers are the component minima), detected by an
     * order-free fingerprint (count + bit_xor of xxhash64) staying
-    * stable across a round. Throws on budget exhaustion.
+    * stable across a round — then CONFIRMED exactly: XOR-folding is
+    * linear, so two distinct edge sets of equal count can collide in
+    * the fingerprint, and a false positive here would silently return
+    * non-star-forest edges (the failure mode the budget throw exists
+    * to prevent). The confirm is one `except` (set-minus) run ONLY on
+    * the round the fingerprint first reports stable: equal counts +
+    * empty `next − e` ⇒ the two distinct sets are equal. Steady-state
+    * rounds pay the cheap fingerprint alone. Throws on budget
+    * exhaustion.
     */
   def componentsStar(edges: DataFrame, nodes: DataFrame,
                      maxIter: Int = 50): DataFrame = {
@@ -161,7 +169,11 @@ object DupClusters {
         count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(col("s"), col("t"))), lit(0L)).as("sig")).head()
       val sig = (row.getLong(0), row.getLong(1))
-      converged = sig == prev // same count + same xor fingerprint = stable set
+      // fingerprint match is necessary but (theoretically) not
+      // sufficient: confirm set equality exactly before declaring the
+      // star forest. Both frames are round outputs (distinct), so
+      // equal count + empty (next − e) ⇒ next = e.
+      converged = sig == prev && next.except(e).isEmpty
       prev = sig
       free(spark, eIds)
       e = next

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ext.{CentroidAggregator, Dedup, DupClusters, Multimodal, Similarity, TextStats}
@@ -1039,7 +1039,6 @@ object ExtensionQueries {
     * show the sample is a vanishing fraction of the group.
     */
   def q88QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val k = 256
     val base = Tables(spark, dir, "lineitem").select(
       col("l_returnflag"),
@@ -1047,20 +1046,23 @@ object ExtensionQueries {
         concat(col("l_orderkey").cast("string"), lit("#"),
                col("l_linenumber").cast("string")), "qs#").as("hv"),
       col("l_extendedprice").cast("double").as("v"))
-    val est = base.as[(String, Long, Double)]
-      .groupByKey(_._1)
-      .agg(graft.ext.Sketches.quantileSketch[(String, Long, Double)](
-        k, Seq(0.5, 0.9, 0.99))(_._2, _._3).toColumn.name("qs"))
-      .toDF("l_returnflag", "qs")
-      .select(col("l_returnflag"),
+    // ONE scan, ONE hash aggregation: the sketch rides in the same
+    // groupBy as the exact-percentile evidence via functions.udaf,
+    // whose ScalaAggregator is a TypedImperativeAggregate — the buffer
+    // stays a plain JVM object per group and is serialized only at the
+    // shuffle boundary (the Dataset groupByKey.agg path re-encoded the
+    // case-class buffer per partial merge, and computing exact+est as
+    // two frames joined paid a second lineitem scan on top)
+    val sketch = udaf(graft.ext.Sketches.quantileSketch[(Long, Double)](
+        k, Seq(0.5, 0.9, 0.99))(_._1, _._2),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(expr("percentile(v, 0.5)"), 4).as("p50_exact"),
+        sketch(col("hv"), col("v")).as("qs"))
+      .select(col("l_returnflag"), col("n_rows"), col("p50_exact"),
         col("qs")(0).as("p50_est"), col("qs")(1).as("p90_est"),
         col("qs")(2).as("p99_est"))
-    val exact = base.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_rows"),
-        round(expr("percentile(v, 0.5)"), 4).as("p50_exact"))
-    exact.join(est, "l_returnflag")
-      .select(col("l_returnflag"), col("n_rows"), col("p50_exact"),
-        col("p50_est"), col("p90_est"), col("p99_est"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -1142,6 +1144,11 @@ object ExtensionQueries {
     * distinct-hash pass with membership flags) to show estimator
     * proximity, and the portable md5 hash means DuckDB replays the
     * sketches and every estimate bit-for-bit.
+    *
+    * Library-reuse contract: both corpora must be NON-EMPTY — an empty
+    * side yields zero sketch rows and the crossJoin drops the estimate
+    * row entirely (and the guarded `kk` pick below nulls rather than
+    * throws if a sketch array is empty).
     */
   def q92ContaminationEst(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1168,7 +1175,12 @@ object ExtensionQueries {
         slice(array_sort(array_union(col("t_arr"), col("b_arr"))), 1, k))
       .select(
         size(col("u")).as("kp"),
-        element_at(col("u"), size(col("u"))).as("kk"),
+        // guard the last-element pick: if a corpus filter matched zero
+        // rows the union sketch can be empty, and element_at(_, 0)
+        // throws — yield null instead (downstream estimates go null,
+        // which is the honest answer for an empty corpus)
+        when(size(col("u")) > 0, element_at(col("u"), size(col("u"))))
+          .as("kk"),
         size(array_intersect(array_intersect(col("u"), col("t_arr")),
           col("b_arr"))).as("m"))
       .withColumn("union_est_raw",
@@ -1208,4 +1220,76 @@ object ExtensionQueries {
       |  round(jac_raw, 4) AS jaccard_est,
       |  round(jac_raw * union_raw, 4) AS inter_est
       |FROM ex, raw""".stripMargin
+
+  /** ✚ ANN recall gate: IVF search graded against the brute-force
+    * ground truth it approximates. q34/q35 prove each path replays its
+    * own algorithm bit-for-bit; this gate proves the APPROXIMATION is
+    * good — per-query recall@10 of IVF (8 centroids, nprobe=4) vs the
+    * exhaustive top-10, emitted as a column the oracle recomputes
+    * independently (both sides of the recall fraction are
+    * deterministic, so DuckDB replays the exact recall values — not
+    * a tolerance check). SimilaritySpec asserts every query's recall
+    * ≥ 0.9; the nprobe dial is the standard IVF recall/cost trade and
+    * 4-of-8 probes is the measured min-recall ≥ 0.9 point on BOTH
+    * verify (sf0.01: min 0.9) and bench (sf0.1: min 1.0) fixtures —
+    * nprobe=2–3 dropped one query to 0.7 at sf0.01.
+    */
+  def q93IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val k = 10
+    val queries = e.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceKnn(e, queries, k)
+    val ivf = Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), queries,
+      k, nprobe = 4)
+    truth.select(col("query_id"), col("neighbor_id"))
+      .join(ivf.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hits"),
+        round(count(col("hit")).cast("double") / count(lit(1)), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val q93Sql: String =
+    """WITH cos AS (
+      |  SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+      |    list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS c_cos
+      |  FROM embeddings v CROSS JOIN embeddings c WHERE c.vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, embedding, centroid_id FROM (
+      |    SELECT vec_id, embedding, centroid_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY c_cos DESC, centroid_id) AS rn
+      |    FROM cos) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS q_vec, centroid_id FROM (
+      |    SELECT vec_id, embedding, centroid_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY c_cos DESC, centroid_id) AS rn
+      |    FROM cos WHERE vec_id < 5) t WHERE rn <= 4),
+      |ivf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, a.neighbor_id,
+      |      row_number() OVER (PARTITION BY p.query_id
+      |        ORDER BY list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]),
+      |                 CAST(a.embedding AS DOUBLE[])) DESC, a.neighbor_id) AS rank
+      |    FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id) t
+      |  WHERE rank <= 10),
+      |brute AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+      |    FROM embeddings q CROSS JOIN embeddings c
+      |    WHERE q.vec_id < 5) t
+      |  WHERE rank <= 10)
+      |SELECT b.query_id AS query_id, count(*) AS k,
+      |  count(i.neighbor_id) AS n_hits,
+      |  round(CAST(count(i.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+      |FROM brute b LEFT JOIN ivf i
+      |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
 }

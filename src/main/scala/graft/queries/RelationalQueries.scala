@@ -530,7 +530,14 @@ object RelationalQueries {
         require(parts.nonEmpty, "salted join sides must shuffle — got:\n" + j)
         parts.foreach {
           case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
-            require(hp.expressions.exists(_.toString.contains("__salt")),
+            // resolve the salt as an attribute, not via toString — the
+            // pretty-printed form (qualifiers, exprId suffixes) is not
+            // a stable contract across Spark versions
+            val saltAttr = hp.expressions.exists(_.collectFirst {
+              case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                  if a.name == "__salt" => a
+            }.isDefined)
+            require(saltAttr,
               "join-side shuffle must partition on the salt (hot key split " +
                 "across buckets) — got: " + hp)
           case p =>

@@ -19,6 +19,23 @@ object History {
   final case class Record(ts: String, run_id: String, phase: String,
                           path: String, processor: String, status: String,
                           duration_ms: Long, rows: Long, error: String)
+
+  /** Idempotent per-epoch writer for the streaming face of this sink
+    * ([[graft.streaming.EventStream.streamTo]]'s foreachBatch):
+    * epoch N's rows land in their own `epoch=N` directory, written
+    * with OVERWRITE — so an epoch retry (foreachBatch's at-least-once
+    * window is the crash between the write and the offset-log commit)
+    * REPLACES the earlier attempt instead of double-appending.
+    * Delivery ladder, for the record: the reference's recorder is
+    * at-most-once (a failed batch is dropped,
+    * `builtin_recorders.py:175-183`); a plain `mode(Append)` under
+    * foreachBatch is at-least-once; partitioning the output by the
+    * batch id makes the replay idempotent = exactly-once read-back.
+    * `spark.read.parquet(path)` discovers `epoch` as a partition
+    * column, so [[History.Record]] consumers see one extra column.
+    */
+  def writeEpoch(batch: DataFrame, path: String, epoch: Long): Unit =
+    batch.write.mode(SaveMode.Overwrite).parquet(s"$path/epoch=$epoch")
 }
 
 final class History(spark: SparkSession, path: String, batchSize: Int = 200) {

@@ -53,6 +53,28 @@ class DupClustersSpec extends SparkSpec {
     labels.foreach { case (_, l) => l shouldBe 1L }
   }
 
+  test("star convergence is exact-confirmed, not fingerprint-trusted") {
+    // The per-round stability check is a linear (count, xor-of-hash)
+    // fingerprint, and linear folds CAN collide across distinct
+    // equal-count edge sets — a false positive would return non-star-
+    // forest edges and silently mislabel. componentsStar therefore
+    // runs ONE exact set-equality confirm (next.except(e).isEmpty) on
+    // the round the fingerprint first reports stable. This case pins
+    // the behavior the confirm protects: a graph needing several
+    // contraction rounds still labels exactly, and a budget of 1 round
+    // (fingerprint can never have stabilized yet) throws rather than
+    // returning the unconverged intermediate.
+    val edges = (1 until 30).map(i => (i.toLong, i.toLong + 1)).toDF("s", "t")
+    val nodes = (1 to 30).map(_.toLong).toDF("id")
+    val labels = DupClusters.componentsStar(edges, nodes)
+      .collect().map(_.getLong(1)).distinct
+    labels shouldBe Array(1L)
+    val ex = intercept[IllegalStateException] {
+      DupClusters.componentsStar(edges, nodes, maxIter = 1).collect()
+    }
+    ex.getMessage should include("did not converge")
+  }
+
   test("big-star/small-star matches min-label on a multi-component graph") {
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 7L)).toDF("s", "t")
     val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L).toDF("id")

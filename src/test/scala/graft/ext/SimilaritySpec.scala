@@ -37,6 +37,22 @@ class SimilaritySpec extends SparkSpec {
     (0L until 10L).foreach(q => approx should contain((q, q)))
   }
 
+  test("q93 gate: per-query IVF recall@10 is >= 0.9 at its fixed nprobe") {
+    // the gated query emits recall as an oracle-checked column; this
+    // spec pins the QUALITY floor the gate's configuration achieves —
+    // every query (not just the average) keeps >= 9 of its true
+    // top-10 at nprobe=4 of 8 centroids (measured: min 0.9 at sf0.01,
+    // min 1.0 at sf0.1; nprobe=2-3 lost a query to 0.7)
+    val out = graft.queries.ExtensionQueries.q93IvfRecall(spark, sf)
+      .select(col("query_id"), col("recall")).collect()
+    out.length shouldBe 5
+    out.foreach { r =>
+      withClue(s"query ${r.getLong(0)}: ") {
+        r.getDouble(1) should be >= 0.9
+      }
+    }
+  }
+
   test("assignToCentroids covers every vector exactly once") {
     val assigned = Similarity.assignToCentroids(emb, emb.filter(col("vec_id") < 8))
     assigned.count() shouldBe emb.count()

@@ -26,6 +26,27 @@ class StreamSinkSpec extends SparkSpec {
       direct.count()
   }
 
+  test("epoch-keyed sink is idempotent under foreachBatch replay") {
+    // foreachBatch is at-least-once on an epoch retry (crash between
+    // the write and the offset-log commit re-delivers the batch).
+    // Writing every epoch TWICE simulates that worst case for every
+    // batch; the epoch=N overwrite directory makes the replay land on
+    // top of the first attempt, so read-back is exactly-once.
+    val outDir = java.nio.file.Files.createTempDirectory("graft_essink_").toString
+    val events = EventStream.readEvents(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    EventStream.streamTo(events, s"esink_${System.nanoTime()}") { (batch, epoch) =>
+      graft.sinks.History.writeEpoch(batch, s"$outDir/history", epoch)
+      graft.sinks.History.writeEpoch(batch, s"$outDir/history", epoch) // replay
+    }
+    val back = spark.read.parquet(s"$outDir/history")
+    val direct = graft.Tables(spark, sf, "events")
+    back.count() shouldBe direct.count()
+    back.select(countDistinct(col("event_id"))).head().getLong(0) shouldBe
+      direct.count()
+    back.columns should contain("epoch") // partition-discovered batch id
+  }
+
   test("streaming dedup is provider-agnostic: RocksDB state matches on-heap") {
     import org.apache.spark.sql.streaming.Trigger
     def dedupCounts(name: String): Map[String, Long] = {
