@@ -1292,4 +1292,97 @@ object ExtensionQueries {
       |FROM brute b LEFT JOIN ivf i
       |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
       |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
+  /** ✚ unigram corpus-frequency quality scoring — the LM-filtering
+    * family's dataflow (CCNet/Gopher-style "score each doc under a
+    * model of the corpus, filter the tails"), in the bit-portable
+    * rational form: vocabulary = top-V tokens by corpus count
+    * (deterministic (count desc, token) tie-break), each doc scored by
+    * its OOV rate and the mean corpus frequency of its tokens. All
+    * integer counts + one double division, so the DuckDB oracle
+    * replays every score exactly — deliberately NO log/perplexity in
+    * the gated value: ln is not correctly-rounded-specified across
+    * engines, and the dataflow is IDENTICAL if a single-engine
+    * deployment swaps `mean_freq` for `-avg(ln p)` (one expression).
+    *
+    * Scale shape: the vocab groupBy is map-side-combined and bounded
+    * by the corpus vocabulary; top-V plans as TakeOrdered (per-
+    * partition top-V, V rows per partition move); scoring joins the
+    * token stream to a BROADCAST V-row vocab (the corpus never
+    * shuffles for scoring); one shuffle for the per-doc aggregation.
+    */
+  def q94UnigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok")).limit(500)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        count(when(col("cnt").isNull, 1)).as("n_oov"),
+        round(sum(coalesce(col("cnt"), lit(0L))).cast("double")
+          / count(lit(1)), 4).as("mean_freq"))
+      .filter(col("doc_id") < 200)
+      .orderBy(col("doc_id"))
+  }
+
+  val q94Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v0 AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+      |v AS (SELECT tok, cnt FROM v0 ORDER BY cnt DESC, tok LIMIT 500)
+      |SELECT t.doc_id AS doc_id, count(*) AS n_toks,
+      |  count(*) FILTER (v.tok IS NULL) AS n_oov,
+      |  round(CAST(sum(coalesce(v.cnt, 0)) AS DOUBLE) / count(*), 4) AS mean_freq
+      |FROM t LEFT JOIN v ON t.tok = v.tok
+      |WHERE t.doc_id < 200
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  /** ✚ temperature-scaled source mixing weights — the data-mixing
+    * step after curation: per-source token counts, proportional
+    * weights, and α=0.5 temperature weights (upweights small sources,
+    * the standard multi-source LM recipe). α=0.5 is sqrt, which IEEE
+    * 754 specifies CORRECTLY ROUNDED — so unlike pow/ln the oracle
+    * reproduces it bit-for-bit. The sqrt weights are cast to
+    * decimal(30,10) BEFORE the normalizing sum so the sum is
+    * order-independent (a double sum's value depends on partition
+    * order; decimals don't), then divided as doubles.
+    *
+    * Scale shape: one map-side-combined groupBy(source) — the corpus
+    * shuffles one row per source per partition; the normalization
+    * window runs over the tiny per-source frame.
+    */
+  def q95MixWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .withColumn("w_dec", sqrt(col("n_tokens").cast("double"))
+        .cast("decimal(30,10)"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double")
+          / sum(col("n_tokens")).over(all).cast("double"), 6).as("prop_weight"),
+        round(col("w_dec").cast("double")
+          / sum(col("w_dec")).over(all).cast("double"), 6).as("alpha_weight"))
+      .orderBy(col("source"))
+  }
+
+  val q95Sql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs, n_tokens,
+      |        CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(30,10)) AS w_dec
+      |      FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) /
+      |        CAST(sum(n_tokens) OVER () AS DOUBLE), 6) AS prop_weight,
+      |  round(CAST(w_dec AS DOUBLE) /
+      |        CAST(sum(w_dec) OVER () AS DOUBLE), 6) AS alpha_weight
+      |FROM w ORDER BY source""".stripMargin
 }
