@@ -106,4 +106,40 @@ final class JdbcHistory(spark: SparkSession, url: String,
     all().orderBy(desc("ts"), desc("duration_ms")).limit(n)
 
   def all(): DataFrame = graft.sources.Jdbc.read(spark, url, table)
+
+  /** Idempotent per-epoch writer — the JDBC counterpart of
+    * [[History.writeEpoch]]: rows are keyed on the batch id (an
+    * `epoch` column) and each delivery DELETEs that epoch's rows
+    * before appending, so a foreachBatch epoch retry converges to one
+    * copy instead of double-appending. Not a single transaction
+    * (Spark's JDBC writer commits per partition), but retry-idempotent,
+    * which is the contract that matters: the stream engine re-delivers
+    * the epoch until the batch commits, and every re-delivery starts
+    * by clearing its own earlier partial writes. The DELETE is
+    * best-effort on a missing table (the first append creates it).
+    */
+  def writeEpoch(batch: DataFrame, epoch: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // identifier quoting differs between how Spark's JDBC writer
+      // CREATEs (observed on Derby: table name case-folded/unquoted,
+      // column names quoted lowercase) and a raw statement's default
+      // resolution — try the quoting cross-product, first success
+      // wins; a missing table (first epoch ever) makes all four fail,
+      // which is fine: the append below creates it
+      try {
+        val attempts = for {
+          t <- Seq(s""""$table"""", table)
+          c <- Seq("\"epoch\"", "epoch")
+        } yield s"DELETE FROM $t WHERE $c = $epoch"
+        attempts.exists { sql =>
+          try { st.executeUpdate(sql); true }
+          catch { case _: java.sql.SQLException => false }
+        }
+      } finally st.close()
+    } finally conn.close()
+    graft.sources.Jdbc.write(
+      batch.withColumn("epoch", lit(epoch)).coalesce(1), url, table)
+  }
 }

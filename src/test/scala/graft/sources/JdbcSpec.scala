@@ -60,4 +60,21 @@ class JdbcSpec extends SparkSpec {
     sink.all().count() shouldBe 25
     sink.recent(1).select("duration_ms").as[Long].head() shouldBe 25L
   }
+
+  test("JdbcHistory.writeEpoch is idempotent under epoch replay") {
+    // foreachBatch re-delivers an epoch on retry; the epoch-keyed
+    // delete-then-append converges to ONE copy per delivery instead of
+    // accumulating appends (the parquet face's epoch=N overwrite dirs,
+    // in JDBC form)
+    val sink = new JdbcHistory(spark, url, "t_epoch_hist")
+    def batch(n: Int) = spark.range(n).selectExpr(
+      "cast('2026-01-01' as string) ts", "'r1' run_id", "'inline' phase",
+      "concat('p/', id) path", "'proc' processor", "'ok' status",
+      "id duration_ms", "1L rows", "'' error")
+    sink.writeEpoch(batch(7), epoch = 0)
+    sink.writeEpoch(batch(7), epoch = 0) // replayed epoch
+    sink.writeEpoch(batch(4), epoch = 1)
+    sink.all().count() shouldBe 11 // 7 + 4, not 18
+    sink.all().where("epoch = 0").count() shouldBe 7
+  }
 }
