@@ -1230,9 +1230,9 @@ object ExtensionQueries {
     * deterministic, so DuckDB replays the exact recall values — not
     * a tolerance check). SimilaritySpec asserts every query's recall
     * ≥ 0.9; the nprobe dial is the standard IVF recall/cost trade and
-    * 4-of-8 probes is the measured min-recall ≥ 0.9 point on BOTH
-    * verify (sf0.01: min 0.9) and bench (sf0.1: min 1.0) fixtures —
-    * nprobe=2–3 dropped one query to 0.7 at sf0.01.
+    * 4-of-8 probes is the measured min-recall ≥ 0.9 point on ALL
+    * THREE fixtures (sf0.001: min 0.9, sf0.01: min 0.9, sf0.1:
+    * min 1.0) — nprobe=2–3 dropped one query to 0.7 at sf0.01.
     */
   def q93IvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")

@@ -33,6 +33,12 @@ object History {
     * batch id makes the replay idempotent = exactly-once read-back.
     * `spark.read.parquet(path)` discovers `epoch` as a partition
     * column, so [[History.Record]] consumers see one extra column.
+    *
+    * The epoch-keyed face OWNS its directory: point `path` at a
+    * location of its own, not at a directory a [[History]] instance
+    * `flush()`es flat part-files into — parquet partition discovery
+    * rejects mixed leaf depths, so interleaving the two faces under
+    * one path breaks read-back for the whole directory.
     */
   def writeEpoch(batch: DataFrame, path: String, epoch: Long): Unit =
     batch.write.mode(SaveMode.Overwrite).parquet(s"$path/epoch=$epoch")
@@ -116,7 +122,14 @@ final class JdbcHistory(spark: SparkSession, url: String,
     * which is the contract that matters: the stream engine re-delivers
     * the epoch until the batch commits, and every re-delivery starts
     * by clearing its own earlier partial writes. The DELETE is
-    * best-effort on a missing table (the first append creates it).
+    * best-effort ONLY when the table does not exist yet (the first
+    * append creates it); a failing DELETE against an EXISTING table
+    * throws instead of silently degrading to double-append.
+    *
+    * Like the parquet face, the epoch-keyed face owns its table: the
+    * rows carry an `epoch` column the enqueue/`flush()` face's
+    * 9-column Record schema lacks, so point this at a dedicated
+    * table, not at one a flush()-driven instance appends to.
     */
   def writeEpoch(batch: DataFrame, epoch: Long): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
@@ -125,19 +138,34 @@ final class JdbcHistory(spark: SparkSession, url: String,
       // identifier quoting differs between how Spark's JDBC writer
       // CREATEs (observed on Derby: table name case-folded/unquoted,
       // column names quoted lowercase) and a raw statement's default
-      // resolution — try the quoting cross-product, first success
-      // wins; a missing table (first epoch ever) makes all four fail,
-      // which is fine: the append below creates it
-      try {
-        val attempts = for {
-          t <- Seq(s""""$table"""", table)
-          c <- Seq("\"epoch\"", "epoch")
-        } yield s"DELETE FROM $t WHERE $c = $epoch"
-        attempts.exists { sql =>
-          try { st.executeUpdate(sql); true }
-          catch { case _: java.sql.SQLException => false }
+      // resolution — try the quoting cross-product, first success wins
+      val deleted =
+        try {
+          val attempts = for {
+            t <- Seq(s""""$table"""", table)
+            c <- Seq("\"epoch\"", "epoch")
+          } yield s"DELETE FROM $t WHERE $c = $epoch"
+          attempts.exists { sql =>
+            try { st.executeUpdate(sql); true }
+            catch { case _: java.sql.SQLException => false }
+          }
+        } finally st.close()
+      if (!deleted) {
+        // all variants failed: benign iff the table simply doesn't
+        // exist yet. If it DOES exist (privilege revoked, dialect
+        // quoting beyond the variants), appending anyway would break
+        // the exactly-once contract this method exists for — refuse.
+        val meta = conn.getMetaData
+        val tableExists = Seq(table, table.toUpperCase(java.util.Locale.ROOT),
+            table.toLowerCase(java.util.Locale.ROOT)).distinct.exists { t =>
+          val rs = meta.getTables(null, null, t, null)
+          try rs.next() finally rs.close()
         }
-      } finally st.close()
+        if (tableExists) throw new IllegalStateException(
+          s"JdbcHistory.writeEpoch: table '$table' exists but no DELETE " +
+            s"variant cleared epoch $epoch — refusing to append (a replay " +
+            "would double-write; fix DELETE privileges/quoting first)")
+      }
     } finally conn.close()
     graft.sources.Jdbc.write(
       batch.withColumn("epoch", lit(epoch)).coalesce(1), url, table)

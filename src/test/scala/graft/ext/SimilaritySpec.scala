@@ -41,8 +41,10 @@ class SimilaritySpec extends SparkSpec {
     // the gated query emits recall as an oracle-checked column; this
     // spec pins the QUALITY floor the gate's configuration achieves —
     // every query (not just the average) keeps >= 9 of its true
-    // top-10 at nprobe=4 of 8 centroids (measured: min 0.9 at sf0.01,
-    // min 1.0 at sf0.1; nprobe=2-3 lost a query to 0.7)
+    // top-10 at nprobe=4 of 8 centroids. Measured on ALL THREE
+    // fixtures: min 0.9 at sf0.001 (this spec's fixture), min 0.9 at
+    // sf0.01 (verify), min 1.0 at sf0.1 (bench); nprobe=2-3 lost a
+    // query to 0.7 at sf0.01
     val out = graft.queries.ExtensionQueries.q93IvfRecall(spark, sf)
       .select(col("query_id"), col("recall")).collect()
     out.length shouldBe 5
