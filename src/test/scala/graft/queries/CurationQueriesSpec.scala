@@ -36,6 +36,43 @@ class CurationQueriesSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
   }
 
+  test("q96 packing respects the token budget and keeps packs contiguous") {
+    val rows = ExtensionQueries.q96SequencePacking(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.length should be > 0
+    // budget: every (shard, pack) sums <= 512 tokens unless it is a
+    // single oversized doc (which greedy must give its own pack)
+    rows.groupBy(t => (t._1, t._4)).foreach { case ((sh, p), docs) =>
+      val total = docs.map(_._3).sum
+      withClue(s"shard $sh pack $p: ") {
+        assert(total <= 512L || docs.length == 1)
+      }
+    }
+    // contiguity: walking a shard in doc_id order, pack ids start at 0
+    // and only ever step by +1 (greedy never reopens an earlier pack)
+    rows.groupBy(_._1).foreach { case (sh, docs) =>
+      val packs = docs.sortBy(_._2).map(_._4)
+      withClue(s"shard $sh: ") {
+        packs.head shouldBe 0L
+        packs.sliding(2).foreach {
+          case Array(a, b) => (b - a) should (be(0L) or be(1L))
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  test("q97 gate: LSH finds >= 0.9 of the true near-dup pairs") {
+    // the banded pipeline's recall vs brute-force exact-Jaccard ground
+    // truth on the bounded slice. The theoretical worst case at
+    // exactly J=0.9 is 1-(1-0.9^8)^3 ~ 0.81; fixture pairs sit above
+    // the threshold so measured recall is 0.94-0.95 on all fixtures
+    val r = ExtensionQueries.q97LshRecall(spark, sf).head()
+    r.getLong(0) should be > 0L     // ground truth is non-trivial
+    r.getLong(1) should be <= r.getLong(0) // found subset of true
+    r.getDouble(2) should be >= 0.9
+  }
+
   test("q95 temperature weights normalize and flatten the mixture") {
     val rows = ExtensionQueries.q95MixWeights(spark, sf).collect()
     rows.length should be > 1
