@@ -95,4 +95,34 @@ object TextStats {
     */
   def ngrams(text: Column, n: Int): Column =
     graft.functions.GramFunctions.wordNgrams(text, n)
+
+  /** PII scrub patterns — deliberately restricted to syntax both
+    * java.util.regex and RE2-class engines interpret identically
+    * (char classes, bounded repetition, `\b`, `\d`; no lookaround, no
+    * backrefs), so a SQL oracle replays scrub and counts exactly.
+    * Production deployments extend the battery (IBANs, SSNs, keys) —
+    * each added pattern is one more [[redactPii]] layer with the same
+    * contract.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b555-\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and (NANP-555 test-range) phone
+    * numbers with typed placeholders. Order matters for overlapping
+    * matches and is part of the contract: email → IP → phone. Pure
+    * map-side column expression — scrubbing a 100 TB corpus is a scan.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-pattern match count (the audit artifact a scrub run reports). */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))),
+     size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
 }

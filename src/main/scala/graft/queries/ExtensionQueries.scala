@@ -1514,4 +1514,73 @@ object ExtensionQueries {
       |SELECT n_true, n_found,
       |  round(CAST(n_found AS DOUBLE) / n_true, 4) AS recall
       |FROM ex, fnd""".stripMargin
+
+  /** ✚ PII redaction scrub — the curation step every released corpus
+    * runs: emails / IPv4s / phone numbers replaced with typed
+    * placeholders, per-doc match counts as the audit artifact, and an
+    * md5 fingerprint of the scrubbed text gating the exact output.
+    * The fixture text contains no PII, so the gate INJECTS a
+    * deterministic synthetic battery first (the q89 audio pattern:
+    * synthesized input, real operator) — emails on doc_id % 3 ≠ 0
+    * (a second one on % 7 = 0), an IP on % 2 = 0, a phone on % 5 = 0 —
+    * then scrubs with [[TextStats.redactPii]] and counts with
+    * [[TextStats.piiCounts]]. Patterns are restricted to the regex
+    * subset java.util.regex and RE2 interpret identically, so DuckDB
+    * replays scrub, counts, and fingerprints bit-for-bit.
+    *
+    * Scale shape: pure map-side column expressions — scrubbing is a
+    * scan, no shuffle until the final (bounded) orderBy.
+    */
+  def q98PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val injected = concat(col("text"),
+      when(id % 3 =!= 0,
+        concat(lit(" mail user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" cc backup"), id.cast("string"), lit("@mail.org")))
+        .otherwise(lit("")),
+      when(id % 2 === 0,
+        concat(lit(" host 10.0."), (id % 256).cast("string"), lit(".1")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" tel 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val (ne, ni, np) = TextStats.piiCounts(injected)
+    Tables(spark, dir, "documents")
+      .filter(id < 200)
+      .select(id,
+        ne.as("n_email"), ni.as("n_ip"), np.as("n_phone"),
+        md5(TextStats.redactPii(injected)).as("scrubbed_md5"))
+      .orderBy(id)
+  }
+
+  val q98Sql: String =
+    """WITH inj AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 3 <> 0
+      |         THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' cc backup' || CAST(doc_id AS VARCHAR) || '@mail.org'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END AS t
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+      |  len(regexp_extract_all(t, '\b555-\d{3}-\d{4}\b')) AS n_phone,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b555-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+      |FROM inj ORDER BY doc_id""".stripMargin
 }

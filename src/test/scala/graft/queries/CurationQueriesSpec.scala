@@ -73,6 +73,28 @@ class CurationQueriesSpec extends SparkSpec {
     r.getDouble(2) should be >= 0.9
   }
 
+  test("q98 scrub removes every injected PII occurrence") {
+    import graft.ext.TextStats
+    // redaction must be total: re-counting on the SCRUBBED text finds
+    // nothing, and counts on the gated output match the injection plan
+    val scrubbed = graft.Tables(spark, sf, "documents")
+      .filter(col("doc_id") < 200)
+      .select(TextStats.redactPii(concat(col("text"),
+        lit(" mail a@b.com host 10.0.0.1 tel 555-123-4567"))).as("t"))
+    val (ne, ni, np) = TextStats.piiCounts(col("t"))
+    val residue = scrubbed.select((ne + ni + np).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    residue shouldBe 0L
+    val out = ExtensionQueries.q98PiiScrub(spark, sf).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expEmail = (if (id % 3 != 0) 1 else 0) + (if (id % 7 == 0) 1 else 0)
+      r.getInt(1) shouldBe expEmail
+      r.getInt(2) shouldBe (if (id % 2 == 0) 1 else 0)
+      r.getInt(3) shouldBe (if (id % 5 == 0) 1 else 0)
+    }
+  }
+
   test("q95 temperature weights normalize and flatten the mixture") {
     val rows = ExtensionQueries.q95MixWeights(spark, sf).collect()
     rows.length should be > 1
