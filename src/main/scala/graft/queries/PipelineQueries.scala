@@ -385,6 +385,56 @@ object PipelineQueries {
       |                     WHERE a2.user_id = agg.user_id)
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** ✚ mergeable sketch INSIDE a streaming aggregation — the
+    * composition the 100 TB streaming-distinct story depends on: the
+    * KMV aggregator ([[graft.ext.Sketches.kmv]]) runs as a udaf in a
+    * watermarked windowed groupBy, its bounded buffer carried in the
+    * state store across micro-batches. Because bottom-k merge is
+    * associative AND commutative, the micro-batched stream result
+    * must equal the one-shot batch computation EXACTLY — which is
+    * what the oracle checks (row_number replay per day × type, the
+    * q86 idiom), not an ε-tolerance. k = 32 puts every verify-fixture
+    * cell (> 32 distinct users/day/type) in the ESTIMATOR regime —
+    * the sketch path is what's gated, not the trivial under-k exact
+    * count; StreamSinkSpec additionally pins stream ≡ batch on the
+    * same udaf.
+    */
+  def q99StreamKmv(spark: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val kmvU = udaf(graft.ext.Sketches.kmv[Long](k)(identity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val agg = EventStream.readEvents(spark, dir)
+      .withColumn("h",
+        graft.ext.Dedup.hexHash(col("user_id").cast("string"), "sk#"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(kmvU(col("h")), 4).as("est_users"))
+      .select(col("w.start").cast("date").cast("string").as("day"),
+        col("event_type"), col("n"), col("est_users"))
+    EventStream.runToCompletion(spark, agg, s"q99_mem_${System.nanoTime()}")
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q99Sql: String =
+    """WITH h0 AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |    CAST('0x'||substr(md5('sk#'||CAST(user_id AS VARCHAR)),1,13) AS BIGINT) AS h
+      |  FROM events),
+      |n AS (SELECT day, event_type, count(*) AS n FROM h0 GROUP BY day, event_type),
+      |d AS (SELECT DISTINCT day, event_type, h FROM h0),
+      |r AS (SELECT day, event_type, h,
+      |        row_number() OVER (PARTITION BY day, event_type ORDER BY h) AS rn
+      |      FROM d),
+      |s AS (SELECT day, event_type, count(*) AS nd,
+      |        max(CASE WHEN rn = 32 THEN h END) AS kth
+      |      FROM r GROUP BY day, event_type)
+      |SELECT CAST(n.day AS VARCHAR) AS day, n.event_type AS event_type, n.n,
+      |  CASE WHEN s.nd < 32 THEN round(CAST(s.nd AS DOUBLE), 4)
+      |       ELSE round(31 * CAST(4503599627370496 AS DOUBLE) / s.kth, 4)
+      |  END AS est_users
+      |FROM n JOIN s ON n.day = s.day AND n.event_type = s.event_type
+      |ORDER BY n.day, n.event_type""".stripMargin
+
   /** §2.11 — typed custom-state sessionization: groupByKey +
     * flatMapGroups building gap-based sessions imperatively per user
     * (the Dataset API path; q23 is the window-function path, and the

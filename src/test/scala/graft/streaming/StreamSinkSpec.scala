@@ -47,6 +47,29 @@ class StreamSinkSpec extends SparkSpec {
     back.columns should contain("epoch") // partition-discovered batch id
   }
 
+  test("streaming KMV sketch equals the one-shot batch computation") {
+    // bottom-k merge is associative + commutative, so slicing the
+    // input into micro-batches (stream) vs one pass (batch) MUST give
+    // identical buffers — the property that lets mergeable sketches
+    // ride in streaming state at all
+    val streamed = graft.queries.PipelineQueries.q99StreamKmv(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val kmvU = udaf(graft.ext.Sketches.kmv[Long](32)(identity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val batch = graft.Tables(spark, sf, "events")
+      .withColumn("h",
+        graft.ext.Dedup.hexHash(col("user_id").cast("string"), "sk#"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(kmvU(col("h")), 4).as("est_users"))
+      .select(col("w.start").cast("date").cast("string").as("day"),
+        col("event_type"), col("n"), col("est_users"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    streamed.size should be > 0
+    streamed shouldBe batch
+  }
+
   test("streaming dedup is provider-agnostic: RocksDB state matches on-heap") {
     import org.apache.spark.sql.streaming.Trigger
     def dedupCounts(name: String): Map[String, Long] = {
