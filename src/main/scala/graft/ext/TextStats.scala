@@ -103,15 +103,26 @@ object TextStats {
     * Production deployments extend the battery (IBANs, SSNs, keys) —
     * each added pattern is one more [[redactPii]] layer with the same
     * contract.
+    *
+    * Precision note: the IPv4 octets are range-checked (0–255), but a
+    * syntactically valid dotted quad that is actually a version
+    * string ("upgraded from 3.5.1.2") still matches — undecidable by
+    * regex, and PII scrubbing deliberately trades that precision for
+    * recall (scrub too much rather than leak).
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val Ipv4Re = {
+    val octet = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+    s"\\b$octet\\.$octet\\.$octet\\.$octet\\b"
+  }
   val PhoneRe = "\\b555-\\d{3}-\\d{4}\\b"
 
   /** Redact emails, IPv4 addresses, and (NANP-555 test-range) phone
     * numbers with typed placeholders. Order matters for overlapping
-    * matches and is part of the contract: email → IP → phone. Pure
-    * map-side column expression — scrubbing a 100 TB corpus is a scan.
+    * matches and is part of the contract: email → IP → phone (an IP
+    * inside an email's domain is consumed by the email replacement
+    * and is NOT separately redacted). Pure map-side column
+    * expression — scrubbing a 100 TB corpus is a scan.
     */
   def redactPii(text: Column): Column =
     regexp_replace(
@@ -120,9 +131,19 @@ object TextStats {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
-  /** Per-pattern match count (the audit artifact a scrub run reports). */
-  def piiCounts(text: Column): (Column, Column, Column) =
+  /** Per-pattern REPLACEMENT count — the audit artifact a scrub run
+    * reports. Counted sequentially on the progressively-scrubbed text
+    * (emails on the raw text, IPs after email scrub, phones after
+    * both), so each count equals the number of replacements
+    * [[redactPii]] actually performs — counting every pattern
+    * independently on the raw text would claim e.g. an IP redaction
+    * for 'a@1.2.3.4.com' that the email layer already consumed.
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     (size(regexp_extract_all(text, lit(EmailRe), lit(0))),
-     size(regexp_extract_all(text, lit(Ipv4Re), lit(0))),
-     size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
+     size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))),
+     size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))))
+  }
 }

@@ -1498,7 +1498,7 @@ object ExtensionQueries {
       |     for i in range(0, 24)] AS sg
       |  FROM h),
       |bands AS (
-      |  SELECT doc_id, sh, b,
+      |  SELECT doc_id, b,
       |    md5(sg[8*b+1]||'|'||sg[8*b+2]||'|'||sg[8*b+3]||'|'||sg[8*b+4]||'|'||
       |        sg[8*b+5]||'|'||sg[8*b+6]||'|'||sg[8*b+7]||'|'||sg[8*b+8]) AS bh
       |  FROM sig, range(3) r(b)),
@@ -1573,14 +1573,22 @@ object ExtensionQueries {
       |         THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
       |              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
       |         ELSE '' END AS t
-      |  FROM documents WHERE doc_id < 200)
+      |  FROM documents WHERE doc_id < 200),
+      |e1 AS (
+      |  SELECT doc_id, t,
+      |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |      '<EMAIL>', 'g') AS t1
+      |  FROM inj),
+      |e2 AS (
+      |  SELECT doc_id, t, t1,
+      |    regexp_replace(t1,
+      |      '\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b',
+      |      '<IP>', 'g') AS t2
+      |  FROM e1)
       |SELECT doc_id,
       |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-      |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
-      |  len(regexp_extract_all(t, '\b555-\d{3}-\d{4}\b')) AS n_phone,
-      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      |    '\b555-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
-      |FROM inj ORDER BY doc_id""".stripMargin
+      |  len(regexp_extract_all(t1, '\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b')) AS n_ip,
+      |  len(regexp_extract_all(t2, '\b555-\d{3}-\d{4}\b')) AS n_phone,
+      |  md5(regexp_replace(t2, '\b555-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+      |FROM e2 ORDER BY doc_id""".stripMargin
 }
