@@ -69,6 +69,7 @@ object ScaleTrend {
       .config("spark.local.dir", out + "/spark-tmp")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
     val sf = "/root/testdata/sf0.1"
 
     // ---- build fixtures (idempotent: skip when present) -------------
@@ -181,6 +182,44 @@ object ScaleTrend {
       graft.ext.DupClusters.componentsStar(edges, nodes, maxIter = 60).count()
     }
 
+    // q94: two bounded shuffles (vocab groupBy, per-doc agg) + a
+    // broadcast of the top-V vocab — the corpus token stream never
+    // shuffles for scoring
+    def q94Shape(path: String): Long = {
+      val toks = spark.read.parquet(path)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok")).limit(500)
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          count(when(col("cnt").isNull, 1)).as("n_oov"))
+        .count()
+    }
+
+    // q96: one co-locating shuffle + sorted streaming scan, O(1) state
+    def q96Shape(path: String): Long =
+      spark.read.parquet(path)
+        .select(pmod(col("doc_id"), lit(64)).cast("int").as("shard"),
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .repartition(64, col("shard"))
+        .sortWithinPartitions(col("shard"), col("doc_id"))
+        .as[(Int, Long, Long)]
+        .mapPartitions { it =>
+          var curShard = Int.MinValue
+          var pack = 0L
+          var acc = 0L
+          it.map { case (sh, id, n) =>
+            if (sh != curShard) { curShard = sh; pack = 0L; acc = 0L }
+            if (acc + n > 512L && acc > 0) { pack += 1; acc = 0L }
+            acc += n
+            (sh, id, n, pack)
+          }
+        }
+        .toDF("shard", "doc_id", "n_tokens", "pack_id")
+        .count()
+
     // ---- run: twice per (shape, scale), report the second -----------
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
     def run(shape: String, scale: String, rows: Long)(f: => Long): Unit = {
@@ -202,6 +241,10 @@ object ScaleTrend {
     run("q47_cc", "big", docsBigN)(q47Shape(docsBig))
     run("q91_star", "small", docsSmallN)(q91Shape(docsSmallN))
     run("q91_star", "big", docsBigN)(q91Shape(docsBigN))
+    run("q94_vocab", "small", docsSmallN)(q94Shape(docsSmall))
+    run("q94_vocab", "big", docsBigN)(q94Shape(docsBig))
+    run("q96_pack", "small", docsSmallN)(q96Shape(docsSmall))
+    run("q96_pack", "big", docsBigN)(q96Shape(docsBig))
 
     println("\nshape        data-ratio   time-ratio   (time-ratio / data-ratio; " +
       "< 1 = better-than-linear)")
