@@ -1591,4 +1591,40 @@ object ExtensionQueries {
       |  len(regexp_extract_all(t2, '\b555-\d{3}-\d{4}\b')) AS n_phone,
       |  md5(regexp_replace(t2, '\b555-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
       |FROM e2 ORDER BY doc_id""".stripMargin
+
+  /** ✚ deterministic train/val/test split assignment — the last step
+    * before a corpus ships: each doc's split is a pure function of its
+    * id (md5 bucket 0–99 → 90/5/5), so re-runs, retries, and future
+    * incremental additions NEVER move a document across splits (the
+    * leakage a random split with a seed still risks when the corpus
+    * grows). The gate audits what a hash split is audited for:
+    * per-split × language doc/token counts, which must come out
+    * proportional per language if the hash is sound — and the
+    * portable md5 bucket means DuckDB replays the exact assignment.
+    *
+    * Scale shape: the split column is map-side; one grouped shuffle
+    * for the (split, lang) audit rollup.
+    */
+  def q100HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(Dedup.hexHash(col("doc_id").cast("string"), "sp#"),
+      lit(100L))
+    val splitCol = when(bucket < 90, "train")
+      .when(bucket < 95, "val").otherwise("test")
+    Tables(spark, dir, "documents")
+      .select(splitCol.as("split"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val q100Sql: String =
+    """WITH b AS (
+      |  SELECT CAST('0x'||substr(md5('sp#'||CAST(doc_id AS VARCHAR)),1,13) AS BIGINT) % 100 AS bk,
+      |    lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents)
+      |SELECT CASE WHEN bk < 90 THEN 'train'
+      |            WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+      |  lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
 }

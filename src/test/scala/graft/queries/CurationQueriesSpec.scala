@@ -95,6 +95,23 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q100 hash split is stable and roughly 90/5/5 per language") {
+    val rows = ExtensionQueries.q100HashSplit(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val total = bySplit.values.sum
+    // 90/5/5 buckets: train dominates, val+test share the tail. Wide
+    // tolerance — the fixture is small, the property is proportional
+    val trainShare = bySplit.getOrElse("train", 0L).toDouble / total
+    trainShare should (be >= 0.8 and be <= 0.97)
+    bySplit.keySet shouldBe Set("train", "val", "test")
+    // determinism: the assignment is a pure function of doc_id, so a
+    // re-run returns the identical rollup
+    val again = ExtensionQueries.q100HashSplit(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    again.toSeq shouldBe rows.toSeq
+  }
+
   test("q95 temperature weights normalize and flatten the mixture") {
     val rows = ExtensionQueries.q95MixWeights(spark, sf).collect()
     rows.length should be > 1
