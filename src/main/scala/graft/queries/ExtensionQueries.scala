@@ -1627,4 +1627,52 @@ object ExtensionQueries {
       |            WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
       |  lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
       |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  /** ✚ corpus snapshot diff — the incremental-ingestion audit
+    * primitive: two snapshots compared by content hash via one
+    * full-outer join on doc id, each doc classified
+    * added / removed / changed / unchanged. The fixture simulates the
+    * two snapshots deterministically (old drops doc_id % 5 = 0, new
+    * drops % 11 = 0 and revises the text of % 7 = 0), so every status
+    * class is populated and the oracle replays the exact rollup.
+    *
+    * Scale shape: content hashes are map-side; the diff is ONE
+    * doc_id-keyed shuffle join regardless of corpus width (hashes
+    * travel, text does not) — at 100 TB this is how each ingestion
+    * run decides what to re-process instead of re-reading everything.
+    */
+  def q101SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val oldSnap = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h_old"))
+    val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+          .as("h_new"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .select(when(col("h_old").isNull, "added")
+        .when(col("h_new").isNull, "removed")
+        .when(col("h_old") === col("h_new"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("status"))
+  }
+
+  val q101Sql: String =
+    """WITH o AS (
+      |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 5 <> 0),
+      |n AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS h_new
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |j AS (
+      |  SELECT CASE WHEN o.h_old IS NULL THEN 'added'
+      |              WHEN n.h_new IS NULL THEN 'removed'
+      |              WHEN o.h_old = n.h_new THEN 'unchanged'
+      |              ELSE 'changed' END AS status
+      |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+      |SELECT status, count(*) AS n_docs FROM j
+      |GROUP BY status ORDER BY status""".stripMargin
 }

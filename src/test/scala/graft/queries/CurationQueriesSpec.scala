@@ -112,6 +112,18 @@ class CurationQueriesSpec extends SparkSpec {
     again.toSeq shouldBe rows.toSeq
   }
 
+  test("q101 snapshot diff partitions the union of both snapshots") {
+    val rows = ExtensionQueries.q101SnapshotDiff(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.keySet shouldBe Set("added", "removed", "changed", "unchanged")
+    // every doc in either snapshot is classified exactly once: the
+    // four classes must sum to |old ∪ new| computed independently
+    val docs = graft.Tables(spark, sf, "documents")
+    val union = docs.filter(col("doc_id") % 5 =!= 0 || col("doc_id") % 11 =!= 0)
+      .count()
+    rows.values.sum shouldBe union
+  }
+
   test("q95 temperature weights normalize and flatten the mixture") {
     val rows = ExtensionQueries.q95MixWeights(spark, sf).collect()
     rows.length should be > 1
