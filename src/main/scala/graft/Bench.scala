@@ -52,21 +52,26 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stop FIRST so Spark's shutdown logging lands before the JSON —
-    // the driver's stdout capture window keeps the LAST bytes, so
-    // every line printed after the JSON pushes its head out of the
-    // window (r05 lost 9 queries, r06 lost 8, r07 failed to parse).
-    // After this println only sbt's short epilogue follows.
+    // The driver's stdout capture window keeps the LAST bytes. The full
+    // per-query line now carries 100+ timings, so its HEAD can fall out
+    // of the window (r05 lost 9 queries, r06 lost 8, r07/r08 failed to
+    // parse). Fix at the source: after the full line, print a SHORT
+    // total-only summary line LAST — whatever the window cuts, the tail
+    // always ends with one complete parseable JSON object.
+    val summary =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
+    // stop FIRST so Spark's shutdown logging lands before the JSON
     spark.stop()
     println(json)
-    // belt-and-braces: the same JSON as a working-dir artifact, so
+    println(summary)
+    // belt-and-braces: the FULL json as a working-dir artifact, so
     // per-query data survives any capture truncation. Best-effort and
-    // AFTER the println — a failed write must not cost the stdout line
+    // AFTER the printlns — a failed write must not cost the stdout lines
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
       java.nio.file.Files.write(out,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{CentroidAggregator, Dedup, DupClusters, Multimodal, Similarity, TextStats}
+import graft.ext.{BoundedPairs, CentroidAggregator, Dedup, DupClusters, Multimodal, Similarity, TextStats}
 import graft.functions.RollingHash
 
 /** North-star ✚ queries: text analysis, dedup, similarity search over
@@ -247,14 +247,14 @@ object ExtensionQueries {
 
   /** ✚ n-gram Jaccard near-dup: brute-force word-set Jaccard over a
     * bounded id range (the verify-stage primitive; LSH above is the
-    * scale path that avoids the quadratic join).
+    * scale path that avoids the quadratic join). The bound is
+    * EXECUTABLE: [[BoundedPairs.allPairs]] counts the slice and throws
+    * rather than run all-pairs over a corpus.
     */
   def q32JaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents").filter(col("doc_id") < 40)
-      .select(col("doc_id"), Dedup.shingles(col("text"), 1).as("sh"))
-    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 1).as("sh"))
+    BoundedPairs.allPairs(d, "id")
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -274,13 +274,14 @@ object ExtensionQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   /** ✚ embedding near-dup: cosine ≥ 0.35 pairs (double-cast sequential
-    * fold — bit-identical to the oracle's DOUBLE[] cosine).
+    * fold — bit-identical to the oracle's DOUBLE[] cosine). All-pairs
+    * is the bounded verify primitive — [[BoundedPairs.allPairs]]
+    * enforces the slice cap; SRP/IVF below are the scale paths.
     */
   def q33EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 150)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    BoundedPairs.allPairs(e, "id")
       .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= 0.35)
       .select(col("id_a"), col("id_b"), col("cosine"))
@@ -1454,7 +1455,8 @@ object ExtensionQueries {
     * much of the TRUE near-dup set the banding finds. Ground truth =
     * brute-force exact Jaccard ≥ 0.9 over all pairs of the q47 slice
     * (bounded: 300 docs ≈ 45 k pairs — affordable exactly because it
-    * is the slice, which is the point of having the LSH path at all);
+    * is the slice, which is the point of having the LSH path at all;
+    * the cap is executable via [[BoundedPairs.allPairs]]);
     * found = the banded pipeline's verified pairs. Every LSH output
     * pair is exact-verified, so found ⊆ true and recall is one
     * division, replayed exactly by the oracle. The theoretical floor
@@ -1466,10 +1468,8 @@ object ExtensionQueries {
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
     val base = docs.select(col("doc_id").as("id"),
       Dedup.shingles(col("text"), 1).as("sh"))
-    val exact = base.select(col("id").as("ia"), col("sh").as("sha"))
-      .crossJoin(base.select(col("id").as("ib"), col("sh").as("shb")))
-      .filter(col("ia") < col("ib"))
-      .filter(Dedup.jaccard(col("sha"), col("shb")) >= 0.9)
+    val exact = BoundedPairs.allPairs(base, "id")
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.9)
       .agg(count(lit(1)).as("n_true"))
     val found = Dedup.lshNearDupPairs(docs, "text", "doc_id",
         shingleWidth = 1, numHashes = 24, numBands = 3, threshold = 0.9)

@@ -398,6 +398,14 @@ object PipelineQueries {
     * the sketch path is what's gated, not the trivial under-k exact
     * count; StreamSinkSpec additionally pins stream ≡ batch on the
     * same udaf.
+    *
+    * Mode caveat: the gate replays through a memory sink in COMPLETE
+    * output mode (runToCompletion), where the watermark never evicts
+    * aggregation state — withWatermark is inert here and state holds
+    * every (window, event_type) group for the replay's lifetime. The
+    * bounded-state deployment shape is append/update mode, where the
+    * watermark actually closes windows and evicts them from the state
+    * store; the sketch buffer itself is k-bounded in either mode.
     */
   def q99StreamKmv(spark: SparkSession, dir: String): DataFrame = {
     val k = 32

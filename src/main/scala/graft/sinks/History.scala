@@ -147,7 +147,18 @@ final class JdbcHistory(spark: SparkSession, url: String,
           } yield s"DELETE FROM $t WHERE $c = $epoch"
           attempts.exists { sql =>
             try { st.executeUpdate(sql); true }
-            catch { case _: java.sql.SQLException => false }
+            catch {
+              // only identifier-resolution failures mean "wrong quoting
+              // variant, try the next one": SQLState class 42 is
+              // syntax/access (Derby 42X05 missing table / 42X04 missing
+              // column, SQL-92 42S02/42S22, Postgres 42P01/42703). A
+              // transient failure on the CORRECT variant (lock timeout,
+              // deadlock — class 40) must surface as itself, not fall
+              // through to the refuse-to-append escalation below.
+              case e: java.sql.SQLException
+                  if e.getSQLState != null && e.getSQLState.startsWith("42") =>
+                false
+            }
           }
         } finally st.close()
       if (!deleted) {
