@@ -668,4 +668,117 @@ object PipelineQueries {
       |  (4, 'Post', '**', 'dir_stats', 1))
       |AS t(step, phase, pattern, processor, ok_int)
       |ORDER BY step""".stripMargin
+
+  /** A2/§2.11 — prefix-keyed RecordStore oracle gate (the reference's
+    * pluggable table backend, `deprecated/table_backend.py:17-184` +
+    * the pipeline adapter `utils/pipeline.py:274-372`): records written
+    * under canonical-JSON key prefixes and read back through the
+    * `_match_value` selector dialect, with the flattened
+    * `{prefix}_data_{idx}` / `{prefix}_metadata_{key}` output shape the
+    * pipeline consumes. The fixture exercises, and the output hash
+    * therefore pins:
+    *
+    *  - canonical prefix serialization (sorted keys, compact JSON);
+    *  - path-part → `level0` mapping AND its conflict priority (one
+    *    record's tableKeys carries `level0 -> "SHOULD_LOSE"`, which the
+    *    path-derived value must overwrite — a wrong priority changes
+    *    the prefix string and the hash);
+    *  - per-prefix insertion indexing (`_data_0`/`_data_1` under the
+    *    `en` prefix) and first-writer-wins metadata (the second `en`
+    *    write's `gen -> 2` must lose; its novel `extra -> 7` must win);
+    *  - four selector dialects: `re:` regex, list membership, glob,
+    *    and exact string, each as its own output-key namespace.
+    *
+    * The store is driver-side registry machinery BY DESIGN (the
+    * reference's backend is a process-local dict): values are lazy
+    * Spark plans, only human-scale key dicts live on the driver, and
+    * the returned frames aggregate distributed — the final frame is a
+    * union of per-record aggregates plus a literal metadata frame.
+    */
+  def q102RecordStore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+    val rs = new graft.catalog.RecordStore
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    langs.foreach { lang =>
+      val tier = if (lang == "en") "big" else "small"
+      rs.writeTable("corpus", Seq("web"),
+        Some(Map("lang" -> lang, "tier" -> tier)),
+        docs.filter(col("lang") === lang),
+        Map("gen" -> 1L))
+    }
+    // second record under the en prefix: per-prefix idx 1, and its
+    // metadata must NOT displace the first writer's gen
+    rs.writeTable("corpus", Seq("web"),
+      Some(Map("lang" -> "en", "tier" -> "big")),
+      docs.filter(col("lang") === "en" && col("doc_id") % 2 === 0),
+      Map("gen" -> 2L, "extra" -> 7L))
+    // conflict-priority record: the path part must claim level0
+    rs.writeTable("corpus", Seq("web"),
+      Some(Map("lang" -> "all", "tier" -> "dict", "level0" -> "SHOULD_LOSE")),
+      docs.filter(col("doc_id") < 50),
+      Map("gen" -> 1L))
+
+    val selectors: Seq[(String, Map[String, Any])] = Seq(
+      "s1" -> Map("lang" -> "re:^(en|fr)", "tier" -> null), // regex + match-any
+      "s2" -> Map("lang" -> Seq("de", "zh")),               // list membership
+      "s3" -> Map("lang" -> "e*"),                          // glob
+      "s4" -> Map("lang" -> "all"))                         // exact
+
+    val parts = selectors.flatMap { case (sid, sel) =>
+      val (data, meta) = rs.getTables("corpus", Some(sel))
+      val dataRows = data.map { case (key, frame) =>
+        frame.agg(count(lit(1)).cast("long").as("v"),
+            coalesce(sum(col("n_chars").cast("long")), lit(0L)).as("sum_chars"))
+          .select(lit(s"$sid:$key").as("entry_key"), lit("data").as("kind"),
+            col("v"), col("sum_chars"))
+      }
+      val metaRows = meta.map { case (key, value) =>
+        (s"$sid:$key", "meta", value.asInstanceOf[Long], -1L)
+      }
+      dataRows :+ metaRows.toDF("entry_key", "kind", "v", "sum_chars")
+    }
+    parts.reduce(_.union(_)).orderBy(col("entry_key"))
+  }
+
+  val q102Sql: String =
+    """WITH sel AS (
+      |  SELECT * FROM (VALUES
+      |    ('s1','en'),('s1','fr'),('s2','de'),('s2','zh'),('s3','en'),('s3','es')
+      |  ) AS s(sid, lang)),
+      |per AS (
+      |  SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc
+      |  FROM documents GROUP BY lang),
+      |pre AS (
+      |  SELECT sid, sel.lang,
+      |    '{"lang":"' || sel.lang || '","level0":"web","tier":"' ||
+      |      CASE WHEN sel.lang = 'en' THEN 'big' ELSE 'small' END || '"}' AS prefix,
+      |    per.n, per.sc
+      |  FROM sel JOIN per ON per.lang = sel.lang),
+      |evens AS (
+      |  SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc
+      |  FROM documents WHERE lang = 'en' AND doc_id % 2 = 0),
+      |aux AS (
+      |  SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc
+      |  FROM documents WHERE doc_id < 50),
+      |rows_all AS (
+      |  SELECT sid || ':' || prefix || '_data_0' AS entry_key,
+      |    'data' AS kind, n AS v, sc AS sum_chars FROM pre
+      |  UNION ALL
+      |  SELECT sid || ':' || prefix || '_data_1', 'data', e.n, e.sc
+      |  FROM pre, evens e WHERE pre.lang = 'en'
+      |  UNION ALL
+      |  SELECT 's4:{"lang":"all","level0":"web","tier":"dict"}_data_0',
+      |    'data', n, sc FROM aux
+      |  UNION ALL
+      |  SELECT sid || ':' || prefix || '_metadata_gen', 'meta',
+      |    CAST(1 AS BIGINT), CAST(-1 AS BIGINT) FROM pre
+      |  UNION ALL
+      |  SELECT sid || ':' || prefix || '_metadata_extra', 'meta', 7, -1
+      |  FROM pre WHERE pre.lang = 'en'
+      |  UNION ALL
+      |  SELECT 's4:{"lang":"all","level0":"web","tier":"dict"}_metadata_gen',
+      |    'meta', 1, -1)
+      |SELECT entry_key, kind, v, sum_chars FROM rows_all
+      |ORDER BY entry_key""".stripMargin
 }
