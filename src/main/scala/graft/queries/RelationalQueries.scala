@@ -562,4 +562,63 @@ object RelationalQueries {
       |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_sum
       |FROM big JOIN nation ON n_nationkey = key
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** §2.2 nested paths — flatten/unflatten oracle gate
+    * (`utils/nested_dicts.py:121-226` round-trip semantics on
+    * `StructType` columns). The fixture builds a two-level struct over
+    * `orders`, flattens it to dot-named leaf columns, regroups it with
+    * unflatten, and aggregates the SAME rollup from both frames:
+    *
+    *  - the flat-side aggregate groups on the literal dotted column
+    *    (backtick-quoted `info.status`) — it only binds if flatten
+    *    produced exactly those leaf names;
+    *  - the round-trip-side aggregate navigates the rebuilt structs
+    *    (`info.meta.price`) — it only binds if unflatten regrouped the
+    *    dot paths into the original shape;
+    *  - both aggregates land in one row per status and must equal the
+    *    oracle's direct rollup, so a value corrupted anywhere in the
+    *    round trip breaks the hash;
+    *  - `leaf_paths` pins the exact depth-first leaf-path contract as
+    *    a literal.
+    *
+    * Pure projections both ways — codegen'd, no shuffle until the
+    * final rollup, and column pruning still reaches the parquet scan.
+    */
+  def q103NestedPaths(spark: SparkSession, dir: String): DataFrame = {
+    val nested = Tables(spark, dir, "orders").select(
+      col("o_orderkey"),
+      struct(
+        struct(col("o_orderdate").as("date"),
+          col("o_totalprice").as("price")).as("meta"),
+        col("o_orderstatus").as("status")).as("info"))
+    val flat = NestedPaths.flatten(nested)
+    val pathsLit = flat.columns.mkString("|")
+    val fromFlat = flat
+      .groupBy(col("`info.status`").as("status"))
+      .agg(count(lit(1)).as("n_flat"),
+        round(sum(col("`info.meta.price`").cast("decimal(18,4)")), 2)
+          .cast("double").as("price_flat"))
+    val rt = NestedPaths.unflatten(flat)
+    val fromRt = rt
+      .groupBy(col("info.status").as("status"))
+      .agg(count(lit(1)).as("n_rt"),
+        round(sum(col("info.meta.price").cast("decimal(18,4)")), 2)
+          .cast("double").as("price_rt"),
+        min(col("info.meta.date")).cast("date").cast("string").as("first_date"),
+        max(col("o_orderkey")).as("max_key"))
+    fromFlat.join(fromRt, Seq("status"))
+      .withColumn("leaf_paths", lit(pathsLit))
+      .orderBy(col("status"))
+  }
+
+  val q103Sql: String =
+    """SELECT o_orderstatus AS status,
+      |  count(*) AS n_flat,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price_flat,
+      |  count(*) AS n_rt,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS price_rt,
+      |  CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS first_date,
+      |  max(o_orderkey) AS max_key,
+      |  'o_orderkey|info.meta.date|info.meta.price|info.status' AS leaf_paths
+      |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin
 }
