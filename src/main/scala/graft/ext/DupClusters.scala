@@ -154,6 +154,17 @@ object DupClusters {
     * empty `next − e` ⇒ the two distinct sets are equal. Steady-state
     * rounds pay the cheap fingerprint alone. Throws on budget
     * exhaustion.
+    *
+    * One checkpointed round per check is the MEASURED optimum, not an
+    * oversight: batching two contraction rounds per checkpoint (to
+    * halve per-round job scheduling, the q91 chain's dominant cost)
+    * was tried and is ~3× SLOWER on the 50-hop-chain fixture (warm
+    * 3.3 s → 9.7 s at local[32]) — each star self-joins its input, so
+    * an unmaterialized inner round recomputes per reference, and a
+    * lazy persist boundary (InMemoryRelation) breaks the per-round
+    * exchange reuse that makes the checkpointed shape cheap (groupBy
+    * and join shuffle the IDENTICAL checkpointed frame — one reusable
+    * exchange). The per-round overhead is the honest O(log n) floor.
     */
   def componentsStar(edges: DataFrame, nodes: DataFrame,
                      maxIter: Int = 50): DataFrame = {
