@@ -110,4 +110,49 @@ class TreeScanSpec extends SparkSpec {
     plan should include("ReadSchema")
     plan should not include "content"
   }
+
+  test("scanDistributed inventories a 50k-file tree: parallel, metadata-only, bounded time") {
+    // The file-count regime the distributed path EXISTS for ([[TreeScan
+    // .scanDistributed]] scaladoc): 200 dirs × 250 files. The top-level
+    // dir count (200) exceeds spark.sql.sources
+    // .parallelPartitionDiscovery.threshold (default 32), so the
+    // InMemoryFileIndex lists via a Spark job — the distributed-listing
+    // path, not the driver walk. Fixture is built once and reused
+    // across runs behind a hidden marker (hidden names are invisible
+    // to the FileIndex by the documented convention, so it never
+    // lands in the inventory).
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    val nDirs = 200
+    val perDir = 250
+    val root = java.nio.file.Paths.get("/tmp/graft_bigtree_50k")
+    val marker = root.resolve("_complete")
+    if (!Files.exists(marker)) {
+      (0 until nDirs).foreach { d =>
+        val dir = root.resolve(f"d$d%03d")
+        Files.createDirectories(dir)
+        (0 until perDir).foreach { f =>
+          Files.write(dir.resolve(f"f$f%03d.bin"), new Array[Byte](f % 3 + 1))
+        }
+      }
+      Files.write(marker, Array.empty[Byte])
+    }
+    val t0 = System.nanoTime()
+    val df = TreeScan.scanDistributed(spark, root.toString)
+    val agg = df.agg(count(lit(1)).as("n"), sum(col("size")).as("bytes"),
+      max(col("depth")).as("d")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    agg.getLong(0) shouldBe (nDirs * perDir).toLong
+    agg.getLong(1) shouldBe nDirs.toLong * (0 until perDir).map(_ % 3 + 1).sum
+    agg.getInt(2) shouldBe 1
+    // parallelism: 50k metadata rows must not collapse into one task
+    df.rdd.getNumPartitions should be > 1
+    // metadata-only: no file bytes in the scan schema
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "content"
+    // listing + aggregate wall bound — generous for this
+    // variance-prone host (typical: a few seconds), but it fails the
+    // regression that matters: a driver-side serial walk or a
+    // bytes-reading scan at this file count blows far past it
+    secs should be < 90.0
+  }
 }
