@@ -58,9 +58,12 @@ object ScaleTrend {
   }
 
   def main(args: Array[String]): Unit = {
+    // args: [lineitemReplication] [docsBigN] — defaults are the r08
+    // ~20-33× trend; `ScaleTrend 100 8000000` is the r09 ~80-100×
+    // point (60 M lineitem rows, 8 M docs)
     val rep = args.headOption.map(_.toInt).getOrElse(33) // 600 k × 33 ≈ 19.8 M
     val docsSmallN = 100000L
-    val docsBigN = 2000000L
+    val docsBigN = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -97,7 +100,8 @@ object ScaleTrend {
       synthDocs(spark, docsSmallN).repartition(8)
         .write.mode("overwrite").parquet(docsSmall)
     }
-    val docsBig = s"$out/docs_big"
+    val docsBig = if (docsBigN == 2000000L) s"$out/docs_big"
+                  else s"$out/docs_$docsBigN"
     ensure(docsBig) {
       synthDocs(spark, docsBigN).repartition(64)
         .write.mode("overwrite").parquet(docsBig)
