@@ -406,6 +406,9 @@ object PipelineQueries {
     * bounded-state deployment shape is append/update mode, where the
     * watermark actually closes windows and evicts them from the state
     * store; the sketch buffer itself is k-bounded in either mode.
+    * StreamSinkSpec's append-mode case PROVES that shape: closed
+    * windows emit once and batch-identically, and the state store
+    * shrinks to the open windows after the watermark passes.
     */
   def q99StreamKmv(spark: SparkSession, dir: String): DataFrame = {
     val k = 32

@@ -148,16 +148,8 @@ final class JdbcHistory(spark: SparkSession, url: String,
           attempts.exists { sql =>
             try { st.executeUpdate(sql); true }
             catch {
-              // only identifier-resolution failures mean "wrong quoting
-              // variant, try the next one": SQLState class 42 is
-              // syntax/access (Derby 42X05 missing table / 42X04 missing
-              // column, SQL-92 42S02/42S22, Postgres 42P01/42703). A
-              // transient failure on the CORRECT variant (lock timeout,
-              // deadlock — class 40) must surface as itself, not fall
-              // through to the refuse-to-append escalation below.
               case e: java.sql.SQLException
-                  if e.getSQLState != null && e.getSQLState.startsWith("42") =>
-                false
+                  if JdbcHistory.identifierResolutionFailure(e) => false
             }
           }
         } finally st.close()
@@ -181,4 +173,18 @@ final class JdbcHistory(spark: SparkSession, url: String,
     graft.sources.Jdbc.write(
       batch.withColumn("epoch", lit(epoch)).coalesce(1), url, table)
   }
+}
+
+object JdbcHistory {
+  /** Whether a DELETE-variant failure means "wrong identifier quoting,
+    * try the next variant" — ONLY SQLState class 42 (syntax or access
+    * rule violation: Derby 42X05 missing table / 42X04 missing column,
+    * SQL-92 42S02/42S22, Postgres 42P01/42703). Anything else — lock
+    * timeout (Derby 40XL1), deadlock (40001), connection failure
+    * (08xxx), null state — is a real error on a possibly-CORRECT
+    * variant and must surface as itself rather than fall through to
+    * the refuse-to-append escalation ([[JdbcHistory.writeEpoch]]).
+    */
+  private[sinks] def identifierResolutionFailure(e: java.sql.SQLException): Boolean =
+    e.getSQLState != null && e.getSQLState.startsWith("42")
 }

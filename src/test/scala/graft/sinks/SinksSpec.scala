@@ -46,6 +46,24 @@ class SinksSpec extends SparkSpec {
     plan should include("src1")
   }
 
+  test("writeEpoch DELETE probing only swallows identifier-resolution SQLStates") {
+    import java.sql.SQLException
+    def cls(state: String) =
+      JdbcHistory.identifierResolutionFailure(new SQLException("m", state))
+    // class 42 = wrong quoting variant → try the next one
+    cls("42X05") shouldBe true // Derby: table does not exist
+    cls("42X04") shouldBe true // Derby: column not in any table
+    cls("42S02") shouldBe true // SQL-92: base table not found
+    cls("42P01") shouldBe true // Postgres: undefined table
+    // anything else is a real error on a possibly-correct variant →
+    // must rethrow as itself, not escalate to refuse-to-append
+    cls("40XL1") shouldBe false // Derby: lock timeout
+    cls("40001") shouldBe false // serialization failure / deadlock
+    cls("08006") shouldBe false // connection failure
+    JdbcHistory.identifierResolutionFailure(
+      new SQLException("no state")) shouldBe false
+  }
+
   test("history enqueues, auto-flushes at batch size, reads back recent") {
     val path = tmp("history")
     val h = new History(spark, path, batchSize = 5)

@@ -70,6 +70,60 @@ class StreamSinkSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("append mode + watermark: closed windows emit once, state evicts (q99 deployment shape)") {
+    // The q99 gate replays in COMPLETE mode (memory-sink convenience),
+    // where the watermark is inert — its docstring points HERE for the
+    // bounded-state deployment shape: in APPEND mode the watermark
+    // closes windows, emits them exactly once, and EVICTS them from
+    // the state store. MemoryStream gives batch-precise control of
+    // event time: day-1 events first (open window → nothing emitted,
+    // state grows), then a day-3 event pushes the watermark past the
+    // day-1 window end (closed windows emit, state shrinks to the
+    // still-open group). The emitted rows must equal the one-shot
+    // batch computation over the same day-1 slice — the stream ≡ batch
+    // sketch-merge property, now shown on the eviction path too.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val ms = MemoryStream[(java.sql.Timestamp, String, Long)](spark)
+    val kmvU = udaf(graft.ext.Sketches.kmv[Long](4)(identity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h", graft.ext.Dedup.hexHash(col("user_id").cast("string"), "sk#"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(kmvU(col("h")), 4).as("est_users"))
+      .select(col("w.start").cast("date").cast("string").as("day"),
+        col("event_type"), col("n"), col("est_users"))
+    val name = s"appendwm_${System.nanoTime()}"
+    val q = aggOf(ms.toDF().toDF("ts", "event_type", "user_id"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // day-1: type a has 6 distinct users (> k=4 → estimator regime),
+    // type b has 3 (< k → exact regime) — both append-mode paths
+    val day1 = (1L to 6L).map(u => (t("2024-01-01 10:00:00"), "a", u)) ++
+      (1L to 3L).map(u => (t("2024-01-01 11:00:00"), "b", u))
+    ms.addData(day1: _*)
+    q.processAllAvailable()
+    spark.table(name).count() shouldBe 0L // windows open: append emits nothing
+    ms.addData((t("2024-01-03 10:00:00"), "a", 9L)) // watermark → past day-1 end
+    q.processAllAvailable()
+    val emitted = spark.table(name).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val expected = aggOf(day1.toDF("ts", "event_type", "user_id")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    emitted shouldBe expected // exactly the closed day-1 windows, batch-identical
+    // eviction: after the emitting batch, the store holds ONLY the
+    // still-open day-3 group — state is bounded by open windows, not
+    // by stream history
+    val lastState = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators.head
+    lastState.numRowsTotal shouldBe 1L
+    q.stop()
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("streaming dedup is provider-agnostic: RocksDB state matches on-heap") {
     import org.apache.spark.sql.streaming.Trigger
     def dedupCounts(name: String): Map[String, Long] = {
