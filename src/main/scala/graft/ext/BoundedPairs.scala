@@ -30,19 +30,40 @@ object BoundedPairs {
     * appears twice, suffixed `c_a` / `c_b`, with `idCol_a < idCol_b`.
     * Throws `IllegalArgumentException` when the slice holds more than
     * `maxRows` rows.
+    *
+    * The slice is SNAPSHOTTED (eager localCheckpoint) and the
+    * authoritative cap count runs on the snapshot: the guard's count,
+    * the `a` branch, and the `b` branch must all see the identical
+    * row set, which three independent re-executions of a
+    * nondeterministic plan (a `sample`, a non-deterministic filter)
+    * would not guarantee — the cap could pass on one row set while
+    * the join runs over another, silently defeating the guard. A
+    * cheap `limit(cap+1)` probe runs FIRST so a corpus-sized input
+    * throws before anything materializes; the snapshot is therefore
+    * cap-bounded (≤ `maxRows` verify-slice rows) and its blocks are
+    * released by the context cleaner once the returned frame is
+    * unreachable.
     */
   def allPairs(slice: DataFrame, idCol: String,
                maxRows: Long = DefaultMaxRows): DataFrame = {
     require(slice.columns.contains(idCol),
       s"BoundedPairs.allPairs: id column '$idCol' not in ${slice.columns.mkString(", ")}")
-    val n = slice.count()
-    require(n <= maxRows,
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"BoundedPairs.allPairs: maxRows out of range: $maxRows")
+    def overCap(n: Long): Nothing = throw new IllegalArgumentException(
       s"BoundedPairs.allPairs: slice has $n rows > cap $maxRows — the " +
         "all-pairs primitive is quadratic by construction and exists for " +
         "bounded verify slices only; for corpora use the LSH/SRP/IVF " +
         "scale paths (Dedup.lshNearDupPairs, Similarity.srpNearDupPairs/ivfKnn)")
-    val a = slice.select(slice.columns.map(c => col(c).as(s"${c}_a")).toSeq: _*)
-    val b = slice.select(slice.columns.map(c => col(c).as(s"${c}_b")).toSeq: _*)
+    // fail fast BEFORE materializing: a corpus-sized input must throw
+    // from a cheap early-out probe, not after snapshotting it
+    val probe = slice.limit(maxRows.toInt + 1).count()
+    if (probe > maxRows) overCap(probe)
+    val snap = slice.localCheckpoint(true)
+    val n = snap.count()
+    if (n > maxRows) overCap(n) // authoritative on the snapshot the join uses
+    val a = snap.select(snap.columns.map(c => col(c).as(s"${c}_a")).toSeq: _*)
+    val b = snap.select(snap.columns.map(c => col(c).as(s"${c}_b")).toSeq: _*)
     a.crossJoin(b).filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
   }
 }

@@ -176,15 +176,23 @@ final class JdbcHistory(spark: SparkSession, url: String,
 }
 
 object JdbcHistory {
-  /** Whether a DELETE-variant failure means "wrong identifier quoting,
-    * try the next variant" — ONLY SQLState class 42 (syntax or access
-    * rule violation: Derby 42X05 missing table / 42X04 missing column,
-    * SQL-92 42S02/42S22, Postgres 42P01/42703). Anything else — lock
-    * timeout (Derby 40XL1), deadlock (40001), connection failure
-    * (08xxx), null state — is a real error on a possibly-CORRECT
-    * variant and must surface as itself rather than fall through to
-    * the refuse-to-append escalation ([[JdbcHistory.writeEpoch]]).
+  /** Whether a DELETE-variant failure means "wrong identifier quoting
+    * (or no table yet), try the next variant" — SQLState class 42
+    * (syntax or access rule violation: Derby 42X05 missing table /
+    * 42X04 missing column, SQL-92 42S02/42S22, Postgres 42P01/42703),
+    * or a NULL/empty state: some drivers report missing objects with
+    * no SQLState at all (SQLite's JDBC driver does), and the
+    * table-existence metadata check after the probe loop is the
+    * authority for that indeterminate case — rethrowing here would
+    * break the benign first-write path on such drivers. A KNOWN
+    * non-42 state — lock timeout (Derby 40XL1), deadlock (40001),
+    * connection failure (08xxx) — is a real error on a
+    * possibly-CORRECT variant and surfaces as itself rather than
+    * falling through to the refuse-to-append escalation
+    * ([[JdbcHistory.writeEpoch]]).
     */
-  private[sinks] def identifierResolutionFailure(e: java.sql.SQLException): Boolean =
-    e.getSQLState != null && e.getSQLState.startsWith("42")
+  private[sinks] def identifierResolutionFailure(e: java.sql.SQLException): Boolean = {
+    val state = e.getSQLState
+    state == null || state.isEmpty || state.startsWith("42")
+  }
 }

@@ -107,14 +107,13 @@ class SimilaritySpec extends SparkSpec {
 
   test("SRP-LSH pairs are a subset of brute-force pairs, with recall") {
     val sub = emb.filter(col("vec_id") < 200)
-    val brute = {
-      val a = sub.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-      val b = sub.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
-      a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
-        .filter(col("cosine") >= 0.35)
-        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
+    // ground truth through the guarded all-pairs primitive — the same
+    // shape the gated q33/q97 verify slices use
+    val brute = BoundedPairs.allPairs(
+        sub.select(col("vec_id").as("id"), col("embedding").as("v")), "id")
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.srpNearDupPairs(sub, threshold = 0.35,
         numBands = 4, planesPerBand = 4, dims = 64)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -55,13 +55,18 @@ class SinksSpec extends SparkSpec {
     cls("42X04") shouldBe true // Derby: column not in any table
     cls("42S02") shouldBe true // SQL-92: base table not found
     cls("42P01") shouldBe true // Postgres: undefined table
-    // anything else is a real error on a possibly-correct variant →
-    // must rethrow as itself, not escalate to refuse-to-append
+    // a null/empty state is indeterminate (SQLite's driver reports
+    // missing tables with no SQLState) → keep probing; the
+    // table-existence metadata check after the loop is the authority
+    JdbcHistory.identifierResolutionFailure(
+      new SQLException("no such table")) shouldBe true
+    cls("") shouldBe true
+    // a KNOWN non-42 state is a real error on a possibly-correct
+    // variant → must rethrow as itself, not escalate to
+    // refuse-to-append
     cls("40XL1") shouldBe false // Derby: lock timeout
     cls("40001") shouldBe false // serialization failure / deadlock
     cls("08006") shouldBe false // connection failure
-    JdbcHistory.identifierResolutionFailure(
-      new SQLException("no state")) shouldBe false
   }
 
   test("history enqueues, auto-flushes at batch size, reads back recent") {
