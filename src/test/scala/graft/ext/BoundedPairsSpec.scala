@@ -33,4 +33,18 @@ class BoundedPairsSpec extends SparkSpec {
       BoundedPairs.allPairs(d, "doc_id")
     }
   }
+
+  test("joins a snapshot of the slice, not re-executions of its plan") {
+    // the determinism guarantee behind the cap: the counted row set
+    // and BOTH join branches must be the same materialized snapshot —
+    // a nondeterministic slice (sample, rand-filter) re-executed per
+    // branch could pass the cap on one row set and join another. Pin
+    // it structurally: the source plan must not appear in the pair
+    // join; both sides scan the checkpointed RDD.
+    val d = spark.range(10).select(col("id"), lit("p").as("p"))
+    val pairs = BoundedPairs.allPairs(d, "id")
+    val plan = pairs.queryExecution.optimizedPlan.toString
+    plan should not include "Range"
+    plan should include("LogicalRDD")
+  }
 }
