@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench capture keeps the LAST stdout bytes and parses the
+// final line as JSON. Two pieces of sbt framing defeated that through
+// r07–r09: the logger's "[info] " prefix on forked output, and the
+// "[success] Total time..." epilogue printed after the run. Route the
+// forked JVM's stdout straight through (no logger framing) and drop the
+// success epilogue, so Bench's trailing JSON line is the true last line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

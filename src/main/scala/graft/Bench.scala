@@ -32,13 +32,15 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // warmup: the first query in order, untimed (JVM + codegen spin-up)
+    // warmup: the first query in order, untimed (JVM + codegen spin-up).
+    // NonFatal only — an OOM or interrupt here must kill the run, not
+    // silently skew every timing that follows.
     ordered.headOption.foreach { case (_, fn) =>
-      try run(fn) catch { case _: Throwable => () }
+      try run(fn) catch { case scala.util.control.NonFatal(_) => () }
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
+      try run(fn) catch { case scala.util.control.NonFatal(_) => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // millisecond precision: full-precision doubles made the JSON line
@@ -58,8 +60,11 @@ object Bench {
     // parse). Fix at the source: after the full line, print a SHORT
     // total-only summary line LAST — whatever the window cuts, the tail
     // always ends with one complete parseable JSON object.
+    // "kind":"summary" discriminates this line from the full per-query
+    // line above (both carry "metric":"total") so a consumer scanning
+    // for total-metric lines can't double-count.
     val summary =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"metric":"total","kind":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir"}"""
     // stop FIRST so Spark's shutdown logging lands before the JSON
     spark.stop()
     println(json)

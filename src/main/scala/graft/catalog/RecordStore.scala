@@ -45,26 +45,35 @@ final class RecordStore {
     * non-ASCII \u-escaped) — renders identically to python's
     * `json.dumps(d, sort_keys=True, separators=(",", ":"))` for the
     * value types the reference exercises (strings, bools, ints,
-    * lists, nested dicts). Floats are best-effort: integral floats
-    * match (`1.0`), but exotic exponents may differ from CPython's
-    * repr — use strings for keys that must be byte-portable. An empty
-    * dict is FALSY in python (`if not keys`), so it serializes to
-    * "default" exactly like None.
+    * lists, nested dicts). Float key values are accepted only when
+    * INTEGRAL, finite, and below 1e15 (rendered `1.0`, matching
+    * CPython); anything else — fractional, NaN/Inf, or the
+    * scientific-notation range — THROWS `IllegalArgumentException`
+    * naming the key. A prefix is a byte-portable id: a float repr that
+    * merely probably matches CPython's would corrupt the store
+    * silently on the first divergence, so fail-fast beats best-effort
+    * here. Use strings or ints for such keys. An empty dict is FALSY
+    * in python (`if not keys`), so it serializes to "default" exactly
+    * like None.
     */
   private[catalog] def serializeKeys(keys: Option[Map[String, Any]]): String =
     keys match {
       case None                  => "default"
       case Some(m) if m.isEmpty  => "default"
-      case Some(m)               => jsonValue(m)
+      case Some(m)               => jsonValue(m, "<keys>")
     }
 
-  private def jsonValue(v: Any): String = v match {
+  // `where` tracks the key path (e.g. "<keys>.version") so a rejected
+  // float names the exact offending key, not just the dict
+  private def jsonValue(v: Any, where: String): String = v match {
     case null            => "null"
     case m: Map[_, _] =>
       m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
-        .map { case (k, x) => s"${jsonString(k)}:${jsonValue(x)}" }
+        .map { case (k, x) => s"${jsonString(k)}:${jsonValue(x, s"$where.$k")}" }
         .mkString("{", ",", "}")
-    case s: Seq[_]       => s.map(jsonValue).mkString("[", ",", "]")
+    case s: Seq[_]       => s.zipWithIndex
+        .map { case (x, i) => jsonValue(x, s"$where[$i]") }
+        .mkString("[", ",", "]")
     case s: String       => jsonString(s)
     case b: Boolean      => if (b) "true" else "false"
     case i: Int          => i.toString
@@ -73,9 +82,15 @@ final class RecordStore {
     case b: Byte         => b.toString
     case bd: BigDecimal  => bd.toString
     case bi: BigInt      => bi.toString
-    case f: Float        => jsonValue(f.toDouble)
-    case d: Double       => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
-                              s"${d.toLong}.0" else d.toString
+    case f: Float        => jsonValue(f.toDouble, where)
+    case d: Double       =>
+      if (d == d.floor && !d.isInfinite && !d.isNaN && math.abs(d) < 1e15)
+        s"${d.toLong}.0"
+      else throw new IllegalArgumentException(
+        s"RecordStore: key $where = $d is a non-integral (or non-finite / " +
+          ">=1e15) float — JVM and CPython float reprs diverge there, so the " +
+          "serialized prefix would not be byte-portable; use a string or " +
+          "integer key value instead")
     case other           => jsonString(other.toString)
   }
 

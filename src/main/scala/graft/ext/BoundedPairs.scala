@@ -39,10 +39,16 @@ object BoundedPairs {
     * would not guarantee — the cap could pass on one row set while
     * the join runs over another, silently defeating the guard. A
     * cheap `limit(cap+1)` probe runs FIRST so a corpus-sized input
-    * throws before anything materializes; the snapshot is therefore
-    * cap-bounded (≤ `maxRows` verify-slice rows) and its blocks are
-    * released by the context cleaner once the returned frame is
-    * unreachable.
+    * normally throws before anything materializes — best-effort for
+    * NONdeterministic plans (a `sample`/`rand` filter can re-execute
+    * smaller under the probe than under the snapshot, in which case
+    * the oversized row set does materialize once before the
+    * authoritative snapshot count throws; the CAP still holds
+    * either way, only the no-materialization fast-fail is
+    * deterministic-input-only). The snapshot the join sees is
+    * therefore always cap-bounded (≤ `maxRows` verify-slice rows)
+    * and its blocks are released by the context cleaner once the
+    * returned frame is unreachable.
     */
   def allPairs(slice: DataFrame, idCol: String,
                maxRows: Long = DefaultMaxRows): DataFrame = {

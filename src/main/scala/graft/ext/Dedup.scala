@@ -99,13 +99,15 @@ object Dedup {
     * with more than `maxBucketSize` members are dropped from candidate
     * generation (and the drop is logged); members can still pair in
     * their other, more selective bands, which is exactly the LSH
-    * recall story. Default = no cap (zero extra work, bit-identical
-    * output).
+    * recall story. The default is FINITE ([[LshSkew.DefaultMaxBucketSize]],
+    * 100 k) — the measured 2 M-doc uncapped run filled the disk, so
+    * uncapped is an explicit opt-in via [[LshSkew.NoCap]], not a
+    * default a caller can stumble into.
     */
   def lshNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleWidth: Int = 1, numHashes: Int = 24,
                       numBands: Int = 3, threshold: Double = 0.9,
-                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): DataFrame = {
     val (pairs, caches) = lshNearDupPairsLazy(df, textCol, idCol,
       shingleWidth, numHashes, numBands, threshold, maxBucketSize)
     // Materialize eagerly so the intermediate caches can be released
@@ -127,7 +129,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int, numHashes: Int,
       numBands: Int, threshold: Double,
-      maxBucketSize: Int = Int.MaxValue): (DataFrame, Seq[DataFrame]) = {
+      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, Seq[DataFrame]) = {
     val rowsPerBand = numHashes / numBands
     // persist: both the verify joins (base) and both sides of the
     // bucket self-join (banded) reference these frames — without a

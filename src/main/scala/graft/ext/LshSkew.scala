@@ -26,6 +26,23 @@ import org.apache.spark.sql.functions._
 object LshSkew {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Default bucket cap for both LSH candidate generators. Finite BY
+    * DEFAULT: the 2 M-doc uncapped run filled the disk (BASELINE.md
+    * trend table) — a 100 k-row bucket is already 10^10 candidate
+    * pairs from one key, far past anything a sane corpus produces
+    * outside degenerate-content clusters, and well above any verify
+    * fixture (so fixture outputs are bit-identical; the census
+    * aggregate is the only added work). Callers that truly want the
+    * uncapped quadratic behavior opt in with [[NoCap]].
+    */
+  val DefaultMaxBucketSize: Int = 100000
+
+  /** Explicit opt-out of the bucket cap ([[capBuckets]] short-circuits
+    * on it — zero extra work, bit-identical plans). An opt-IN to
+    * potentially quadratic bucket self-joins: fixture/verify use only.
+    */
+  val NoCap: Int = Int.MaxValue
+
   /** Above this many oversized-bucket keys the anti-join falls back
     * from broadcast to a regular shuffle join: the key list's size is
     * rows/maxBucketSize, so an aggressive (small) cap on a large
@@ -39,9 +56,9 @@ object LshSkew {
   /** Rows of `banded` whose (keyCols) bucket has ≤ `maxBucketSize`
     * members, plus the cached guard frame the CALLER must unpersist
     * after its action (empty when the cap is off) — same discipline
-    * as the lazy pair generators' own intermediates. `Int.MaxValue`
-    * (the default everywhere) short-circuits to `banded` itself —
-    * zero extra work, bit-identical plans.
+    * as the lazy pair generators' own intermediates. [[NoCap]]
+    * (`Int.MaxValue`, the explicit opt-out) short-circuits to `banded`
+    * itself — zero extra work, bit-identical plans.
     *
     * The oversized-bucket list is bounded by rows/maxBucketSize keys,
     * so it is persist+count materialized (persist, NOT

@@ -206,12 +206,17 @@ object Similarity {
     * candidates. Recall is the standard SRP curve
     * (1 - (1 - (1 - θ/π)^planesPerBand)^numBands); more bands buy
     * recall linearly in candidate cost, never quadratically in corpus.
+    *
+    * `maxBucketSize` defaults FINITE ([[LshSkew.DefaultMaxBucketSize]])
+    * for the same reason as [[Dedup.lshNearDupPairs]]: one degenerate
+    * bucket (the all-zeros embedding) makes the self-join quadratic.
+    * Uncapped is an explicit opt-in via [[LshSkew.NoCap]].
     */
   def srpNearDupPairs(df: DataFrame, threshold: Double,
                       numBands: Int, planesPerBand: Int, dims: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): DataFrame = {
     val (pairs, caches) = srpNearDupPairsLazy(df, threshold, numBands,
       planesPerBand, dims, idCol, vecCol, maxBucketSize)
     // materialize then release the bucketed cache (the Dedup.lshNearDupPairs
@@ -230,7 +235,7 @@ object Similarity {
       df: DataFrame, threshold: Double,
       numBands: Int, planesPerBand: Int, dims: Int,
       idCol: String, vecCol: String,
-      maxBucketSize: Int = Int.MaxValue): (DataFrame, Seq[DataFrame]) = {
+      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, Seq[DataFrame]) = {
     // persist: the banded explode plus BOTH verify joins re-reference
     // this frame — without a cache the scan and the full
     // numBands×planesPerBand dot-product battery run three times

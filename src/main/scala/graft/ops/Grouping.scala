@@ -24,16 +24,39 @@ object Grouping {
     if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Default cap on [[split]]'s group count: 10 000 (key, view) pairs
+    * is already past where iterating per-group views makes sense —
+    * above it the right tools are [[aggSplit]] (stay lazy) or
+    * [[splitToDir]] (one partitioned write, partition-pruned reads).
+    */
+  val DefaultMaxGroups: Int = 10000
+
   /** A1 (materialized form) — the literal (key, frame) split, for
-    * dimension-sized key sets only: collects the DISTINCT KEYS (not the
-    * data) and returns lazily-filtered views. Each view's filter prunes
-    * at the scan, so iterating the splits never loads foreign groups.
+    * dimension-sized key sets only — and that contract is EXECUTABLE
+    * (the [[graft.ext.BoundedPairs]] house pattern), not a docstring:
+    * the distinct-key collect runs under `limit(maxGroups + 1)`, so a
+    * high-cardinality key column throws `IllegalArgumentException`
+    * after moving at most cap+1 key rows to the driver, never the full
+    * key set. Collects the DISTINCT KEYS (not the data) and returns
+    * lazily-filtered views. Each view's filter prunes at the scan, so
+    * iterating the splits never loads foreign groups.
     */
   def split(df: DataFrame, keys: Seq[String],
-            dropKeyCols: Boolean = true): Seq[(Map[String, Any], DataFrame)] = {
+            dropKeyCols: Boolean = true,
+            maxGroups: Int = DefaultMaxGroups): Seq[(Map[String, Any], DataFrame)] = {
     require(keys.nonEmpty, "split needs at least one key column")
+    require(maxGroups > 0 && maxGroups < Int.MaxValue,
+      s"split: maxGroups out of range: $maxGroups")
+    // limit BEFORE collect: the cap check and the driver transfer are
+    // one bounded job — at most cap+1 rows ever leave the executors,
+    // so the guard itself cannot OOM the driver it protects
     val keyRows: Array[Row] =
-      df.select(keys.map(col): _*).distinct().collect()
+      df.select(keys.map(col): _*).distinct().limit(maxGroups + 1).collect()
+    if (keyRows.length > maxGroups) throw new IllegalArgumentException(
+      s"Grouping.split: more than $maxGroups distinct key groups on " +
+        s"(${keys.mkString(", ")}) — per-group driver views are for " +
+        "dimension-sized key sets only; for high-cardinality keys use " +
+        "aggSplit (lazy aggregation) or splitToDir (partitioned write)")
     val rest = df.columns.filterNot(keys.contains).toSeq
     keyRows.toSeq.map { r =>
       val keyMap = keys.zipWithIndex.map { case (k, i) => k -> r.get(i) }.toMap

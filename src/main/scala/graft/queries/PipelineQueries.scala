@@ -340,6 +340,41 @@ object PipelineQueries {
       |FROM events GROUP BY hour, event_type
       |ORDER BY hour, event_type""".stripMargin
 
+  /** §2.10 — the APPEND-mode deployment shape of q39, oracle-gated:
+    * same watermarked hourly aggregation, but the memory sink receives
+    * only the windows the watermark CLOSED (each emitted exactly once,
+    * its state evicted — the bounded-state contract an unbounded
+    * stream needs; q39's complete-mode replay re-emits everything and
+    * keeps all state). The oracle replays the closed-window selection
+    * relationally: a window [h, h+1h) is emitted iff
+    * `h + 1h <= max(event time) − 1h` with the max floored to the
+    * MILLISECOND — Spark's event-time stats track max event time in
+    * ms (`EventTimeWatermarkExec` divides micros by 1000), so the
+    * oracle floors the same way; the ≤ boundary (window end equal to
+    * the watermark ⇒ emitted) is pinned executably in StreamSinkSpec.
+    */
+  def q104AppendWindow(spark: SparkSession, dir: String): DataFrame = {
+    val agg = EventStream.hourlyByType(EventStream.readEvents(spark, dir))
+    EventStream.runAppendToCompletion(spark, agg,
+        s"q104_mem_${System.nanoTime()}")
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val q104Sql: String =
+    """WITH agg AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type,
+      |    count(*) AS n,
+      |    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_v
+      |  FROM events GROUP BY hour, event_type),
+      |wm AS (
+      |  -- Spark's watermark: max event time in ms (micros floored), minus
+      |  -- the 1 h delay; rebuilt here at micros precision for comparison
+      |  SELECT make_timestamp(((epoch_ns(max(ts)) // 1000000) - 3600000) * 1000) AS w
+      |  FROM events)
+      |SELECT hour, event_type, n, total_v FROM agg, wm
+      |WHERE hour + INTERVAL 1 HOUR <= w
+      |ORDER BY hour, event_type""".stripMargin
+
   /** §2.11 streaming state — flatMapGroupsWithState sessionization run
     * as a REAL stream to completion, oracle-gated: per-user state
     * carries the open session across micro-batches and emits sessions
@@ -753,16 +788,20 @@ object PipelineQueries {
       |  SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc
       |  FROM documents GROUP BY lang),
       |pre AS (
+      |  -- LEFT JOIN + COALESCE: the store returns every selector-matched
+      |  -- RECORD (its key dict exists regardless of frame contents), and
+      |  -- the Scala side aggregates an empty frame to v=0/sum_chars=0 —
+      |  -- an inner join would drop a lang absent from documents entirely
       |  SELECT sid, sel.lang,
       |    '{"lang":"' || sel.lang || '","level0":"web","tier":"' ||
       |      CASE WHEN sel.lang = 'en' THEN 'big' ELSE 'small' END || '"}' AS prefix,
-      |    per.n, per.sc
-      |  FROM sel JOIN per ON per.lang = sel.lang),
+      |    COALESCE(per.n, 0) AS n, COALESCE(per.sc, 0) AS sc
+      |  FROM sel LEFT JOIN per ON per.lang = sel.lang),
       |evens AS (
-      |  SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc
+      |  SELECT count(*) AS n, COALESCE(CAST(sum(n_chars) AS BIGINT), 0) AS sc
       |  FROM documents WHERE lang = 'en' AND doc_id % 2 = 0),
       |aux AS (
-      |  SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sc
+      |  SELECT count(*) AS n, COALESCE(CAST(sum(n_chars) AS BIGINT), 0) AS sc
       |  FROM documents WHERE doc_id < 50),
       |rows_all AS (
       |  SELECT sid || ':' || prefix || '_data_0' AS entry_key,

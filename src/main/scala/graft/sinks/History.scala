@@ -145,13 +145,27 @@ final class JdbcHistory(spark: SparkSession, url: String,
             t <- Seq(s""""$table"""", table)
             c <- Seq("\"epoch\"", "epoch")
           } yield s"DELETE FROM $t WHERE $c = $epoch"
-          attempts.exists { sql =>
+          // A non-42 failure (lock timeout, deadlock) on one variant
+          // must not abort the probe before a later CORRECT variant is
+          // tried — a transient error on a wrong-quoting attempt would
+          // otherwise mask a working one. Collect real failures and
+          // rethrow only if NO variant succeeds (first as primary, the
+          // rest suppressed); any success discards them.
+          val realFailures = mutable.ListBuffer.empty[java.sql.SQLException]
+          val ok = attempts.exists { sql =>
             try { st.executeUpdate(sql); true }
             catch {
-              case e: java.sql.SQLException
-                  if JdbcHistory.identifierResolutionFailure(e) => false
+              case e: java.sql.SQLException =>
+                if (!JdbcHistory.identifierResolutionFailure(e)) realFailures += e
+                false
             }
           }
+          if (!ok && realFailures.nonEmpty) {
+            val primary = realFailures.head
+            realFailures.tail.foreach(primary.addSuppressed)
+            throw primary
+          }
+          ok
         } finally st.close()
       if (!deleted) {
         // all variants failed: benign iff the table simply doesn't
@@ -186,10 +200,12 @@ object JdbcHistory {
     * authority for that indeterminate case — rethrowing here would
     * break the benign first-write path on such drivers. A KNOWN
     * non-42 state — lock timeout (Derby 40XL1), deadlock (40001),
-    * connection failure (08xxx) — is a real error on a
-    * possibly-CORRECT variant and surfaces as itself rather than
-    * falling through to the refuse-to-append escalation
-    * ([[JdbcHistory.writeEpoch]]).
+    * connection failure (08xxx) — is a real error, but it is recorded
+    * rather than thrown mid-probe: it may have hit a WRONG-quoting
+    * variant while a later variant would succeed (and a success
+    * discards the recorded failures). Only when no variant succeeds
+    * do the real failures surface, first as primary with the rest
+    * suppressed ([[JdbcHistory.writeEpoch]]).
     */
   private[sinks] def identifierResolutionFailure(e: java.sql.SQLException): Boolean = {
     val state = e.getSQLState

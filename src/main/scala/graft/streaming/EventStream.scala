@@ -68,6 +68,31 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Run a streaming aggregation over the current backlog in APPEND
+    * mode and return the emitted rows — the DEPLOYMENT shape of
+    * [[runToCompletion]]: the watermark closes windows, emits each
+    * exactly once, and EVICTS its state (complete mode re-emits
+    * everything every trigger and keeps all state forever — fine for
+    * a replay gate, the state-store killer on an unbounded stream).
+    * `availableNow` runs the extra no-new-data batch a stateful plan
+    * requests after the final watermark advance, so every window
+    * whose end ≤ final watermark (max event time − delay, floored to
+    * the millisecond — pinned in StreamSinkSpec) is emitted; windows
+    * still inside the horizon stay in state, unemitted — exactly the
+    * rows a resumed incremental run would deliver next.
+    */
+  def runAppendToCompletion(spark: SparkSession, agg: DataFrame,
+                            name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streaming exactly-once dedup — the streaming face of the dedup
     * family (✚): `dropDuplicatesWithinWatermark` keys state by the id
     * and EVICTS entries once the watermark passes them, so state is

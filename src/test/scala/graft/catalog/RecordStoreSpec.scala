@@ -135,4 +135,29 @@ class RecordStoreSpec extends SparkSpec {
     dm.map(_._1) shouldBe Seq("""{"k":"v"}#data#0""")
     mm.map(_._1) shouldBe Seq("""{"k":"v"}#metadata#m""")
   }
+
+  test("integral float key values render like CPython; non-integral ones fail fast, naming the key") {
+    val rs = new RecordStore
+    // integral double/float: accepted, `1.0` exactly as json.dumps writes it
+    rs.writeTable("d", Nil, Some(Map("v" -> 1.0)), frame(1))
+    rs.getTables("d", None)._1.map(_._1) shouldBe Seq("""{"v":1.0}_data_0""")
+    // a prefix is a byte-portable id: anything whose JVM repr could
+    // diverge from CPython's is rejected at write time, not rendered
+    // best-effort — and the error names the exact offending key
+    val fractional = intercept[IllegalArgumentException] {
+      rs.writeTable("d", Nil, Some(Map("version" -> 1.5)), frame(2))
+    }
+    fractional.getMessage should include("version")
+    val nested = intercept[IllegalArgumentException] {
+      rs.writeTable("d", Nil,
+        Some(Map("cfg" -> Map("scale" -> 2.5e20))), frame(3))
+    }
+    nested.getMessage should include("cfg.scale")
+    val nan = intercept[IllegalArgumentException] {
+      rs.writeTable("d", Nil, Some(Map("x" -> Double.NaN)), frame(4))
+    }
+    nan.getMessage should include("x")
+    // the rejected writes must not have landed as records
+    rs.getTables("d", None)._1.map(_._1) shouldBe Seq("""{"v":1.0}_data_0""")
+  }
 }

@@ -4,8 +4,11 @@ import graft.SparkSpec
 
 /** Bucket-size skew guard (the 100 TB LSH scale-killer defense):
   * adversarial all-identical-docs fixtures must produce BOUNDED
-  * candidate counts under a cap, and the default (no cap) must stay
-  * bit-identical to the pre-guard behavior.
+  * candidate counts under a cap. The DEFAULT cap is finite
+  * ([[LshSkew.DefaultMaxBucketSize]], 100 k — the measured 2 M-doc
+  * uncapped run filled the disk) and must genuinely drop a bucket
+  * past it; fixture-scale buckets sit far below it, so default runs
+  * stay bit-identical to the explicit [[LshSkew.NoCap]] opt-out.
   */
 class LshSkewSpec extends SparkSpec {
   import spark.implicits._
@@ -21,9 +24,33 @@ class LshSkewSpec extends SparkSpec {
     (boiler ++ pairA).toDF("doc_id", "text")
   }
 
-  test("uncapped: identical-doc cluster goes quadratic (C(200,2) pairs)") {
+  test("below the default cap: identical-doc cluster goes quadratic (C(200,2) pairs)") {
+    // 200 ≪ DefaultMaxBucketSize, so the default-capped run keeps the
+    // degenerate cluster's full pair set — the cap only bites past 100 k
     val pairs = Dedup.lshNearDupPairs(adversarialDocs, "text", "doc_id")
     pairs.filter($"id_a" < 900).count() shouldBe 200L * 199 / 2
+  }
+
+  test("default cap is FINITE; NoCap is the explicit opt-out and is bit-identical here") {
+    LshSkew.DefaultMaxBucketSize should be < Int.MaxValue
+    LshSkew.NoCap shouldBe Int.MaxValue
+    val default = Dedup.lshNearDupPairs(adversarialDocs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val uncapped = Dedup.lshNearDupPairs(adversarialDocs, "text", "doc_id",
+      maxBucketSize = LshSkew.NoCap)
+    uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe default
+  }
+
+  test("the finite default genuinely drops a degenerate 100k+ bucket") {
+    import org.apache.spark.sql.functions.lit
+    // capBuckets directly: a single (band, hash) key holding cap+1 rows
+    // must vanish from candidate generation under the DEFAULT cap
+    val banded = spark.range(LshSkew.DefaultMaxBucketSize + 1L)
+      .select($"id", lit(0).as("band_idx"), lit("h").as("band_hash"))
+    val (capped, caches) = LshSkew.capBuckets(banded,
+      Seq("band_idx", "band_hash"), LshSkew.DefaultMaxBucketSize, "spec")
+    try capped.count() shouldBe 0L
+    finally caches.foreach(_.unpersist())
   }
 
   test("capped: oversized buckets dropped, candidate count bounded, small buckets survive") {

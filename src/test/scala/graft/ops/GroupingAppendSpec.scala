@@ -37,6 +37,20 @@ class GroupingAppendSpec extends SparkSpec {
     byKey("a").count() shouldBe 2
   }
 
+  test("split throws past maxGroups — the dimension-sized contract is executable") {
+    // the BoundedPairs house pattern: a high-cardinality key column
+    // must throw after a bounded (limit cap+1) driver transfer, never
+    // collect the full key set into N views
+    val wide = spark.range(100).select($"id".as("g"), lit(1.0).as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Grouping.split(wide, Seq("g"), maxGroups = 50)
+    }
+    e.getMessage should include("aggSplit")
+    e.getMessage should include("splitToDir")
+    // at exactly the cap it still works
+    Grouping.split(wide, Seq("g"), maxGroups = 100).size shouldBe 100
+  }
+
   test("splitToDir partitions one write per key and reads back one group pruned") {
     val dir = java.nio.file.Files.createTempDirectory("splitdir").toString
     val idx = Grouping.splitToDir(df.filter($"g".isNotNull), Seq("g", "sub"),

@@ -117,24 +117,40 @@ class TreeScanSpec extends SparkSpec {
     // dir count (200) exceeds spark.sql.sources
     // .parallelPartitionDiscovery.threshold (default 32), so the
     // InMemoryFileIndex lists via a Spark job — the distributed-listing
-    // path, not the driver walk. Fixture is built once and reused
-    // across runs behind a hidden marker (hidden names are invisible
-    // to the FileIndex by the documented convention, so it never
-    // lands in the inventory).
+    // path, not the driver walk. Fixture is a persistent cache (building
+    // 50k files dominates the suite otherwise), made concurrency-safe by
+    // construction: each JVM builds into its OWN temp dir and atomically
+    // renames it into the shared path, so the path EXISTING implies the
+    // tree is complete — no marker to race on, and a loser of the rename
+    // race just deletes its duplicate build. The shape is encoded in the
+    // path, so changing the fixture definition gets a fresh cache.
     import org.apache.spark.sql.functions.{col, count, lit, max, sum}
     val nDirs = 200
     val perDir = 250
-    val root = java.nio.file.Paths.get("/tmp/graft_bigtree_50k")
-    val marker = root.resolve("_complete")
-    if (!Files.exists(marker)) {
+    val root = java.nio.file.Paths.get(s"/tmp/graft_bigtree_${nDirs}x$perDir")
+    if (!Files.exists(root)) {
+      val build = Files.createTempDirectory(
+        java.nio.file.Paths.get("/tmp"), "graft_bigtree_build_")
       (0 until nDirs).foreach { d =>
-        val dir = root.resolve(f"d$d%03d")
+        val dir = build.resolve(f"d$d%03d")
         Files.createDirectories(dir)
         (0 until perDir).foreach { f =>
           Files.write(dir.resolve(f"f$f%03d.bin"), new Array[Byte](f % 3 + 1))
         }
       }
-      Files.write(marker, Array.empty[Byte])
+      try Files.move(build, root, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // another JVM's complete tree won the rename race (the exact
+        // subtype varies with the errno mapping — EEXIST/ENOTEMPTY):
+        // use theirs and drop ours. Same-filesystem rename is atomic,
+        // so root existing can only mean a fully-built tree; if root
+        // is NOT there the move failed for a real reason — rethrow.
+        case e: java.nio.file.FileSystemException =>
+          if (!Files.exists(root)) throw e
+          import scala.jdk.CollectionConverters._
+          Files.walk(build).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+      }
     }
     val t0 = System.nanoTime()
     val df = TreeScan.scanDistributed(spark, root.toString)

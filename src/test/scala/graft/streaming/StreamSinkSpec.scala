@@ -124,6 +124,44 @@ class StreamSinkSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
+  test("append-mode watermark boundary: window end EQUAL to the watermark emits (q104 oracle contract)") {
+    // Pins the two facts q104's oracle encodes: (a) the emission
+    // predicate is `window.end <= watermark` — a window whose end lands
+    // EXACTLY on the watermark is emitted, not held; (b) the watermark
+    // is max event time floored to the MILLISECOND minus the delay —
+    // a max event 0.4 ms past the closing threshold does NOT close the
+    // window (its sub-ms part is floored away), one full ms past does.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def emittedWindows(maxEvent: String): Seq[String] = {
+      val ms = MemoryStream[(java.sql.Timestamp, Long)](spark)
+      val name = s"wmb_${System.nanoTime()}"
+      val q = ms.toDF().toDF("ts", "v")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("string").as("h"), col("n"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        ms.addData((java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 1L))
+        q.processAllAvailable()
+        ms.addData((java.sql.Timestamp.valueOf(maxEvent), 2L))
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getString(0)).toSeq.sorted
+      } finally {
+        q.stop()
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+      }
+    }
+    // watermark = 12:00:00.000 - 1h = 11:00:00.000 = [10,11) window end → emits
+    emittedWindows("2024-01-01 12:00:00") shouldBe Seq("2024-01-01 10:00:00")
+    // 11:59:59.999 → watermark 10:59:59.999 < window end → held in state
+    emittedWindows("2024-01-01 11:59:59.999") shouldBe Seq.empty
+    // sub-ms part is floored away before the delay is subtracted, so
+    // 11:59:59.9994 behaves exactly like 11:59:59.999 → still held
+    emittedWindows("2024-01-01 11:59:59.9994") shouldBe Seq.empty
+  }
+
   test("streaming dedup is provider-agnostic: RocksDB state matches on-heap") {
     import org.apache.spark.sql.streaming.Trigger
     def dedupCounts(name: String): Map[String, Long] = {
