@@ -19,6 +19,10 @@ run / fork := true
 // success epilogue, so Bench's trailing JSON line is the true last line.
 outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not the task graph, so
+// the unused-key linter false-positives on it; the [warn] block it
+// prints is itself stdout noise in the capture — exclude it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
