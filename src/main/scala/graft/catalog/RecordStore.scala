@@ -47,7 +47,8 @@ final class RecordStore {
     * value types the reference exercises (strings, bools, ints,
     * lists, nested dicts). Float key values are accepted only when
     * INTEGRAL, finite, and below 1e15 (rendered `1.0`, matching
-    * CPython); anything else — fractional, NaN/Inf, or the
+    * CPython; negative zero keeps its sign — `-0.0` — exactly as
+    * json.dumps writes it); anything else — fractional, NaN/Inf, or the
     * scientific-notation range — THROWS `IllegalArgumentException`
     * naming the key. A prefix is a byte-portable id: a float repr that
     * merely probably matches CPython's would corrupt the store
@@ -84,7 +85,11 @@ final class RecordStore {
     case bi: BigInt      => bi.toString
     case f: Float        => jsonValue(f.toDouble, where)
     case d: Double       =>
-      if (d == d.floor && !d.isInfinite && !d.isNaN && math.abs(d) < 1e15)
+      // negative zero passes the integral gate (−0.0 == floor(−0.0))
+      // but d.toLong drops the sign; CPython's json.dumps keeps it
+      if (d == 0.0 && java.lang.Double.doubleToRawLongBits(d) != 0L)
+        "-0.0"
+      else if (d == d.floor && !d.isInfinite && !d.isNaN && math.abs(d) < 1e15)
         s"${d.toLong}.0"
       else throw new IllegalArgumentException(
         s"RecordStore: key $where = $d is a non-integral (or non-finite / " +

@@ -165,6 +165,18 @@ final class JdbcHistory(spark: SparkSession, url: String,
             realFailures.tail.foreach(primary.addSuppressed)
             throw primary
           }
+          // success after a recorded real failure is ambiguous: if two
+          // physical tables differ only by case/quoting, the succeeding
+          // variant may have cleared the WRONG one while the intended
+          // DELETE hit e.g. a lock timeout — surface it loudly (the
+          // schema mismatch on append would be the next symptom)
+          if (ok && realFailures.nonEmpty)
+            JdbcHistory.log.warn(
+              s"writeEpoch($epoch): a DELETE quoting variant succeeded " +
+                s"after ${realFailures.size} real (non-syntax) failure(s) " +
+                s"on other variants (first: ${realFailures.head.getMessage}); " +
+                "if multiple physical tables differ only by case, verify " +
+                s"'$table' was the one cleared")
           ok
         } finally st.close()
       if (!deleted) {
@@ -190,6 +202,8 @@ final class JdbcHistory(spark: SparkSession, url: String,
 }
 
 object JdbcHistory {
+  private[sinks] val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Whether a DELETE-variant failure means "wrong identifier quoting
     * (or no table yet), try the next variant" — SQLState class 42
     * (syntax or access rule violation: Derby 42X05 missing table /

@@ -57,11 +57,17 @@ object EventStream {
     * mode — append would withhold windows still inside the watermark).
     */
   def runToCompletion(spark: SparkSession, agg: DataFrame,
-                      name: String): DataFrame = {
+                      name: String): DataFrame =
+    runBacklog(spark, agg, name, "complete")
+
+  // shared memory-sink/AvailableNow runner behind both completion
+  // faces — one place for the boilerplate the two modes have in common
+  private def runBacklog(spark: SparkSession, agg: DataFrame,
+                         name: String, mode: String): DataFrame = {
     val q = agg.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -82,16 +88,8 @@ object EventStream {
     * rows a resumed incremental run would deliver next.
     */
   def runAppendToCompletion(spark: SparkSession, agg: DataFrame,
-                            name: String): DataFrame = {
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+                            name: String): DataFrame =
+    runBacklog(spark, agg, name, "append")
 
   /** Streaming exactly-once dedup — the streaming face of the dedup
     * family (✚): `dropDuplicatesWithinWatermark` keys state by the id

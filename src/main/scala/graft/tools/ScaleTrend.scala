@@ -50,6 +50,20 @@ object ScaleTrend {
         i => concat(lit("w"),
           pmod(xxhash64(col("id") * 20 + i), lit(50000L))))).as("text"))
 
+  /** Build-once big-docs fixture SHARED by the scale tools (this and
+    * SpillProbe): one path scheme, one generator, one cache — so a
+    * probe can never silently reuse a corpus a different generator
+    * version wrote. Returns the parquet path.
+    */
+  private[tools] def docsFixture(spark: SparkSession, n: Long,
+                                 out: String): String = {
+    val path = if (n == 2000000L) s"$out/docs_big" else s"$out/docs_$n"
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      synthDocs(spark, n).repartition(64)
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** Path graph 0–(n−1): the maximum-diameter CC input. */
   private def chain(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
     val nodes = spark.range(n).select(col("id"))
@@ -100,12 +114,7 @@ object ScaleTrend {
       synthDocs(spark, docsSmallN).repartition(8)
         .write.mode("overwrite").parquet(docsSmall)
     }
-    val docsBig = if (docsBigN == 2000000L) s"$out/docs_big"
-                  else s"$out/docs_$docsBigN"
-    ensure(docsBig) {
-      synthDocs(spark, docsBigN).repartition(64)
-        .write.mode("overwrite").parquet(docsBig)
-    }
+    val docsBig = docsFixture(spark, docsBigN, out)
 
     // ---- shapes -----------------------------------------------------
     def q1Shape(path: String): Long =

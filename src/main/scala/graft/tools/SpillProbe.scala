@@ -50,17 +50,10 @@ object SpillProbe {
       }
     })
 
-    // same deterministic corpus + layout as ScaleTrend's docs fixture
-    val docsPath = if (docsN == 2000000L) s"$out/docs_big" else s"$out/docs_$docsN"
-    if (!new java.io.File(docsPath + "/_SUCCESS").exists()) {
-      spark.range(docsN).select(col("id").as("doc_id"),
-          concat_ws(" ", transform(sequence(lit(1), lit(20)),
-            i => concat(lit("w"),
-              pmod(xxhash64(col("id") * 20 + i), lit(50000L))))).as("text"))
-        .repartition(64)
-        .write.mode("overwrite").parquet(docsPath)
-    }
-    val docs = spark.read.parquet(docsPath)
+    // ScaleTrend owns the corpus generator AND the cache-path scheme —
+    // sharing both means this probe can never measure a fixture that a
+    // different generator version wrote
+    val docs = spark.read.parquet(ScaleTrend.docsFixture(spark, docsN, out))
 
     def pairStage(): Long =
       graft.ext.Dedup.lshNearDupPairs(docs, "text", "doc_id",

@@ -141,6 +141,10 @@ class RecordStoreSpec extends SparkSpec {
     // integral double/float: accepted, `1.0` exactly as json.dumps writes it
     rs.writeTable("d", Nil, Some(Map("v" -> 1.0)), frame(1))
     rs.getTables("d", None)._1.map(_._1) shouldBe Seq("""{"v":1.0}_data_0""")
+    // negative zero is integral but signed: json.dumps(-0.0) = "-0.0",
+    // so the render must keep the sign a toLong round-trip would drop
+    rs.writeTable("z", Nil, Some(Map("v" -> -0.0)), frame(1))
+    rs.getTables("z", None)._1.map(_._1) shouldBe Seq("""{"v":-0.0}_data_0""")
     // a prefix is a byte-portable id: anything whose JVM repr could
     // diverge from CPython's is rejected at write time, not rendered
     // best-effort — and the error names the exact offending key

@@ -148,8 +148,10 @@ class TreeScanSpec extends SparkSpec {
         case e: java.nio.file.FileSystemException =>
           if (!Files.exists(root)) throw e
           import scala.jdk.CollectionConverters._
-          Files.walk(build).iterator().asScala.toSeq.reverse
+          val walk = Files.walk(build)
+          try walk.iterator().asScala.toSeq.reverse
             .foreach(Files.deleteIfExists(_))
+          finally walk.close()
       }
     }
     val t0 = System.nanoTime()
