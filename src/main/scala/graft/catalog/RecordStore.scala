@@ -50,10 +50,18 @@ final class RecordStore {
     * CPython; negative zero keeps its sign — `-0.0` — exactly as
     * json.dumps writes it); anything else — fractional, NaN/Inf, or the
     * scientific-notation range — THROWS `IllegalArgumentException`
-    * naming the key. A prefix is a byte-portable id: a float repr that
+    * naming the key. This is deliberately STRICTER than the reference,
+    * which json.dumps-accepts any float (`deprecated/table_backend.py`),
+    * and stricter than portability strictly requires: for much of the
+    * non-exponent range CPython's shortest-round-trip repr and a
+    * shortest-repr renderer agree byte-for-byte. But this JVM's
+    * `Double.toString` (Java 17, legacy FloatingDecimal) carries no
+    * shortest-repr guarantee — that arrived in JDK 19 (JDK-4511638) —
+    * so the provably-identical subset isn't cleanly characterizable
+    * here, and a prefix is a byte-portable id: a float repr that
     * merely probably matches CPython's would corrupt the store
-    * silently on the first divergence, so fail-fast beats best-effort
-    * here. Use strings or ints for such keys. An empty dict is FALSY
+    * silently on the first divergence, so fail-fast beats best-effort.
+    * Use strings or ints for such keys. An empty dict is FALSY
     * in python (`if not keys`), so it serializes to "default" exactly
     * like None.
     */

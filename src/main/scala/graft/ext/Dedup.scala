@@ -107,8 +107,22 @@ object Dedup {
   def lshNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleWidth: Int = 1, numHashes: Int = 24,
                       numBands: Int = 3, threshold: Double = 0.9,
-                      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): DataFrame = {
-    val (pairs, caches) = lshNearDupPairsLazy(df, textCol, idCol,
+                      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): DataFrame =
+    lshNearDupPairsWithStats(df, textCol, idCol, shingleWidth, numHashes,
+      numBands, threshold, maxBucketSize)._1
+
+  /** [[lshNearDupPairs]] plus the skew-guard [[LshSkew.CapCensus]]:
+    * what the bucket cap dropped, as a RETURNED fact rather than a log
+    * line — a corpus-scale run asserts `census.anyDropped == false`
+    * (or routes the dropped mass through [[exactDupGroups]]) as an
+    * executable post-condition.
+    */
+  def lshNearDupPairsWithStats(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleWidth: Int = 1, numHashes: Int = 24,
+      numBands: Int = 3, threshold: Double = 0.9,
+      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, LshSkew.CapCensus) = {
+    val (pairs, caches, census) = lshNearDupPairsLazy(df, textCol, idCol,
       shingleWidth, numHashes, numBands, threshold, maxBucketSize)
     // Materialize eagerly so the intermediate caches can be released
     // immediately — long-lived sessions otherwise accumulate signature
@@ -116,20 +130,21 @@ object Dedup {
     // checkpointed pair list is tiny relative to the shingle frames.
     // unpersist in finally: a failed/cancelled materialization must
     // not leave the caches pinned.
-    try pairs.localCheckpoint(true)
+    try (pairs.localCheckpoint(true), census)
     finally caches.foreach(_.unpersist())
   }
 
   /** Lazy variant of [[lshNearDupPairs]]: returns the un-materialized
-    * pair plan plus the persisted intermediates the caller must
-    * unpersist after its action. Exists so tests can assert plan shape
-    * (no cartesian product) before checkpointing truncates lineage.
+    * pair plan, the persisted intermediates the caller must
+    * unpersist after its action, and the skew-guard census. Exists so
+    * tests can assert plan shape (no cartesian product) before
+    * checkpointing truncates lineage.
     */
   private[graft] def lshNearDupPairsLazy(
       df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int, numHashes: Int,
       numBands: Int, threshold: Double,
-      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, Seq[DataFrame]) = {
+      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
     val rowsPerBand = numHashes / numBands
     // persist: both the verify joins (base) and both sides of the
     // bucket self-join (banded) reference these frames — without a
@@ -154,7 +169,7 @@ object Dedup {
         numBands, rowsPerBand))
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (capped, guardCaches) = LshSkew.capBuckets(banded,
+    val (capped, guardCaches, census) = LshSkew.capBuckets(banded,
       Seq("band_idx", "band_hash"), maxBucketSize, "lshNearDupPairs")
     val a = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     val b = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
@@ -167,6 +182,6 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (pairs, Seq(base, banded) ++ guardCaches)
+    (pairs, Seq(base, banded) ++ guardCaches, census)
   }
 }

@@ -26,28 +26,22 @@ import org.apache.spark.storage.StorageLevel
   */
 object DupClusters {
 
-  /** Per-round lineage truncation, shared by both algorithms.
-    *
-    * localCheckpoint, not persist: each round's plan embeds the prior
-    * round's twice (next + convergence check), so without lineage
-    * truncation the logical plan grows 2^rounds and the analyzer OOMs
-    * on deep chains. (Production: reliable checkpoint dir instead.)
-    * Superseded rounds' checkpoint blocks are freed explicitly —
-    * tracked via the getPersistentRDDs delta around each checkpoint
-    * (the Dataset API exposes no handle to the backing RDD) — so a
-    * long run holds at most two rounds of state, not all of them.
+  /** Per-round lineage truncation, shared by both algorithms: each
+    * round's plan embeds the prior round's twice (next + convergence
+    * check), so without truncation the logical plan grows 2^rounds and
+    * the analyzer OOMs on deep chains. The WHERE of the truncated
+    * state is the caller's [[CheckpointMode]] — executor-local blocks
+    * (default; fastest, non-fault-tolerant) or a reliable checkpoint
+    * dir (production clusters). Superseded rounds' state is freed
+    * explicitly via [[Checkpointing]] handles, so a long run holds at
+    * most two rounds of state, not all of them.
     */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val cp = df.localCheckpoint(true)
-    (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
-  }
+  private def checkpointTracked(df: DataFrame, mode: CheckpointMode)
+      : (DataFrame, Checkpointing.Handle) =
+    Checkpointing.checkpoint(df, mode)
 
-  private def free(spark: SparkSession, ids: Set[Int]): Unit = {
-    val sc = spark.sparkContext
-    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-  }
+  private def free(spark: SparkSession, h: Checkpointing.Handle): Unit =
+    Checkpointing.free(spark, h)
 
   /** Label every node with its component's min node id, by min-label
     * propagation: each round joins labels to the symmetric edge list,
@@ -60,15 +54,17 @@ object DupClusters {
     *
     * @param edges (s, t) pair frame, undirected (one direction enough)
     * @param nodes (id) frame: all nodes incl. singletons
+    * @param mode  where per-round state lives ([[CheckpointMode]])
     */
   def components(edges: DataFrame, nodes: DataFrame,
-                 maxIter: Int = 20): DataFrame = {
+                 maxIter: Int = 20,
+                 mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col("s"), col("t"))
       .union(edges.select(col("t").as("s"), col("s").as("t")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var (labels, labelIds) =
-      checkpointTracked(nodes.select(col("id"), col("id").as("label")))
+      checkpointTracked(nodes.select(col("id"), col("id").as("label")), mode)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -77,7 +73,8 @@ object DupClusters {
       val (next, nextIds) = checkpointTracked(
         labels.join(neigh, labels("id") === neigh("nid"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")),
+        mode)
       changed = next.as("n")
         .join(labels.withColumnRenamed("label", "old").as("o"), "id")
         .filter(col("label") =!= col("old")).count()
@@ -167,15 +164,16 @@ object DupClusters {
     * exchange). The per-round overhead is the honest O(log n) floor.
     */
   def componentsStar(edges: DataFrame, nodes: DataFrame,
-                     maxIter: Int = 50): DataFrame = {
+                     maxIter: Int = 50,
+                     mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
     val spark = edges.sparkSession
     var (e, eIds) = checkpointTracked(
-      edges.select(col("s"), col("t")).filter(col("s") =!= col("t")))
+      edges.select(col("s"), col("t")).filter(col("s") =!= col("t")), mode)
     var prev: (Long, Long) = (-1L, 0L)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val (next, nextIds) = checkpointTracked(smallStar(largeStar(e)))
+      val (next, nextIds) = checkpointTracked(smallStar(largeStar(e)), mode)
       val row = next.agg(
         count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(col("s"), col("t"))), lit(0L)).as("sig")).head()
@@ -204,7 +202,7 @@ object DupClusters {
       .join(e.select(col("s").as("id"), col("t").as("root")), Seq("id"), "left")
       .groupBy(col("id"))
       .agg(min(coalesce(col("root"), col("id"))).as("label"))
-    val (out, _) = checkpointTracked(labels) // eager: reads e's blocks now
+    val (out, _) = checkpointTracked(labels, mode) // eager: reads e's state now
     free(spark, eIds)
     out
   }
@@ -213,8 +211,9 @@ object DupClusters {
     * clusters with at least `minSize` members.
     */
   def clusters(edges: DataFrame, nodes: DataFrame,
-               minSize: Int = 2): DataFrame =
-    components(edges, nodes)
+               minSize: Int = 2,
+               mode: CheckpointMode = CheckpointMode.Local): DataFrame =
+    components(edges, nodes, mode = mode)
       .groupBy(col("label").as("rep"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") >= minSize)

@@ -53,10 +53,27 @@ object LshSkew {
     */
   val MaxBroadcastKeys: Long = 1000000L
 
+  /** What the cap actually dropped — returned to the CALLER (not just
+    * logged) so a large-scale run can assert `droppedBuckets == 0` as
+    * an executable post-condition instead of grepping executor logs.
+    * `droppedRows` is the total banded-row mass of the dropped buckets
+    * (Σ |bucket| over buckets > cap), the quantity whose square the
+    * cap is bounding. [[CapCensus.none]] is the cap-off / nothing-
+    * dropped value.
+    */
+  final case class CapCensus(droppedBuckets: Long, droppedRows: Long,
+                             maxBucketSize: Int) {
+    def anyDropped: Boolean = droppedBuckets > 0
+  }
+  object CapCensus {
+    def none(maxBucketSize: Int): CapCensus = CapCensus(0L, 0L, maxBucketSize)
+  }
+
   /** Rows of `banded` whose (keyCols) bucket has ≤ `maxBucketSize`
-    * members, plus the cached guard frame the CALLER must unpersist
+    * members, the cached guard frame the CALLER must unpersist
     * after its action (empty when the cap is off) — same discipline
-    * as the lazy pair generators' own intermediates. [[NoCap]]
+    * as the lazy pair generators' own intermediates — and the
+    * [[CapCensus]] of what the guard dropped. [[NoCap]]
     * (`Int.MaxValue`, the explicit opt-out) short-circuits to `banded`
     * itself — zero extra work, bit-identical plans.
     *
@@ -70,22 +87,31 @@ object LshSkew {
     * the anti-join shuffles instead of overflowing the broadcast.
     */
   def capBuckets(banded: DataFrame, keyCols: Seq[String],
-                 maxBucketSize: Int, what: String): (DataFrame, Seq[DataFrame]) = {
-    if (maxBucketSize == Int.MaxValue) (banded, Nil)
+                 maxBucketSize: Int,
+                 what: String): (DataFrame, Seq[DataFrame], CapCensus) = {
+    if (maxBucketSize == Int.MaxValue)
+      (banded, Nil, CapCensus.none(maxBucketSize))
     else {
       val keys = keyCols.map(col)
       val oversized = banded.groupBy(keys: _*)
         .agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") > maxBucketSize)
-        .select(keys: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nDropped = oversized.count()
-      if (nDropped > 0)
-        log.warn(s"$what: dropped $nDropped bucket(s) over " +
+      // one aggregate over the (tiny, cached) guard frame doubles as
+      // its materializing action AND the census the caller gets back
+      val censusRow = oversized
+        .agg(count(lit(1)), coalesce(sum(col("bucket_n")), lit(0L))).head()
+      val census =
+        CapCensus(censusRow.getLong(0), censusRow.getLong(1), maxBucketSize)
+      if (census.anyDropped)
+        log.warn(s"$what: dropped ${census.droppedBuckets} bucket(s) " +
+          s"(${census.droppedRows} banded rows) over " +
           s"maxBucketSize=$maxBucketSize from candidate generation")
+      val guardKeys = oversized.select(keys: _*)
       val guard =
-        if (nDropped <= MaxBroadcastKeys) broadcast(oversized) else oversized
-      (banded.join(guard, keyCols, "left_anti"), Seq(oversized))
+        if (census.droppedBuckets <= MaxBroadcastKeys) broadcast(guardKeys)
+        else guardKeys
+      (banded.join(guard, keyCols, "left_anti"), Seq(oversized), census)
     }
   }
 }

@@ -102,35 +102,37 @@ object Similarity {
     * @param seeds initial centroid frame (idCol, vecCol); ids become
     *              cluster ids. Deterministic seeding (e.g. the k
     *              lowest-id vectors) is the caller's choice.
+    * @param mode  where per-round state lives ([[CheckpointMode]]:
+    *              executor-local default, or a reliable checkpoint dir
+    *              for fault-tolerant production runs)
     * @return (idCol, vecCol) centroid frame, vecCol array<double>;
     *         clusters that lose all members drop out (standard Lloyd).
     */
   def kmeansTrain(corpus: DataFrame, seeds: DataFrame, iters: Int, dims: Int,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  roundDp: Int = 6): DataFrame = {
+                  roundDp: Int = 6,
+                  mode: CheckpointMode = CheckpointMode.Local): DataFrame = {
     val spark = corpus.sparkSession
-    val sc = spark.sparkContext
     import spark.implicits._
     val agg = graft.ext.CentroidAggregator(dims).toColumn
-    var centroids = seeds
-      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-      .localCheckpoint(true)
-    var prevIds = Set.empty[Int]
+    var (centroids, prevState) = Checkpointing.checkpoint(
+      seeds.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)),
+      mode)
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
-      val before = sc.getPersistentRDDs.keySet
-      val next = assigned
-        .select(col("centroid_id").cast("long"), col(vecCol))
-        .as[(Long, Seq[Float])]
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(agg.name("c"))
-        .toDF("cid", "c")
-        .select(col("cid").as(idCol),
-          transform(col("c"), v => round(v, roundDp)).as(vecCol))
-        .localCheckpoint(true)
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      prevIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      val (next, nextState) = Checkpointing.checkpoint(
+        assigned
+          .select(col("centroid_id").cast("long"), col(vecCol))
+          .as[(Long, Seq[Float])]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(agg.name("c"))
+          .toDF("cid", "c")
+          .select(col("cid").as(idCol),
+            transform(col("c"), v => round(v, roundDp)).as(vecCol)),
+        mode)
+      Checkpointing.free(spark, prevState)
+      prevState = nextState
       centroids = next
     }
     centroids
@@ -216,26 +218,41 @@ object Similarity {
                       numBands: Int, planesPerBand: Int, dims: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): DataFrame = {
-    val (pairs, caches) = srpNearDupPairsLazy(df, threshold, numBands,
+                      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): DataFrame =
+    srpNearDupPairsWithStats(df, threshold, numBands, planesPerBand, dims,
+      idCol, vecCol, maxBucketSize)._1
+
+  /** [[srpNearDupPairs]] plus the skew-guard [[LshSkew.CapCensus]] —
+    * the dropped-bucket count/mass as a returned fact, so corpus-scale
+    * runs can assert zero drops instead of grepping logs (the text
+    * path's [[Dedup.lshNearDupPairsWithStats]] contract).
+    */
+  def srpNearDupPairsWithStats(
+      df: DataFrame, threshold: Double,
+      numBands: Int, planesPerBand: Int, dims: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, LshSkew.CapCensus) = {
+    val (pairs, caches, census) = srpNearDupPairsLazy(df, threshold, numBands,
       planesPerBand, dims, idCol, vecCol, maxBucketSize)
     // materialize then release the bucketed cache (the Dedup.lshNearDupPairs
     // discipline): the pair list is tiny next to the bucketed corpus.
     // unpersist in finally — a failed/cancelled checkpoint must not pin
     // the corpus in the executor cache for the session's lifetime
-    try pairs.localCheckpoint(true)
+    try (pairs.localCheckpoint(true), census)
     finally caches.foreach(_.unpersist())
   }
 
   /** Lazy variant: un-materialized pair plan + the persisted
     * intermediate the caller must unpersist (exists so tests can
-    * assert plan shape before checkpointing truncates lineage).
+    * assert plan shape before checkpointing truncates lineage) + the
+    * skew-guard census.
     */
   private[graft] def srpNearDupPairsLazy(
       df: DataFrame, threshold: Double,
       numBands: Int, planesPerBand: Int, dims: Int,
       idCol: String, vecCol: String,
-      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, Seq[DataFrame]) = {
+      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
     // persist: the banded explode plus BOTH verify joins re-reference
     // this frame — without a cache the scan and the full
     // numBands×planesPerBand dot-product battery run three times
@@ -245,7 +262,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bucketed
       .select(col("id"), posexplode(col("buckets")).as(Seq("band_idx", "bucket")))
-    val (capped, guardCaches) = LshSkew.capBuckets(banded,
+    val (capped, guardCaches, census) = LshSkew.capBuckets(banded,
       Seq("band_idx", "bucket"), maxBucketSize, "srpNearDupPairs")
     val a = capped.select(col("band_idx"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("band_idx"), col("bucket"), col("id").as("id_b"))
@@ -258,6 +275,6 @@ object Similarity {
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-    (pairs, bucketed +: guardCaches)
+    (pairs, bucketed +: guardCaches, census)
   }
 }

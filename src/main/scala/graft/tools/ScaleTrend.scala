@@ -50,14 +50,24 @@ object ScaleTrend {
         i => concat(lit("w"),
           pmod(xxhash64(col("id") * 20 + i), lit(50000L))))).as("text"))
 
+  /** Generator-version token baked into every [[docsFixture]] path.
+    * BUMP THIS whenever [[synthDocs]]' distribution changes (token
+    * count, vocabulary, hash derivation): the `_SUCCESS`-existence
+    * cache check can only vouch for "some run finished here", so the
+    * path itself must encode WHICH generator wrote it — otherwise a
+    * probe silently reuses a stale corpus an older generator built.
+    */
+  private[tools] val GenVersion = "g1"
+
   /** Build-once big-docs fixture SHARED by the scale tools (this and
-    * SpillProbe): one path scheme, one generator, one cache — so a
-    * probe can never silently reuse a corpus a different generator
-    * version wrote. Returns the parquet path.
+    * SpillProbe): one path scheme, one generator, one cache — and the
+    * path carries [[GenVersion]], so a probe can never silently reuse
+    * a corpus a DIFFERENT GENERATOR VERSION wrote (cross-version as
+    * well as cross-tool consistency). Returns the parquet path.
     */
   private[tools] def docsFixture(spark: SparkSession, n: Long,
                                  out: String): String = {
-    val path = if (n == 2000000L) s"$out/docs_big" else s"$out/docs_$n"
+    val path = s"$out/docs_${n}_$GenVersion"
     if (!new java.io.File(path + "/_SUCCESS").exists())
       synthDocs(spark, n).repartition(64)
         .write.mode("overwrite").parquet(path)
@@ -109,7 +119,10 @@ object ScaleTrend {
         .repartition(8)
         .write.mode("overwrite").parquet(liSmall)
     }
-    val docsSmall = s"$out/docs_small"
+    // 8 files (not docsFixture's 64): the small point keeps the same
+    // file-count ratio to its data as the lineitem x1 rewrite. The
+    // path still carries GenVersion — same staleness guard.
+    val docsSmall = s"$out/docs_small_$GenVersion"
     ensure(docsSmall) {
       synthDocs(spark, docsSmallN).repartition(8)
         .write.mode("overwrite").parquet(docsSmall)

@@ -68,10 +68,11 @@ object SpillProbe {
         val t0 = System.nanoTime()
         val rows = pairStage()
         val sec = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously after the job ends
-        // (the bus is private[spark]; a short settle is ample — events
-        // lag job completion by milliseconds, the runs by minutes)
-        Thread.sleep(2000)
+        // deterministic drain: task-end events lag job completion on a
+        // loaded host, so a fixed sleep could attribute spill bytes to
+        // the wrong run — wait until the bus is actually empty
+        org.apache.spark.sql.graftbridge.Bridge
+          .waitListenerBusEmpty(spark.sparkContext)
         def gb(x: Long) = f"${x / 1e9}%.2f GB"
         println(f"$p%6d $i%4d $sec%8.1f ${gb(memSpill.get - m0)}%12s " +
           f"${gb(diskSpill.get - d0)}%12s ${gb(shufWrite.get - w0)}%12s   $rows")

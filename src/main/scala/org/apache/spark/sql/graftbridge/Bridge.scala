@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ClassicConversions._
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(castToImpl(spark), plan)
+
+  /** Block until the listener bus has delivered every queued event —
+    * `SparkContext.listenerBus` / `LiveListenerBus.waitUntilEmpty()`
+    * are private[spark], hence surfaced here. Lets measurement tools
+    * bracket task-metric accounting deterministically instead of
+    * sleeping and hoping the bus drained (the drain is unbounded only
+    * if a listener livelocks, which is already a bug).
+    */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

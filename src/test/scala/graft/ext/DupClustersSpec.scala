@@ -97,7 +97,7 @@ class DupClustersSpec extends SparkSpec {
   test("LSH edge generation has no cartesian product in its plan") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .filter($"doc_id" < 100)
-    val (pairs, caches) = Dedup.lshNearDupPairsLazy(docs, "text", "doc_id",
+    val (pairs, caches, _) = Dedup.lshNearDupPairsLazy(docs, "text", "doc_id",
       1, 24, 3, 0.9)
     val plan = pairs.queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
@@ -118,5 +118,42 @@ class DupClustersSpec extends SparkSpec {
       edges, docs.select($"doc_id".as("id")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     reps.foreach { r => labels(r.getLong(0)) shouldBe r.getLong(0) }
+  }
+
+  // count rdd-* checkpoint dirs under a Reliable(dir) root (layout:
+  // dir/<session-uuid>/rdd-<id>)
+  private def rddCheckpointDirs(root: java.io.File): Seq[java.io.File] =
+    Option(root.listFiles()).toSeq.flatten
+      .flatMap(u => Option(u.listFiles()).toSeq.flatten)
+      .filter(_.getName.startsWith("rdd-"))
+
+  test("Reliable checkpoint mode: componentsStar survives, matches Local, frees superseded rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_star").toFile
+    try {
+      val edges = (1 until 51).map(i => (i.toLong, i.toLong + 1)).toDF("s", "t")
+      val nodes = (1 to 51).map(_.toLong).toDF("id")
+      val reliable = DupClusters.componentsStar(edges, nodes, maxIter = 12,
+          mode = CheckpointMode.Reliable(dir.getAbsolutePath))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val local = DupClusters.componentsStar(edges, nodes, maxIter = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      reliable shouldBe local
+      // superseded rounds' files deleted: only the final (returned)
+      // round's checkpoint remains on disk
+      rddCheckpointDirs(dir).size shouldBe 1
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("Reliable checkpoint mode: min-label components matches Local and frees rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_ml").toFile
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("s", "t")
+      val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+      val labels = DupClusters.components(edges, nodes,
+          mode = CheckpointMode.Reliable(dir.getAbsolutePath))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      labels shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
+      rddCheckpointDirs(dir).size shouldBe 1
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 }

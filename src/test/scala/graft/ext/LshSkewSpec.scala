@@ -47,10 +47,13 @@ class LshSkewSpec extends SparkSpec {
     // must vanish from candidate generation under the DEFAULT cap
     val banded = spark.range(LshSkew.DefaultMaxBucketSize + 1L)
       .select($"id", lit(0).as("band_idx"), lit("h").as("band_hash"))
-    val (capped, caches) = LshSkew.capBuckets(banded,
+    val (capped, caches, census) = LshSkew.capBuckets(banded,
       Seq("band_idx", "band_hash"), LshSkew.DefaultMaxBucketSize, "spec")
-    try capped.count() shouldBe 0L
-    finally caches.foreach(_.unpersist())
+    try {
+      capped.count() shouldBe 0L
+      census.droppedBuckets shouldBe 1L
+      census.droppedRows shouldBe LshSkew.DefaultMaxBucketSize + 1L
+    } finally caches.foreach(_.unpersist())
   }
 
   test("capped: oversized buckets dropped, candidate count bounded, small buckets survive") {
@@ -73,12 +76,39 @@ class LshSkewSpec extends SparkSpec {
   }
 
   test("capped text plan keeps no cartesian product") {
-    val (pairs, caches) = Dedup.lshNearDupPairsLazy(adversarialDocs,
+    val (pairs, caches, _) = Dedup.lshNearDupPairsLazy(adversarialDocs,
       "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 10)
     val plan = pairs.queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
     caches.foreach(_.unpersist())
+  }
+
+  test("WithStats surfaces the census: drops on the capped run, zero on the default") {
+    val (pairsCapped, censusCapped) = Dedup.lshNearDupPairsWithStats(
+      adversarialDocs, "text", "doc_id", maxBucketSize = 10)
+    // 200-member bucket dropped in every one of the 3 bands
+    censusCapped.anyDropped shouldBe true
+    censusCapped.droppedBuckets shouldBe 3L
+    censusCapped.droppedRows shouldBe 600L
+    pairsCapped.filter($"id_a" < 900).count() shouldBe 0L
+
+    val (_, censusDefault) = Dedup.lshNearDupPairsWithStats(
+      adversarialDocs, "text", "doc_id")
+    censusDefault.anyDropped shouldBe false
+    censusDefault.droppedRows shouldBe 0L
+  }
+
+  test("SRP WithStats surfaces the census") {
+    val dims = 8
+    val same = (1 to 100).map(i => (i.toLong, Array.fill(dims)(0.5f)))
+    val df = same.toDF("vec_id", "embedding")
+    val (_, census) = Similarity.srpNearDupPairsWithStats(df, 0.99, 4, 8,
+      dims, maxBucketSize = 10)
+    census.anyDropped shouldBe true
+    // identical embeddings: all 4 bands collapse to one 100-member bucket
+    census.droppedBuckets shouldBe 4L
+    census.droppedRows shouldBe 400L
   }
 
   test("SRP: identical-embedding cluster is dropped under a cap, real pair survives") {

@@ -77,6 +77,26 @@ class SimilaritySpec extends SparkSpec {
     c1.zip(seedVecs).exists { case (t, s) => t != s } shouldBe true
   }
 
+  test("kmeansTrain under Reliable checkpoint mode matches Local and frees rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_km").toFile
+    try {
+      val seeds = emb.filter(col("vec_id") < 8)
+      val local = Similarity.kmeansTrain(emb, seeds, iters = 2, dims = 64)
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+      val reliable = Similarity.kmeansTrain(emb, seeds, iters = 2, dims = 64,
+          mode = CheckpointMode.Reliable(dir.getAbsolutePath))
+        .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+      reliable.length shouldBe local.length
+      reliable.zip(local).foreach { case (a, b) => a shouldBe b }
+      // superseded rounds freed: only the final centroids' checkpoint
+      // remains (layout: dir/<uuid>/rdd-<id>)
+      val rddDirs = Option(dir.listFiles()).toSeq.flatten
+        .flatMap(u => Option(u.listFiles()).toSeq.flatten)
+        .filter(_.getName.startsWith("rdd-"))
+      rddDirs.size shouldBe 1
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("training improves IVF recall over raw seed centroids") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceKnn(emb, queries, k = 5)
@@ -124,7 +144,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("SRP-LSH plan has no cartesian product") {
     // lazy variant: the public entry checkpoints, truncating the plan
-    val (pairs, caches) = Similarity.srpNearDupPairsLazy(emb, 0.9,
+    val (pairs, caches, _) = Similarity.srpNearDupPairsLazy(emb, 0.9,
       numBands = 2, planesPerBand = 6, dims = 64,
       idCol = "vec_id", vecCol = "embedding")
     try pairs.queryExecution.executedPlan.toString should
