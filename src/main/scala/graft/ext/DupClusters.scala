@@ -100,7 +100,7 @@ object DupClusters {
     * symmetrized edge list; one groupBy + one join shuffle, both on
     * node id.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     // no input distinct: duplicate edges can't change the min-agg or the
     // emitted pairs (the round's OUTPUT distinct bounds growth), and
     // without it the groupBy and the join below shuffle the IDENTICAL
@@ -118,7 +118,7 @@ object DupClusters {
     * connects its (all smaller) neighbors and itself to its minimum
     * neighbor. Same two-shuffle shape as [[largeStar]].
     */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     // input distinct elided for the same exchange-reuse reason as
     // [[largeStar]]; orientation alone is enough for correctness
     val or = e.select(greatest(col("s"), col("t")).as("s"),
