@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Layout maintenance: small-file coalesce and row-group sizing, with
+  * the compacted tree verified through TreeScan (the same inventory a
+  * maintenance pipeline would route on) and through the data itself.
+  */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("small-file compaction: 40 files become few, rows and values survive") {
+    val root = tmp("graft_compact_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    (1L to 4000L).map(i => (i, s"payload_$i")).toDF("id", "payload")
+      .repartition(40).write.parquet(src)
+    graft.sources.TreeScan.scan(spark, src)
+      .filter($"name".endsWith(".parquet")).count() shouldBe 40L
+
+    val report = Compaction.compactTo(spark, src, dst,
+      targetFileBytes = 1L << 30, targetRowGroupBytes = 1L << 30)
+    report.filesBefore shouldBe 40
+    report.filesAfter shouldBe 1
+    report.rowsBefore shouldBe 4000L
+    report.rowsAfter shouldBe 4000L
+    report.rowGroupsBefore shouldBe 40L // one group per tiny file
+    report.rowGroupsAfter shouldBe 1L
+
+    // TreeScan-verified: the compacted tree holds exactly one data file
+    val inv = graft.sources.TreeScan.scan(spark, dst)
+      .filter($"name".endsWith(".parquet")).collect()
+    inv.length shouldBe 1
+    // and the data is byte-for-value identical
+    val back = spark.read.parquet(dst)
+    back.count() shouldBe 4000L
+    back.agg(sum($"id")).head().getLong(0) shouldBe (1L to 4000L).sum
+    // source untouched: the swap is the caller's transactional step
+    spark.read.parquet(src).count() shouldBe 4000L
+  }
+
+  test("row-group sizing: a tiny block-size target yields multiple groups per file") {
+    val root = tmp("graft_compact_rg_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    (1L to 20000L).map(i => (i, ("x" * 100) + i)).toDF("id", "payload")
+      .repartition(10).write.parquet(src)
+    val report = Compaction.compactTo(spark, src, dst,
+      targetFileBytes = 1L << 30, targetRowGroupBytes = 256L * 1024)
+    report.filesAfter shouldBe 1
+    // the writer flushes a group roughly every targetRowGroupBytes of
+    // buffered data — exact count is writer-internal, but a ~2 MB
+    // table under a 256 KiB target must split into several groups
+    report.rowGroupsAfter should be > 1L
+    report.rowsAfter shouldBe 20000L
+  }
+
+  test("shuffle=true splits few files into many (the direction coalesce cannot)") {
+    val root = tmp("graft_compact_split_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    (1L to 20000L).map(i => (i, ("y" * 120) + i)).toDF("id", "payload")
+      .coalesce(1).write.parquet(src)
+    val (files0, _, _, bytes0) = Compaction.census(spark, src)
+    files0 shouldBe 1
+    val target = bytes0 / 4 + 1 // aim for ~4 output files
+    val report = Compaction.compactTo(spark, src, dst,
+      targetFileBytes = target, targetRowGroupBytes = target,
+      shuffle = true)
+    report.filesAfter should be >= 3
+    report.rowsAfter shouldBe 20000L
+    spark.read.parquet(dst).agg(sum($"id")).head().getLong(0) shouldBe
+      (1L to 20000L).sum
+  }
+
+  test("empty source directory is rejected, not silently compacted to nothing") {
+    val root = tmp("graft_compact_empty_")
+    val src = s"$root/src"
+    new java.io.File(src).mkdirs()
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.compactTo(spark, src, s"$root/dst")
+    }
+    ex.getMessage should include("no parquet files")
+  }
+}
