@@ -1,30 +1,65 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import java.util.concurrent.atomic.AtomicLong
 
-/** Dev tool behind the BASELINE.md "spill sensitivity" follow-up
-  * (round-10 ask): the q47/q30 candidate-pair self-join was the one
-  * stage in the ~100× trend runs that swung 79.8 → 232 s under disk
-  * contention at 8 M docs. This probes the proposed mitigation —
-  * raising `spark.sql.shuffle.partitions` at the big point so
-  * per-task shuffle state fits in memory — by timing the LSH
-  * pair stage at several partition settings and recording the
-  * ACTUAL spill (memory + disk bytes from task metrics), which is
-  * the quantity disk contention multiplies.
+/** Dev tool behind the BASELINE.md "spill sensitivity" follow-ups:
+  * the q47/q30 LSH candidate-pair self-join is the one stage in the
+  * ~100× trend runs that swung 79.8 → 232 s under disk contention at
+  * 8 M docs.
   *
-  * Usage: `SpillProbe [docsN] [parts,parts,...]` (defaults
-  * 8000000 and 32,128,512). Each setting runs the shape twice on a
-  * warm JVM and reports the second, ScaleTrend's convention.
+  * Round 10 used this to measure the PARTITION-COUNT lever (verdict:
+  * negative — partitions are not the lever; the table in BASELINE.md
+  * stands). Round 11 extends it to the named residual: AQE SKEW-SPLIT
+  * of the oversized join partitions, run as config VARIANTS over the
+  * same fixture —
+  *
+  *  - `off`     : AQE disabled (the pure static plan)
+  *  - `default` : AQE on, stock thresholds (what Bench runs; the
+  *                256 MB skew threshold sits just above the measured
+  *                ~230 MB/partition at 8 M docs, so no split fires)
+  *  - `skewNN`  : AQE on, skew-join thresholds sized to the fixture
+  *                (factor 1, threshold = advisory = NN MB)
+  *  - `skewNNfF`: same with skewedPartitionFactor = F. The capped
+  *                pair stage is UNIFORMLY large (~230 MB/partition at
+  *                8 M docs / 32 parts, no degenerate bucket once the
+  *                cap holds), and skew detection is RELATIVE
+  *                (size > max(threshold, factor × median)) — factor 1
+  *                can never mark a uniform stage. A tiny factor
+  *                (e.g. f0.01) reduces the condition to
+  *                size > threshold, i.e. "split everything oversized",
+  *                which is the only way AQE splits uniform-large
+  *                partitions.
+  *
+  * Each variant runs the LAZY pair plan twice on a warm JVM (second
+  * run reported, ScaleTrend's convention) via its own QueryExecution
+  * (`toRdd.count`), so the post-run adaptive plan can be inspected:
+  * the `skew` column counts `skew=true` join marks in the final plan
+  * — the executable "did the split actually fire" check, same
+  * assertion SkewJoinSpec pins at spec scale. Spill accounting
+  * brackets each run with task-metric deltas, drained
+  * deterministically via the listener-bus bridge.
+  *
+  * NOTE: the lazy path skips lshNearDupPairs' final localCheckpoint
+  * write, so wall times here are comparable WITHIN this table, not
+  * with the round-10 partition table (which timed the checkpointing
+  * entry point).
+  *
+  * Usage: `SpillProbe [docsN] [parts,...] [variants,...]` (defaults
+  * 8000000, 32, default,skew64,off,skew64f0.01 — AQE variants first
+  * so an "AQE is slower" reading can't be an artifact of runs
+  * drifting as the disk heats up).
   */
 object SpillProbe {
 
   def main(args: Array[String]): Unit = {
     val docsN = args.headOption.map(_.toLong).getOrElse(8000000L)
     val partSettings = args.drop(1).headOption
-      .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(32, 128, 512))
+      .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(32))
+    val variants = args.drop(2).headOption
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("default", "skew64", "off", "skew64f0.01"))
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -39,6 +74,7 @@ object SpillProbe {
     val memSpill = new AtomicLong(0L)
     val diskSpill = new AtomicLong(0L)
     val shufWrite = new AtomicLong(0L)
+    val tasks = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -47,35 +83,92 @@ object SpillProbe {
           diskSpill.addAndGet(m.diskBytesSpilled)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
+        tasks.incrementAndGet()
       }
     })
 
     // ScaleTrend owns the corpus generator AND the cache-path scheme —
-    // sharing both means this probe can never measure a fixture that a
-    // different generator version wrote
+    // sharing both (incl. the generator-version token in the path)
+    // means this probe can never measure a fixture that a different
+    // generator version wrote
     val docs = spark.read.parquet(ScaleTrend.docsFixture(spark, docsN, out))
 
-    def pairStage(): Long =
-      graft.ext.Dedup.lshNearDupPairs(docs, "text", "doc_id",
-        shingleWidth = 1, numHashes = 24, numBands = 3, threshold = 0.9,
-        maxBucketSize = 200).count() // ScaleTrend's cap: apples-to-apples
+    def applyVariant(v: String): Unit = v match {
+      case "off" =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+      case "default" =>
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+          .foreach(spark.conf.unset)
+      // isolating variants: advisory-only vs skew-thresholds-only,
+      // to attribute any wall delta to the exact conf that moves it
+      case s if s.startsWith("adv") =>
+        val mb = s.stripPrefix("adv").toInt
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+          .foreach(spark.conf.unset)
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}m")
+      case s if s.startsWith("thresh") =>
+        val mb = s.stripPrefix("thresh").toInt
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", s"${mb}m")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      case s if s.startsWith("skew") =>
+        val (mb, factor) = s.stripPrefix("skew").split("f") match {
+          case Array(m)    => (m.toInt, "1.0")
+          case Array(m, f) => (m.toInt, f)
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", factor)
+        spark.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", s"${mb}m")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}m")
+      case other => sys.error(s"unknown variant: $other")
+    }
 
-    println(f"${"parts"}%6s ${"run"}%4s ${"sec"}%8s ${"memSpill"}%12s ${"diskSpill"}%12s ${"shufWrite"}%12s   rows")
+    // one timed execution of the lazy pair plan (cap 200, ScaleTrend's
+    // apples-to-apples setting); returns (sec, rows, skewMarks)
+    def run(): (Double, Long, Int) = {
+      val (pairs, caches, _) = graft.ext.Dedup.lshNearDupPairsLazy(
+        docs, "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 200)
+      try {
+        val t0 = System.nanoTime()
+        val rows = pairs.queryExecution.toRdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val skews = "skew=true".r
+          .findAllIn(pairs.queryExecution.executedPlan.toString).size
+        (sec, rows, skews)
+      } finally caches.foreach(_.unpersist())
+    }
+
+    println(f"${"parts"}%6s ${"variant"}%-9s ${"run"}%4s ${"sec"}%8s " +
+      f"${"memSpill"}%12s ${"diskSpill"}%12s ${"shufWrite"}%12s ${"skew"}%5s " +
+      f"${"tasks"}%6s   rows")
     partSettings.foreach { p =>
       spark.conf.set("spark.sql.shuffle.partitions", p)
-      (1 to 2).foreach { i =>
-        val (m0, d0, w0) = (memSpill.get, diskSpill.get, shufWrite.get)
-        val t0 = System.nanoTime()
-        val rows = pairStage()
-        val sec = (System.nanoTime() - t0) / 1e9
-        // deterministic drain: task-end events lag job completion on a
-        // loaded host, so a fixed sleep could attribute spill bytes to
-        // the wrong run — wait until the bus is actually empty
-        org.apache.spark.sql.graftbridge.Bridge
-          .waitListenerBusEmpty(spark.sparkContext)
-        def gb(x: Long) = f"${x / 1e9}%.2f GB"
-        println(f"$p%6d $i%4d $sec%8.1f ${gb(memSpill.get - m0)}%12s " +
-          f"${gb(diskSpill.get - d0)}%12s ${gb(shufWrite.get - w0)}%12s   $rows")
+      variants.foreach { v =>
+        applyVariant(v)
+        (1 to 2).foreach { i =>
+          val (m0, d0, w0, t0) =
+            (memSpill.get, diskSpill.get, shufWrite.get, tasks.get)
+          val (sec, rows, skews) = run()
+          // deterministic drain: task-end events lag job completion on
+          // a loaded host, so a fixed sleep could attribute spill bytes
+          // to the wrong run — wait until the bus is actually empty
+          org.apache.spark.sql.graftbridge.Bridge
+            .waitListenerBusEmpty(spark.sparkContext)
+          def gb(x: Long) = f"${x / 1e9}%.2f GB"
+          println(f"$p%6d $v%-9s $i%4d $sec%8.1f ${gb(memSpill.get - m0)}%12s " +
+            f"${gb(diskSpill.get - d0)}%12s ${gb(shufWrite.get - w0)}%12s " +
+            f"$skews%5d ${tasks.get - t0}%6d   $rows")
+        }
       }
     }
     spark.stop()
