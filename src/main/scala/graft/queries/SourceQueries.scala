@@ -266,6 +266,41 @@ object SourceQueries {
       .orderBy(col("root"), col("source"))
   }
 
+  /** ✚ layout compaction, oracle-gated end to end: a deliberately
+    * fragmented copy of the documents slice (8 round-robin parquet
+    * files) is compacted into a single well-sized file
+    * (`ops/Compaction.compactTo`, coalesce path — no shuffle), and the
+    * gate aggregates the COMPACTED copy per lang alongside the
+    * footer-verified before/after file counts. The hash matches the
+    * oracle's replay over the original table only if the rewrite
+    * preserved every row and byte of content AND the layout moved
+    * 8 files → 1 exactly (the counts are literals in the oracle).
+    */
+  def q105Compaction(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_q105_").toString
+    val src = s"$root/frag"
+    val dst = s"$root/compact"
+    Tables(spark, dir, "documents").filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .repartition(8)
+      .write.parquet(src)
+    val report = graft.ops.Compaction.compactTo(spark, src, dst,
+      targetFileBytes = 1L << 30, targetRowGroupBytes = 8L * 1024 * 1024)
+    spark.read.parquet(dst)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .withColumn("files_before", lit(report.filesBefore))
+      .withColumn("files_after", lit(report.filesAfter))
+      .orderBy(col("lang"))
+  }
+
+  val q105Sql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(8 AS INTEGER) AS files_before, CAST(1 AS INTEGER) AS files_after
+      |FROM documents WHERE doc_id < 2000
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val q85Sql: String =
     """WITH docs AS (
       |  SELECT source, lang, doc_id, strlen(text) AS n_bytes, n_chars
