@@ -327,11 +327,12 @@ object PipelineQueries {
     * availableNow to completion. The oracle is the equivalent batch
     * aggregation — streaming and batch must agree exactly.
     */
-  def q39StreamWindow(spark: SparkSession, dir: String): DataFrame = {
-    val agg = EventStream.hourlyByType(EventStream.readEvents(spark, dir))
-    EventStream.runToCompletion(spark, agg, s"q39_mem_${System.nanoTime()}")
-      .orderBy(col("hour"), col("event_type"))
-  }
+  def q39StreamWindow(spark: SparkSession, dir: String): DataFrame =
+    EventStream.withShufflePartitions(spark, 8) {
+      val agg = EventStream.hourlyByType(EventStream.readEvents(spark, dir))
+      EventStream.runToCompletion(spark, agg, s"q39_mem_${System.nanoTime()}")
+        .orderBy(col("hour"), col("event_type"))
+    }
 
   val q39Sql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -353,12 +354,13 @@ object PipelineQueries {
     * oracle floors the same way; the ≤ boundary (window end equal to
     * the watermark ⇒ emitted) is pinned executably in StreamSinkSpec.
     */
-  def q104AppendWindow(spark: SparkSession, dir: String): DataFrame = {
-    val agg = EventStream.hourlyByType(EventStream.readEvents(spark, dir))
-    EventStream.runAppendToCompletion(spark, agg,
-        s"q104_mem_${System.nanoTime()}")
-      .orderBy(col("hour"), col("event_type"))
-  }
+  def q104AppendWindow(spark: SparkSession, dir: String): DataFrame =
+    EventStream.withShufflePartitions(spark, 8) {
+      val agg = EventStream.hourlyByType(EventStream.readEvents(spark, dir))
+      EventStream.runAppendToCompletion(spark, agg,
+          s"q104_mem_${System.nanoTime()}")
+        .orderBy(col("hour"), col("event_type"))
+    }
 
   val q104Sql: String =
     """WITH agg AS (
@@ -391,10 +393,12 @@ object PipelineQueries {
         col("ts").cast("long").as("ts_secs"))
       .as[Sessionize.Event]
     val name = s"q73_mem_${System.nanoTime()}"
-    val q = Sessionize.sessionsStreaming(events, gapSecs = 1800)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    EventStream.withShufflePartitions(spark, 8) {
+      val q = Sessionize.sessionsStreaming(events, gapSecs = 1800)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy(col("user_id"), col("session_idx"))
   }
 
@@ -457,8 +461,10 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), round(kmvU(col("h")), 4).as("est_users"))
       .select(col("w.start").cast("date").cast("string").as("day"),
         col("event_type"), col("n"), col("est_users"))
-    EventStream.runToCompletion(spark, agg, s"q99_mem_${System.nanoTime()}")
-      .orderBy(col("day"), col("event_type"))
+    EventStream.withShufflePartitions(spark, 8) {
+      EventStream.runToCompletion(spark, agg, s"q99_mem_${System.nanoTime()}")
+        .orderBy(col("day"), col("event_type"))
+    }
   }
 
   val q99Sql: String =
@@ -526,10 +532,12 @@ object PipelineQueries {
     // 100 TB-keyspace dedup must use (default HDFS-backed state is
     // on-heap); same dedup semantics, so the same oracle gates it
     EventStream.withRocksDbStateStore(spark) {
-      val q = EventStream.dedupEvents(doubled)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      EventStream.withShufflePartitions(spark, 8) {
+        val q = EventStream.dedupEvents(doubled)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
     }
     spark.table(name)
       .groupBy(col("event_type"))

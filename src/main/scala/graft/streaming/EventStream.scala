@@ -131,6 +131,29 @@ object EventStream {
     }
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the previous value after. For a STATEFUL streaming
+    * query the setting is more than shuffle width: the engine creates
+    * one state-store instance PER shuffle partition, and every store
+    * commits a delta file per micro-batch — so a query whose state is
+    * small pays (partitions × batches) tiny-file commits of pure
+    * fixed overhead. Measured on the five streaming gates at sf0.1
+    * (`tools/StreamProbe`): 32 → 8 partitions cuts warm wall 30–45%
+    * on every gate, 8 → 4 is marginal and regresses the RocksDB dedup
+    * gate — so the gates run at 8. Aggregation VALUES are
+    * partition-count-invariant (same oracles pass at any setting).
+    * A production deployment sizes this to its keyspace instead —
+    * state volume / store must fit executor memory (or RocksDB disk) —
+    * and the checkpoint pins it at first start.
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally spark.conf.set(key, prev)
+  }
+
   /** K5's streaming shape (SURVEY §2.9): drive a sink with
     * `foreachBatch` — each micro-batch goes through the caller's
     * writer (parquet history dir, JDBC table, …). This is the
