@@ -52,13 +52,26 @@ object Compaction {
 
   /** Footer census of a parquet directory: (files, rowGroups, rows,
     * bytes). Footer reads are metadata-only — no data pages move.
+    *
+    * File selection matches what `spark.read.parquet(dir)` will read —
+    * every visible file, regardless of extension (Hive/Impala-style
+    * part files are extension-less), skipping only the `_`/`.`-prefixed
+    * sidecars Spark's file index hides (`_SUCCESS`, `_metadata`,
+    * dotfiles). Counting a different population than the read would
+    * make the before/after row-parity check compare apples to oranges;
+    * a non-parquet stray in the directory fails the footer read here,
+    * which is the same file the data read would die on — surfaced
+    * early, before any rewrite work.
     */
   def census(spark: SparkSession, dir: String): (Int, Long, Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val files = fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
     var groups = 0L
     var rows = 0L
     var bytes = 0L

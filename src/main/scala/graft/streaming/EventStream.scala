@@ -145,11 +145,22 @@ object EventStream {
     * A production deployment sizes this to its keyspace instead —
     * state volume / store must fit executor memory (or RocksDB disk) —
     * and the checkpoint pins it at first start.
+    *
+    * The caller's `n` is a DEFAULT: setting
+    * `spark.graft.stream.partitions` in the session conf overrides it,
+    * so a measurement harness (`tools/StreamProbe`) can sweep the
+    * setting through gate code that pins its own production value —
+    * without the override, the gates' pin would silently nullify any
+    * external sweep.
     */
+  val StreamPartitionsOverrideKey = "spark.graft.stream.partitions"
+
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    val eff = spark.conf.getOption(StreamPartitionsOverrideKey)
+      .map(_.toInt).getOrElse(n)
     val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+    spark.conf.set(key, eff.toString)
     try body
     finally spark.conf.set(key, prev)
   }

@@ -134,17 +134,32 @@ object SpillProbe {
     }
 
     // one timed execution of the lazy pair plan (cap 200, ScaleTrend's
-    // apples-to-apples setting); returns (sec, rows, skewMarks)
-    def run(): (Double, Long, Int) = {
+    // apples-to-apples setting). The metric snapshot brackets EXACTLY
+    // the timed toRdd.count: lshNearDupPairsLazy runs eager work of
+    // its own (the cap census head() + the signature persists), and
+    // snapshotting before plan construction would attribute those
+    // stages' spill/shuffle bytes to a wall time that excludes them.
+    def run(): (Double, Long, Int, Long, Long, Long, Long) = {
       val (pairs, caches, _) = graft.ext.Dedup.lshNearDupPairsLazy(
         docs, "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 200)
       try {
+        // drain census/persist task events BEFORE the baseline snapshot
+        org.apache.spark.sql.graftbridge.Bridge
+          .waitListenerBusEmpty(spark.sparkContext)
+        val (m0, d0, w0, t0c) =
+          (memSpill.get, diskSpill.get, shufWrite.get, tasks.get)
         val t0 = System.nanoTime()
         val rows = pairs.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
+        // deterministic drain: task-end events lag job completion on a
+        // loaded host, so a fixed sleep could attribute spill bytes to
+        // the wrong run — wait until the bus is actually empty
+        org.apache.spark.sql.graftbridge.Bridge
+          .waitListenerBusEmpty(spark.sparkContext)
         val skews = "skew=true".r
           .findAllIn(pairs.queryExecution.executedPlan.toString).size
-        (sec, rows, skews)
+        (sec, rows, skews, memSpill.get - m0, diskSpill.get - d0,
+          shufWrite.get - w0, tasks.get - t0c)
       } finally caches.foreach(_.unpersist())
     }
 
@@ -156,18 +171,10 @@ object SpillProbe {
       variants.foreach { v =>
         applyVariant(v)
         (1 to 2).foreach { i =>
-          val (m0, d0, w0, t0) =
-            (memSpill.get, diskSpill.get, shufWrite.get, tasks.get)
-          val (sec, rows, skews) = run()
-          // deterministic drain: task-end events lag job completion on
-          // a loaded host, so a fixed sleep could attribute spill bytes
-          // to the wrong run — wait until the bus is actually empty
-          org.apache.spark.sql.graftbridge.Bridge
-            .waitListenerBusEmpty(spark.sparkContext)
+          val (sec, rows, skews, dm, dd, dw, dt) = run()
           def gb(x: Long) = f"${x / 1e9}%.2f GB"
-          println(f"$p%6d $v%-9s $i%4d $sec%8.1f ${gb(memSpill.get - m0)}%12s " +
-            f"${gb(diskSpill.get - d0)}%12s ${gb(shufWrite.get - w0)}%12s " +
-            f"$skews%5d ${tasks.get - t0}%6d   $rows")
+          println(f"$p%6d $v%-9s $i%4d $sec%8.1f ${gb(dm)}%12s " +
+            f"${gb(dd)}%12s ${gb(dw)}%12s $skews%5d $dt%6d   $rows")
         }
       }
     }

@@ -11,12 +11,17 @@ import org.apache.spark.sql.SparkSession
   * session default (32) that is 32 stores × ~3 micro-batches of tiny
   * HDFS-backed files per gate, pure fixed overhead at fixture scale.
   *
-  * This times each streaming gate at several
-  * `spark.sql.shuffle.partitions` settings (aggregation VALUES are
-  * partition-count-invariant — the gates' oracle parity is untouched;
-  * only state/shuffle fan-out changes). Each (gate, parts) runs
-  * twice on a warm JVM; both times print (the first carries codegen/
-  * classload on the first gate of a setting).
+  * This times each streaming gate at several stream shuffle-partition
+  * settings (aggregation VALUES are partition-count-invariant — the
+  * gates' oracle parity is untouched; only state/shuffle fan-out
+  * changes). The round-11 outcome of this measurement is that the
+  * gates PIN their own production value (8) via
+  * `EventStream.withShufflePartitions`, so the sweep drives the
+  * `spark.graft.stream.partitions` OVERRIDE that helper honors —
+  * setting the plain shuffle conf here would be silently ignored.
+  * Each (gate, parts) runs twice on a warm JVM; both times print
+  * (the first carries codegen/classload on the first gate of a
+  * setting).
   *
   * Usage: `StreamProbe [parts,...] [queries,...]` (defaults
   * 32,8,4 and the five streaming gates). SPARK_GRAFT_SF_DIR picks the
@@ -43,7 +48,8 @@ object StreamProbe {
     queries.foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       partSettings.foreach { p =>
-        spark.conf.set("spark.sql.shuffle.partitions", p)
+        spark.conf.set(
+          graft.streaming.EventStream.StreamPartitionsOverrideKey, p.toString)
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -22,4 +22,19 @@ abstract class SparkSpec extends AnyFunSuite with Matchers {
     s
   }
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Run `body` with the given session confs set, restoring each to its
+    * previous value (or unset, if it had none) after — the one shared
+    * conf-window helper for specs, so restore semantics live in one
+    * place.
+    */
+  def withConfs[T](kv: (String, String)*)(body: => T): T = {
+    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

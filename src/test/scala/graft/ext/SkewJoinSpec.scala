@@ -15,16 +15,6 @@ import org.apache.spark.sql.functions._
 class SkewJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  private def withConfs[T](kv: (String, String)*)(body: => T): T = {
-    val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kv.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("skew-tuned AQE splits the degenerate-bucket pair join (skew=true in the final plan)") {
     withConfs(
       "spark.sql.adaptive.enabled" -> "true",

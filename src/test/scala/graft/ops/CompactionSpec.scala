@@ -77,6 +77,35 @@ class CompactionSpec extends SparkSpec {
       (1L to 20000L).sum
   }
 
+  test("census matches the read: extension-less part files counted, sidecars ignored and left in place") {
+    val root = tmp("graft_compact_ext_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    (1L to 3000L).map(i => (i, s"v_$i")).toDF("id", "payload")
+      .repartition(3).write.parquet(src)
+    // Hive/Impala-style layout: parquet part files carry no extension
+    new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        f.renameTo(new java.io.File(f.getParent, f.getName.stripSuffix(".parquet")))
+      }
+    // extra sidecar beyond the _SUCCESS Spark already wrote
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "_extra_metadata"),
+      "sidecar".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val report = Compaction.compactTo(spark, src, dst,
+      targetFileBytes = 1L << 30, targetRowGroupBytes = 1L << 30)
+    // the extension-less files ARE the table — counted like the read reads them
+    report.filesBefore shouldBe 3
+    report.rowsBefore shouldBe 3000L
+    report.rowsAfter shouldBe 3000L
+    // sidecars: excluded from the census, untouched in the source
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(src, "_extra_metadata")) shouldBe true
+    spark.read.parquet(dst).agg(sum($"id")).head().getLong(0) shouldBe
+      (1L to 3000L).sum
+  }
+
   test("empty source directory is rejected, not silently compacted to nothing") {
     val root = tmp("graft_compact_empty_")
     val src = s"$root/src"

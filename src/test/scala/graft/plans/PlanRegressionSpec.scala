@@ -44,17 +44,10 @@ class PlanRegressionSpec extends SparkSpec {
       }.size)
   }
 
-  private def hintOnly[T](body: => T): T = {
-    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try body
-    finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
-      spark.conf.set("spark.sql.adaptive.enabled", prevA)
-    }
-  }
+  private def hintOnly[T](body: => T): T =
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")(body)
 
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
 
@@ -154,9 +147,16 @@ class PlanRegressionSpec extends SparkSpec {
     val df = q("q90_salted_skew")
     val p = df.queryExecution.executedPlan
     p.collect { case b: BroadcastExchangeExec => b } shouldBe empty
+    // resolve the salt as an attribute, not via toString — the same
+    // non-contract the production assert (RelationalQueries q90) avoids
     val saltParts = p.collect {
-      case e: ShuffleExchangeExec
-          if e.outputPartitioning.toString.contains("__salt") => e
+      case e: ShuffleExchangeExec => e.outputPartitioning
+    }.collect {
+      case hp: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+          if hp.expressions.exists(_.collectFirst {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                if a.name == "__salt" => a
+          }.isDefined) => hp
     }
     saltParts.size should be >= 2
   }
