@@ -140,11 +140,17 @@ object Dedup {
     * tests can assert plan shape (no cartesian product) before
     * checkpointing truncates lineage.
     */
-  private[graft] def lshNearDupPairsLazy(
+  /** The shared signature half of the LSH pipeline: (base, banded)
+    * where base = (id, shingles, two-md5 battery) and banded =
+    * (id, band_idx, band_hash) posexploded — both persisted. Factored
+    * out so measurement tools (`tools/BucketCensus`) census the SAME
+    * banded frame the production pair path joins on, by construction
+    * rather than by copy. Callers own the unpersist of both frames.
+    */
+  private[graft] def bandedFrame(
       df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int, numHashes: Int,
-      numBands: Int, threshold: Double,
-      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
+      numBands: Int): (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / numBands
     // persist: both the verify joins (base) and both sides of the
     // bucket self-join (banded) reference these frames — without a
@@ -169,6 +175,16 @@ object Dedup {
         numBands, rowsPerBand))
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (base, banded)
+  }
+
+  private[graft] def lshNearDupPairsLazy(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleWidth: Int, numHashes: Int,
+      numBands: Int, threshold: Double,
+      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
+    val (base, banded) = bandedFrame(df, textCol, idCol,
+      shingleWidth, numHashes, numBands)
     val (capped, guardCaches, census) = LshSkew.capBuckets(banded,
       Seq("band_idx", "band_hash"), maxBucketSize, "lshNearDupPairs")
     val a = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))

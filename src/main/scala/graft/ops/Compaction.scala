@@ -55,13 +55,15 @@ object Compaction {
     *
     * File selection matches what `spark.read.parquet(dir)` will read —
     * every visible file, regardless of extension (Hive/Impala-style
-    * part files are extension-less), skipping only the `_`/`.`-prefixed
-    * sidecars Spark's file index hides (`_SUCCESS`, `_metadata`,
-    * dotfiles). Counting a different population than the read would
-    * make the before/after row-parity check compare apples to oranges;
-    * a non-parquet stray in the directory fails the footer read here,
-    * which is the same file the data read would die on — surfaced
-    * early, before any rewrite work.
+    * part files are extension-less), skipping exactly what Spark's
+    * listing filter (`HadoopFSUtils.shouldFilterOut`) skips: dotfiles,
+    * in-flight `*._COPYING_` copies, and `_`-prefixed sidecars
+    * (`_SUCCESS`, `_metadata`) UNLESS the name contains `=` (Spark
+    * admits those as partition-valued names). Counting a different
+    * population than the read would make the before/after row-parity
+    * check compare apples to oranges; a non-parquet stray that Spark
+    * WOULD read fails the footer read here — the same file the data
+    * read would die on, surfaced early, before any rewrite work.
     */
   def census(spark: SparkSession, dir: String): (Int, Long, Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -70,7 +72,8 @@ object Compaction {
     val files = fs.listStatus(root)
       .filter { s =>
         val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        s.isFile && !n.startsWith(".") && !n.endsWith("._COPYING_") &&
+          !(n.startsWith("_") && !n.contains("="))
       }
     var groups = 0L
     var rows = 0L

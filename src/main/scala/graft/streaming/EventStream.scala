@@ -147,23 +147,33 @@ object EventStream {
     * and the checkpoint pins it at first start.
     *
     * The caller's `n` is a DEFAULT: setting
-    * `spark.graft.stream.partitions` in the session conf overrides it,
+    * [[StreamPartitionsOverrideKey]] in the session conf overrides it,
     * so a measurement harness (`tools/StreamProbe`) can sweep the
     * setting through gate code that pins its own production value —
     * without the override, the gates' pin would silently nullify any
     * external sweep.
     */
-  val StreamPartitionsOverrideKey = "spark.graft.stream.partitions"
-
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
-    val eff = spark.conf.getOption(StreamPartitionsOverrideKey)
-      .map(_.toInt).getOrElse(n)
+    val eff = spark.conf.getOption(StreamPartitionsOverrideKey) match {
+      case None => n
+      case Some(v) =>
+        try v.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$StreamPartitionsOverrideKey must be an int, got: '$v'")
+        }
+    }
     val prev = spark.conf.get(key)
     spark.conf.set(key, eff.toString)
     try body
     finally spark.conf.set(key, prev)
   }
+
+  /** Session-conf key that overrides the `n` passed to
+    * [[withShufflePartitions]] — see its scaladoc.
+    */
+  val StreamPartitionsOverrideKey = "spark.graft.stream.partitions"
 
   /** K5's streaming shape (SURVEY §2.9): drive a sink with
     * `foreachBatch` — each micro-batch goes through the caller's

@@ -5,17 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Band-bucket size census of the LSH stage at corpus scale — the
   * executable answer to "what does the finite default cap actually
-  * drop on a big corpus?" (the round-10/11 cap discussion). Builds
-  * the SAME banded frame as `Dedup.lshNearDupPairsLazy` (shingle →
-  * two-md5 battery → minhash → banded posexplode; probe parameters
-  * shingleWidth=1, numHashes=24, numBands=3) and aggregates the
-  * bucket-size DISTRIBUTION — one cheap groupBy, the candidate-pair
-  * self-join is never constructed, so this is safe to run uncapped at
-  * any corpus size where the pair stage itself would fill the disk.
+  * drop on a big corpus?" (the round-10/11 cap discussion). Uses the
+  * SAME banded frame as the production pair path — by construction,
+  * via `Dedup.bandedFrame` (probe parameters shingleWidth=1,
+  * numHashes=24, numBands=3) — and aggregates the bucket-size
+  * DISTRIBUTION: one cheap groupBy, the candidate-pair self-join is
+  * never constructed, so this is safe to run uncapped at any corpus
+  * size where the pair stage itself would fill the disk.
   *
   * For each probe cap it prints the dropped-bucket/row counts the
   * [[graft.ext.LshSkew.CapCensus]] of a real run would report, plus
-  * the pair-volume bound sum(min(size, cap)²) the cap enforces.
+  * the candidate volume the capped run actually generates:
+  * sum(size² over size ≤ cap) — the cap DROPS over-cap buckets
+  * entirely (left-anti join, zero pairs from them); it does not clamp
+  * them to their first cap members.
   *
   * Usage: `BucketCensus [docsN] [cap,...]` (defaults 8000000 and
   * 200,1000,100000 — the probe setting, a mid point, and the
@@ -39,14 +42,8 @@ object BucketCensus {
     import graft.ext.Dedup
 
     val docs = spark.read.parquet(ScaleTrend.docsFixture(spark, docsN, out))
-    val numHashes = 24
-    val banded = docs
-      .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 1).as("sh"))
-      .withColumn("h1", graft.functions.MinHashFunctions.hexHashArray(col("sh"), "a#"))
-      .withColumn("h2", graft.functions.MinHashFunctions.hexHashArray(col("sh"), "b#"))
-      .withColumn("bands", Dedup.bandHashes(
-        Dedup.minhashFromHashes(col("h1"), col("h2"), numHashes), 3, 8))
-      .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val (base, banded) = Dedup.bandedFrame(docs, "text", "doc_id",
+      shingleWidth = 1, numHashes = 24, numBands = 3)
     val sizes = banded.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("sz"))
       .select(col("sz"))
@@ -64,13 +61,17 @@ object BucketCensus {
         val r = sizes.agg(
           sum(when(col("sz") > cap, 1).otherwise(0)).as("dropped_buckets"),
           sum(when(col("sz") > cap, col("sz")).otherwise(0)).as("dropped_rows"),
-          sum(least(col("sz"), lit(cap.toLong)) *
-            least(col("sz"), lit(cap.toLong))).as("pair_bound"))
+          sum(when(col("sz") <= cap, col("sz") * col("sz")).otherwise(0))
+            .as("pair_volume"))
           .head()
         println(f"cap=$cap%7d droppedBuckets=${r.getLong(0)}%6d " +
-          f"droppedRows=${r.getLong(1)}%10d pairBound=${r.getLong(2)}%14d")
+          f"droppedRows=${r.getLong(1)}%10d pairVolume=${r.getLong(2)}%14d")
       }
-    } finally sizes.unpersist()
+    } finally {
+      sizes.unpersist()
+      banded.unpersist()
+      base.unpersist()
+    }
     spark.stop()
   }
 }

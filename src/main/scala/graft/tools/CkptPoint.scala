@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Measures the fault-tolerance tax of
   * [[graft.ext.CheckpointMode.Reliable]] on the big iterative point:
@@ -13,8 +12,13 @@ import org.apache.spark.sql.functions._
   * pays for surviving executor loss mid-contraction.
   *
   * Usage: `CkptPoint [n] [rounds]` (defaults 8000000, 2 measured runs
-  * per mode, modes alternated Local/Reliable/Local/… so neither mode
-  * systematically absorbs page-cache warmup).
+  * per mode). The mode ORDER flips each round (Local/Reliable, then
+  * Reliable/Local) so neither mode systematically absorbs the cold
+  * JVM's first run or within-pair page-cache warmup; each Reliable
+  * run's checkpoint directory is deleted after its count (the final
+  * round's files otherwise outlive the run — `Checkpointing` frees
+  * only superseded rounds — and would accumulate GBs on the shared
+  * scale volume).
   */
 object CkptPoint {
   def main(args: Array[String]): Unit = {
@@ -29,8 +33,7 @@ object CkptPoint {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val nodes = spark.range(n).select(col("id"))
-    val edges = spark.range(n - 1).select(col("id").as("s"), (col("id") + 1).as("t"))
+    val (nodes, edges) = ScaleTrend.chain(spark, n)
 
     def run(mode: graft.ext.CheckpointMode): Double = {
       val t0 = System.nanoTime()
@@ -41,13 +44,18 @@ object CkptPoint {
 
     println(f"${"mode"}%-10s ${"run"}%4s ${"sec"}%8s")
     (1 to runsPerMode).foreach { i =>
-      Seq(
+      val ckptDir = s"$out/ckpt_point_$i"
+      val pair = Seq(
         "local" -> graft.ext.CheckpointMode.Local,
-        "reliable" -> graft.ext.CheckpointMode.Reliable(
-          s"$out/ckpt_point_$i")).foreach { case (label, mode) =>
+        "reliable" -> graft.ext.CheckpointMode.Reliable(ckptDir))
+      val ordered = if (i % 2 == 1) pair else pair.reverse
+      ordered.foreach { case (label, mode) =>
         val sec = run(mode)
         println(f"$label%-10s $i%4d $sec%8.1f")
       }
+      val p = new org.apache.hadoop.fs.Path(ckptDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
     }
     spark.stop()
   }

@@ -75,7 +75,7 @@ object ScaleTrend {
   }
 
   /** Path graph 0–(n−1): the maximum-diameter CC input. */
-  private def chain(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
+  private[tools] def chain(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
     val nodes = spark.range(n).select(col("id"))
     val edges = spark.range(n - 1).select(col("id").as("s"), (col("id") + 1).as("t"))
     (nodes, edges)

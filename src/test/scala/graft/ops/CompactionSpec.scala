@@ -84,14 +84,21 @@ class CompactionSpec extends SparkSpec {
     (1L to 3000L).map(i => (i, s"v_$i")).toDF("id", "payload")
       .repartition(3).write.parquet(src)
     // Hive/Impala-style layout: parquet part files carry no extension
+    // (Files.move throws on failure — a silent rename miss would leave
+    // this test green while never exercising the extension-less path)
     new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet"))
       .foreach { f =>
-        f.renameTo(new java.io.File(f.getParent, f.getName.stripSuffix(".parquet")))
+        java.nio.file.Files.move(f.toPath,
+          f.toPath.resolveSibling(f.getName.stripSuffix(".parquet")))
       }
-    // extra sidecar beyond the _SUCCESS Spark already wrote
+    // sidecars Spark's listing filter hides: an extra _-prefixed file
+    // beyond the _SUCCESS Spark already wrote, and an in-flight copy
     java.nio.file.Files.write(
       java.nio.file.Paths.get(src, "_extra_metadata"),
       "sidecar".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "part-9999.parquet._COPYING_"),
+      "partial".getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
     val report = Compaction.compactTo(spark, src, dst,
       targetFileBytes = 1L << 30, targetRowGroupBytes = 1L << 30)
@@ -102,6 +109,8 @@ class CompactionSpec extends SparkSpec {
     // sidecars: excluded from the census, untouched in the source
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(src, "_extra_metadata")) shouldBe true
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(src, "part-9999.parquet._COPYING_")) shouldBe true
     spark.read.parquet(dst).agg(sum($"id")).head().getLong(0) shouldBe
       (1L to 3000L).sum
   }
