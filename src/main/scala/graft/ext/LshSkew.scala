@@ -103,15 +103,24 @@ object LshSkew {
         .agg(count(lit(1)), coalesce(sum(col("bucket_n")), lit(0L))).head()
       val census =
         CapCensus(censusRow.getLong(0), censusRow.getLong(1), maxBucketSize)
-      if (census.anyDropped)
+      if (!census.anyDropped) {
+        // nothing over the cap (the common healthy-corpus case — the
+        // measured 8 M-doc census drops zero buckets at the default):
+        // an anti-join against an empty guard is the identity, so skip
+        // it — the pair plan loses a broadcast + join, and the census
+        // aggregate above stays as the guard's whole price
+        oversized.unpersist()
+        (banded, Nil, census)
+      } else {
         log.warn(s"$what: dropped ${census.droppedBuckets} bucket(s) " +
           s"(${census.droppedRows} banded rows) over " +
           s"maxBucketSize=$maxBucketSize from candidate generation")
-      val guardKeys = oversized.select(keys: _*)
-      val guard =
-        if (census.droppedBuckets <= MaxBroadcastKeys) broadcast(guardKeys)
-        else guardKeys
-      (banded.join(guard, keyCols, "left_anti"), Seq(oversized), census)
+        val guardKeys = oversized.select(keys: _*)
+        val guard =
+          if (census.droppedBuckets <= MaxBroadcastKeys) broadcast(guardKeys)
+          else guardKeys
+        (banded.join(guard, keyCols, "left_anti"), Seq(oversized), census)
+      }
     }
   }
 }

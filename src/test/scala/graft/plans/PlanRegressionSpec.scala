@@ -100,12 +100,15 @@ class PlanRegressionSpec extends SparkSpec {
         docs, "text", "doc_id", 1, 24, 3, 0.9)
       try {
         val got = shapeOf(pairs)
-        // 1 broadcast = the oversized-bucket anti-join guard; the big
-        // banded frame itself must never be a broadcast side. 0 pushed
+        // 0 broadcasts: this fixture has nothing over the cap, and a
+        // zero-drop census SKIPS the guard anti-join entirely (r11) —
+        // the broadcast reappears only when buckets actually drop
+        // (LshSkewSpec's capped fixtures pin that arm). The big banded
+        // frame must never be a broadcast side either way. 0 pushed
         // scans: the signature frames are persisted, so the joins read
         // InMemoryTableScans, not file scans
         withClue("q30 lazy pair plan drifted: ") {
-          got shouldBe Shape(shuffles = 5, broadcasts = 1, pushedScans = 0)
+          got shouldBe Shape(shuffles = 5, broadcasts = 0, pushedScans = 0)
         }
         val s = pairs.queryExecution.sparkPlan.toString
         s should not include "CartesianProduct"
