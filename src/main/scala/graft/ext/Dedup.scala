@@ -151,6 +151,12 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int, numHashes: Int,
       numBands: Int): (DataFrame, DataFrame) = {
+    // fail fast on a non-dividing banding: rowsPerBand = 0 would band
+    // every doc into one constant md5 (silently degenerate — the exact
+    // shape the census tools exist to detect), and a remainder would
+    // silently ignore signature slots
+    require(numBands > 0 && numHashes > 0 && numHashes % numBands == 0,
+      s"numBands ($numBands) must be positive and divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / numBands
     // persist: both the verify joins (base) and both sides of the
     // bucket self-join (banded) reference these frames — without a

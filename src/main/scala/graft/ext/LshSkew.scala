@@ -70,21 +70,31 @@ object LshSkew {
   }
 
   /** Rows of `banded` whose (keyCols) bucket has ≤ `maxBucketSize`
-    * members, the cached guard frame the CALLER must unpersist
-    * after its action (empty when the cap is off) — same discipline
-    * as the lazy pair generators' own intermediates — and the
-    * [[CapCensus]] of what the guard dropped. [[NoCap]]
-    * (`Int.MaxValue`, the explicit opt-out) short-circuits to `banded`
-    * itself — zero extra work, bit-identical plans.
+    * members, the cached guard frames the CALLER must unpersist
+    * after its action — same discipline as the lazy pair generators'
+    * own intermediates — and the [[CapCensus]] of what the guard
+    * dropped. [[NoCap]] (`Int.MaxValue`, the explicit opt-out)
+    * short-circuits to `banded` itself — zero extra work,
+    * bit-identical plans.
     *
-    * The oversized-bucket list is bounded by rows/maxBucketSize keys,
-    * so it is persist+count materialized (persist, NOT
-    * localCheckpoint: Dataset.unpersist releases CacheManager
-    * entries but does nothing for checkpoint RDD blocks, which would
-    * make the caller's release a silent no-op) and broadcast into a
-    * left-anti join — the big banded frame never reshuffles for the
-    * guard. Past [[MaxBroadcastKeys]] keys the hint is omitted and
-    * the anti-join shuffles instead of overflowing the broadcast.
+    * With a finite cap the census is computed FIRST (one aggregate
+    * over the bounded oversized-bucket list), and a ZERO-DROP census
+    * (the common healthy-corpus case) also returns `banded` directly
+    * with an empty cache list — an anti-join against an empty guard
+    * is the identity, so the pair plan pays only the census
+    * aggregate. So an empty returned cache list means cap-off OR
+    * nothing-over-cap; the census (`maxBucketSize`, `anyDropped`)
+    * distinguishes them.
+    *
+    * Only when buckets actually drop: the oversized-bucket list
+    * (bounded by rows/maxBucketSize keys) is persist+count
+    * materialized (persist, NOT localCheckpoint: Dataset.unpersist
+    * releases CacheManager entries but does nothing for checkpoint
+    * RDD blocks, which would make the caller's release a silent
+    * no-op) and broadcast into a left-anti join — the big banded
+    * frame never reshuffles for the guard. Past [[MaxBroadcastKeys]]
+    * keys the hint is omitted and the anti-join shuffles instead of
+    * overflowing the broadcast.
     */
   def capBuckets(banded: DataFrame, keyCols: Seq[String],
                  maxBucketSize: Int,

@@ -38,6 +38,8 @@ object RecallSweep {
     val nTrue = BoundedPairs.allPairs(base, "id")
       .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.9)
       .count()
+    require(nTrue > 0, s"no true near-dup pairs in docs<=$maxDocId of " +
+      s"$sfDir — recall is undefined; widen the slice")
     println(s"docs<=$maxDocId truePairs=$nTrue (exact Jaccard >= 0.9)")
     println(f"${"bands x rows"}%-14s ${"found"}%6s ${"recall"}%8s")
     bands.foreach { b =>

@@ -111,6 +111,20 @@ class LshSkewSpec extends SparkSpec {
     census.droppedRows shouldBe 400L
   }
 
+  test("non-dividing banding is rejected fail-fast, not silently degenerate") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // numBands > numHashes would band every doc into one constant md5;
+    // a remainder would silently ignore signature slots — both throw
+    intercept[IllegalArgumentException] {
+      Dedup.lshNearDupPairs(docs, "text", "doc_id",
+        shingleWidth = 1, numHashes = 24, numBands = 48, threshold = 0.9)
+    }.getMessage should include("numBands")
+    intercept[IllegalArgumentException] {
+      Dedup.lshNearDupPairs(docs, "text", "doc_id",
+        shingleWidth = 1, numHashes = 24, numBands = 5, threshold = 0.9)
+    }.getMessage should include("divide")
+  }
+
   test("SRP: identical-embedding cluster is dropped under a cap, real pair survives") {
     val dims = 8
     val same = (1 to 100).map(i => (i.toLong, Array.fill(dims)(0.5f)))

@@ -92,7 +92,7 @@ class PlanRegressionSpec extends SparkSpec {
     }
   }
 
-  test("q30 LSH candidate plan: hint-only broadcasts are the cap guard, no cartesian") {
+  test("q30 LSH candidate plan: zero-drop census skips the guard broadcast, no cartesian") {
     hintOnly {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
         .filter(col("doc_id") < 60)
