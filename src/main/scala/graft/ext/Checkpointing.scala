@@ -29,6 +29,15 @@ object CheckpointMode {
     * durable write per round; the implementation persists the round
     * before checkpointing so the checkpoint-write job reads the cache
     * instead of recomputing the round.
+    *
+    * END-OF-LIFE: the CALLER owns cleanup of `dir`. Superseded rounds
+    * are deleted as iteration proceeds, but the FINAL round's
+    * checkpoint files back the returned frame — they must outlive the
+    * call (deleting them would break the result's lineage), so the
+    * operators cannot free them. Consume the result (write it out /
+    * collect what you need), then delete `dir`; a long-lived session
+    * that calls iterative operators repeatedly without doing so
+    * accumulates one final-round directory per call.
     */
   final case class Reliable(dir: String) extends CheckpointMode
 }

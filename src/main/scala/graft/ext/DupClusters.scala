@@ -36,6 +36,10 @@ object DupClusters {
     * explicitly via [[Checkpointing]] handles, so a long run holds at
     * most two rounds of state, not all of them.
     */
+  // NOTE (Reliable mode): superseded rounds are freed each iteration,
+  // but the FINAL round's checkpoint files back the returned frame and
+  // stay under the mode's dir — end-of-life cleanup of that dir is the
+  // caller's, after consuming the result (see CheckpointMode.Reliable).
   private def checkpointTracked(df: DataFrame, mode: CheckpointMode)
       : (DataFrame, Checkpointing.Handle) =
     Checkpointing.checkpoint(df, mode)

@@ -30,9 +30,14 @@ import org.apache.spark.sql.SparkSession
   * writer checks buffered size periodically and compression changes
   * the ratio; the report reads the ACTUAL footer counts back).
   *
-  * Hive-partitioned tables compact per leaf directory: map this over
-  * the partition dirs (the partition columns live in the directory
-  * names, not the files, so compacting a leaf never touches them).
+  * Hive-partitioned tables compact per leaf directory: the partition
+  * columns live in the directory names, not the files, so compacting a
+  * leaf never touches them. [[compactTree]] is that map made
+  * executable — it discovers the partition leaves, compacts each with
+  * bounded parallelism, and reports per leaf; [[compactTo]] (and its
+  * [[census]]) refuse a directory with visible subdirectories rather
+  * than let the recursive read silently count more rows than the
+  * top-level census did.
   */
 object Compaction {
 
@@ -69,12 +74,24 @@ object Compaction {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root)
-      .filter { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith(".") && !n.endsWith("._COPYING_") &&
-          !(n.startsWith("_") && !n.contains("="))
-      }
+    val entries = fs.listStatus(root)
+    // A visible subdirectory means spark.read.parquet(dir) would
+    // recurse into rows this top-level census never counted, and the
+    // rewrite would then "gain" rows and die on the Report parity check
+    // with a misleading "lost rows" message. The per-leaf contract in
+    // the scaladoc is enforced here, before any data moves: compact
+    // partitioned tables leaf by leaf (compactTree does the mapping).
+    val subdirs = entries.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && !shouldSkip(n)
+    }
+    require(subdirs.isEmpty,
+      s"Compaction: $dir contains subdirectories " +
+        s"(${subdirs.map(_.getPath.getName).sorted.mkString(", ")}) — " +
+        "a Hive-partitioned table compacts per leaf directory; use " +
+        "Compaction.compactTree to discover and compact the leaves")
+    val files = entries
+      .filter(s => s.isFile && !shouldSkip(s.getPath.getName))
     var groups = 0L
     var rows = 0L
     var bytes = 0L
@@ -89,6 +106,17 @@ object Compaction {
     }
     (files.length, groups, rows, bytes)
   }
+
+  /** Exactly what Spark's listing filter (`HadoopFSUtils
+    * .shouldFilterOut`) skips: dotfiles, in-flight `*._COPYING_`
+    * copies, and `_`-prefixed names UNLESS they contain `=` (admitted
+    * as partition-valued names). Shared by the census (so it counts
+    * the read's population) and the leaf walk (so `_temporary` debris
+    * is never mistaken for a partition directory).
+    */
+  private def shouldSkip(name: String): Boolean =
+    name.startsWith(".") || name.endsWith("._COPYING_") ||
+      (name.startsWith("_") && !name.contains("="))
 
   /** Rewrite the parquet files under `srcPath` into `dstPath` with
     * ~`targetFileBytes` per file and ~`targetRowGroupBytes` per row
@@ -119,5 +147,89 @@ object Compaction {
       census(spark, dstPath)
     Report(srcPath, dstPath, filesBefore, filesAfter, groupsBefore,
       groupsAfter, rowsBefore, rowsAfter, bytesBefore, bytesAfter)
+  }
+
+  /** Hive-partition leaves under `root`, as root-relative paths in
+    * lexicographic order ("" if the root itself is a leaf). A leaf is
+    * a directory holding visible files and no visible subdirectories;
+    * interior nodes hold only partition subdirectories. A directory
+    * mixing visible files WITH visible subdirectories is neither — it
+    * is not a layout `spark.read.parquet(root)` partition discovery
+    * accepts, so the walk fails fast naming it instead of guessing
+    * which half to compact. Listing is metadata-only, one listStatus
+    * per directory — at 100 TB the walk touches the namenode/object
+    * listing, never data.
+    */
+  def leafDirs(spark: SparkSession, root: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    def walk(p: Path, rel: String): Seq[String] = {
+      val entries = fs.listStatus(p).filter(s => !shouldSkip(s.getPath.getName))
+      val (dirs, files) = entries.partition(_.isDirectory)
+      if (dirs.isEmpty && files.isEmpty) Seq.empty
+      else if (dirs.isEmpty) Seq(rel)
+      else {
+        require(files.isEmpty,
+          s"Compaction.leafDirs: ${if (rel.isEmpty) root else s"$root/$rel"} " +
+            s"mixes data files (${files.map(_.getPath.getName).sorted.take(3).mkString(", ")}…) " +
+            s"with subdirectories (${dirs.map(_.getPath.getName).sorted.take(3).mkString(", ")}…) " +
+            "— not a Hive partition layout; compact the offending directory explicitly")
+        dirs.sortBy(_.getPath.getName).flatMap { d =>
+          val name = d.getPath.getName
+          walk(d.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        }
+      }
+    }
+    walk(rootPath, "")
+  }
+
+  /** [[compactTo]] mapped over a Hive-partitioned table: discover the
+    * partition leaves under `srcRoot`, compact each into the same
+    * relative path under `dstRoot`, and return the per-leaf
+    * (relative path, [[Report]]) pairs in leaf order. An unpartitioned
+    * `srcRoot` (files at the top level) degenerates to a single
+    * [[compactTo]] of the root itself.
+    *
+    * `parallelism` bounds how many leaf compactions run CONCURRENTLY
+    * as separate Spark jobs (Spark schedules jobs from multiple
+    * threads fine). Each leaf is one read→write pass whose task count
+    * is its own file/size shape, so on a 1000-executor cluster a
+    * handful of in-flight leaves keeps the cluster full without
+    * queueing thousands of tiny jobs at once; within a leaf the write
+    * is the usual distributed pass. Per-leaf row parity is enforced by
+    * each [[Report]]; a failing leaf fails the whole call (the
+    * already-written leaves are left in place under `dstRoot` — the
+    * swap-in step is the caller's transaction, same contract as
+    * [[compactTo]]).
+    *
+    * The partition columns never move: they live in the directory
+    * names (`lang=en/...`), and each leaf is rewritten beneath the
+    * same relative path, so `spark.read.parquet(dstRoot)` recovers
+    * exactly the source partitioning.
+    */
+  def compactTree(spark: SparkSession, srcRoot: String, dstRoot: String,
+                  targetFileBytes: Long = 512L * 1024 * 1024,
+                  targetRowGroupBytes: Long = 128L * 1024 * 1024,
+                  shuffle: Boolean = false,
+                  parallelism: Int = 4): Seq[(String, Report)] = {
+    require(parallelism > 0, s"parallelism must be positive: $parallelism")
+    val leaves = leafDirs(spark, srcRoot)
+    require(leaves.nonEmpty, s"Compaction.compactTree: no parquet files under $srcRoot")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = leaves.map { rel =>
+        scala.concurrent.Future {
+          val src = if (rel.isEmpty) srcRoot else s"$srcRoot/$rel"
+          val dst = if (rel.isEmpty) dstRoot else s"$dstRoot/$rel"
+          rel -> compactTo(spark, src, dst, targetFileBytes,
+            targetRowGroupBytes, shuffle)
+        }
+      }
+      futures.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
   }
 }

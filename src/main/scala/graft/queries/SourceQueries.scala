@@ -13,6 +13,25 @@ import graft.sources.{LineRouter, StructTextParser, TreeScan}
   */
 object SourceQueries {
 
+  /** Materialize a temp-fixture gate's result, then delete its fixture
+    * roots. The filesystem gates (q63/q82/q85/q105/q106) return frames
+    * whose lineage READS the fixture tree they just wrote, so the tree
+    * cannot be deleted while the frame is lazy; localCheckpoint(eager)
+    * pins the computed rows in the block manager, after which the
+    * fixture is garbage. Without this, every bench/verify invocation
+    * leaves a fixture copy in /tmp (q105's two parquet copies of the
+    * 2000-doc slice were the largest — the r11 advisor finding).
+    */
+  private def materializeThenDelete(df: DataFrame, roots: String*): DataFrame = {
+    val out = df.localCheckpoint(true)
+    roots.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    out
+  }
+
   /** S9 — struct-text round-trip: format documents into multi-record
     * text blobs (one per source, records ordered by doc_id), parse them
     * back with a Field/Optional/OneOf/Repeat schema, and flatten. The
@@ -182,10 +201,10 @@ object SourceQueries {
       }
     val scanned = TreeScan.withLevels(
       TreeScan.scan(spark, root), "rel_path", maxLevels = 2)
-    scanned
+    materializeThenDelete(scanned
       .groupBy(col("level0").as("source"), col("level1").as("lang"))
       .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"))
-      .orderBy(col("source"), col("lang"))
+      .orderBy(col("source"), col("lang")), root)
   }
 
   val q63Sql: String =
@@ -214,10 +233,10 @@ object SourceQueries {
       }
     val scanned = TreeScan.withLevels(
       TreeScan.scanDistributed(spark, root), "rel_path", maxLevels = 2)
-    scanned
+    materializeThenDelete(scanned
       .groupBy(col("level0").as("source"), col("level1").as("lang"))
       .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"))
-      .orderBy(col("source"), col("lang"))
+      .orderBy(col("source"), col("lang")), root)
   }
 
   val q82Sql: String = q63Sql
@@ -257,13 +276,13 @@ object SourceQueries {
     }
     val scans = TreeScan.scan(spark, root).withColumn("root", lit("main"))
       .unionByName(TreeScan.scan(spark, backupRoot).withColumn("root", lit("backup")))
-    TreeScan.withLevels(scans, "rel_path", maxLevels = 1)
+    materializeThenDelete(TreeScan.withLevels(scans, "rel_path", maxLevels = 1)
       .groupBy(col("root"), col("level0").as("source"))
       .agg(count(lit(1)).as("n_files"),
            sum(col("size")).as("total_bytes"),
            sum(when(col("name").startsWith("bak_"), 1).otherwise(0))
              .cast("long").as("n_renamed"))
-      .orderBy(col("root"), col("source"))
+      .orderBy(col("root"), col("source")), root, backupRoot)
   }
 
   /** ✚ layout compaction, oracle-gated end to end: a deliberately
@@ -287,17 +306,65 @@ object SourceQueries {
       .write.parquet(src)
     val report = graft.ops.Compaction.compactTo(spark, src, dst,
       targetFileBytes = 1L << 30, targetRowGroupBytes = 8L * 1024 * 1024)
-    spark.read.parquet(dst)
+    materializeThenDelete(spark.read.parquet(dst)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
       .withColumn("files_before", lit(report.filesBefore))
       .withColumn("files_after", lit(report.filesAfter))
-      .orderBy(col("lang"))
+      .orderBy(col("lang")), root)
   }
 
   val q105Sql: String =
     """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
       |  CAST(8 AS INTEGER) AS files_before, CAST(1 AS INTEGER) AS files_after
+      |FROM documents WHERE doc_id < 2000
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** ✚ PARTITION-AWARE compaction, oracle-gated end to end: the
+    * documents slice is written as a Hive-partitioned table
+    * (`lang=*` leaves) deliberately fragmented into exactly 4 files
+    * per leaf (four appends, each a single-task write that emits one
+    * file per lang it carries — every `doc_id % 4` class holds every
+    * lang at all SFs, checked against the testdata), then
+    * `Compaction.compactTree` discovers the leaves and compacts each
+    * to a single file, leaves in parallel. The gate aggregates the
+    * COMPACTED table per lang (partition column recovered from the
+    * directory names) joined with each leaf's footer-verified report —
+    * so the hash only matches the oracle's replay over the original
+    * table if leaf discovery found exactly the 5 lang leaves, every
+    * leaf moved 4 files → 1, no row crossed a partition boundary, and
+    * the per-leaf footer row counts equal the per-lang group counts.
+    */
+  def q106CompactTree(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_q106_").toString
+    val src = s"$root/frag"
+    val dst = s"$root/compact"
+    val slice = Tables(spark, dir, "documents").filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    (0 until 4).foreach { k =>
+      slice.filter(col("doc_id") % 4 === k).coalesce(1)
+        .write.mode("append").partitionBy("lang").parquet(src)
+    }
+    val reports = graft.ops.Compaction.compactTree(spark, src, dst,
+      targetFileBytes = 1L << 30, targetRowGroupBytes = 8L * 1024 * 1024,
+      parallelism = 4)
+    val perLeaf = reports.map { case (rel, r) =>
+      (rel.stripPrefix("lang="), r.filesBefore, r.filesAfter, r.rowsAfter)
+    }.toDF("lang", "files_before", "files_after", "leaf_rows")
+    materializeThenDelete(
+      spark.read.parquet(dst)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .join(perLeaf, Seq("lang"))
+        .orderBy(col("lang")), root)
+  }
+
+  val q106Sql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(4 AS INTEGER) AS files_before, CAST(1 AS INTEGER) AS files_after,
+      |  count(*) AS leaf_rows
       |FROM documents WHERE doc_id < 2000
       |GROUP BY lang ORDER BY lang""".stripMargin
 

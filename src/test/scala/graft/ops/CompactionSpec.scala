@@ -124,4 +124,87 @@ class CompactionSpec extends SparkSpec {
     }
     ex.getMessage should include("no parquet files")
   }
+
+  test("census refuses a partitioned root with an explicit per-leaf error") {
+    val root = tmp("graft_compact_part_")
+    val src = s"$root/src"
+    (1L to 1000L).map(i => (i, s"k${i % 3}", s"v_$i")).toDF("id", "k", "payload")
+      .write.partitionBy("k").parquet(src)
+    // the recursive read would see 1000 rows the top-level census never
+    // counted — the old failure mode was a misleading "lost rows" throw
+    // AFTER the rewrite; now the census names the real problem up front
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.compactTo(spark, src, s"$root/dst")
+    }
+    ex.getMessage should include("compacts per leaf")
+    ex.getMessage should include("compactTree")
+    ex.getMessage should include("k=k0")
+  }
+
+  test("leafDirs: Hive leaves in order; root-is-leaf; mixed layout rejected") {
+    val root = tmp("graft_compact_leaves_")
+    val part = s"$root/part"
+    (1L to 600L).map(i => (i, s"a${i % 2}", s"b${i % 3}", i.toString))
+      .toDF("id", "ka", "kb", "v")
+      .write.partitionBy("ka", "kb").parquet(part)
+    Compaction.leafDirs(spark, part) shouldBe Seq(
+      "ka=a0/kb=b0", "ka=a0/kb=b1", "ka=a0/kb=b2",
+      "ka=a1/kb=b0", "ka=a1/kb=b1", "ka=a1/kb=b2")
+
+    val flat = s"$root/flat"
+    (1L to 10L).map(i => (i, "x")).toDF("id", "v").write.parquet(flat)
+    Compaction.leafDirs(spark, flat) shouldBe Seq("")
+
+    // files alongside partition dirs: not a layout partition discovery
+    // accepts — named, not guessed at
+    val mixed = s"$root/mixed"
+    (1L to 10L).map(i => (i, s"m${i % 2}")).toDF("id", "k")
+      .write.partitionBy("k").parquet(mixed)
+    java.nio.file.Files.copy(
+      new java.io.File(flat).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath,
+      java.nio.file.Paths.get(mixed, "stray.parquet"))
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.leafDirs(spark, mixed)
+    }
+    ex.getMessage should include("mixes data files")
+  }
+
+  test("compactTree: per-leaf compaction preserves partitioning, rows, and values") {
+    val root = tmp("graft_compact_tree_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val df = (1L to 6000L).map(i => (i, s"p${i % 3}", s"payload_$i"))
+      .toDF("id", "k", "payload")
+    // fragment each leaf into exactly 4 files: four single-task appends
+    (0 until 4).foreach { r =>
+      df.filter($"id" % 4 === r).coalesce(1)
+        .write.mode("append").partitionBy("k").parquet(src)
+    }
+    val reports = Compaction.compactTree(spark, src, dst,
+      targetFileBytes = 1L << 30, targetRowGroupBytes = 1L << 30,
+      parallelism = 3)
+    reports.map(_._1) shouldBe Seq("k=p0", "k=p1", "k=p2")
+    reports.foreach { case (rel, r) =>
+      withClue(s"leaf $rel: ") {
+        r.filesBefore shouldBe 4
+        r.filesAfter shouldBe 1
+        r.rowsAfter shouldBe 2000L
+      }
+    }
+    // the compacted tree reads back as the same partitioned table
+    val back = spark.read.parquet(dst)
+    back.count() shouldBe 6000L
+    back.groupBy($"k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("p0" -> 2000L, "p1" -> 2000L, "p2" -> 2000L)
+    back.agg(sum($"id")).head().getLong(0) shouldBe (1L to 6000L).sum
+    // unpartitioned root degenerates to a single root compaction
+    val flatDst = s"$root/flat_dst"
+    df.select($"id", $"payload").repartition(5).write.parquet(s"$root/flat")
+    val flatReports = Compaction.compactTree(spark, s"$root/flat", flatDst)
+    flatReports.map(_._1) shouldBe Seq("")
+    flatReports.head._2.filesBefore shouldBe 5
+    spark.read.parquet(flatDst).count() shouldBe 6000L
+  }
 }
