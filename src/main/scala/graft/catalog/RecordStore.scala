@@ -43,46 +43,33 @@ final class RecordStore {
 
   /** Canonical JSON of a key dict (sorted keys, compact separators,
     * non-ASCII \u-escaped) — renders identically to python's
-    * `json.dumps(d, sort_keys=True, separators=(",", ":"))` for the
-    * value types the reference exercises (strings, bools, ints,
-    * lists, nested dicts). Float key values are accepted only when
-    * INTEGRAL, finite, and below 1e15 (rendered `1.0`, matching
-    * CPython; negative zero keeps its sign — `-0.0` — exactly as
-    * json.dumps writes it); anything else — fractional, NaN/Inf, or the
-    * scientific-notation range — THROWS `IllegalArgumentException`
-    * naming the key. This is deliberately STRICTER than the reference,
-    * which json.dumps-accepts any float (`deprecated/table_backend.py`),
-    * and stricter than portability strictly requires: for much of the
-    * non-exponent range CPython's shortest-round-trip repr and a
-    * shortest-repr renderer agree byte-for-byte. But this JVM's
-    * `Double.toString` (Java 17, legacy FloatingDecimal) carries no
-    * shortest-repr guarantee — that arrived in JDK 19 (JDK-4511638) —
-    * so the provably-identical subset isn't cleanly characterizable
-    * here, and a prefix is a byte-portable id: a float repr that
-    * merely probably matches CPython's would corrupt the store
-    * silently on the first divergence, so fail-fast beats best-effort.
-    * Use strings or ints for such keys. An empty dict is FALSY
-    * in python (`if not keys`), so it serializes to "default" exactly
-    * like None.
+    * `json.dumps(d, sort_keys=True, separators=(",", ":"))` for every
+    * value type the reference exercises (strings, bools, ints, lists,
+    * nested dicts) AND for arbitrary floats: doubles render through
+    * [[PyFloatRepr]], CPython's shortest-round-trip repr with its
+    * notation rules (`0.1`, `0.0001`, `1e-05`, `1e+16`, `-0.0` keeps
+    * its sign), so any float key the reference's backend accepts
+    * produces the byte-identical prefix here. Non-finite floats render
+    * as `NaN`/`Infinity`/`-Infinity` — not standard JSON, but exactly
+    * what `json.dumps` emits under its default `allow_nan=True`, and
+    * prefix parity beats JSON validity for a store id. An empty dict
+    * is FALSY in python (`if not keys`), so it serializes to
+    * "default" exactly like None.
     */
   private[catalog] def serializeKeys(keys: Option[Map[String, Any]]): String =
     keys match {
       case None                  => "default"
       case Some(m) if m.isEmpty  => "default"
-      case Some(m)               => jsonValue(m, "<keys>")
+      case Some(m)               => jsonValue(m)
     }
 
-  // `where` tracks the key path (e.g. "<keys>.version") so a rejected
-  // float names the exact offending key, not just the dict
-  private def jsonValue(v: Any, where: String): String = v match {
+  private def jsonValue(v: Any): String = v match {
     case null            => "null"
     case m: Map[_, _] =>
       m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
-        .map { case (k, x) => s"${jsonString(k)}:${jsonValue(x, s"$where.$k")}" }
+        .map { case (k, x) => s"${jsonString(k)}:${jsonValue(x)}" }
         .mkString("{", ",", "}")
-    case s: Seq[_]       => s.zipWithIndex
-        .map { case (x, i) => jsonValue(x, s"$where[$i]") }
-        .mkString("[", ",", "]")
+    case s: Seq[_]       => s.map(jsonValue).mkString("[", ",", "]")
     case s: String       => jsonString(s)
     case b: Boolean      => if (b) "true" else "false"
     case i: Int          => i.toString
@@ -91,19 +78,8 @@ final class RecordStore {
     case b: Byte         => b.toString
     case bd: BigDecimal  => bd.toString
     case bi: BigInt      => bi.toString
-    case f: Float        => jsonValue(f.toDouble, where)
-    case d: Double       =>
-      // negative zero passes the integral gate (−0.0 == floor(−0.0))
-      // but d.toLong drops the sign; CPython's json.dumps keeps it
-      if (d == 0.0 && java.lang.Double.doubleToRawLongBits(d) != 0L)
-        "-0.0"
-      else if (d == d.floor && !d.isInfinite && !d.isNaN && math.abs(d) < 1e15)
-        s"${d.toLong}.0"
-      else throw new IllegalArgumentException(
-        s"RecordStore: key $where = $d is a non-integral (or non-finite / " +
-          ">=1e15) float — JVM and CPython float reprs diverge there, so the " +
-          "serialized prefix would not be byte-portable; use a string or " +
-          "integer key value instead")
+    case f: Float        => PyFloatRepr.repr(f.toDouble)
+    case d: Double       => PyFloatRepr.repr(d)
     case other           => jsonString(other.toString)
   }
 

@@ -733,7 +733,10 @@ object PipelineQueries {
     *    `en` prefix) and first-writer-wins metadata (the second `en`
     *    write's `gen -> 2` must lose; its novel `extra -> 7` must win);
     *  - four selector dialects: `re:` regex, list membership, glob,
-    *    and exact string, each as its own output-key namespace.
+    *    and exact string, each as its own output-key namespace;
+    *  - CPython float rendering in prefixes ([[graft.catalog.PyFloatRepr]]):
+    *    one record's keys carry `0.0001` / `1e-05` / `1.5e+16`, hitting
+    *    the fixed-vs-scientific notation boundaries json.dumps draws.
     *
     * The store is driver-side registry machinery BY DESIGN (the
     * reference's backend is a process-local dict): values are lazy
@@ -764,12 +767,22 @@ object PipelineQueries {
       Some(Map("lang" -> "all", "tier" -> "dict", "level0" -> "SHOULD_LOSE")),
       docs.filter(col("doc_id") < 50),
       Map("gen" -> 1L))
+    // float-keyed record: its prefix pins PyFloatRepr's CPython
+    // notation branches in the gate hash — fixed at 1e-4 (`0.0001`),
+    // scientific below it (`1e-05`) and past 1e16 (`1.5e+16`) — values
+    // a Double.toString render would all format differently
+    rs.writeTable("corpus", Seq("web"),
+      Some(Map("lang" -> "v2", "thr" -> 0.0001, "eps" -> 1e-05,
+        "big" -> 1.5e16)),
+      docs.filter(col("doc_id") < 30),
+      Map("gen" -> 1L))
 
     val selectors: Seq[(String, Map[String, Any])] = Seq(
       "s1" -> Map("lang" -> "re:^(en|fr)", "tier" -> null), // regex + match-any
       "s2" -> Map("lang" -> Seq("de", "zh")),               // list membership
       "s3" -> Map("lang" -> "e*"),                          // glob
-      "s4" -> Map("lang" -> "all"))                         // exact
+      "s4" -> Map("lang" -> "all"),                         // exact
+      "s5" -> Map("lang" -> "v2"))                          // float-keyed record
 
     val parts = selectors.flatMap { case (sid, sel) =>
       val (data, meta) = rs.getTables("corpus", Some(sel))
@@ -811,6 +824,9 @@ object PipelineQueries {
       |aux AS (
       |  SELECT count(*) AS n, COALESCE(CAST(sum(n_chars) AS BIGINT), 0) AS sc
       |  FROM documents WHERE doc_id < 50),
+      |flt AS (
+      |  SELECT count(*) AS n, COALESCE(CAST(sum(n_chars) AS BIGINT), 0) AS sc
+      |  FROM documents WHERE doc_id < 30),
       |rows_all AS (
       |  SELECT sid || ':' || prefix || '_data_0' AS entry_key,
       |    'data' AS kind, n AS v, sc AS sum_chars FROM pre
@@ -828,6 +844,13 @@ object PipelineQueries {
       |  FROM pre WHERE pre.lang = 'en'
       |  UNION ALL
       |  SELECT 's4:{"lang":"all","level0":"web","tier":"dict"}_metadata_gen',
+      |    'meta', 1, -1
+      |  UNION ALL
+      |  -- the float-keyed prefix, CPython float notation verbatim
+      |  SELECT 's5:{"big":1.5e+16,"eps":1e-05,"lang":"v2","level0":"web","thr":0.0001}_data_0',
+      |    'data', n, sc FROM flt
+      |  UNION ALL
+      |  SELECT 's5:{"big":1.5e+16,"eps":1e-05,"lang":"v2","level0":"web","thr":0.0001}_metadata_gen',
       |    'meta', 1, -1)
       |SELECT entry_key, kind, v, sum_chars FROM rows_all
       |ORDER BY entry_key""".stripMargin

@@ -136,32 +136,23 @@ class RecordStoreSpec extends SparkSpec {
     mm.map(_._1) shouldBe Seq("""{"k":"v"}#metadata#m""")
   }
 
-  test("integral float key values render like CPython; non-integral ones fail fast, naming the key") {
+  test("float key values render byte-identically to CPython json.dumps") {
     val rs = new RecordStore
-    // integral double/float: accepted, `1.0` exactly as json.dumps writes it
+    // integral double/float: `1.0` exactly as json.dumps writes it
     rs.writeTable("d", Nil, Some(Map("v" -> 1.0)), frame(1))
     rs.getTables("d", None)._1.map(_._1) shouldBe Seq("""{"v":1.0}_data_0""")
     // negative zero is integral but signed: json.dumps(-0.0) = "-0.0",
     // so the render must keep the sign a toLong round-trip would drop
     rs.writeTable("z", Nil, Some(Map("v" -> -0.0)), frame(1))
     rs.getTables("z", None)._1.map(_._1) shouldBe Seq("""{"v":-0.0}_data_0""")
-    // a prefix is a byte-portable id: anything whose JVM repr could
-    // diverge from CPython's is rejected at write time, not rendered
-    // best-effort — and the error names the exact offending key
-    val fractional = intercept[IllegalArgumentException] {
-      rs.writeTable("d", Nil, Some(Map("version" -> 1.5)), frame(2))
-    }
-    fractional.getMessage should include("version")
-    val nested = intercept[IllegalArgumentException] {
-      rs.writeTable("d", Nil,
-        Some(Map("cfg" -> Map("scale" -> 2.5e20))), frame(3))
-    }
-    nested.getMessage should include("cfg.scale")
-    val nan = intercept[IllegalArgumentException] {
-      rs.writeTable("d", Nil, Some(Map("x" -> Double.NaN)), frame(4))
-    }
-    nan.getMessage should include("x")
-    // the rejected writes must not have landed as records
-    rs.getTables("d", None)._1.map(_._1) shouldBe Seq("""{"v":1.0}_data_0""")
+    // fractional / exponent-range / non-finite floats all render through
+    // PyFloatRepr (shortest-round-trip digits, CPython notation — the
+    // exhaustive parity set lives in PyFloatReprSpec); the reference's
+    // backend json.dumps-accepts any float, so the store does too
+    rs.writeTable("f", Nil,
+      Some(Map("version" -> 1.5, "cfg" -> Map("scale" -> 2.5e20),
+        "eps" -> 1e-05, "thr" -> 0.0001, "x" -> Double.NaN)), frame(2))
+    rs.getTables("f", None)._1.map(_._1) shouldBe Seq(
+      """{"cfg":{"scale":2.5e+20},"eps":1e-05,"thr":0.0001,"version":1.5,"x":NaN}_data_0""")
   }
 }
