@@ -17,19 +17,29 @@ object Tables {
 
   /** Read one table from an sf directory (file or partitioned dir).
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-    * rejects outright; we read it as a raw nanosecond long
-    * (`nanosAsLong`) and rebuild a micros timestamp with integer
-    * division — `div`, not `/`, because a ~1.7e18 nanos epoch exceeds
-    * double precision (2^53) and float division would corrupt the value.
+    * `events.ts` has been written two ways across generator versions:
+    * parquet TIMESTAMP(NANOS) (which Spark rejects outright — read as a
+    * raw nanosecond long via `nanosAsLong` and rebuilt with integer
+    * division: `div`, not `/`, because a ~1.7e18 nanos epoch exceeds
+    * double precision (2^53) and float division would corrupt the
+    * value) and plain TIMESTAMP(MICROS) without a timezone annotation
+    * (which Spark 4 infers as TIMESTAMP_NTZ). Branch on the type the
+    * scan actually produced and normalize both to session-timezone
+    * `timestamp` — the session is pinned UTC, so the NTZ→TZ cast is
+    * value-preserving and downstream windows/oracles see one type.
     */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions._
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => // TIMESTAMP_NTZ (or date-like): value-preserving under UTC
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

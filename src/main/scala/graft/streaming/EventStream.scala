@@ -17,25 +17,42 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema as written by the generator: ts is parquet
-    * TIMESTAMP(NANOS), read as long (see graft.Tables) and rebuilt.
+  /** The events schema for the streaming source, minus `ts`, whose
+    * physical type varies by generator version (see [[readEvents]]).
     */
-  private val rawSchema = StructType(Seq(
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of `<sfDir>/events.parquet`. */
+  /** Streaming read of `<sfDir>/events.parquet`.
+    *
+    * The streaming file source needs an explicit schema, and `ts` has
+    * been written two ways across generator versions — TIMESTAMP(NANOS)
+    * (readable only as a raw long via `nanosAsLong`, rebuilt with
+    * integer `div`) and timezone-less TIMESTAMP(MICROS) (inferred as
+    * TIMESTAMP_NTZ). One batch footer read resolves which file layout
+    * is present (metadata-only — no data scan), and both normalize to
+    * session-timezone `timestamp`, value-preserving under the pinned
+    * UTC session.
+    */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val tsType = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
+    val stream = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => stream
+      case _ => stream.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling-window aggregation with a watermark: events per hour ×

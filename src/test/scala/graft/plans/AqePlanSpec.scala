@@ -101,7 +101,8 @@ class AqePlanSpec extends SparkSpec {
     "q5_revenue_by_nation" -> AqeShape(6, 2, bhj = 2, smj = 2, pushedScans = 5),
     "q94_unigram_quality" -> AqeShape(3, 1, bhj = 1, smj = 0, pushedScans = 1),
     "q96_seq_packing" -> AqeShape(2, 0, bhj = 0, smj = 0, pushedScans = 0),
-    "q102_record_store" -> AqeShape(8, 0, bhj = 0, smj = 0, pushedScans = 7),
+    // 5 selector branches since the float-keyed record landed (r12)
+    "q102_record_store" -> AqeShape(9, 0, bhj = 0, smj = 0, pushedScans = 8),
     // the unflatten-vs-source compare joins as one (hint-less) SMJ
     "q103_nested_paths" -> AqeShape(3, 0, bhj = 0, smj = 1, pushedScans = 2))
 

@@ -68,7 +68,9 @@ class PlanRegressionSpec extends SparkSpec {
     // 1 co-locating repartition + the final ORDER BY; O(1)-state scan
     // in between adds no exchange
     "q96_seq_packing" -> Shape(shuffles = 2, broadcasts = 0, pushedScans = 0),
-    "q102_record_store" -> Shape(shuffles = 8, broadcasts = 0, pushedScans = 7),
+    // 5 selector branches (s5 = the float-keyed record, r12) + the
+    // metadata/meta frames: each branch is one scan + one shuffle
+    "q102_record_store" -> Shape(shuffles = 9, broadcasts = 0, pushedScans = 8),
     "q103_nested_paths" -> Shape(shuffles = 3, broadcasts = 0, pushedScans = 2))
 
   for ((name, want) <- expected.toSeq.sortBy(_._1)) {
