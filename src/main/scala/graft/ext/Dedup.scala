@@ -184,6 +184,84 @@ object Dedup {
     (base, banded)
   }
 
+  /** [[lshNearDupPairsWithStats]] with STAGED pair generation: the
+    * band-bucket self-join runs band-at-a-time — `numBands` sequential
+    * smaller self-joins, each over ≤ 1/numBands of the banded rows,
+    * each materialized (id pairs only) before the next starts — instead
+    * of one fused join over all bands at once.
+    *
+    * Identical output by construction: a candidate pair meets in band b
+    * iff it meets in band b of the fused join (the join key includes
+    * `band_idx`, so the fused plan never pairs across bands either);
+    * per-band distinct + a cross-band dropDuplicates reproduce the
+    * fused plan's global dedup, and the verify join runs once over the
+    * unioned candidates.
+    *
+    * When to use: the fused pair stage is the suite's most
+    * spill-sensitive stage (BASELINE.md: 80→232 s wall spread at 8 M
+    * docs under disk contention) because all `numBands` bands' candidate
+    * volume is in flight in ONE shuffle. Staging caps the in-flight
+    * shuffle/spill footprint at the largest single band (~1/numBands of
+    * the total) in exchange for b sequential stage barriers — a
+    * wall-for-headroom trade for spill-constrained executors. The
+    * measured trade at 8 M docs is in BASELINE.md §"Staged band
+    * processing (round 12)"; the fused path stays the default.
+    *
+    * @param onBandDone measurement hook, called after band i's
+    *                   candidate pairs materialize (probe bracketing);
+    *                   default no-op.
+    */
+  def lshNearDupPairsStagedWithStats(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleWidth: Int = 1, numHashes: Int = 24,
+      numBands: Int = 3, threshold: Double = 0.9,
+      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
+      onBandDone: Int => Unit = _ => ()): (DataFrame, LshSkew.CapCensus) = {
+    val (base, banded) = bandedFrame(df, textCol, idCol,
+      shingleWidth, numHashes, numBands)
+    try {
+      var census = LshSkew.CapCensus.none(maxBucketSize)
+      val perBand = (0 until numBands).map { bandIdx =>
+        val band = banded.filter(col("band_idx") === bandIdx)
+        // per-band capping ≡ global capping: buckets are keyed by
+        // (band_idx, band_hash), so no bucket spans bands and the
+        // censuses sum exactly
+        val (capped, guardCaches, bandCensus) = LshSkew.capBuckets(band,
+          Seq("band_idx", "band_hash"), maxBucketSize,
+          s"lshNearDupPairsStaged band $bandIdx")
+        census = LshSkew.CapCensus(
+          census.droppedBuckets + bandCensus.droppedBuckets,
+          census.droppedRows + bandCensus.droppedRows, maxBucketSize)
+        val a = capped.select(col("band_hash"), col("id").as("id_a"))
+        val b = capped.select(col("band_hash"), col("id").as("id_b"))
+        // localCheckpoint(eager): the BARRIER that keeps band i's join
+        // out of flight while band i+1 runs; what persists is only the
+        // distinct id-pair list, tiny next to the join's shuffle
+        val pairs = a.join(b, "band_hash")
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+          .localCheckpoint(true)
+        guardCaches.foreach(_.unpersist())
+        onBandDone(bandIdx)
+        pairs
+      }
+      val candidates = perBand.reduce(_ union _)
+        .dropDuplicates("id_a", "id_b")
+      val verified = candidates
+        .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .localCheckpoint(true)
+      (verified, census)
+    } finally {
+      base.unpersist()
+      banded.unpersist()
+    }
+  }
+
   private[graft] def lshNearDupPairsLazy(
       df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int, numHashes: Int,

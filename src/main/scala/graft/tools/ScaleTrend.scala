@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev tool: the measured scaling table behind BASELINE.md §"Scale
@@ -74,6 +74,38 @@ object ScaleTrend {
     path
   }
 
+  /** Deterministic clustered embedding corpus (64 dims, float): vector
+    * i sits near true center `i % numCenters`, center coordinates and
+    * per-vector noise both hash-derived (no RNG — same vectors every
+    * run). Clustered BY CONSTRUCTION so IVF centroid pruning has real
+    * structure to find: uniform random vectors would make every
+    * centroid equidistant and recall meaningless.
+    */
+  private[tools] val VecDims = 64
+  private[tools] val VecCenters = 64
+  private def synthVecs(spark: SparkSession, n: Long): DataFrame = {
+    def u(seed: Column): Column = // hash → [-0.5, 0.5)
+      (pmod(xxhash64(seed), lit(100000L)).cast("double") / 100000.0) - 0.5
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(VecDims - 1)), d => (
+        u(pmod(col("id"), lit(VecCenters.toLong)) * VecDims + d)
+          + u(col("id") * VecDims + d + 7777777L) * 0.1
+        ).cast("float")).as("embedding"))
+  }
+
+  /** Build-once big-vectors fixture (same cache + version discipline
+    * as [[docsFixture]]; bump on any [[synthVecs]] change).
+    */
+  private[tools] val VecGenVersion = "v1"
+  private[tools] def vecsFixture(spark: SparkSession, n: Long,
+                                 out: String): String = {
+    val path = s"$out/vecs_${n}_$VecGenVersion"
+    if (!new java.io.File(path + "/_SUCCESS").exists())
+      synthVecs(spark, n).repartition(64)
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
   /** Path graph 0–(n−1): the maximum-diameter CC input. */
   private[tools] def chain(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
     val nodes = spark.range(n).select(col("id"))
@@ -82,12 +114,20 @@ object ScaleTrend {
   }
 
   def main(args: Array[String]): Unit = {
-    // args: [lineitemReplication] [docsBigN] — defaults are the r08
-    // ~20-33× trend; `ScaleTrend 100 8000000` is the r09 ~80-100×
-    // point (60 M lineitem rows, 8 M docs)
+    // args: [lineitemReplication] [docsBigN] [shapes] — defaults are
+    // the r08 ~20-33× trend; `ScaleTrend 100 8000000` is the r09
+    // ~80-100× point (60 M lineitem rows, 8 M docs). `shapes` is an
+    // optional comma list filtering which shapes run (e.g.
+    // `ScaleTrend 100 8000000 ivf,brute` measures only the embedding
+    // family without re-running the whole table).
     val rep = args.headOption.map(_.toInt).getOrElse(33) // 600 k × 33 ≈ 19.8 M
     val docsSmallN = 100000L
     val docsBigN = args.drop(1).headOption.map(_.toLong).getOrElse(2000000L)
+    val shapeFilter: String => Boolean = args.drop(2).headOption match {
+      case Some(list) => val keep = list.split(",").toSet
+        s => keep.exists(s.contains)
+      case None => _ => true
+    }
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -103,8 +143,15 @@ object ScaleTrend {
     def ensure(path: String)(build: => Unit): Unit =
       if (!new java.io.File(path + "/_SUCCESS").exists()) build
 
+    // fixtures build lazily per family, so a filtered run (e.g. just
+    // `ivf,brute`) never pays for the families it skips
+    val needLi = Seq("q1_agg", "q5_join", "q88_sketch").exists(shapeFilter)
+    val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack")
+      .exists(shapeFilter)
+    val needVecs = Seq("ivf", "brute").exists(shapeFilter)
+
     val liBig = s"$out/lineitem_x$rep"
-    ensure(liBig) {
+    if (needLi) ensure(liBig) {
       spark.read.parquet(s"$sf/lineitem.parquet")
         .withColumn("rep", explode(sequence(lit(1), lit(rep))))
         .repartition(64) // multi-file = multi-row-group = parallel scans
@@ -113,7 +160,7 @@ object ScaleTrend {
     // small-scale lineitem rewritten the same way (8 files) so the two
     // scales compare layout-for-layout, not 1-row-group vs 64 files
     val liSmall = s"$out/lineitem_x1"
-    ensure(liSmall) {
+    if (needLi) ensure(liSmall) {
       spark.read.parquet(s"$sf/lineitem.parquet")
         .withColumn("rep", lit(1))
         .repartition(8)
@@ -123,11 +170,14 @@ object ScaleTrend {
     // file-count ratio to its data as the lineitem x1 rewrite. The
     // path still carries GenVersion — same staleness guard.
     val docsSmall = s"$out/docs_small_$GenVersion"
-    ensure(docsSmall) {
+    if (needDocs) ensure(docsSmall) {
       synthDocs(spark, docsSmallN).repartition(8)
         .write.mode("overwrite").parquet(docsSmall)
     }
-    val docsBig = docsFixture(spark, docsBigN, out)
+    val docsBig = if (needDocs) docsFixture(spark, docsBigN, out) else ""
+    // embedding fixtures share the docs scale points (100 k / big-N)
+    val vecsSmall = if (needVecs) vecsFixture(spark, docsSmallN, out) else ""
+    val vecsBig = if (needVecs) vecsFixture(spark, docsBigN, out) else ""
 
     // ---- shapes -----------------------------------------------------
     def q1Shape(path: String): Long =
@@ -208,6 +258,52 @@ object ScaleTrend {
       graft.ext.DupClusters.componentsStar(edges, nodes, maxIter = 60).count()
     }
 
+    // ---- embedding family (round 12: the IVF ScaleTrend row) --------
+    // k=64 centroids seeded from the 64 lowest ids (one per true
+    // center by construction), 3 Lloyd rounds, 20 corpus vectors as
+    // queries, k=10 nearest, nprobe=4 — the q93 recall-gate dataflow
+    // at corpus scale. The timed IVF point includes TRAINING, the
+    // honest deployment cost (a production index trains once and
+    // searches many times, so the search-only cost is strictly lower
+    // than this row).
+    val vecK = 10
+    val vecNumQ = 20
+    val vecNprobe = 4
+    def vecQueries(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("vec_id") < vecNumQ)
+
+    def trainCentroids(path: String): DataFrame = {
+      val corpus = spark.read.parquet(path)
+      graft.ext.Similarity.kmeansTrain(corpus,
+        corpus.filter(col("vec_id") < VecCenters.toLong), iters = 3,
+        dims = VecDims)
+    }
+
+    def ivfShape(path: String): Long = {
+      val centroids = trainCentroids(path)
+      graft.ext.Similarity.ivfKnn(spark.read.parquet(path), centroids,
+        vecQueries(path), k = vecK, nprobe = vecNprobe).count()
+    }
+
+    def bruteShape(path: String): Long =
+      graft.ext.Similarity.bruteForceKnn(spark.read.parquet(path),
+        vecQueries(path), k = vecK).count()
+
+    /** recall@10 of the IVF result vs the brute-force floor (mean
+      * per-query overlap / k) — computed once per scale, outside the
+      * timed runs.
+      */
+    def ivfRecall(path: String): Double = {
+      def pairs(df: DataFrame) = df
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = pairs(graft.ext.Similarity.bruteForceKnn(
+        spark.read.parquet(path), vecQueries(path), k = vecK))
+      val got = pairs(graft.ext.Similarity.ivfKnn(spark.read.parquet(path),
+        trainCentroids(path), vecQueries(path), k = vecK, nprobe = vecNprobe))
+      got.intersect(truth).size.toDouble / truth.size
+    }
+
     // q94: two bounded shuffles (vocab groupBy, per-doc agg) + a
     // broadcast of the top-V vocab — the corpus token stream never
     // shuffles for scoring
@@ -248,12 +344,13 @@ object ScaleTrend {
 
     // ---- run: twice per (shape, scale), report the second -----------
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
-    def run(shape: String, scale: String, rows: Long)(f: => Long): Unit = {
-      time(f) // warm
-      val (sec, outRows) = time(f)
-      results += ((shape, scale, rows, sec))
-      println(f"$shape%-10s $scale%-8s ${rows}%12d rows  $sec%8.2f s  ($outRows out)")
-    }
+    def run(shape: String, scale: String, rows: Long)(f: => Long): Unit =
+      if (shapeFilter(shape)) {
+        time(f) // warm
+        val (sec, outRows) = time(f)
+        results += ((shape, scale, rows, sec))
+        println(f"$shape%-10s $scale%-8s ${rows}%12d rows  $sec%8.2f s  ($outRows out)")
+      }
 
     run("q1_agg", "x1", 600000L)(q1Shape(liSmall))
     run("q1_agg", s"x$rep", 600000L * rep)(q1Shape(liBig))
@@ -271,6 +368,17 @@ object ScaleTrend {
     run("q94_vocab", "big", docsBigN)(q94Shape(docsBig))
     run("q96_pack", "small", docsSmallN)(q96Shape(docsSmall))
     run("q96_pack", "big", docsBigN)(q96Shape(docsBig))
+    run("ivf", "small", docsSmallN)(ivfShape(vecsSmall))
+    run("ivf", "big", docsBigN)(ivfShape(vecsBig))
+    run("brute", "small", docsSmallN)(bruteShape(vecsSmall))
+    run("brute", "big", docsBigN)(bruteShape(vecsBig))
+    if (needVecs) {
+      // recall floor at BOTH scales, outside the timed runs — the
+      // scaling claim is (sublinear wall, recall held), not wall alone
+      val rSmall = ivfRecall(vecsSmall)
+      val rBig = ivfRecall(vecsBig)
+      println(f"ivf recall@$vecK vs brute floor: small $rSmall%.3f  big $rBig%.3f")
+    }
 
     println("\nshape        data-ratio   time-ratio   (time-ratio / data-ratio; " +
       "< 1 = better-than-linear)")

@@ -163,15 +163,65 @@ object SpillProbe {
       } finally caches.foreach(_.unpersist())
     }
 
+    // round-12 variants: the CHECKPOINTING entry points, timed whole —
+    // `fused` = lshNearDupPairsWithStats (the shipped default),
+    // `staged` = lshNearDupPairsStagedWithStats (band-at-a-time; the
+    // r11 verdict's untested lever). Both include their internal
+    // localCheckpoint writes, so they compare with EACH OTHER, not
+    // with the lazy rows above. Staged prints per-band shuffle-write
+    // splits via the onBandDone hook (counter snapshots WITHOUT a bus
+    // drain — draining inside the hook would inflate the wall being
+    // measured — so per-band splits are approximate; the bracketed
+    // totals are exact).
+    def runEntry(staged: Boolean): (Double, Long, Int, Long, Long, Long, Long) = {
+      org.apache.spark.sql.graftbridge.Bridge
+        .waitListenerBusEmpty(spark.sparkContext)
+      val (m0, d0, w0, t0c) =
+        (memSpill.get, diskSpill.get, shufWrite.get, tasks.get)
+      val bandMarks = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Long)]
+      val t0 = System.nanoTime()
+      val pairs =
+        if (staged)
+          graft.ext.Dedup.lshNearDupPairsStagedWithStats(
+            docs, "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 200,
+            onBandDone = b => bandMarks +=
+              ((b, (System.nanoTime() - t0) / 1e9, shufWrite.get - w0)))._1
+        else
+          graft.ext.Dedup.lshNearDupPairsWithStats(
+            docs, "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 200)._1
+      val rows = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graftbridge.Bridge
+        .waitListenerBusEmpty(spark.sparkContext)
+      if (bandMarks.nonEmpty) {
+        val splits = bandMarks.map { case (b, s, w) =>
+          f"band$b @${s}%.1fs ${w / 1e9}%.2fGB" }.mkString("  ")
+        println(s"       per-band (cumulative, approx): $splits")
+      }
+      (sec, rows, 0, memSpill.get - m0, diskSpill.get - d0,
+        shufWrite.get - w0, tasks.get - t0c)
+    }
+
     println(f"${"parts"}%6s ${"variant"}%-9s ${"run"}%4s ${"sec"}%8s " +
       f"${"memSpill"}%12s ${"diskSpill"}%12s ${"shufWrite"}%12s ${"skew"}%5s " +
       f"${"tasks"}%6s   rows")
     partSettings.foreach { p =>
       spark.conf.set("spark.sql.shuffle.partitions", p)
       variants.foreach { v =>
-        applyVariant(v)
+        // entry-point variants: "staged[off]" / "fused[off]" time the
+        // checkpointing APIs under AQE default/off; everything else is
+        // an AQE conf variant over the lazy plan (the r10/r11 tables)
+        val (confV, path) = v match {
+          case "staged"    => ("default", "staged")
+          case "stagedoff" => ("off", "staged")
+          case "fused"     => ("default", "fused")
+          case "fusedoff"  => ("off", "fused")
+          case other       => (other, "lazy")
+        }
+        applyVariant(confV)
         (1 to 2).foreach { i =>
-          val (sec, rows, skews, dm, dd, dw, dt) = run()
+          val (sec, rows, skews, dm, dd, dw, dt) =
+            if (path == "lazy") run() else runEntry(path == "staged")
           def gb(x: Long) = f"${x / 1e9}%.2f GB"
           println(f"$p%6d $v%-9s $i%4d $sec%8.1f ${gb(dm)}%12s " +
             f"${gb(dd)}%12s ${gb(dw)}%12s $skews%5d $dt%6d   $rows")
