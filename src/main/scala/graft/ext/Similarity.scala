@@ -63,26 +63,42 @@ object Similarity {
   }
 
   /** Assign every corpus vector to its nearest centroid (argmax cosine,
-    * centroid id as tiebreak). Centroids are broadcast; the argmax is a
-    * `max_by` hash aggregation, NOT a window — partial aggregation
-    * combines map-side, so the shuffle carries one row per corpus
-    * vector instead of one per (vector × centroid) plus a sort. The
-    * tie-break key (cos, -centroid_id) reproduces the window's
-    * `ORDER BY c_cos DESC, centroid_id` rank-1 row exactly.
+    * smaller centroid id as tiebreak) — a pure MAP-SIDE scan: the
+    * centroid matrix (driver-collected, bounded by
+    * [[graft.functions.NearestCentroid.MaxCentroids]] — IVF centroid
+    * sets are small by design) rides the plan as a reference object
+    * inside one codegen'd [[graft.functions.NearestCentroid]]
+    * expression, so assignment adds NO shuffle, NO join, NO
+    * aggregation to the corpus scan.
+    *
+    * This replaces the round-6 `crossJoin(broadcast) + groupBy +
+    * max_by(struct)` formulation, whose ARRAY/STRUCT aggregation
+    * buffers forced Spark's SortAggregate fallback over the exploded
+    * (corpus × centroids) intermediate — measured round 12: 512 M
+    * boxed sorted rows at 8 M vectors × 64 centroids, OOM on an 8 g
+    * heap. Same results bit-for-bit (same fold/sqrt/clamp cosine, same
+    * null-loses / all-null-takes-min-id / tie-takes-min-id contract);
+    * the scan shape is what changed.
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
-    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
+    val cents = centroids
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map { r =>
+        val v =
+          if (r.isNullAt(1)) null
+          else {
+            val s = r.getSeq[Any](1)
+            if (s.contains(null)) null
+            else s.asInstanceOf[Seq[Double]].toArray
+          }
+        (r.getLong(0), v)
+      }
     corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(c))
-      .withColumn("c_cos", cosine(col(vecCol), col("cent_vec")))
-      .groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol),
-           max_by(col("centroid_id"),
-             struct(col("c_cos"), (-col("centroid_id")).as("neg_id")))
-             .as("centroid_id"))
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .withColumn("centroid_id", graft.functions.NearestCentroid.nearest(
+        col(vecCol).cast("array<double>"), cents.toSeq))
   }
 
   /** Lloyd k-means training over an embedding corpus — the missing
