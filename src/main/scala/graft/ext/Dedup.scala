@@ -197,15 +197,17 @@ object Dedup {
     * fused plan's global dedup, and the verify join runs once over the
     * unioned candidates.
     *
-    * When to use: the fused pair stage is the suite's most
-    * spill-sensitive stage (BASELINE.md: 80→232 s wall spread at 8 M
-    * docs under disk contention) because all `numBands` bands' candidate
-    * volume is in flight in ONE shuffle. Staging caps the in-flight
-    * shuffle/spill footprint at the largest single band (~1/numBands of
-    * the total) in exchange for b sequential stage barriers — a
-    * wall-for-headroom trade for spill-constrained executors. The
-    * measured trade at 8 M docs is in BASELINE.md §"Staged band
-    * processing (round 12)"; the fused path stays the default.
+    * When to use — narrower than it sounds (measured, BASELINE.md
+    * §"Staged band processing (round 12)"): on a healthy CAPPED corpus
+    * the candidate self-join staging splits is only ~20% of the pair
+    * stage's shuffle bytes — the pair dedup and shingle-verify joins
+    * (which need every band's candidates together) carry the rest and
+    * all of the memory spill, so staging there is wall-neutral but
+    * pays +7% shuffle write and +2.6 GB spill for nothing; the FUSED
+    * path is the right default. Staging earns its keep only where the
+    * candidate join IS the dominant term: degenerate/[[LshSkew.NoCap]]
+    * corpora with giant buckets, where capping in-flight volume at the
+    * largest single band (~1/numBands) genuinely bounds peak footprint.
     *
     * @param onBandDone measurement hook, called after band i's
     *                   candidate pairs materialize (probe bracketing);
@@ -219,9 +221,10 @@ object Dedup {
       onBandDone: Int => Unit = _ => ()): (DataFrame, LshSkew.CapCensus) = {
     val (base, banded) = bandedFrame(df, textCol, idCol,
       shingleWidth, numHashes, numBands)
+    val perBand = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var census = LshSkew.CapCensus.none(maxBucketSize)
-      val perBand = (0 until numBands).map { bandIdx =>
+      (0 until numBands).foreach { bandIdx =>
         val band = banded.filter(col("band_idx") === bandIdx)
         // per-band capping ≡ global capping: buckets are keyed by
         // (band_idx, band_hash), so no bucket spans bands and the
@@ -234,17 +237,22 @@ object Dedup {
           census.droppedRows + bandCensus.droppedRows, maxBucketSize)
         val a = capped.select(col("band_hash"), col("id").as("id_a"))
         val b = capped.select(col("band_hash"), col("id").as("id_b"))
-        // localCheckpoint(eager): the BARRIER that keeps band i's join
-        // out of flight while band i+1 runs; what persists is only the
-        // distinct id-pair list, tiny next to the join's shuffle
+        // persist(DISK_ONLY) + count: the BARRIER that keeps band i's
+        // join out of flight while band i+1 runs. DISK_ONLY on purpose
+        // — this mode exists to RELIEVE memory pressure, and parking
+        // each band's candidate list in the block-manager heap
+        // (localCheckpoint's MEMORY_AND_DISK) was measured to OOM an
+        // 8 g probe JVM at 8 M docs where the fused path survives; the
+        // lists are read back exactly once by the verify join below.
         val pairs = a.join(b, "band_hash")
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"))
           .dropDuplicates("id_a", "id_b")
-          .localCheckpoint(true)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        pairs.count() // materialize: band i completes before i+1 starts
         guardCaches.foreach(_.unpersist())
         onBandDone(bandIdx)
-        pairs
+        perBand += pairs
       }
       val candidates = perBand.reduce(_ union _)
         .dropDuplicates("id_a", "id_b")
@@ -257,6 +265,7 @@ object Dedup {
         .localCheckpoint(true)
       (verified, census)
     } finally {
+      perBand.foreach(_.unpersist())
       base.unpersist()
       banded.unpersist()
     }
