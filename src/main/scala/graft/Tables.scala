@@ -37,8 +37,17 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case org.apache.spark.sql.types.TimestampType => raw
-        case _ => // TIMESTAMP_NTZ (or date-like): value-preserving under UTC
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // value-preserving under the UTC-pinned session
           raw.withColumn("ts", col("ts").cast("timestamp"))
+        case other =>
+          // fail NAMING the layout: a silent cast of a third generator
+          // drift (int32 epoch-seconds, strings) would produce
+          // plausible-but-wrong values and surface only as an opaque
+          // oracle-hash mismatch far downstream
+          throw new IllegalArgumentException(
+            s"events.ts has unsupported physical type $other — known " +
+              "layouts are nanos-as-long and TIMESTAMP(_NTZ) micros")
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }

@@ -28,16 +28,28 @@ import java.math.{BigDecimal => JBigDecimal, MathContext, RoundingMode}
   *     `-Infinity` (CPython's default `allow_nan=True`), and negative
   *     zero keeps its sign (`-0.0`).
   *
-  * Step 1 here computes the shortest digits by rounding the EXACT
-  * binary value of the double (`new BigDecimal(d)` is exact) to
-  * `p = 1..17` significant digits with HALF_EVEN and taking the first
-  * `p` whose result parses back to the input. Rounding the exact value
-  * yields the p-digit decimal CLOSEST to the double, so if any p-digit
-  * string round-trips, this one does — which is precisely the
-  * shortest-correctly-rounded contract Gay's algorithm implements.
-  * 17 significant digits always round-trip a double, so the search
-  * terminates. Verified against CPython `json.dumps` on a 115-value
-  * golden set (every notation branch + random bit patterns) in
+  * Step 1 here computes the shortest digits from the EXACT binary
+  * value of the double (`new BigDecimal(d)` is exact): at each
+  * precision `p = 1..17` it tests BOTH p-digit decimals bracketing the
+  * value (FLOOR and CEILING roundings) for round-trip, returning the
+  * round-tripping candidate closest to the exact value (HALF_EVEN's
+  * pick wins exact ties) at the first `p` where any survives — which
+  * is the shortest-correctly-rounded contract Gay's/Ryu's algorithm
+  * implements: shortest digits that uniquely identify the double,
+  * nearest among those. Testing ONLY the nearest rounding is a known
+  * trap this implementation originally fell into: a double's rounding
+  * interval is ASYMMETRIC at binade boundaries (the ulp above an exact
+  * power of two is twice the ulp below), so the p-digit decimal
+  * nearest the value can fall outside the interval while the other
+  * bracket round-trips — e.g. 2^-24, where CPython emits the 16-digit
+  * `5.960464477539063e-08` (the CEILING bracket) but the nearest
+  * rounding `...062` does not round-trip, sending the nearest-only
+  * search to 17 digits and a divergent prefix. 17 significant digits
+  * always round-trip a double, so the search terminates. Verified
+  * against CPython `json.dumps` on a 115-value golden set (every
+  * notation branch + random bit patterns), every exact power of two
+  * in the finite double range (the binade-boundary class, 2098
+  * values), and a 5 000-value random golden sweep in
   * `PyFloatReprSpec`.
   */
 object PyFloatRepr {
@@ -65,8 +77,24 @@ object PyFloatRepr {
     val exact = new JBigDecimal(a)
     var p = 1
     while (p <= 17) {
-      val cand = exact.round(new MathContext(p, RoundingMode.HALF_EVEN))
-      if (cand.doubleValue() == a) return cand
+      // both p-digit brackets of the exact value (a > 0 here): the
+      // nearest rounding alone misses round-trippable candidates at
+      // binade boundaries, where the rounding interval is asymmetric
+      val near = exact.round(new MathContext(p, RoundingMode.HALF_EVEN))
+      val down = exact.round(new MathContext(p, RoundingMode.FLOOR))
+      val up = exact.round(new MathContext(p, RoundingMode.CEILING))
+      // near first: on an exact distance tie the HALF_EVEN pick wins,
+      // matching the correctly-rounded tie rule
+      val survivors = Seq(near, down, up).filter(_.doubleValue() == a)
+      if (survivors.nonEmpty) {
+        var best = survivors.head
+        var bestDist = best.subtract(exact).abs
+        survivors.tail.foreach { c =>
+          val dist = c.subtract(exact).abs
+          if (dist.compareTo(bestDist) < 0) { best = c; bestDist = dist }
+        }
+        return best
+      }
       p += 1
     }
     // unreachable: 17 significant digits round-trip any finite double

@@ -256,13 +256,8 @@ object Dedup {
       }
       val candidates = perBand.reduce(_ union _)
         .dropDuplicates("id_a", "id_b")
-      val verified = candidates
-        .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .localCheckpoint(true)
+      val verified =
+        verifyPairs(candidates, base, threshold).localCheckpoint(true)
       (verified, census)
     } finally {
       perBand.foreach(_.unpersist())
@@ -282,15 +277,24 @@ object Dedup {
       Seq("band_idx", "band_hash"), maxBucketSize, "lshNearDupPairs")
     val a = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     val b = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band_idx", "band_hash"))
+    val candidates = a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    (verifyPairs(candidates, base, threshold),
+      Seq(base, banded) ++ guardCaches, census)
+  }
+
+  /** Shingle-rejoin + exact-Jaccard verify shared by the fused and
+    * staged pair paths — ONE definition, so the staged path's
+    * identical-output contract is structural rather than copy-kept.
+    */
+  private def verifyPairs(candidates: DataFrame, base: DataFrame,
+                          threshold: Double): DataFrame =
+    candidates
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (pairs, Seq(base, banded) ++ guardCaches, census)
-  }
 }

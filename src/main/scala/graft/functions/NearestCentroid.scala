@@ -33,6 +33,10 @@ import org.apache.spark.sql.types._
   *    expression used (so DuckDB-oracle parity is preserved);
   *  - a null / zero-magnitude / length-mismatched pairing yields null
   *    cosine, which never beats a real one (struct-max null semantics);
+  *  - an ARITHMETIC NaN cosine (overflowing dot, Inf/Inf, NaN
+  *    components) clamps to 1.0 and wins, because Spark's greatest()
+  *    orders NaN above every double — `least(greatest(NaN, -1), 1)`
+  *    = 1.0 in the column form, replicated here;
   *  - ALL-null cosines (e.g. the corpus vector itself is null or
   *    zero-magnitude) fall back to the smallest centroid id — exactly
   *    where `max_by(cid, struct(null, -cid))` landed;
@@ -84,13 +88,20 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
     bestId
   }
 
-  // NaN = "null cosine" sentinel (never compares greater, never wins)
+  // NaN = "null cosine" sentinel (never compares greater, never wins).
+  // Distinct from an ARITHMETIC NaN (overflowing dot / Inf/Inf), which
+  // the column formulation's clamp maps to 1.0 — Spark's greatest()
+  // orders NaN above every double, so least(greatest(NaN, -1), 1)
+  // lands on 1.0 and that centroid WINS; replicated below so the
+  // bit-parity contract holds on overflow inputs too (review pass r12).
   private def cosineOrNull(vec: ArrayData, normV: Double, i: Int): Double = {
-    val cNorm = norms(i)
-    if (cNorm.isNaN) return Double.NaN
-    val denom = normV * cNorm
-    if (denom == 0.0) return Double.NaN
     val c = vecs(i)
+    if (c == null) return Double.NaN // null/element-null centroid → null cos
+    // an arithmetic-NaN norm (NaN centroid component) is NOT the null
+    // sentinel: it flows into denom → NaN raw → the 1.0 clamp, exactly
+    // where the legacy column form lands it
+    val denom = normV * norms(i)
+    if (denom == 0.0) return Double.NaN
     val n = vec.numElements()
     if (c.length != n) return Double.NaN
     var acc = 0.0
@@ -100,7 +111,9 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
       acc += vec.getDouble(j) * c(j)
       j += 1
     }
-    math.min(math.max(acc / denom, -1.0), 1.0)
+    val raw = acc / denom
+    if (raw.isNaN) 1.0 // legacy clamp-NaN-to-1.0 (greatest/least ordering)
+    else math.min(math.max(raw, -1.0), 1.0)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -133,10 +146,10 @@ object NearestCentroid {
   /** Build the expression from driver-side centroids (id → vector).
     * Ids are sorted ascending internally (the tie-break order);
     * per-centroid norms are precomputed with the same fold + sqrt the
-    * row-side cosine uses. A null / element-null centroid vector gets
-    * a NaN norm marker → its cosine is null for every row (it can only
-    * win as the all-null smallest-id fallback), matching the column
-    * formulation's null semantics.
+    * row-side cosine uses. A null / element-null centroid vector
+    * (passed as a null array) yields null cosine for every row — it
+    * can only win as the all-null smallest-id fallback — matching the
+    * column formulation's null semantics; its norm slot is never read.
     */
   def nearest(vec: Column, centroids: Seq[(Long, Array[Double])]): Column = {
     require(centroids.nonEmpty, "nearest_centroid needs at least one centroid")

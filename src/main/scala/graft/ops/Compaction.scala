@@ -198,10 +198,13 @@ object Compaction {
     * handful of in-flight leaves keeps the cluster full without
     * queueing thousands of tiny jobs at once; within a leaf the write
     * is the usual distributed pass. Per-leaf row parity is enforced by
-    * each [[Report]]; a failing leaf fails the whole call (the
-    * already-written leaves are left in place under `dstRoot` — the
-    * swap-in step is the caller's transaction, same contract as
-    * [[compactTo]]).
+    * each [[Report]]; a failing leaf fails the whole call, but only
+    * AFTER every launched leaf has finished — the call never throws
+    * while sibling compactions are still writing under `dstRoot`, so
+    * a caller that reacts to the failure (delete `dstRoot`, retry)
+    * cannot race zombie background writes. Completed leaves are left
+    * in place under `dstRoot` — the swap-in step is the caller's
+    * transaction, same contract as [[compactTo]].
     *
     * The partition columns never move: they live in the directory
     * names (`lang=en/...`), and each leaf is rewritten beneath the
@@ -228,8 +231,14 @@ object Compaction {
             targetRowGroupBytes, shuffle)
         }
       }
-      futures.map(f => scala.concurrent.Await.result(
-        f, scala.concurrent.duration.Duration.Inf))
+      // settle EVERY future before surfacing any failure: Await.result
+      // on the first failed future would return with queued/in-flight
+      // leaf jobs still writing under dstRoot in the background —
+      // exactly the zombie-write race the scaladoc rules out
+      val settled = futures.map(f => scala.concurrent.Await.ready(
+        f, scala.concurrent.duration.Duration.Inf).value.get)
+      settled.collectFirst { case scala.util.Failure(e) => throw e }
+      settled.map(_.get)
     } finally pool.shutdown()
   }
 }

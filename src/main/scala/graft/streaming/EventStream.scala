@@ -51,7 +51,11 @@ object EventStream {
       case LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => stream
-      case _ => stream.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported physical type $other — known " +
+          "layouts are nanos-as-long and TIMESTAMP(_NTZ) micros")
     }
   }
 

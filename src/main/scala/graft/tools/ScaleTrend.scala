@@ -279,30 +279,38 @@ object ScaleTrend {
         dims = VecDims)
     }
 
+    // each shape stashes its (query, neighbor) result set (≤ numQ × k
+    // rows — collecting it costs the same as the count it replaces),
+    // so the recall computation reuses the timed runs' outputs instead
+    // of re-paying training + both kNN passes per scale
+    val knnResults =
+      scala.collection.mutable.Map.empty[(String, String), Set[(Long, Long)]]
+    def stash(shape: String, path: String, df: DataFrame): Long = {
+      val pairs = df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      knnResults((shape, path)) = pairs
+      pairs.size
+    }
+
     def ivfShape(path: String): Long = {
       val centroids = trainCentroids(path)
-      graft.ext.Similarity.ivfKnn(spark.read.parquet(path), centroids,
-        vecQueries(path), k = vecK, nprobe = vecNprobe).count()
+      stash("ivf", path, graft.ext.Similarity.ivfKnn(
+        spark.read.parquet(path), centroids, vecQueries(path),
+        k = vecK, nprobe = vecNprobe))
     }
 
     def bruteShape(path: String): Long =
-      graft.ext.Similarity.bruteForceKnn(spark.read.parquet(path),
-        vecQueries(path), k = vecK).count()
-
-    /** recall@10 of the IVF result vs the brute-force floor (mean
-      * per-query overlap / k) — computed once per scale, outside the
-      * timed runs.
-      */
-    def ivfRecall(path: String): Double = {
-      def pairs(df: DataFrame) = df
-        .select(col("query_id"), col("neighbor_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val truth = pairs(graft.ext.Similarity.bruteForceKnn(
+      stash("brute", path, graft.ext.Similarity.bruteForceKnn(
         spark.read.parquet(path), vecQueries(path), k = vecK))
-      val got = pairs(graft.ext.Similarity.ivfKnn(spark.read.parquet(path),
-        trainCentroids(path), vecQueries(path), k = vecK, nprobe = vecNprobe))
-      got.intersect(truth).size.toDouble / truth.size
-    }
+
+    /** recall@10 of the stashed IVF result vs the stashed brute floor
+      * (defined only when both shapes ran on `path`).
+      */
+    def ivfRecall(path: String): Option[Double] =
+      for {
+        got <- knnResults.get(("ivf", path))
+        truth <- knnResults.get(("brute", path))
+      } yield got.intersect(truth).size.toDouble / truth.size
 
     // q94: two bounded shuffles (vocab groupBy, per-doc agg) + a
     // broadcast of the top-V vocab — the corpus token stream never
@@ -372,13 +380,11 @@ object ScaleTrend {
     run("ivf", "big", docsBigN)(ivfShape(vecsBig))
     run("brute", "small", docsSmallN)(bruteShape(vecsSmall))
     run("brute", "big", docsBigN)(bruteShape(vecsBig))
-    if (needVecs) {
-      // recall floor at BOTH scales, outside the timed runs — the
-      // scaling claim is (sublinear wall, recall held), not wall alone
-      val rSmall = ivfRecall(vecsSmall)
-      val rBig = ivfRecall(vecsBig)
+    // recall floor at BOTH scales, from the timed runs' stashed result
+    // sets — the scaling claim is (sublinear wall, recall held), not
+    // wall alone; needs both shapes in the filter to be defined
+    for (rSmall <- ivfRecall(vecsSmall); rBig <- ivfRecall(vecsBig))
       println(f"ivf recall@$vecK vs brute floor: small $rSmall%.3f  big $rBig%.3f")
-    }
 
     println("\nshape        data-ratio   time-ratio   (time-ratio / data-ratio; " +
       "< 1 = better-than-linear)")

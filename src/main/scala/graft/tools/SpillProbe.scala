@@ -220,11 +220,15 @@ object SpillProbe {
         }
         applyVariant(confV)
         (1 to 2).foreach { i =>
-          val (sec, rows, skews, dm, dd, dw, dt) =
+          val (sec, rows, skews0, dm, dd, dw, dt) =
             if (path == "lazy") run() else runEntry(path == "staged")
+          // the skew-mark count comes from scanning the lazy plan's
+          // executed tree; the entry points give no plan handle, so
+          // print "-" rather than a fabricated 0
+          val skews: String = if (path == "lazy") skews0.toString else "-"
           def gb(x: Long) = f"${x / 1e9}%.2f GB"
           println(f"$p%6d $v%-9s $i%4d $sec%8.1f ${gb(dm)}%12s " +
-            f"${gb(dd)}%12s ${gb(dw)}%12s $skews%5d $dt%6d   $rows")
+            f"${gb(dd)}%12s ${gb(dw)}%12s $skews%5s $dt%6d   $rows")
         }
       }
     }

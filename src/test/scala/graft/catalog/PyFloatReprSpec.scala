@@ -138,6 +138,30 @@ class PyFloatReprSpec extends AnyFunSuite with Matchers {
       withClue(s"bits=$bits: ") { PyFloatRepr.repr(d(bits)) shouldBe want }
   }
 
+  // (bits, CPython output) pairs from a generated resource file
+  private def goldenResource(name: String): Seq[(String, String)] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(s"/golden/$name"), "UTF-8")
+    try src.getLines().map { line =>
+      val Array(bits, want) = line.split("\t", 2); (bits, want)
+    }.toList
+    finally src.close()
+  }
+
+  test("every finite power of two matches CPython (the binade-boundary class)") {
+    // the class the nearest-rounding-only search diverged on (46 of
+    // these — e.g. 2^-24 — before the bracketing fix; review pass r12):
+    // at an exact power of two the rounding interval is asymmetric, so
+    // the round-trippable shortest decimal need not be the nearest one
+    for ((bits, want) <- goldenResource("pyfloat_pow2.txt"))
+      withClue(s"bits=$bits: ") { PyFloatRepr.repr(d(bits)) shouldBe want }
+  }
+
+  test("5000 random bit patterns match CPython byte-for-byte") {
+    for ((bits, want) <- goldenResource("pyfloat_random.txt"))
+      withClue(s"bits=$bits: ") { PyFloatRepr.repr(d(bits)) shouldBe want }
+  }
+
   test("non-finite: json.dumps names under allow_nan") {
     PyFloatRepr.repr(Double.NaN) shouldBe "NaN"
     PyFloatRepr.repr(Double.PositiveInfinity) shouldBe "Infinity"

@@ -80,6 +80,34 @@ class NearestCentroidSpec extends SparkSpec {
     strict shouldBe relaxed
   }
 
+  test("arithmetic-NaN cosine (overflow / NaN components) wins as 1.0, like the legacy clamp") {
+    // double-typed vectors large enough that dot and norms overflow to
+    // Inf: cosine = Inf/Inf = NaN, which the legacy column clamp
+    // least(greatest(NaN,-1),1) maps to 1.0 — a WIN, not a null loss
+    val corpus = Seq(
+      (0L, Array(1e200, 1e200)), // overflows against centroid 20
+      (1L, Array(1.0, 0.0)))     // sanity row, real cosines only
+      .toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (20L, Array(1e200, 1e200)),      // overflow pairing
+      (21L, Array(1.0, 0.0)),
+      (22L, Array(Double.NaN, 1.0)))   // NaN component → NaN cos → 1.0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.assignToCentroids(corpus, centroids)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = legacyAssign(corpus, centroids)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    got shouldBe want
+    // row 0: NaN-clamped 1.0 vs both 20 and 22 → tie → min id 20.
+    // row 1: exact cosine 1.0 vs 21 TIES the NaN-clamped 1.0 vs 22 →
+    // min id 21 — the clamp makes NaN equal to, not above, a perfect
+    // match, so the tie-break decides
+    got.toMap.apply(0L) shouldBe 20L
+    got.toMap.apply(1L) shouldBe 21L
+  }
+
   test("length-mismatched centroid never wins; matching one does") {
     val corpus = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val centroids = Seq(
