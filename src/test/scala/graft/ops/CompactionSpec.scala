@@ -207,4 +207,33 @@ class CompactionSpec extends SparkSpec {
     flatReports.head._2.filesBefore shouldBe 5
     spark.read.parquet(flatDst).count() shouldBe 6000L
   }
+
+  test("compactTree: a failing leaf surfaces only after every sibling settles") {
+    val root = tmp("graft_compact_fail_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val df = (1L to 6000L).map(i => (i, s"p${i % 3}", s"payload_$i"))
+      .toDF("id", "k", "payload")
+    df.write.partitionBy("k").parquet(src)
+    // sabotage the FIRST leaf (leaf order is sorted) with a corrupt
+    // parquet file: its compactTo fails on read, and with
+    // parallelism=3 the old first-failure Await returned while the
+    // sibling leaves were still writing under dst in the background —
+    // the zombie-write race the settle-then-throw contract rules out
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$src/k=p0/part-corrupt.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    val ex = intercept[Exception] {
+      Compaction.compactTree(spark, src, dst, parallelism = 3)
+    }
+    ex should not be null
+    // every NON-sabotaged leaf finished its write before the throw:
+    // a complete _SUCCESS-marked output it is safe to delete-and-retry
+    Seq("k=p1", "k=p2").foreach { leaf =>
+      withClue(s"leaf $leaf: ") {
+        new java.io.File(s"$dst/$leaf/_SUCCESS").exists() shouldBe true
+        spark.read.parquet(s"$dst/$leaf").count() shouldBe 2000L
+      }
+    }
+  }
 }
