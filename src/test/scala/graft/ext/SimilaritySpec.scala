@@ -55,6 +55,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("assignToCentroids is a pure scan: no exchange, aggregate, or join in the plan") {
+    // the r12 contract behind the 8M-vector fix: assignment must stay
+    // a map-side NearestCentroid projection — any regression back to
+    // a shuffle/aggregation formulation re-opens the SortAggregate
+    // fallback that OOM'd at corpus scale
+    val assigned = Similarity.assignToCentroids(emb, emb.filter(col("vec_id") < 8))
+    val plan = assigned.queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "Aggregate"
+    plan should not include "Join"
+    plan should include("nearest_centroid")
+  }
+
   test("assignToCentroids covers every vector exactly once") {
     val assigned = Similarity.assignToCentroids(emb, emb.filter(col("vec_id") < 8))
     assigned.count() shouldBe emb.count()
