@@ -235,24 +235,29 @@ object Dedup {
         census = LshSkew.CapCensus(
           census.droppedBuckets + bandCensus.droppedBuckets,
           census.droppedRows + bandCensus.droppedRows, maxBucketSize)
-        val a = capped.select(col("band_hash"), col("id").as("id_a"))
-        val b = capped.select(col("band_hash"), col("id").as("id_b"))
-        // persist(DISK_ONLY) + count: the BARRIER that keeps band i's
-        // join out of flight while band i+1 runs. DISK_ONLY on purpose
-        // — this mode exists to RELIEVE memory pressure, and parking
-        // each band's candidate list in the block-manager heap
-        // (localCheckpoint's MEMORY_AND_DISK) was measured to OOM an
-        // 8 g probe JVM at 8 M docs where the fused path survives; the
-        // lists are read back exactly once by the verify join below.
-        val pairs = a.join(b, "band_hash")
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"))
-          .dropDuplicates("id_a", "id_b")
-          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        pairs.count() // materialize: band i completes before i+1 starts
-        guardCaches.foreach(_.unpersist())
+        // unpersist the band's guard caches in a finally — if the
+        // join/count below throws, an in-flight band must not leak its
+        // skew-guard frames into the executor cache for the session's
+        // lifetime (the outer finally covers perBand/base/banded only)
+        try {
+          val a = capped.select(col("band_hash"), col("id").as("id_a"))
+          val b = capped.select(col("band_hash"), col("id").as("id_b"))
+          // persist(DISK_ONLY) + count: the BARRIER that keeps band i's
+          // join out of flight while band i+1 runs. DISK_ONLY on purpose
+          // — this mode exists to RELIEVE memory pressure, and parking
+          // each band's candidate list in the block-manager heap
+          // (localCheckpoint's MEMORY_AND_DISK) was measured to OOM an
+          // 8 g probe JVM at 8 M docs where the fused path survives; the
+          // lists are read back exactly once by the verify join below.
+          val pairs = a.join(b, "band_hash")
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"))
+            .dropDuplicates("id_a", "id_b")
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          perBand += pairs
+          pairs.count() // materialize: band i completes before i+1 starts
+        } finally guardCaches.foreach(_.unpersist())
         onBandDone(bandIdx)
-        perBand += pairs
       }
       val candidates = perBand.reduce(_ union _)
         .dropDuplicates("id_a", "id_b")

@@ -79,14 +79,34 @@ object Similarity {
     * heap. Same results bit-for-bit (same fold/sqrt/clamp cosine, same
     * null-loses / all-null-takes-min-id / tie-takes-min-id contract);
     * the scan shape is what changed.
+    *
+    * The collect is bounded BEFORE it happens: the plan carries a
+    * `limit(MaxCentroids + 1)`, so a mistaken corpus-sized `centroids`
+    * input fails the [[graft.functions.NearestCentroid.MaxCentroids]]
+    * guard after materializing at most 64 k + 1 rows on the driver —
+    * it cannot OOM the driver first. A null centroid id is rejected
+    * with an explicit error (the legacy max_by formulation silently let
+    * null ids lose every comparison; an id that can never win is a
+    * caller bug, not a contract).
+    *
+    * Note the collect is an EAGER Spark action at plan-construction
+    * time: each call (and each [[kmeansTrain]] round, each [[ivfKnn]])
+    * re-runs the centroid plan. Callers holding an expensive centroid
+    * plan should cache/checkpoint it first — [[kmeansTrain]] does
+    * (per-round [[Checkpointing.checkpoint]]).
     */
   def assignToCentroids(corpus: DataFrame, centroids: DataFrame,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.NearestCentroid.MaxCentroids
     val cents = centroids
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .limit(MaxCentroids + 1)
       .collect()
       .map { r =>
+        require(!r.isNullAt(0),
+          s"assignToCentroids: null centroid $idCol — every centroid needs " +
+            "a non-null id (the id is the assignment label and tiebreak)")
         val v =
           if (r.isNullAt(1)) null
           else {

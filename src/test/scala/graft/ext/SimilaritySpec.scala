@@ -74,6 +74,36 @@ class SimilaritySpec extends SparkSpec {
     assigned.select("vec_id").distinct().count() shouldBe emb.count()
   }
 
+  test("assignToCentroids rejects a null centroid id with an explicit error") {
+    // advisor contract (r12): the legacy max_by formulation silently
+    // let null-id centroids lose every comparison; the scan
+    // formulation names the caller bug instead of NPE-ing
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(when(col("vec_id") === 2, lit(null)).otherwise(col("vec_id"))
+        .as("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assignToCentroids(emb, cents)
+    }
+    e.getMessage should include("null centroid vec_id")
+  }
+
+  test("assignToCentroids fails fast on oversized centroids without a full collect") {
+    // the driver-side collect is limit(MaxCentroids+1)-bounded, so a
+    // mistaken corpus-sized input trips the guard after at most 64k+1
+    // rows; the guard message (not an OOM) is the observable contract
+    val max = graft.functions.NearestCentroid.MaxCentroids
+    val over = spark.range(max + 5).toDF("vec_id")
+      .withColumn("embedding", array(lit(1.0f), lit(0.0f)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assignToCentroids(
+        emb.select(col("vec_id"), array(lit(0.5f), lit(0.5f)).as("embedding")),
+        over)
+    }
+    e.getMessage should include(s"exceeds $max")
+    // the limit means the guard reports the bounded count, not the true one
+    e.getMessage should include(s"${max + 1} centroids")
+  }
+
   test("kmeansTrain moves centroids off their seeds and is deterministic") {
     val seeds = emb.filter(col("vec_id") < 8)
     val t1 = Similarity.kmeansTrain(emb, seeds, iters = 2, dims = 64)
