@@ -117,7 +117,8 @@ object PipelineQueries {
     */
   def q65HistoryRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.History
-    val sinkDir = java.nio.file.Files.createTempDirectory("graft_q65_").toString + "/h"
+    val root = java.nio.file.Files.createTempDirectory("graft_q65_").toString
+    val sinkDir = root + "/h"
     val sink = new History(spark, sinkDir, batchSize = 200)
     Tables(spark, dir, "orders").filter(col("o_orderkey") < 2000)
       .select(col("o_orderkey"), col("o_orderstatus"),
@@ -132,12 +133,14 @@ object PipelineQueries {
           duration_ms = r.getLong(0), rows = 1L, error = ""))
       }
     sink.flush()
-    sink.all()
-      .groupBy(col("status"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("duration_ms")).as("key_sum"),
-           max(col("ts")).as("last_ts"))
-      .orderBy(col("status"))
+    SourceQueries.materializeThenDelete(
+      sink.all()
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("duration_ms")).as("key_sum"),
+             max(col("ts")).as("last_ts"))
+        .orderBy(col("status")),
+      root)
   }
 
   val q65Sql: String =
@@ -164,7 +167,7 @@ object PipelineQueries {
       .filter(col("c_custkey") <= 1000)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
     Jdbc.write(slice, url, "cust_slice", SaveMode.Overwrite)
-    Jdbc.read(spark, url, "cust_slice",
+    val out = Jdbc.read(spark, url, "cust_slice",
         Some(Jdbc.Partitioning("c_custkey", 1L, 1000L, 4)))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
@@ -173,6 +176,12 @@ object PipelineQueries {
            // partitionings; DECIMAL(18,2) is exact on both engines
            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal_sum"))
       .orderBy(col("c_mktsegment"))
+      // materialize, then drop the per-call in-memory DB — the lazy
+      // frame reads over JDBC, and without the drop a long session
+      // accumulates one Derby heap image per invocation
+      .localCheckpoint(true)
+    Jdbc.dropInMemoryDerby(url)
+    out
   }
 
   val q66Sql: String =
@@ -192,18 +201,21 @@ object PipelineQueries {
   def q67CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.Exporters
     import graft.sources.Readers
-    val out = java.nio.file.Files.createTempDirectory("graft_q67_").toString + "/csv"
+    val root = java.nio.file.Files.createTempDirectory("graft_q67_").toString
+    val out = root + "/csv"
     Exporters.csv(
       Tables(spark, dir, "lineitem").filter(col("l_orderkey") < 500)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_returnflag"), col("l_quantity")),
       out)
-    Readers.csv(spark, out)
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("l_orderkey")).as("key_sum"),
-           sum(col("l_quantity")).cast("double").as("qty_sum"))
-      .orderBy(col("l_returnflag"))
+    SourceQueries.materializeThenDelete(
+      Readers.csv(spark, out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_orderkey")).as("key_sum"),
+             sum(col("l_quantity")).cast("double").as("qty_sum"))
+        .orderBy(col("l_returnflag")),
+      root)
   }
 
   val q67Sql: String =
@@ -221,15 +233,18 @@ object PipelineQueries {
     */
   def q70CsvNumeric(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Readers
-    val out = java.nio.file.Files.createTempDirectory("graft_q70_").toString + "/csv"
+    val root = java.nio.file.Files.createTempDirectory("graft_q70_").toString
+    val out = root + "/csv"
     Tables(spark, dir, "documents").filter(col("doc_id") < 3000)
       .select(when(col("doc_id") % 3 === 0,
           concat(lit("x"), col("n_chars").cast("string")))
         .otherwise(col("n_chars").cast("string")).as("n_chars"))
       .write.mode("overwrite").option("header", "true").csv(out)
-    Readers.csvNumericColumn(spark, out, Some("n_chars"))
-      .agg(count(lit(1)).as("n_good"),
-           sum(col("n_chars")).cast("double").as("total"))
+    SourceQueries.materializeThenDelete(
+      Readers.csvNumericColumn(spark, out, Some("n_chars"))
+        .agg(count(lit(1)).as("n_good"),
+             sum(col("n_chars")).cast("double").as("total")),
+      root)
   }
 
   val q70Sql: String =
@@ -306,15 +321,18 @@ object PipelineQueries {
   def q68JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.Exporters
     import graft.sources.Readers
-    val out = java.nio.file.Files.createTempDirectory("graft_q68_").toString + "/json"
+    val root = java.nio.file.Files.createTempDirectory("graft_q68_").toString
+    val out = root + "/json"
     Exporters.json(
       Tables(spark, dir, "documents").filter(col("doc_id") < 2000)
         .select(col("doc_id"), col("lang"), col("n_chars")),
       out)
-    Readers.json(spark, out)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
-      .orderBy(col("lang"))
+    SourceQueries.materializeThenDelete(
+      Readers.json(spark, out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang")),
+      root)
   }
 
   val q68Sql: String =
@@ -560,7 +578,8 @@ object PipelineQueries {
     */
   def q74WholeText(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.Readers
-    val out = java.nio.file.Files.createTempDirectory("graft_q74_").toString + "/txt"
+    val root = java.nio.file.Files.createTempDirectory("graft_q74_").toString
+    val out = root + "/txt"
     Tables(spark, dir, "documents").filter(col("doc_id") < 2000)
       .select(col("lang"),
         // newline-sanitize BEFORE the line-oriented write: a text
@@ -570,14 +589,16 @@ object PipelineQueries {
         concat(col("doc_id"), lit("|"),
           regexp_replace(col("text"), "[\\n\\r]", " ")).as("value"))
       .write.partitionBy("lang").text(out)
-    Readers.wholeText(spark, s"$out/lang=*")
-      .select(regexp_extract(col("path"), "lang=([^/]+)", 1).as("lang"),
-        explode(split(col("content"), "\n")).as("line"))
-      .filter(length(col("line")) > 0)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_lines"),
-           sum(length(col("line"))).as("total_len"))
-      .orderBy(col("lang"))
+    SourceQueries.materializeThenDelete(
+      Readers.wholeText(spark, s"$out/lang=*")
+        .select(regexp_extract(col("path"), "lang=([^/]+)", 1).as("lang"),
+          explode(split(col("content"), "\n")).as("line"))
+        .filter(length(col("line")) > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_lines"),
+             sum(length(col("line"))).as("total_len"))
+        .orderBy(col("lang")),
+      root)
   }
 
   val q74Sql: String =
@@ -596,16 +617,19 @@ object PipelineQueries {
   def q75NestedJson(spark: SparkSession, dir: String): DataFrame = {
     import graft.sinks.Exporters
     import graft.sources.Readers
-    val out = java.nio.file.Files.createTempDirectory("graft_q75_").toString + "/json"
+    val root = java.nio.file.Files.createTempDirectory("graft_q75_").toString
+    val out = root + "/json"
     Exporters.json(
       Tables(spark, dir, "documents").filter(col("doc_id") < 2000)
         .select(struct(col("source"), col("lang")).as("meta"),
           col("doc_id"), col("n_chars")),
       out)
-    Readers.json(spark, out)
-      .groupBy(col("meta.lang").as("lang"), col("meta.source").as("source"))
-      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
-      .orderBy(col("lang"), col("source"))
+    SourceQueries.materializeThenDelete(
+      Readers.json(spark, out)
+        .groupBy(col("meta.lang").as("lang"), col("meta.source").as("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"), col("source")),
+      root)
   }
 
   val q75Sql: String =
@@ -627,13 +651,15 @@ object PipelineQueries {
     def build = Tables(spark, dir, "orders").filter(col("o_orderkey") < 5000)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     Exporters.cached(spark, cacheDir, "orders_slice")(build).count()
-    Exporters.cached(spark, cacheDir, "orders_slice")(
-        sys.error("cache miss: build closure must not re-run"))
-      .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"),
-           round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
-             .cast("double").as("total_price"))
-      .orderBy(col("o_orderstatus"))
+    SourceQueries.materializeThenDelete(
+      Exporters.cached(spark, cacheDir, "orders_slice")(
+          sys.error("cache miss: build closure must not re-run"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+               .cast("double").as("total_price"))
+        .orderBy(col("o_orderstatus")),
+      cacheDir)
   }
 
   val q76Sql: String =

@@ -380,18 +380,21 @@ object RelationalQueries {
     * to the oracle's WHERE o_orderstatus = 'F'.
     */
   def q80SplitDir(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_q80_").toString + "/split"
+    val root = java.nio.file.Files.createTempDirectory("graft_q80_").toString
+    val out = root + "/split"
     val orders = Tables(spark, dir, "orders")
       .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
     val idx = graft.ops.Grouping.splitToDir(orders, Seq("o_orderstatus"), out)
     val fDir = idx.collectFirst {
       case (k, p) if k("o_orderstatus") == "F" => p
     }.getOrElse(sys.error("no 'F' partition written"))
-    spark.read.parquet(fDir)
-      .agg(count(lit(1)).as("n"),
-           sum(col("o_orderkey")).as("key_sum"),
-           round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
-             .cast("double").as("total_price"))
+    SourceQueries.materializeThenDelete(
+      spark.read.parquet(fDir)
+        .agg(count(lit(1)).as("n"),
+             sum(col("o_orderkey")).as("key_sum"),
+             round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+               .cast("double").as("total_price")),
+      root)
   }
 
   val q80Sql: String =

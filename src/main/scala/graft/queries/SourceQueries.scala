@@ -14,15 +14,16 @@ import graft.sources.{LineRouter, StructTextParser, TreeScan}
 object SourceQueries {
 
   /** Materialize a temp-fixture gate's result, then delete its fixture
-    * roots. The filesystem gates (q63/q82/q85/q105/q106) return frames
-    * whose lineage READS the fixture tree they just wrote, so the tree
+    * roots. The filesystem gates (q63/q82/q85/q105/q106 here; the
+    * round-trip gates in [[PipelineQueries]]) return frames whose
+    * lineage READS the fixture tree they just wrote, so the tree
     * cannot be deleted while the frame is lazy; localCheckpoint(eager)
     * pins the computed rows in the block manager, after which the
     * fixture is garbage. Without this, every bench/verify invocation
     * leaves a fixture copy in /tmp (q105's two parquet copies of the
     * 2000-doc slice were the largest — the r11 advisor finding).
     */
-  private def materializeThenDelete(df: DataFrame, roots: String*): DataFrame = {
+  private[queries] def materializeThenDelete(df: DataFrame, roots: String*): DataFrame = {
     val out = df.localCheckpoint(true)
     roots.foreach { r =>
       val p = new org.apache.hadoop.fs.Path(r)

@@ -68,4 +68,23 @@ object Jdbc {
             user: Option[String] = None,
             password: Option[String] = None): Unit =
     df.write.mode(mode).jdbc(url, table, props(user, password))
+
+  /** Drop an embedded in-memory Derby database (`jdbc:derby:memory:…`).
+    * In-memory Derby DBs live in driver heap until dropped, so a
+    * long-lived session that round-trips per invocation (the q66 gate
+    * under bench/verify) accumulates one DB per call without this.
+    * Derby signals a successful drop by THROWING SQLState 08006 on the
+    * `;drop=true` connection attempt; anything else is re-thrown.
+    */
+  def dropInMemoryDerby(url: String): Unit = {
+    require(url.startsWith("jdbc:derby:memory:"),
+      s"dropInMemoryDerby is only for jdbc:derby:memory: URLs, got $url")
+    val base = url.takeWhile(_ != ';')
+    try {
+      java.sql.DriverManager.getConnection(s"$base;drop=true").close()
+      sys.error(s"Derby did not acknowledge dropping $base")
+    } catch {
+      case e: java.sql.SQLException if e.getSQLState == "08006" => () // dropped
+    }
+  }
 }
