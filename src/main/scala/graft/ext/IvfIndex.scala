@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — the "train once, serve many batches"
+  * production shape behind [[Similarity.ivfKnn]]: k-means training and
+  * corpus assignment are the expensive corpus-sized passes, so both
+  * are saved once to parquet and every later query batch runs
+  * [[Similarity.ivfKnnPreassigned]] against the loaded frames (probe
+  * ranking is queries × centroids, broadcast-sized; the corpus join
+  * touches only the probed clusters).
+  *
+  * Same compute-once-reload contract as the S8 parquet cache
+  * (`processors/_impl/plotting_impl.py:126-147`,
+  * [[graft.sinks.Exporters.cached]]), applied to a two-frame artifact:
+  *
+  * {{{
+  *   <path>/_ivf_meta.json       format version + column names
+  *   <path>/centroids.parquet    (idCol, vecCol array<double>)
+  *   <path>/assignments.parquet  (idCol, vecCol, centroid_id), optional
+  * }}}
+  *
+  * The meta file is written LAST, so a partially-written index (killed
+  * writer) never loads — [[load]] fails on the missing meta, and
+  * [[loadOrTrain]] retrains over it (Overwrite mode replaces the
+  * partial parquet dirs).
+  *
+  * Parquet round-trips both frames losslessly (float/double columns
+  * are stored bit-exact), so search over a loaded index is
+  * hash-identical to search over the fresh one — gated executably by
+  * q107 (same oracle SQL as the fresh-index q62) and IvfIndexSpec.
+  */
+object IvfIndex {
+
+  /** Bumped on layout changes; [[load]] rejects indexes written by a
+    * different major layout rather than misreading them.
+    */
+  val FormatVersion = 1
+
+  final case class Index(centroids: DataFrame,
+                         assignments: Option[DataFrame],
+                         idCol: String, vecCol: String)
+
+  private final case class Meta(version: Int, idCol: String, vecCol: String,
+                                hasAssignments: Boolean)
+
+  /** Persist a trained index. `centroids` is the [[Similarity.kmeansTrain]]
+    * output (idCol, vecCol); pass `assignments` (the
+    * [[Similarity.assignToCentroids]] output) to also skip the
+    * corpus-sized assignment scan at serve time — at 100 TB that scan,
+    * not training, is the dominant per-restart cost.
+    */
+  def save(spark: SparkSession, path: String,
+           centroids: DataFrame, assignments: Option[DataFrame] = None,
+           idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    centroids
+      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
+    assignments.foreach { a =>
+      a.select(col(idCol), col(vecCol), col("centroid_id"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/assignments.parquet")
+    }
+    // meta last: its presence marks the index complete
+    writeMeta(spark, s"$path/_ivf_meta.json",
+      Meta(FormatVersion, idCol, vecCol, assignments.nonEmpty))
+  }
+
+  /** Load a saved index. Fails with an explicit message on a missing /
+    * incomplete index or a format-version mismatch.
+    */
+  def load(spark: SparkSession, path: String): Index = {
+    val meta = readMeta(spark, s"$path/_ivf_meta.json")
+    require(meta.version == FormatVersion,
+      s"IvfIndex at $path has format version ${meta.version}; " +
+        s"this build reads $FormatVersion")
+    Index(
+      spark.read.parquet(s"$path/centroids.parquet"),
+      if (meta.hasAssignments)
+        Some(spark.read.parquet(s"$path/assignments.parquet"))
+      else None,
+      meta.idCol, meta.vecCol)
+  }
+
+  /** The cache-or-build face: load the index at `path` if complete,
+    * otherwise run `train`, save its result (with assignments), and
+    * return the LOADED copy — so first and later calls serve from the
+    * same parquet-backed frames.
+    */
+  def loadOrTrain(spark: SparkSession, path: String,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+                 (train: => (DataFrame, Option[DataFrame])): Index = {
+    val metaPath = new Path(s"$path/_ivf_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) {
+      val (centroids, assignments) = train
+      save(spark, path, centroids, assignments, idCol, vecCol)
+    }
+    load(spark, path)
+  }
+
+  /** Search a loaded index: [[Similarity.ivfKnnPreassigned]] when
+    * assignments were saved, otherwise assign `corpus` on the fly
+    * (which then must be provided).
+    */
+  def search(index: Index, queries: DataFrame, k: Int, nprobe: Int,
+             corpus: Option[DataFrame] = None): DataFrame =
+    index.assignments match {
+      case Some(assigned) =>
+        Similarity.ivfKnnPreassigned(assigned, index.centroids, queries,
+          k, nprobe, index.idCol, index.vecCol)
+      case None =>
+        val c = corpus.getOrElse(sys.error(
+          "IvfIndex.search: index saved without assignments — pass the corpus"))
+        Similarity.ivfKnn(c, index.centroids, queries, k, nprobe,
+          index.idCol, index.vecCol)
+    }
+
+  // hand-rolled flat JSON (write side mirrors the read side below):
+  // four fixed fields, no nesting — a JSON library dependency is not
+  // warranted for this
+  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"version":${m.version},"idCol":"${m.idCol}","vecCol":"${m.vecCol}","hasAssignments":${m.hasAssignments}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no IVF index at ${p.getParent}: missing/incomplete (no _ivf_meta.json)")
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def str(k: String): String = {
+      val m = s""""$k":"([^"]*)"""".r.findFirstMatchIn(text)
+      m.getOrElse(sys.error(s"IvfIndex meta at $path: missing field $k")).group(1)
+    }
+    def raw(k: String): String = {
+      val m = s""""$k":([^,}]*)""".r.findFirstMatchIn(text)
+      m.getOrElse(sys.error(s"IvfIndex meta at $path: missing field $k")).group(1)
+    }
+    Meta(raw("version").toInt, str("idCol"), str("vecCol"),
+      raw("hasAssignments").toBoolean)
+  }
+}

@@ -181,8 +181,24 @@ object Similarity {
     */
   def ivfKnn(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
              k: Int, nprobe: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = assignToCentroids(corpus, centroids, idCol, vecCol)
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfKnnPreassigned(assignToCentroids(corpus, centroids, idCol, vecCol),
+      centroids, queries, k, nprobe, idCol, vecCol)
+
+  /** [[ivfKnn]] over an ALREADY-ASSIGNED corpus — the serve path of
+    * "train once, serve many batches": assignment is the only
+    * corpus-sized scan in IVF search, so a persisted
+    * (id, vector, centroid_id) frame ([[IvfIndex]]) turns every later
+    * query batch into probe-ranking (queries × centroids, broadcast)
+    * plus a join that touches only the probed clusters' rows.
+    *
+    * @param assigned (idCol, vecCol, centroid_id) — the exact output
+    *                 shape of [[assignToCentroids]]
+    */
+  def ivfKnnPreassigned(assigned: DataFrame, centroids: DataFrame,
+                        queries: DataFrame, k: Int, nprobe: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cent_vec"))
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("qc_cos").desc, col("centroid_id"))

@@ -411,6 +411,35 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ✚ IVF index persistence — q62's train-then-search pipeline run
+    * THROUGH a saved+loaded [[graft.ext.IvfIndex]]: train, persist
+    * centroids AND corpus assignments to parquet, load them back, and
+    * serve the search from the loaded frames
+    * ([[Similarity.ivfKnnPreassigned]] — no re-assignment scan). The
+    * oracle is IDENTICAL to q62's ([[q62Sql]] replays the fresh
+    * pipeline), so the hash passes only if the parquet round-trip of
+    * both index frames is bit-lossless — the "train once, serve many
+    * batches" production contract.
+    */
+  def q107IvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q107_").toString
+    val e = Tables(spark, dir, "embeddings")
+    val index = graft.ext.IvfIndex.loadOrTrain(spark, s"$root/idx") {
+      val centroids = Similarity.kmeansTrain(e, e.filter(col("vec_id") < 8),
+        iters = 2, dims = 64)
+      (centroids, Some(Similarity.assignToCentroids(e, centroids)))
+    }
+    SourceQueries.materializeThenDelete(
+      graft.ext.IvfIndex.search(index, e.filter(col("vec_id") < 3),
+          k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank")),
+      root)
+  }
+
+  // lazy: q62Sql is declared later in this object, and a strict val
+  // here would capture null at initialization order
+  lazy val q107Sql: String = q62Sql
+
   val q62Sql: String =
     """WITH c0 AS (
       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec

@@ -1,0 +1,113 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** IVF index persistence: a saved+loaded index must serve searches
+  * bit-identically to the fresh in-session index, partial writes must
+  * not load, and loadOrTrain must train exactly once.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sf, "embeddings")
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ivfidx_").toString
+
+  private def delete(root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def freshIndex(): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val centroids = Similarity.kmeansTrain(
+      emb, emb.filter(col("vec_id") < 8), iters = 2, dims = 64)
+    (centroids, Similarity.assignToCentroids(emb, centroids))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("query_id", "rank").collect().map(_.toString).toSeq
+
+  test("search over a loaded index is bit-identical to the fresh index") {
+    val root = tmp()
+    try {
+      val (centroids, assigned) = freshIndex()
+      val fresh = Similarity.ivfKnnPreassigned(
+        assigned, centroids, emb.filter(col("vec_id") < 3), k = 5, nprobe = 2)
+      IvfIndex.save(spark, s"$root/idx", centroids, Some(assigned))
+      val loaded = IvfIndex.load(spark, s"$root/idx")
+      loaded.assignments.isDefined shouldBe true
+      val served = IvfIndex.search(loaded, emb.filter(col("vec_id") < 3),
+        k = 5, nprobe = 2)
+      rows(served) shouldBe rows(fresh)
+    } finally delete(root)
+  }
+
+  test("an index saved without assignments searches via the corpus") {
+    val root = tmp()
+    try {
+      val (centroids, assigned) = freshIndex()
+      IvfIndex.save(spark, s"$root/idx", centroids, None)
+      val loaded = IvfIndex.load(spark, s"$root/idx")
+      loaded.assignments shouldBe None
+      // no corpus → explicit error, not a null-pointer deep in the plan
+      val e = intercept[RuntimeException] {
+        IvfIndex.search(loaded, emb.filter(col("vec_id") < 3), 5, 2)
+      }
+      e.getMessage should include("pass the corpus")
+      val served = IvfIndex.search(loaded, emb.filter(col("vec_id") < 3),
+        k = 5, nprobe = 2, corpus = Some(emb))
+      rows(served) shouldBe rows(Similarity.ivfKnnPreassigned(
+        assigned, centroids, emb.filter(col("vec_id") < 3), k = 5, nprobe = 2))
+    } finally delete(root)
+  }
+
+  test("a partial index (no meta) does not load; loadOrTrain trains over it") {
+    val root = tmp()
+    try {
+      val (centroids, _) = freshIndex()
+      // simulate a killed writer: parquet present, meta never written
+      centroids.write.parquet(s"$root/idx/centroids.parquet")
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.load(spark, s"$root/idx")
+      }
+      e.getMessage should include("missing/incomplete")
+      val idx = IvfIndex.loadOrTrain(spark, s"$root/idx") {
+        (centroids, None)
+      }
+      idx.centroids.count() shouldBe centroids.count()
+    } finally delete(root)
+  }
+
+  test("loadOrTrain serves from the cache: the train closure must not re-run") {
+    val root = tmp()
+    try {
+      val (centroids, assigned) = freshIndex()
+      IvfIndex.loadOrTrain(spark, s"$root/idx")((centroids, Some(assigned)))
+      val idx = IvfIndex.loadOrTrain(spark, s"$root/idx") {
+        sys.error("cache hit expected: train closure must not re-run")
+      }
+      idx.idCol shouldBe "vec_id"
+      idx.assignments.isDefined shouldBe true
+    } finally delete(root)
+  }
+
+  test("a future format version is rejected, not misread") {
+    val root = tmp()
+    try {
+      val (centroids, _) = freshIndex()
+      IvfIndex.save(spark, s"$root/idx", centroids, None)
+      // overwrite meta with a bumped version
+      val p = new org.apache.hadoop.fs.Path(s"$root/idx/_ivf_meta.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      out.write("""{"version":99,"idCol":"vec_id","vecCol":"embedding","hasAssignments":false}""".getBytes("UTF-8"))
+      out.close()
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.load(spark, s"$root/idx")
+      }
+      e.getMessage should include("format version 99")
+    } finally delete(root)
+  }
+}
