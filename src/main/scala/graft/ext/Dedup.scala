@@ -14,6 +14,32 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** What the exact-Jaccard verify stage intersects — the r13 lever on
+    * the pair stage's measured dominant footprint (BASELINE.md
+    * §"Staged band processing": the verify joins + pair dedup carry
+    * ~80% of the stage's shuffle bytes and all of its memory spill,
+    * and the verify side's payload is the per-doc shingle array).
+    *
+    *  - [[VerifyOn.Shingles]]: intersect the shingle STRING arrays —
+    *    the reference formulation, exact.
+    *  - [[VerifyOn.HashSets]]: intersect the per-shingle 52-bit
+    *    [[hexHash]] arrays (already computed for the MinHash
+    *    signatures, so hashing adds no work) — the verify joins ship
+    *    8-byte longs instead of strings. Set semantics are preserved
+    *    (intersect/union are distinct-element on both engines); the
+    *    approximation is hash collisions WITHIN one pair's union of
+    *    shingle sets: P ≈ s²/2⁵³ for s distinct shingles (~1e-8 at
+    *    s = 10⁴), i.e. bit-identical to Shingles on any real corpus
+    *    slice, with a one-in-10⁸ pair's jaccard off by 1/|union| at
+    *    100 TB — the same order as MinHash banding's own false-negative
+    *    floor the pipeline already accepts.
+    */
+  sealed trait VerifyOn
+  object VerifyOn {
+    case object Shingles extends VerifyOn
+    case object HashSets extends VerifyOn
+  }
+
   /** Distinct word shingles of width `n` (n=1 → the word set).
     * n>1 rides the native [[graft.functions.WordNGrams]] expression
     * (same '_'-joined windows, empty below n tokens, codegen'd instead
@@ -107,9 +133,10 @@ object Dedup {
   def lshNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleWidth: Int = 1, numHashes: Int = 24,
                       numBands: Int = 3, threshold: Double = 0.9,
-                      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): DataFrame =
+                      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
+                      verifyOn: VerifyOn = VerifyOn.Shingles): DataFrame =
     lshNearDupPairsWithStats(df, textCol, idCol, shingleWidth, numHashes,
-      numBands, threshold, maxBucketSize)._1
+      numBands, threshold, maxBucketSize, verifyOn)._1
 
   /** [[lshNearDupPairs]] plus the skew-guard [[LshSkew.CapCensus]]:
     * what the bucket cap dropped, as a RETURNED fact rather than a log
@@ -121,9 +148,10 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int = 1, numHashes: Int = 24,
       numBands: Int = 3, threshold: Double = 0.9,
-      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, LshSkew.CapCensus) = {
+      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
+      verifyOn: VerifyOn = VerifyOn.Shingles): (DataFrame, LshSkew.CapCensus) = {
     val (pairs, caches, census) = lshNearDupPairsLazy(df, textCol, idCol,
-      shingleWidth, numHashes, numBands, threshold, maxBucketSize)
+      shingleWidth, numHashes, numBands, threshold, maxBucketSize, verifyOn)
     // Materialize eagerly so the intermediate caches can be released
     // immediately — long-lived sessions otherwise accumulate signature
     // frames until eviction pressure degrades the executor cache. The
@@ -150,7 +178,8 @@ object Dedup {
   private[graft] def bandedFrame(
       df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int, numHashes: Int,
-      numBands: Int): (DataFrame, DataFrame) = {
+      numBands: Int,
+      verifyOn: VerifyOn = VerifyOn.Shingles): (DataFrame, DataFrame) = {
     // fail fast on a non-dividing banding: rowsPerBand = 0 would band
     // every doc into one constant md5 (silently degenerate — the exact
     // shape the census tools exist to detect), and a remainder would
@@ -167,11 +196,17 @@ object Dedup {
     // documents table is 0.32 s on ONE core — signature computation is
     // NOT the cost center, the bucket-join machinery is. A repartition
     // here to widen the battery was tried and reverted: pure overhead.)
-    val base = df.select(col(idCol).as("id"),
+    val withHashes = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleWidth).as("sh"))
       .withColumn("h1", graft.functions.MinHashFunctions.hexHashArray(col("sh"), "a#"))
       .withColumn("h2", graft.functions.MinHashFunctions.hexHashArray(col("sh"), "b#"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // HashSets verify never reads the shingle strings again — dropping
+    // them BEFORE the persist shrinks the cached frame itself, not just
+    // the verify joins' shuffle payload
+    val base = (verifyOn match {
+      case VerifyOn.Shingles => withHashes
+      case VerifyOn.HashSets => withHashes.drop("sh")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids only through the bucket self-join — the shingle sets rejoin
     // afterwards, so the (potentially huge) candidate shuffle moves
     // (band, hash, id) triples, never document content.
@@ -218,9 +253,10 @@ object Dedup {
       shingleWidth: Int = 1, numHashes: Int = 24,
       numBands: Int = 3, threshold: Double = 0.9,
       maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
-      onBandDone: Int => Unit = _ => ()): (DataFrame, LshSkew.CapCensus) = {
+      onBandDone: Int => Unit = _ => (),
+      verifyOn: VerifyOn = VerifyOn.Shingles): (DataFrame, LshSkew.CapCensus) = {
     val (base, banded) = bandedFrame(df, textCol, idCol,
-      shingleWidth, numHashes, numBands)
+      shingleWidth, numHashes, numBands, verifyOn)
     val perBand = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       var census = LshSkew.CapCensus.none(maxBucketSize)
@@ -262,7 +298,7 @@ object Dedup {
       val candidates = perBand.reduce(_ union _)
         .dropDuplicates("id_a", "id_b")
       val verified =
-        verifyPairs(candidates, base, threshold).localCheckpoint(true)
+        verifyPairs(candidates, base, threshold, verifyOn).localCheckpoint(true)
       (verified, census)
     } finally {
       perBand.foreach(_.unpersist())
@@ -275,9 +311,10 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int, numHashes: Int,
       numBands: Int, threshold: Double,
-      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
+      maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
+      verifyOn: VerifyOn = VerifyOn.Shingles): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
     val (base, banded) = bandedFrame(df, textCol, idCol,
-      shingleWidth, numHashes, numBands)
+      shingleWidth, numHashes, numBands, verifyOn)
     val (capped, guardCaches, census) = LshSkew.capBuckets(banded,
       Seq("band_idx", "band_hash"), maxBucketSize, "lshNearDupPairs")
     val a = capped.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
@@ -286,20 +323,30 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    (verifyPairs(candidates, base, threshold),
+    (verifyPairs(candidates, base, threshold, verifyOn),
       Seq(base, banded) ++ guardCaches, census)
   }
 
-  /** Shingle-rejoin + exact-Jaccard verify shared by the fused and
-    * staged pair paths — ONE definition, so the staged path's
-    * identical-output contract is structural rather than copy-kept.
+  /** Rejoin-and-verify shared by the fused and staged pair paths — ONE
+    * definition, so the staged path's identical-output contract is
+    * structural rather than copy-kept. The verify payload column is
+    * [[VerifyOn]]-selected: shingle strings (exact) or their 52-bit
+    * hash sets (same set algebra over 8-byte elements); either way the
+    * arrays attach AFTER pair dedup, so only the two verify joins —
+    * never the band explode or the candidate self-join — carry them.
     */
   private def verifyPairs(candidates: DataFrame, base: DataFrame,
-                          threshold: Double): DataFrame =
+                          threshold: Double,
+                          verifyOn: VerifyOn = VerifyOn.Shingles): DataFrame = {
+    val payload = verifyOn match {
+      case VerifyOn.Shingles => "sh"
+      case VerifyOn.HashSets => "h1"
+    }
     candidates
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(base.select(col("id").as("id_a"), col(payload).as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col(payload).as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

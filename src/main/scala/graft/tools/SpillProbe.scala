@@ -173,7 +173,13 @@ object SpillProbe {
     // drain — draining inside the hook would inflate the wall being
     // measured — so per-band splits are approximate; the bracketed
     // totals are exact).
-    def runEntry(staged: Boolean): (Double, Long, Int, Long, Long, Long, Long) = {
+    // round-13 variants: `fusedhash[off]` = the fused entry point with
+    // VerifyOn.HashSets — the verify joins (the stage's measured
+    // dominant shuffle/spill term) carry 52-bit hash arrays instead of
+    // shingle strings, and the cached base frame drops the strings too.
+    def runEntry(staged: Boolean,
+                 verifyOn: graft.ext.Dedup.VerifyOn =
+                   graft.ext.Dedup.VerifyOn.Shingles): (Double, Long, Int, Long, Long, Long, Long) = {
       org.apache.spark.sql.graftbridge.Bridge
         .waitListenerBusEmpty(spark.sparkContext)
       val (m0, d0, w0, t0c) =
@@ -185,10 +191,12 @@ object SpillProbe {
           graft.ext.Dedup.lshNearDupPairsStagedWithStats(
             docs, "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 200,
             onBandDone = b => bandMarks +=
-              ((b, (System.nanoTime() - t0) / 1e9, shufWrite.get - w0)))._1
+              ((b, (System.nanoTime() - t0) / 1e9, shufWrite.get - w0)),
+            verifyOn = verifyOn)._1
         else
           graft.ext.Dedup.lshNearDupPairsWithStats(
-            docs, "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 200)._1
+            docs, "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 200,
+            verifyOn = verifyOn)._1
       val rows = pairs.count()
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graftbridge.Bridge
@@ -212,16 +220,21 @@ object SpillProbe {
         // checkpointing APIs under AQE default/off; everything else is
         // an AQE conf variant over the lazy plan (the r10/r11 tables)
         val (confV, path) = v match {
-          case "staged"    => ("default", "staged")
-          case "stagedoff" => ("off", "staged")
-          case "fused"     => ("default", "fused")
-          case "fusedoff"  => ("off", "fused")
-          case other       => (other, "lazy")
+          case "staged"       => ("default", "staged")
+          case "stagedoff"    => ("off", "staged")
+          case "fused"        => ("default", "fused")
+          case "fusedoff"     => ("off", "fused")
+          case "fusedhash"    => ("default", "fusedhash")
+          case "fusedhashoff" => ("off", "fusedhash")
+          case other          => (other, "lazy")
         }
         applyVariant(confV)
         (1 to 2).foreach { i =>
           val (sec, rows, skews0, dm, dd, dw, dt) =
-            if (path == "lazy") run() else runEntry(path == "staged")
+            if (path == "lazy") run()
+            else runEntry(path == "staged",
+              if (path == "fusedhash") graft.ext.Dedup.VerifyOn.HashSets
+              else graft.ext.Dedup.VerifyOn.Shingles)
           // the skew-mark count comes from scanning the lazy plan's
           // executed tree; the entry points give no plan handle, so
           // print "-" rather than a fabricated 0

@@ -51,6 +51,31 @@ class StagedLshSpec extends SparkSpec {
     asPairs(staged) shouldBe asPairs(fused)
   }
 
+  test("HashSets verify is bit-identical to Shingles on a collision-free corpus") {
+    // 52-bit hashes collide at P ≈ s²/2⁵³ per pair — never on a test
+    // corpus, so the two verify payloads must agree exactly, for both
+    // the fused and staged paths
+    val (strings, _) = Dedup.lshNearDupPairsWithStats(docs, "text", "doc_id")
+    val (hashes, _) = Dedup.lshNearDupPairsWithStats(docs, "text", "doc_id",
+      verifyOn = Dedup.VerifyOn.HashSets)
+    val (stagedHashes, _) = Dedup.lshNearDupPairsStagedWithStats(
+      docs, "text", "doc_id", verifyOn = Dedup.VerifyOn.HashSets)
+    asPairs(hashes) shouldBe asPairs(strings)
+    asPairs(stagedHashes) shouldBe asPairs(strings)
+  }
+
+  test("HashSets base frame carries no shingle strings") {
+    // the footprint claim behind the mode: the persisted base and the
+    // verify joins ship long arrays, not the document-derived strings
+    val (base, banded) = Dedup.bandedFrame(docs, "text", "doc_id",
+      shingleWidth = 1, numHashes = 24, numBands = 3,
+      verifyOn = Dedup.VerifyOn.HashSets)
+    try {
+      base.columns should not contain "sh"
+      base.schema("h1").dataType.simpleString shouldBe "array<bigint>"
+    } finally { base.unpersist(); banded.unpersist() }
+  }
+
   test("onBandDone fires once per band, in order") {
     val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
     Dedup.lshNearDupPairsStagedWithStats(docs, "text", "doc_id",
