@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * Scale design: signatures are pure per-row array expressions (map-side,
   * codegen'd, no shuffle); the only shuffles are the final groupBy on a
   * 16-byte hash (exact dedup) or the band-bucket self-join (LSH), both of
-  * which shuffle keys + ids, never full documents. Shingle sets ride along
-  * only where the verify step needs them.
+  * which shuffle keys + ids, never full documents. The verify step's
+  * payload defaults to the per-shingle 52-bit hash sets ([[VerifyOn]]),
+  * so even the verify joins never move document-derived strings.
   */
 object Dedup {
 
@@ -21,11 +22,12 @@ object Dedup {
     * and the verify side's payload is the per-doc shingle array).
     *
     *  - [[VerifyOn.Shingles]]: intersect the shingle STRING arrays —
-    *    the reference formulation, exact.
-    *  - [[VerifyOn.HashSets]]: intersect the per-shingle 52-bit
-    *    [[hexHash]] arrays (already computed for the MinHash
+    *    the reference formulation, exact. Opt-in.
+    *  - [[VerifyOn.HashSets]] (DEFAULT): intersect the per-shingle
+    *    52-bit [[hexHash]] arrays (already computed for the MinHash
     *    signatures, so hashing adds no work) — the verify joins ship
-    *    8-byte longs instead of strings. Set semantics are preserved
+    *    8-byte longs instead of strings, and the persisted base frame
+    *    drops the strings entirely. Set semantics are preserved
     *    (intersect/union are distinct-element on both engines); the
     *    approximation is hash collisions WITHIN one pair's union of
     *    shingle sets: P ≈ s²/2⁵³ for s distinct shingles (~1e-8 at
@@ -33,6 +35,13 @@ object Dedup {
     *    slice, with a one-in-10⁸ pair's jaccard off by 1/|union| at
     *    100 TB — the same order as MinHash banding's own false-negative
     *    floor the pipeline already accepts.
+    *
+    * Adopted as default on the 8 M-doc SpillProbe comparison
+    * (BASELINE.md §"Hash-set verify", round 13): the verify stage's
+    * uncompressed sort/spill path is where the strings hurt — memory
+    * spill 28.5 → 18.9 GB (−33%), disk spill −19%, wall −21%, with
+    * shuffle WRITE nearly flat (strings compress well on the wire;
+    * sorts pay the uncompressed width).
     */
   sealed trait VerifyOn
   object VerifyOn {
@@ -116,7 +125,9 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b, one row per
     * candidate pair that clears `threshold`. The self-join shuffles on
-    * the band hash; only (band, hash, id, shingles) rows move.
+    * the band hash; only (band, hash, id) rows move, and the verify
+    * payload ([[VerifyOn]], hash sets by default) attaches after pair
+    * dedup.
     *
     * `maxBucketSize` is the 100 TB skew guard: a degenerate band
     * bucket (empty strings, boilerplate headers, templated docs)
@@ -134,7 +145,7 @@ object Dedup {
                       shingleWidth: Int = 1, numHashes: Int = 24,
                       numBands: Int = 3, threshold: Double = 0.9,
                       maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
-                      verifyOn: VerifyOn = VerifyOn.Shingles): DataFrame =
+                      verifyOn: VerifyOn = VerifyOn.HashSets): DataFrame =
     lshNearDupPairsWithStats(df, textCol, idCol, shingleWidth, numHashes,
       numBands, threshold, maxBucketSize, verifyOn)._1
 
@@ -149,7 +160,7 @@ object Dedup {
       shingleWidth: Int = 1, numHashes: Int = 24,
       numBands: Int = 3, threshold: Double = 0.9,
       maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
-      verifyOn: VerifyOn = VerifyOn.Shingles): (DataFrame, LshSkew.CapCensus) = {
+      verifyOn: VerifyOn = VerifyOn.HashSets): (DataFrame, LshSkew.CapCensus) = {
     val (pairs, caches, census) = lshNearDupPairsLazy(df, textCol, idCol,
       shingleWidth, numHashes, numBands, threshold, maxBucketSize, verifyOn)
     // Materialize eagerly so the intermediate caches can be released
@@ -179,7 +190,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       shingleWidth: Int, numHashes: Int,
       numBands: Int,
-      verifyOn: VerifyOn = VerifyOn.Shingles): (DataFrame, DataFrame) = {
+      verifyOn: VerifyOn = VerifyOn.HashSets): (DataFrame, DataFrame) = {
     // fail fast on a non-dividing banding: rowsPerBand = 0 would band
     // every doc into one constant md5 (silently degenerate — the exact
     // shape the census tools exist to detect), and a remainder would
@@ -254,7 +265,7 @@ object Dedup {
       numBands: Int = 3, threshold: Double = 0.9,
       maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
       onBandDone: Int => Unit = _ => (),
-      verifyOn: VerifyOn = VerifyOn.Shingles): (DataFrame, LshSkew.CapCensus) = {
+      verifyOn: VerifyOn = VerifyOn.HashSets): (DataFrame, LshSkew.CapCensus) = {
     val (base, banded) = bandedFrame(df, textCol, idCol,
       shingleWidth, numHashes, numBands, verifyOn)
     val perBand = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -312,7 +323,7 @@ object Dedup {
       shingleWidth: Int, numHashes: Int,
       numBands: Int, threshold: Double,
       maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
-      verifyOn: VerifyOn = VerifyOn.Shingles): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
+      verifyOn: VerifyOn = VerifyOn.HashSets): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
     val (base, banded) = bandedFrame(df, textCol, idCol,
       shingleWidth, numHashes, numBands, verifyOn)
     val (capped, guardCaches, census) = LshSkew.capBuckets(banded,
@@ -337,7 +348,7 @@ object Dedup {
     */
   private def verifyPairs(candidates: DataFrame, base: DataFrame,
                           threshold: Double,
-                          verifyOn: VerifyOn = VerifyOn.Shingles): DataFrame = {
+                          verifyOn: VerifyOn = VerifyOn.HashSets): DataFrame = {
     val payload = verifyOn match {
       case VerifyOn.Shingles => "sh"
       case VerifyOn.HashSets => "h1"

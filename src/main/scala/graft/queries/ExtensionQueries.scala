@@ -220,13 +220,13 @@ object ExtensionQueries {
       |  FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h
       |  WHERE a.doc_id < b.doc_id)
       |SELECT c.id_a, c.id_b,
-      |  CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-      |    / len(list_distinct(da.sh || db.sh)) AS jaccard
+      |  CAST(len(list_intersect(da.h1, db.h1)) AS DOUBLE)
+      |    / len(list_distinct(da.h1 || db.h1)) AS jaccard
       |FROM cand c
-      |JOIN d da ON c.id_a = da.doc_id
-      |JOIN d db ON c.id_b = db.doc_id
-      |WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-      |    / len(list_distinct(da.sh || db.sh)) >= 0.9
+      |JOIN h da ON c.id_a = da.doc_id
+      |JOIN h db ON c.id_b = db.doc_id
+      |WHERE CAST(len(list_intersect(da.h1, db.h1)) AS DOUBLE)
+      |    / len(list_distinct(da.h1 || db.h1)) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
   /** ✚ SimHash: 16-bit portable signature per document. */
@@ -567,10 +567,10 @@ object ExtensionQueries {
       |pairs AS (
       |  SELECT c.id_a AS s, c.id_b AS t
       |  FROM cand c
-      |  JOIN d da ON c.id_a = da.doc_id
-      |  JOIN d db ON c.id_b = db.doc_id
-      |  WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-      |      / len(list_distinct(da.sh || db.sh)) >= 0.9),
+      |  JOIN h da ON c.id_a = da.doc_id
+      |  JOIN h db ON c.id_b = db.doc_id
+      |  WHERE CAST(len(list_intersect(da.h1, db.h1)) AS DOUBLE)
+      |      / len(list_distinct(da.h1 || db.h1)) >= 0.9),
       |edges AS (SELECT s, t FROM pairs UNION ALL SELECT t, s FROM pairs),
       |reach(node, label) AS (
       |  SELECT doc_id, doc_id FROM d
@@ -1537,9 +1537,9 @@ object ExtensionQueries {
       |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
       |fnd AS (
       |  SELECT count(*) AS n_found
-      |  FROM cand c JOIN d a ON a.doc_id = c.ia JOIN d b ON b.doc_id = c.ib
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9)
+      |  FROM cand c JOIN h a ON a.doc_id = c.ia JOIN h b ON b.doc_id = c.ib
+      |  WHERE CAST(len(list_intersect(a.h1, b.h1)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.h1, b.h1))) >= 0.9)
       |SELECT n_true, n_found,
       |  round(CAST(n_found AS DOUBLE) / n_true, 4) AS recall
       |FROM ex, fnd""".stripMargin

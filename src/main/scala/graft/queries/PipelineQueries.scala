@@ -315,6 +315,86 @@ object PipelineQueries {
       |  CAST(round(sum(CAST(y AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_y
       |FROM s GROUP BY series ORDER BY series""".stripMargin
 
+  /** K7 (render half) — the SVG pixel stream itself, oracle-gated:
+    * q72 gates plot-data EXTRACTION and PlotRenderSpec golden-files
+    * the renderer; this gate closes the loop END-TO-END. Two event
+    * series render through the real [[graft.sinks.PlotRender]]
+    * pipeline (single subplot, no title/legend → fixed margin
+    * geometry), the polyline coordinates are parsed BACK out of the
+    * SVG text, and their per-series exact-decimal sums are compared to
+    * the oracle REPLAYING the affine data→pixel transform and the
+    * renderer's %.2f formatting in SQL. A bug anywhere — extraction,
+    * bounds, scaling, formatting, series routing — moves the sums.
+    *
+    * Geometry constants under this spec (width 640, height 360, one
+    * subplot, no titles, legend off): x0=4, y0=4 (topPad), ml=46,
+    * mt=8, mb=30 → px=50, py=12, pw=576, ph=314 — all exact in
+    * binary, so the SQL literals replay them losslessly. Coordinates
+    * are parsed as DECIMAL(10,2) (the %.2f print is exactly 2dp), so
+    * the sums are exact in both engines, not order-dependent doubles.
+    */
+  def q108PlotSvg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{PlotData, PlotRender}
+    import spark.implicits._
+    val e = Tables(spark, dir, "events").filter(col("event_id") < 2000)
+    val series = Seq(
+      PlotData.SeriesSpec("clicks", col("event_type") === "click",
+        col("event_id").cast("double"), col("value")),
+      PlotData.SeriesSpec("purchases", col("event_type") === "purchase",
+        col("event_id").cast("double"), col("value")))
+    // bounded collect: < 2000 events, ordered for a deterministic
+    // polyline (sums are order-free, but the SVG bytes may as well be
+    // deterministic too — the renderer's own contract)
+    val pts = PlotData.extract(e, series)
+      .orderBy(col("series"), col("x"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getDouble(1), r.getDouble(2))).toSeq)
+      .toMap
+    val svg = PlotRender.render(PlotRender.Spec(
+      Seq(PlotRender.Subplot(
+        Seq(PlotRender.Series("clicks", pts.getOrElse("clicks", Seq.empty)),
+          PlotRender.Series("purchases", pts.getOrElse("purchases", Seq.empty))),
+        legend = false)))).svg
+    // parse the pixel stream back out of the artifact
+    val poly = """<polyline points="([^"]*)"[^>]*data-series="([^"]*)"""".r
+    val parsed = poly.findAllMatchIn(svg).flatMap { m =>
+      val label = m.group(2)
+      m.group(1).split(" ").filter(_.nonEmpty).map { c =>
+        val Array(x, y) = c.split(",")
+        (label, BigDecimal(x), BigDecimal(y))
+      }
+    }.toSeq
+    parsed.toDF("series", "sx", "sy")
+      .select(col("series"),
+        col("sx").cast("decimal(10,2)").as("sx"),
+        col("sy").cast("decimal(10,2)").as("sy"))
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_pts"),
+           sum(col("sx")).cast("double").as("sum_x"),
+           sum(col("sy")).cast("double").as("sum_y"))
+      .orderBy(col("series"))
+  }
+
+  val q108Sql: String =
+    """WITH pts AS (
+      |  SELECT 'clicks' AS series, CAST(event_id AS DOUBLE) AS x, value AS y
+      |  FROM events WHERE event_type = 'click' AND event_id < 2000
+      |  UNION ALL
+      |  SELECT 'purchases', CAST(event_id AS DOUBLE), value
+      |  FROM events WHERE event_type = 'purchase' AND event_id < 2000),
+      |b AS (SELECT min(x) AS xlo, max(x) AS xhi,
+      |             min(y) AS ylo, max(y) AS yhi FROM pts),
+      |c AS (SELECT series,
+      |        CAST(printf('%.2f', 50 + (x - xlo) / (xhi - xlo) * 576)
+      |          AS DECIMAL(10,2)) AS sx,
+      |        CAST(printf('%.2f', 12 + 314 - (y - ylo) / (yhi - ylo) * 314)
+      |          AS DECIMAL(10,2)) AS sy
+      |      FROM pts, b)
+      |SELECT series, count(*) AS n_pts,
+      |  CAST(sum(sx) AS DOUBLE) AS sum_x, CAST(sum(sy) AS DOUBLE) AS sum_y
+      |FROM c GROUP BY series ORDER BY series""".stripMargin
+
   /** K2 + S4 — JSON export/read round-trip, oracle-gated (same shape
     * as q67 over the documents table; JSON re-infers longs as longs).
     */
