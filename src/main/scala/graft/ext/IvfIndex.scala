@@ -55,6 +55,14 @@ object IvfIndex {
   def save(spark: SparkSession, path: String,
            centroids: DataFrame, assignments: Option[DataFrame] = None,
            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // the meta file is hand-rolled flat JSON; a quote/backslash in a
+    // column name would be written unescaped and silently misparse on
+    // load — refuse it here, at write time, with the name spelled out
+    Seq("idCol" -> idCol, "vecCol" -> vecCol).foreach { case (k, v) =>
+      require(!v.exists(c => c == '"' || c == '\\'),
+        s"IvfIndex.save: $k '$v' contains a quote/backslash — not " +
+          "representable in the index meta; rename the column before saving")
+    }
     centroids
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
@@ -87,13 +95,29 @@ object IvfIndex {
     * otherwise run `train`, save its result (with assignments), and
     * return the LOADED copy — so first and later calls serve from the
     * same parquet-backed frames.
+    *
+    * Version handling is asymmetric on purpose: an index written by an
+    * OLDER format is a cache miss (retrain + Overwrite — the upgrade
+    * path this face exists for), but an index written by a NEWER
+    * format still throws — an old build silently clobbering a newer
+    * build's artifact would be data loss, not cache maintenance.
     */
   def loadOrTrain(spark: SparkSession, path: String,
                   idCol: String = "vec_id", vecCol: String = "embedding")
                  (train: => (DataFrame, Option[DataFrame])): Index = {
     val metaPath = new Path(s"$path/_ivf_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaPath)) {
+    val cached =
+      if (!fs.exists(metaPath)) None
+      else {
+        val meta = readMeta(spark, metaPath.toString)
+        require(meta.version <= FormatVersion,
+          s"IvfIndex at $path has format version ${meta.version}, newer " +
+            s"than this build's $FormatVersion — refusing to overwrite a " +
+            "newer build's index; delete it explicitly to retrain")
+        if (meta.version == FormatVersion) Some(meta) else None
+      }
+    if (cached.isEmpty) {
       val (centroids, assignments) = train
       save(spark, path, centroids, assignments, idCol, vecCol)
     }

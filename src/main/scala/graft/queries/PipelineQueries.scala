@@ -326,6 +326,15 @@ object PipelineQueries {
     * renderer's %.2f formatting in SQL. A bug anywhere — extraction,
     * bounds, scaling, formatting, series routing — moves the sums.
     *
+    * Tie rounding (verified empirically, round 13): exact 2-dp ties
+    * ARE reachable — k + 1/8 is an exactly-representable double and a
+    * genuine half-cent tie — and the engines' printf disagree on them
+    * (Java `%.2f` rounds HALF_UP → 51.13; DuckDB `printf` rounds
+    * half-even → 51.12). The oracle therefore replays the format with
+    * DuckDB `round(v, 2)`, which rounds half AWAY FROM ZERO — equal to
+    * Java's HALF_UP on the all-positive canvas coordinates, including
+    * every tie.
+    *
     * Geometry constants under this spec (width 640, height 360, one
     * subplot, no titles, legend off): x0=4, y0=4 (topPad), ml=46,
     * mt=8, mb=30 → px=50, py=12, pw=576, ph=314 — all exact in
@@ -386,9 +395,9 @@ object PipelineQueries {
       |b AS (SELECT min(x) AS xlo, max(x) AS xhi,
       |             min(y) AS ylo, max(y) AS yhi FROM pts),
       |c AS (SELECT series,
-      |        CAST(printf('%.2f', 50 + (x - xlo) / (xhi - xlo) * 576)
+      |        CAST(round(50 + (x - xlo) / (xhi - xlo) * 576, 2)
       |          AS DECIMAL(10,2)) AS sx,
-      |        CAST(printf('%.2f', 12 + 314 - (y - ylo) / (yhi - ylo) * 314)
+      |        CAST(round(12 + 314 - (y - ylo) / (yhi - ylo) * 314, 2)
       |          AS DECIMAL(10,2)) AS sy
       |      FROM pts, b)
       |SELECT series, count(*) AS n_pts,

@@ -87,6 +87,10 @@ object StreamStateProbe {
     val shapes = args.headOption.map(_.split(",").toSeq)
       .getOrElse(Seq("dedup", "kmv"))
     val provider = args.drop(1).headOption.getOrElse("heap")
+    // the provider string is transcribed into BASELINE tables — a typo
+    // must not silently run heap under a rocksdb label
+    require(Set("heap", "rocksdb")(provider),
+      s"provider must be 'heap' or 'rocksdb', got '$provider'")
     val eventsN = args.drop(2).headOption.map(_.toLong).getOrElse(10000000L)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
     val spark = SparkSession.builder().master("local[32]")

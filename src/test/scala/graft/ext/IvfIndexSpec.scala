@@ -93,6 +93,48 @@ class IvfIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("loadOrTrain retrains over an older-format index, refuses a newer one") {
+    val root = tmp()
+    try {
+      val (centroids, _) = freshIndex()
+      IvfIndex.save(spark, s"$root/idx", centroids, None)
+      val meta = new org.apache.hadoop.fs.Path(s"$root/idx/_ivf_meta.json")
+      val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def stampVersion(v: Int): Unit = {
+        val out = fs.create(meta, true)
+        out.write(s"""{"version":$v,"idCol":"vec_id","vecCol":"embedding","hasAssignments":false}"""
+          .getBytes("UTF-8"))
+        out.close()
+      }
+      // OLDER version = cache miss: the train closure runs (upgrade path)
+      stampVersion(0)
+      var trained = false
+      val idx = IvfIndex.loadOrTrain(spark, s"$root/idx") {
+        trained = true; (centroids, None)
+      }
+      trained shouldBe true
+      idx.centroids.count() shouldBe centroids.count()
+      // NEWER version = refusal: never clobber a newer build's artifact
+      stampVersion(99)
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.loadOrTrain(spark, s"$root/idx")(sys.error("must not train"))
+      }
+      e.getMessage should include("newer")
+    } finally delete(root)
+  }
+
+  test("save rejects column names the flat meta cannot represent") {
+    val root = tmp()
+    try {
+      val (centroids, _) = freshIndex()
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.save(spark, s"$root/idx",
+          centroids.withColumnRenamed("vec_id", "a\"b"), None, idCol = "a\"b")
+      }
+      e.getMessage should include("quote/backslash")
+    } finally delete(root)
+  }
+
   test("a future format version is rejected, not misread") {
     val root = tmp()
     try {

@@ -54,8 +54,11 @@ class StagedLshSpec extends SparkSpec {
   test("HashSets verify is bit-identical to Shingles on a collision-free corpus") {
     // 52-bit hashes collide at P ≈ s²/2⁵³ per pair — never on a test
     // corpus, so the two verify payloads must agree exactly, for both
-    // the fused and staged paths
-    val (strings, _) = Dedup.lshNearDupPairsWithStats(docs, "text", "doc_id")
+    // the fused and staged paths. Shingles must be EXPLICIT here: the
+    // default is HashSets since r13, and an omitted arg would compare
+    // HashSets against itself (leaving the string branch untested)
+    val (strings, _) = Dedup.lshNearDupPairsWithStats(docs, "text", "doc_id",
+      verifyOn = Dedup.VerifyOn.Shingles)
     val (hashes, _) = Dedup.lshNearDupPairsWithStats(docs, "text", "doc_id",
       verifyOn = Dedup.VerifyOn.HashSets)
     val (stagedHashes, _) = Dedup.lshNearDupPairsStagedWithStats(
