@@ -63,12 +63,25 @@ object IvfIndex {
         s"IvfIndex.save: $k '$v' contains a quote/backslash — not " +
           "representable in the index meta; rename the column before saving")
     }
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite crash-safety: drop the OLD meta before touching the
+    // parquet dirs, so a save killed mid-rewrite leaves the index
+    // marked incomplete (no meta) instead of an old meta pointing at
+    // half-overwritten frames
+    fs.delete(new Path(s"$path/_ivf_meta.json"), false)
     centroids
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
-    assignments.foreach { a =>
-      a.select(col(idCol), col(vecCol), col("centroid_id"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/assignments.parquet")
+    assignments match {
+      case Some(a) =>
+        a.select(col(idCol), col(vecCol), col("centroid_id"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/assignments.parquet")
+      case None =>
+        // an earlier save at this path may have written assignments —
+        // the corpus-sized artifact; without this delete it would be
+        // silently retained forever (the new meta says hasAssignments
+        // = false, so nothing would ever read OR remove it)
+        fs.delete(new Path(s"$path/assignments.parquet"), true)
     }
     // meta last: its presence marks the index complete
     writeMeta(spark, s"$path/_ivf_meta.json",
@@ -109,13 +122,19 @@ object IvfIndex {
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cached =
       if (!fs.exists(metaPath)) None
-      else {
-        val meta = readMeta(spark, metaPath.toString)
-        require(meta.version <= FormatVersion,
-          s"IvfIndex at $path has format version ${meta.version}, newer " +
-            s"than this build's $FormatVersion — refusing to overwrite a " +
-            "newer build's index; delete it explicitly to retrain")
-        if (meta.version == FormatVersion) Some(meta) else None
+      else parseMeta(readMetaText(spark, metaPath.toString)) match {
+        // a meta that EXISTS but does not parse is a writer killed
+        // mid-meta-write — the one window the meta-last protocol
+        // cannot close. That is an INCOMPLETE index (cache miss,
+        // retrain + Overwrite), not a permanent error; only a meta
+        // that parses can assert a version worth protecting.
+        case None => None
+        case Some(meta) =>
+          require(meta.version <= FormatVersion,
+            s"IvfIndex at $path has format version ${meta.version}, newer " +
+              s"than this build's $FormatVersion — refusing to overwrite a " +
+              "newer build's index; delete it explicitly to retrain")
+          if (meta.version == FormatVersion) Some(meta) else None
       }
     if (cached.isEmpty) {
       val (centroids, assignments) = train
@@ -154,24 +173,35 @@ object IvfIndex {
     finally out.close()
   }
 
-  private def readMeta(spark: SparkSession, path: String): Meta = {
+  private def readMeta(spark: SparkSession, path: String): Meta =
+    parseMeta(readMetaText(spark, path)).getOrElse(sys.error(
+      s"IvfIndex meta at $path exists but is truncated/corrupt (killed " +
+        "writer?) — the index is incomplete; loadOrTrain retrains over " +
+        "it, or delete the index directory"))
+
+  private def readMetaText(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"no IVF index at ${p.getParent}: missing/incomplete (no _ivf_meta.json)")
     val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    def str(k: String): String = {
-      val m = s""""$k":"([^"]*)"""".r.findFirstMatchIn(text)
-      m.getOrElse(sys.error(s"IvfIndex meta at $path: missing field $k")).group(1)
-    }
-    def raw(k: String): String = {
-      val m = s""""$k":([^,}]*)""".r.findFirstMatchIn(text)
-      m.getOrElse(sys.error(s"IvfIndex meta at $path: missing field $k")).group(1)
-    }
-    Meta(raw("version").toInt, str("idCol"), str("vecCol"),
-      raw("hasAssignments").toBoolean)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** None on ANY missing/malformed field — a truncated meta is an
+    * incomplete index, distinguished from a parsed-but-newer version.
+    */
+  private def parseMeta(text: String): Option[Meta] = {
+    def str(k: String): Option[String] =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+    def raw(k: String): Option[String] =
+      s""""$k":([^,}]*)""".r.findFirstMatchIn(text).map(_.group(1))
+    for {
+      version <- raw("version").flatMap(_.toIntOption)
+      idCol <- str("idCol")
+      vecCol <- str("vecCol")
+      hasAssignments <- raw("hasAssignments").flatMap(_.toBooleanOption)
+    } yield Meta(version, idCol, vecCol, hasAssignments)
   }
 }

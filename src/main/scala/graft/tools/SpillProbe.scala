@@ -140,8 +140,16 @@ object SpillProbe {
     // snapshotting before plan construction would attribute those
     // stages' spill/shuffle bytes to a wall time that excludes them.
     def run(): (Double, Long, Int, Long, Long, Long, Long) = {
+      // verify payload PINNED to shingle strings: the r10/r11 AQE-conf
+      // tables in BASELINE.md were measured under the string payload,
+      // and these lazy rows exist to be re-runnable against them — the
+      // round-13 HashSets default would shave ~33% of memory spill for
+      // payload reasons the conf variants would then misattribute.
+      // Hash-payload footprint is measured by the fusedhash[off]
+      // entry-point variants below.
       val (pairs, caches, _) = graft.ext.Dedup.lshNearDupPairsLazy(
-        docs, "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 200)
+        docs, "text", "doc_id", 1, 24, 3, 0.9, maxBucketSize = 200,
+        verifyOn = graft.ext.Dedup.VerifyOn.Shingles)
       try {
         // drain census/persist task events BEFORE the baseline snapshot
         org.apache.spark.sql.graftbridge.Bridge

@@ -123,6 +123,47 @@ class IvfIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("a truncated meta is an incomplete index: loadOrTrain retrains, load explains") {
+    val root = tmp()
+    try {
+      val (centroids, _) = freshIndex()
+      IvfIndex.save(spark, s"$root/idx", centroids, None)
+      // simulate a writer killed mid-meta-write: file exists, truncated
+      val p = new org.apache.hadoop.fs.Path(s"$root/idx/_ivf_meta.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      out.write("""{"version":1,"idC""".getBytes("UTF-8"))
+      out.close()
+      // load: explicit incomplete-index message, not "missing field"
+      val e = intercept[RuntimeException] { IvfIndex.load(spark, s"$root/idx") }
+      e.getMessage should include("truncated/corrupt")
+      // loadOrTrain: cache miss → retrain, and the rewritten index loads
+      var trained = false
+      val idx = IvfIndex.loadOrTrain(spark, s"$root/idx") {
+        trained = true; (centroids, None)
+      }
+      trained shouldBe true
+      idx.centroids.count() shouldBe centroids.count()
+      IvfIndex.load(spark, s"$root/idx").centroids.count() shouldBe centroids.count()
+    } finally delete(root)
+  }
+
+  test("re-saving without assignments removes the stale assignments artifact") {
+    val root = tmp()
+    try {
+      val (centroids, assigned) = freshIndex()
+      IvfIndex.save(spark, s"$root/idx", centroids, Some(assigned))
+      val aPath = new org.apache.hadoop.fs.Path(s"$root/idx/assignments.parquet")
+      val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(aPath) shouldBe true
+      // the older-format-retrain path: new save has no assignments —
+      // the corpus-sized dir must not be silently retained
+      IvfIndex.save(spark, s"$root/idx", centroids, None)
+      fs.exists(aPath) shouldBe false
+      IvfIndex.load(spark, s"$root/idx").assignments shouldBe None
+    } finally delete(root)
+  }
+
   test("save rejects column names the flat meta cannot represent") {
     val root = tmp()
     try {
