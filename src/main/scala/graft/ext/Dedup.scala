@@ -338,6 +338,112 @@ object Dedup {
       Seq(base, banded) ++ guardCaches, census)
   }
 
+  /** Incremental near-dup: pairs involving at least one document of a
+    * NEW batch, computed against a prebuilt corpus index — the frames
+    * [[LshIndex]] persists (verify base, banded rows, per-bucket
+    * counts). Returns exactly the pairs [[lshNearDupPairs]] over
+    * corpus ∪ batch (same params/cap) would return RESTRICTED to pairs
+    * with ≥ 1 batch id — proven by construction: a full-run pair
+    * (x, y) survives iff x, y share a capped (band, hash) bucket of
+    * the union, and every union bucket containing a batch row is
+    * reproduced here from the stored counts + the batch's rows.
+    *
+    * The 100 TB shape — this is the path that makes corpus-growth
+    * dedup O(batch), not O(corpus²) or even O(corpus shuffle):
+    *  - capping uses the STORED per-bucket counts, so union totals
+    *    need counts only for buckets the batch touches (a bucket with
+    *    no batch row cannot produce a batch pair, dropped or not) —
+    *    one map-side semi-filtered scan of the counts frame, no
+    *    corpus-side shuffle;
+    *  - the candidate join streams the corpus banded frame once
+    *    against the (small, broadcastable) batch side;
+    *  - the verify joins pull payloads for matched pair ids only.
+    * No corpus text is re-shingled and no corpus-side shuffle occurs;
+    * the three corpus-frame scans are the whole corpus-side cost.
+    *
+    * The returned census covers the buckets the BATCH touches (the
+    * only ones that can affect this batch's pairs); corpus-only
+    * degenerate buckets were already visible in the build-time run.
+    *
+    * Caller contract (documented on [[LshIndex]]): ids unique across
+    * corpus and batch, and the batch shingled with the index's params
+    * (enforced by [[LshIndex.incrementalPairs]] reading them from the
+    * index meta).
+    */
+  private[graft] def lshNearDupPairsIncrementalFrames(
+      corpusBase: DataFrame, corpusBanded: DataFrame, corpusBuckets: DataFrame,
+      newDf: DataFrame, textCol: String, idCol: String,
+      shingleWidth: Int, numHashes: Int, numBands: Int,
+      threshold: Double, maxBucketSize: Int,
+      verifyOn: VerifyOn): (DataFrame, LshSkew.CapCensus) = {
+    val (newBase, newBanded) = bandedFrame(newDf, textCol, idCol,
+      shingleWidth, numHashes, numBands, verifyOn)
+    val keys = Seq("band_idx", "band_hash")
+    val keyCols = keys.map(col)
+    val extraCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try {
+      val (census, cappedNew, cappedCorpus) =
+        if (maxBucketSize == Int.MaxValue)
+          (LshSkew.CapCensus.none(maxBucketSize), newBanded, corpusBanded)
+        else {
+          val newCounts = newBanded.groupBy(keyCols: _*)
+            .agg(count(lit(1)).as("n_new"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          extraCaches += newCounts
+          // union totals for the batch's buckets only: semi-filter the
+          // stored counts by the batch's bucket keys (map-side — the
+          // batch side broadcasts), then join tiny-vs-tiny
+          val oldForBatch = corpusBuckets
+            .join(broadcast(newCounts.select(keyCols: _*)), keys, "left_semi")
+          val dropped = newCounts.join(oldForBatch, keys, "left")
+            .withColumn("total",
+              col("n_new") + coalesce(col("bucket_n"), lit(0L)))
+            .filter(col("total") > maxBucketSize)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          extraCaches += dropped
+          val censusRow = dropped
+            .agg(count(lit(1)), coalesce(sum(col("total")), lit(0L))).head()
+          val census = LshSkew.CapCensus(
+            censusRow.getLong(0), censusRow.getLong(1), maxBucketSize)
+          if (!census.anyDropped) (census, newBanded, corpusBanded)
+          else {
+            val guardKeys = dropped.select(keyCols: _*)
+            val guard =
+              if (census.droppedBuckets <= LshSkew.MaxBroadcastKeys)
+                broadcast(guardKeys)
+              else guardKeys
+            (census,
+              newBanded.join(guard, keys, "left_anti"),
+              corpusBanded.join(guard, keys, "left_anti"))
+          }
+        }
+      // every pair with ≥ 1 batch member meets in a bucket as
+      // (batch row, union row): join the batch side against
+      // corpus ∪ batch and canonicalize — batch-batch pairs arrive
+      // twice (once per orientation) and collapse in the dedup
+      val n = cappedNew.select(keyCols :+ col("id").as("id_n"): _*)
+      val u = cappedCorpus.select(keyCols :+ col("id").as("id_u"): _*)
+        .unionByName(cappedNew.select(keyCols :+ col("id").as("id_u"): _*))
+      val candidates = u.join(n, keys)
+        .filter(col("id_u") =!= col("id_n"))
+        .select(least(col("id_u"), col("id_n")).as("id_a"),
+                greatest(col("id_u"), col("id_n")).as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      val payload = verifyOn match {
+        case VerifyOn.Shingles => "sh"
+        case VerifyOn.HashSets => "h1"
+      }
+      val unionBase = corpusBase.select(col("id"), col(payload))
+        .unionByName(newBase.select(col("id"), col(payload)))
+      (verifyPairs(candidates, unionBase, threshold, verifyOn)
+        .localCheckpoint(true), census)
+    } finally {
+      newBase.unpersist()
+      newBanded.unpersist()
+      extraCaches.foreach(_.unpersist())
+    }
+  }
+
   /** Rejoin-and-verify shared by the fused and staged pair paths — ONE
     * definition, so the staged path's identical-output contract is
     * structural rather than copy-kept. The verify payload column is

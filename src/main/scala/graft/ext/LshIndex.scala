@@ -1,0 +1,232 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH corpus index — the "shingle once, dedup every
+  * batch" production shape behind [[Dedup.lshNearDupPairs]]: at corpus
+  * scale the expensive passes are shingling + the md5 signature battery
+  * and the banded self-join, so the signature-derived frames are built
+  * ONCE, persisted to parquet, and every arriving batch runs
+  * [[incrementalPairs]] against them — O(batch) work plus three
+  * map-side corpus-frame scans, no corpus re-shingling, no corpus-side
+  * shuffle, no corpus×corpus pair regeneration (see
+  * [[Dedup.lshNearDupPairsIncrementalFrames]] for the per-stage
+  * argument). [[append]] then folds the deduped batch into the index so
+  * the next batch sees it as corpus.
+  *
+  * Same compute-once-reload contract as the S8 parquet cache
+  * (`processors/_impl/plotting_impl.py:126-147`,
+  * [[graft.sinks.Exporters.cached]]) and [[IvfIndex]], applied to a
+  * three-frame artifact:
+  *
+  * {{{
+  *   <path>/_lsh_meta.json     format version + banding params + payload
+  *   <path>/base.parquet       (id, payload)  — verify payload per doc
+  *   <path>/banded.parquet     (id, band_idx, band_hash)
+  *   <path>/buckets.parquet    (band_idx, band_hash, bucket_n)
+  * }}}
+  *
+  * `buckets.parquet` is what keeps the skew-guard O(batch): union
+  * bucket totals come from stored counts + the batch's counts, never
+  * from re-counting corpus rows. The meta file is written LAST and
+  * deleted FIRST on any mutation ([[build]] overwrite, [[append]]), so
+  * a killed writer always leaves the index marked incomplete rather
+  * than internally inconsistent — the same crash-safety protocol as
+  * [[IvfIndex]].
+  *
+  * Caller contract: document ids are unique across the corpus and every
+  * batch (the index never re-checks — a batch-vs-corpus id collision
+  * would silently merge two documents' band rows); batches are shingled
+  * with the INDEX's params, enforced by reading them from the meta.
+  */
+object LshIndex {
+
+  /** Bumped on layout changes; [[load]] rejects indexes written by a
+    * different layout rather than misreading them.
+    */
+  val FormatVersion = 1
+
+  final case class Index(base: DataFrame, banded: DataFrame,
+                         buckets: DataFrame,
+                         idCol: String, shingleWidth: Int,
+                         numHashes: Int, numBands: Int,
+                         verifyOn: Dedup.VerifyOn)
+
+  private final case class Meta(version: Int, idCol: String,
+                                shingleWidth: Int, numHashes: Int,
+                                numBands: Int, payload: String)
+
+  private def payloadCol(verifyOn: Dedup.VerifyOn): String = verifyOn match {
+    case Dedup.VerifyOn.Shingles => "sh"
+    case Dedup.VerifyOn.HashSets => "h1"
+  }
+  private def payloadVerifyOn(payload: String): Dedup.VerifyOn = payload match {
+    case "sh" => Dedup.VerifyOn.Shingles
+    case "h1" => Dedup.VerifyOn.HashSets
+    case other => sys.error(s"LshIndex meta: unknown payload '$other'")
+  }
+
+  /** Build (or overwrite) the index at `path` from `df`'s `textCol`.
+    * One corpus pass: shingle → signature battery → band explode,
+    * then the three frames written; the banded self-join is NOT run —
+    * corpus-internal pairs are the build-time caller's business
+    * ([[Dedup.lshNearDupPairs]] over the same frame), this artifact
+    * exists for the batches that follow.
+    */
+  def build(spark: SparkSession, path: String, df: DataFrame,
+            textCol: String, idCol: String = "doc_id",
+            shingleWidth: Int = 1, numHashes: Int = 24, numBands: Int = 3,
+            verifyOn: Dedup.VerifyOn = Dedup.VerifyOn.HashSets): Unit = {
+    require(!idCol.exists(c => c == '"' || c == '\\'),
+      s"LshIndex.build: idCol '$idCol' contains a quote/backslash — not " +
+        "representable in the index meta; rename the column before building")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (base, banded) = Dedup.bandedFrame(df, textCol, idCol,
+      shingleWidth, numHashes, numBands, verifyOn)
+    try {
+      // meta deleted first: a killed rewrite leaves the index
+      // incomplete (no meta), never old-meta-over-new-frames
+      fs.delete(new Path(s"$path/_lsh_meta.json"), false)
+      base.select(col("id"), col(payloadCol(verifyOn)))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/base.parquet")
+      banded.write.mode(SaveMode.Overwrite).parquet(s"$path/banded.parquet")
+      banded.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/buckets.parquet")
+      writeMeta(spark, s"$path/_lsh_meta.json",
+        Meta(FormatVersion, idCol, shingleWidth, numHashes, numBands,
+          payloadCol(verifyOn)))
+    } finally {
+      base.unpersist()
+      banded.unpersist()
+    }
+  }
+
+  /** Load a built index. Fails with an explicit message on a missing /
+    * incomplete index or a format-version mismatch.
+    */
+  def load(spark: SparkSession, path: String): Index = {
+    val meta = readMeta(spark, s"$path/_lsh_meta.json")
+    require(meta.version == FormatVersion,
+      s"LshIndex at $path has format version ${meta.version}; " +
+        s"this build reads $FormatVersion")
+    Index(
+      spark.read.parquet(s"$path/base.parquet"),
+      spark.read.parquet(s"$path/banded.parquet"),
+      spark.read.parquet(s"$path/buckets.parquet"),
+      meta.idCol, meta.shingleWidth, meta.numHashes, meta.numBands,
+      payloadVerifyOn(meta.payload))
+  }
+
+  /** Near-dup pairs involving ≥ 1 document of `newDf`, against the
+    * loaded index — banding params and verify payload come from the
+    * index meta, so a batch can never be shingled differently from the
+    * corpus it is compared to. Returns (pairs, census); the pair frame
+    * is eagerly materialized (id_a, id_b, jaccard), the census covers
+    * the buckets the batch touched. Output equals the full
+    * [[Dedup.lshNearDupPairs]] over corpus ∪ batch restricted to pairs
+    * with ≥ 1 batch id (same threshold and cap).
+    */
+  def incrementalPairs(index: Index, newDf: DataFrame, textCol: String,
+                       threshold: Double = 0.9,
+                       maxBucketSize: Int = LshSkew.DefaultMaxBucketSize)
+      : (DataFrame, LshSkew.CapCensus) =
+    Dedup.lshNearDupPairsIncrementalFrames(
+      index.base, index.banded, index.buckets,
+      newDf, textCol, index.idCol,
+      index.shingleWidth, index.numHashes, index.numBands,
+      threshold, maxBucketSize, index.verifyOn)
+
+  /** Fold a batch into the index: append its base/banded rows and merge
+    * its bucket counts, under the same banding params (read from the
+    * meta — a mismatched append is structurally impossible). After
+    * append, [[load]] + [[incrementalPairs]] behave as if the index had
+    * been [[build]]t over corpus ∪ batch (spec-pinned frame equality).
+    *
+    * Crash-safety: the meta is deleted before any mutation and
+    * rewritten only after all three frames are consistent; the merged
+    * counts are written to a temp dir and swapped in, so the old
+    * counts are still readable while the merge computes. A killed
+    * append leaves an index that refuses to load — rebuild it.
+    */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             textCol: String): Unit = {
+    val meta = readMeta(spark, s"$path/_lsh_meta.json")
+    require(meta.version == FormatVersion,
+      s"LshIndex at $path has format version ${meta.version}; " +
+        s"this build writes $FormatVersion")
+    val verifyOn = payloadVerifyOn(meta.payload)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (base, banded) = Dedup.bandedFrame(df, textCol, meta.idCol,
+      meta.shingleWidth, meta.numHashes, meta.numBands, verifyOn)
+    try {
+      fs.delete(new Path(s"$path/_lsh_meta.json"), false)
+      // merged counts FIRST (reads the old buckets frame) into a temp
+      // dir, swapped in after — overwriting a parquet dir that the
+      // writing plan is also reading is not safe
+      val mergedTmp = s"$path/buckets.parquet.tmp"
+      spark.read.parquet(s"$path/buckets.parquet")
+        .unionByName(banded.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("bucket_n")))
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sum(col("bucket_n")).as("bucket_n"))
+        .write.mode(SaveMode.Overwrite).parquet(mergedTmp)
+      base.select(col("id"), col(payloadCol(verifyOn)))
+        .write.mode(SaveMode.Append).parquet(s"$path/base.parquet")
+      banded.write.mode(SaveMode.Append).parquet(s"$path/banded.parquet")
+      fs.delete(new Path(s"$path/buckets.parquet"), true)
+      require(fs.rename(new Path(mergedTmp), new Path(s"$path/buckets.parquet")),
+        s"LshIndex.append: rename of merged counts failed at $path")
+      writeMeta(spark, s"$path/_lsh_meta.json", meta)
+    } finally {
+      base.unpersist()
+      banded.unpersist()
+    }
+  }
+
+  // hand-rolled flat JSON, same shape/discipline as IvfIndex's meta:
+  // fixed fields, no nesting; parse failure = incomplete index
+  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"""{"version":${m.version},"idCol":"${m.idCol}",""" +
+        s""""shingleWidth":${m.shingleWidth},"numHashes":${m.numHashes},""" +
+        s""""numBands":${m.numBands},"payload":"${m.payload}"}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no LSH index at ${p.getParent}: missing/incomplete (no _lsh_meta.json)")
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    parseMeta(text).getOrElse(sys.error(
+      s"LshIndex meta at $path exists but is truncated/corrupt (killed " +
+        "writer?) — the index is incomplete; rebuild it"))
+  }
+
+  private def parseMeta(text: String): Option[Meta] = {
+    def str(k: String): Option[String] =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+    def num(k: String): Option[Int] =
+      s""""$k":([^,}]*)""".r.findFirstMatchIn(text)
+        .flatMap(_.group(1).toIntOption)
+    for {
+      version <- num("version")
+      idCol <- str("idCol")
+      shingleWidth <- num("shingleWidth")
+      numHashes <- num("numHashes")
+      numBands <- num("numBands")
+      payload <- str("payload")
+    } yield Meta(version, idCol, shingleWidth, numHashes, numBands, payload)
+  }
+}

@@ -440,6 +440,67 @@ object ExtensionQueries {
   // here would capture null at initialization order
   lazy val q107Sql: String = q62Sql
 
+  /** ✚ incremental LSH near-dup — q30's pipeline run through a
+    * persisted [[graft.ext.LshIndex]]: build the index over the corpus
+    * slice (doc_id < 800), load it back, and dedup the NEW batch
+    * (doc_id 800–999) against it with
+    * [[graft.ext.LshIndex.incrementalPairs]] — no corpus re-shingling,
+    * no corpus-internal pair regeneration. The oracle replays the FULL
+    * q30 pipeline over the union slice restricted to pairs touching
+    * the batch (id_a < id_b, so "≥ 1 batch id" ⇔ id_b ≥ 250), so the
+    * hash passes only if incremental-against-loaded-index is
+    * bit-identical to full-recompute — the corpus-growth dedup
+    * contract at 100 TB, where re-pairing the corpus per batch is the
+    * cost this operator exists to avoid.
+    */
+  def q109IncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q109_").toString
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 1000)
+    graft.ext.LshIndex.build(spark, s"$root/idx",
+      docs.filter(col("doc_id") < 250), "text", "doc_id",
+      shingleWidth = 1, numHashes = 24, numBands = 3)
+    val index = graft.ext.LshIndex.load(spark, s"$root/idx")
+    val (pairs, census) = graft.ext.LshIndex.incrementalPairs(
+      index, docs.filter(col("doc_id") >= 250), "text", threshold = 0.9)
+    require(!census.anyDropped,
+      "q109: gate fixture must not hit the bucket cap")
+    SourceQueries.materializeThenDelete(
+      pairs.orderBy(col("id_a"), col("id_b")), root)
+  }
+
+  val q109Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(string_split(text,' ')) AS sh
+      |  FROM documents WHERE doc_id < 1000),
+      |h AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(sh, s -> CAST('0x'||substr(md5('a#'||s),1,13) AS BIGINT)) AS h1,
+      |    list_transform(sh, s -> CAST('0x'||substr(md5('b#'||s),1,13) AS BIGINT)) AS h2
+      |  FROM d),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |    [list_min(list_transform(list_zip(h1, h2), z -> z[1] + i*z[2]))
+      |     for i in range(0, 24)] AS sg
+      |  FROM h),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |    md5(sg[8*b+1]||'|'||sg[8*b+2]||'|'||sg[8*b+3]||'|'||sg[8*b+4]||'|'||
+      |        sg[8*b+5]||'|'||sg[8*b+6]||'|'||sg[8*b+7]||'|'||sg[8*b+8]) AS h
+      |  FROM sig, range(0, 3) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h
+      |  WHERE a.doc_id < b.doc_id AND b.doc_id >= 250)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(len(list_intersect(da.h1, db.h1)) AS DOUBLE)
+      |    / len(list_distinct(da.h1 || db.h1)) AS jaccard
+      |FROM cand c
+      |JOIN h da ON c.id_a = da.doc_id
+      |JOIN h db ON c.id_b = db.doc_id
+      |WHERE CAST(len(list_intersect(da.h1, db.h1)) AS DOUBLE)
+      |    / len(list_distinct(da.h1 || db.h1)) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   val q62Sql: String =
     """WITH c0 AS (
       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec

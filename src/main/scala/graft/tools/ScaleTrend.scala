@@ -148,8 +148,8 @@ object ScaleTrend {
     // fixtures build lazily per family, so a filtered run (e.g. just
     // `ivf,brute`) never pays for the families it skips
     val needLi = Seq("q1_agg", "q5_join", "q88_sketch").exists(shapeFilter)
-    val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack")
-      .exists(shapeFilter)
+    val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
+      "lshidx_build", "lshinc", "lshfull").exists(shapeFilter)
     val needVecs = Seq("ivf", "ivfsearch", "brute").exists(shapeFilter)
 
     val liBig = s"$out/lineitem_x$rep"
@@ -254,6 +254,34 @@ object ScaleTrend {
       graft.ext.DupClusters.components(edges,
         docs.select(col("doc_id").as("id"))).count()
     }
+
+    // incremental LSH (corpus-growth dedup): corpus = all but the last
+    // 1% of ids, batch = that 1%. `lshidx_build` prices the ONE-TIME
+    // index build over the corpus, `lshinc` the per-batch incremental
+    // dedup against the loaded index, `lshfull` the full recompute it
+    // replaces — restricted to the same batch-touching pairs (id_b ≥
+    // split; ids ordered, batch = upper range), so the two shapes'
+    // out-rows must MATCH: the printed counts double as a scale-size
+    // equality check of the q109 contract, cap drops included.
+    def incSplit(n: Long): Long = n - n / 100
+    def lshIdxPath(n: Long): String = s"$out/lshidx_${n}_$GenVersion"
+    def lshIdxBuildShape(path: String, n: Long): Long = {
+      graft.ext.LshIndex.build(spark, lshIdxPath(n),
+        spark.read.parquet(path).filter(col("doc_id") < incSplit(n)),
+        "text", "doc_id", shingleWidth = 1, numHashes = 24, numBands = 3)
+      incSplit(n)
+    }
+    def lshIncShape(path: String, n: Long): Long = {
+      val idx = graft.ext.LshIndex.load(spark, lshIdxPath(n))
+      graft.ext.LshIndex.incrementalPairs(idx,
+        spark.read.parquet(path).filter(col("doc_id") >= incSplit(n)),
+        "text", threshold = 0.9, maxBucketSize = cap)._1.count()
+    }
+    def lshFullShape(path: String, n: Long): Long =
+      graft.ext.Dedup.lshNearDupPairs(spark.read.parquet(path), "text",
+          "doc_id", shingleWidth = 1, numHashes = 24, numBands = 3,
+          threshold = 0.9, maxBucketSize = cap)
+        .filter(col("id_b") >= incSplit(n)).count()
 
     def q91Shape(n: Long): Long = {
       val (nodes, edges) = chain(spark, n)
@@ -384,6 +412,12 @@ object ScaleTrend {
     run("q30_lsh", "big", docsBigN)(q30Shape(docsBig))
     run("q47_cc", "small", docsSmallN)(q47Shape(docsSmall))
     run("q47_cc", "big", docsBigN)(q47Shape(docsBig))
+    run("lshidx_build", "small", docsSmallN)(lshIdxBuildShape(docsSmall, docsSmallN))
+    run("lshidx_build", "big", docsBigN)(lshIdxBuildShape(docsBig, docsBigN))
+    run("lshinc", "small", docsSmallN)(lshIncShape(docsSmall, docsSmallN))
+    run("lshinc", "big", docsBigN)(lshIncShape(docsBig, docsBigN))
+    run("lshfull", "small", docsSmallN)(lshFullShape(docsSmall, docsSmallN))
+    run("lshfull", "big", docsBigN)(lshFullShape(docsBig, docsBigN))
     run("q91_star", "small", docsSmallN)(q91Shape(docsSmallN))
     run("q91_star", "big", docsBigN)(q91Shape(docsBigN))
     run("q94_vocab", "small", docsSmallN)(q94Shape(docsSmall))

@@ -1,0 +1,169 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted LSH index + incremental batch dedup: the incremental pair
+  * set must equal the full-recompute run restricted to batch-touching
+  * pairs (including under an active bucket cap), append must be
+  * indistinguishable from a rebuild over the union, and partial writes
+  * must not load.
+  */
+class LshIndexSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf, "documents")
+
+  private val Split = 40L
+  private lazy val corpus = docs.filter(col("doc_id") < Split)
+  private lazy val batch =
+    docs.filter(col("doc_id") >= Split && col("doc_id") < 60)
+  private lazy val union = docs.filter(col("doc_id") < 60)
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_lshidx_").toString
+
+  private def delete(root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+
+  /** Full-run pairs over the union slice, restricted to pairs with
+    * ≥ 1 batch id (ids are ordered and the batch is the upper range,
+    * so id_b ≥ Split ⇔ at least one batch member).
+    */
+  private def fullRestricted(maxBucketSize: Int): DataFrame =
+    Dedup.lshNearDupPairs(union, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2, threshold = 0.5,
+        maxBucketSize = maxBucketSize)
+      .filter(col("id_b") >= Split)
+
+  private def buildIndex(root: String): LshIndex.Index = {
+    LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+      shingleWidth = 1, numHashes = 8, numBands = 2)
+    LshIndex.load(spark, s"$root/idx")
+  }
+
+  test("incremental pairs equal the full recompute restricted to the batch") {
+    val root = tmp()
+    try {
+      val index = buildIndex(root)
+      val (pairs, census) = LshIndex.incrementalPairs(index, batch, "text",
+        threshold = 0.5)
+      census.anyDropped shouldBe false
+      val expected = rows(fullRestricted(LshSkew.DefaultMaxBucketSize))
+      expected should not be empty // a vacuous equality gates nothing
+      rows(pairs) shouldBe expected
+    } finally delete(root)
+  }
+
+  test("incremental capping reproduces the full run's union-bucket cap") {
+    val root = tmp()
+    try {
+      val index = buildIndex(root)
+      // cap small enough that union buckets overflow: the synthetic
+      // corpus shares one vocabulary, so band buckets are crowded
+      val cap = 5
+      val (pairs, census) = LshIndex.incrementalPairs(index, batch, "text",
+        threshold = 0.5, maxBucketSize = cap)
+      census.anyDropped shouldBe true // otherwise this test gates nothing
+      rows(pairs) shouldBe rows(fullRestricted(cap))
+    } finally delete(root)
+  }
+
+  test("a batch-only bucket over the cap is dropped (new-new capping)") {
+    val root = tmp()
+    try {
+      // corpus and batch share NO vocabulary: every union bucket is
+      // pure-corpus or pure-batch, so a cap of 1 exercises capping of
+      // buckets the stored counts know nothing about
+      import spark.implicits._
+      val corp = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+        .toDF("doc_id", "text")
+      val b = Seq((10L, "epsilon zeta"), (11L, "epsilon zeta"),
+        (12L, "eta theta")).toDF("doc_id", "text")
+      LshIndex.build(spark, s"$root/idx", corp, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val index = LshIndex.load(spark, s"$root/idx")
+      val (dup, c0) = LshIndex.incrementalPairs(index, b, "text",
+        threshold = 0.9)
+      c0.anyDropped shouldBe false
+      dup.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq shouldBe Seq((10L, 11L))
+      val (none, c1) = LshIndex.incrementalPairs(index, b, "text",
+        threshold = 0.9, maxBucketSize = 1)
+      c1.anyDropped shouldBe true
+      none.count() shouldBe 0L
+    } finally delete(root)
+  }
+
+  test("append is indistinguishable from a rebuild over the union") {
+    val rootA = tmp()
+    val rootB = tmp()
+    try {
+      LshIndex.build(spark, s"$rootA/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      LshIndex.append(spark, s"$rootA/idx", batch, "text")
+      LshIndex.build(spark, s"$rootB/idx", union, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val a = LshIndex.load(spark, s"$rootA/idx")
+      val b = LshIndex.load(spark, s"$rootB/idx")
+      def dump(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      dump(a.base) shouldBe dump(b.base)
+      dump(a.banded) shouldBe dump(b.banded)
+      dump(a.buckets) shouldBe dump(b.buckets)
+      // and the appended index serves the NEXT batch identically
+      val next = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+      rows(LshIndex.incrementalPairs(a, next, "text", threshold = 0.5)._1)
+        .shouldBe(rows(LshIndex.incrementalPairs(b, next, "text", threshold = 0.5)._1))
+    } finally { delete(rootA); delete(rootB) }
+  }
+
+  test("a partial index (no meta) refuses to load; append refuses too") {
+    val root = tmp()
+    try {
+      corpus.limit(1).write.parquet(s"$root/idx/base.parquet")
+      val e = intercept[IllegalArgumentException] {
+        LshIndex.load(spark, s"$root/idx")
+      }
+      e.getMessage should include("missing/incomplete")
+      intercept[IllegalArgumentException] {
+        LshIndex.append(spark, s"$root/idx", batch, "text")
+      }
+    } finally delete(root)
+  }
+
+  test("a truncated meta is an incomplete index with an explicit message") {
+    val root = tmp()
+    try {
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val p = new org.apache.hadoop.fs.Path(s"$root/idx/_lsh_meta.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      out.write("""{"version":1,"idC""".getBytes("UTF-8"))
+      out.close()
+      val e = intercept[RuntimeException] { LshIndex.load(spark, s"$root/idx") }
+      e.getMessage should include("truncated/corrupt")
+    } finally delete(root)
+  }
+
+  test("the batch is banded with the INDEX's params, not the caller's") {
+    val root = tmp()
+    try {
+      // build with numHashes=8/numBands=2; incrementalPairs has no
+      // banding knobs at all — the meta round-trip is what's pinned
+      val index = buildIndex(root)
+      index.numHashes shouldBe 8
+      index.numBands shouldBe 2
+      index.shingleWidth shouldBe 1
+      index.idCol shouldBe "doc_id"
+      index.verifyOn shouldBe Dedup.VerifyOn.HashSets
+    } finally delete(root)
+  }
+}
