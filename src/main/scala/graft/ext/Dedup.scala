@@ -376,72 +376,105 @@ object Dedup {
       shingleWidth: Int, numHashes: Int, numBands: Int,
       threshold: Double, maxBucketSize: Int,
       verifyOn: VerifyOn): (DataFrame, LshSkew.CapCensus) = {
+    val (pairs, caches, census) = lshNearDupPairsIncrementalLazy(
+      corpusBase, corpusBanded, corpusBuckets, newDf, textCol, idCol,
+      shingleWidth, numHashes, numBands, threshold, maxBucketSize, verifyOn)
+    try (pairs.localCheckpoint(true), census)
+    finally caches.foreach(_.unpersist())
+  }
+
+  /** Lazy core of the incremental path (same contract as
+    * [[lshNearDupPairsLazy]] vs the fused entry): returns the
+    * un-materialized pair plan, the persisted batch-side intermediates
+    * the caller must unpersist after its action, and the census.
+    * Exists so tests can pin the plan SHAPE — the batch-side
+    * broadcasts and the shuffle-free corpus scans are the operator's
+    * whole scale argument, and a drift there (a dropped hint, a
+    * corpus-side exchange appearing) should fail a spec, not a
+    * 100 TB run.
+    */
+  private[graft] def lshNearDupPairsIncrementalLazy(
+      corpusBase: DataFrame, corpusBanded: DataFrame, corpusBuckets: DataFrame,
+      newDf: DataFrame, textCol: String, idCol: String,
+      shingleWidth: Int, numHashes: Int, numBands: Int,
+      threshold: Double, maxBucketSize: Int,
+      verifyOn: VerifyOn): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
     val (newBase, newBanded) = bandedFrame(newDf, textCol, idCol,
       shingleWidth, numHashes, numBands, verifyOn)
     val keys = Seq("band_idx", "band_hash")
     val keyCols = keys.map(col)
-    val extraCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    try {
-      val (census, cappedNew, cappedCorpus) =
-        if (maxBucketSize == Int.MaxValue)
-          (LshSkew.CapCensus.none(maxBucketSize), newBanded, corpusBanded)
+    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](newBase, newBanded)
+    // one batch-side action up front: materializes the banded cache
+    // (both the counts and the candidate join re-read it) and sizes
+    // the EXPLICIT broadcast hints below. Hinting beats trusting the
+    // adaptive threshold — at production scale the batch banded frame
+    // can sit just past the AQE auto-broadcast cutoff, and a silent
+    // fallback to a sort-merge join would shuffle the CORPUS banded
+    // frame, the exact cost this operator exists to avoid. Past
+    // MaxBroadcastKeys banded rows the hint is omitted (a genuinely
+    // huge batch cannot broadcast; Spark then picks the shuffle plan,
+    // and the right call is a rebuild — see the SURVEY §9 row).
+    val batchBandedRows = newBanded.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (batchBandedRows <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
+    val (census, cappedNew, cappedCorpus) =
+      if (maxBucketSize == Int.MaxValue)
+        (LshSkew.CapCensus.none(maxBucketSize), newBanded, corpusBanded)
+      else {
+        val newCounts = newBanded.groupBy(keyCols: _*)
+          .agg(count(lit(1)).as("n_new"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        caches += newCounts
+        // union totals for the batch's buckets only: semi-filter the
+        // stored counts by the batch's bucket keys (map-side — the
+        // batch side broadcasts), then join tiny-vs-tiny
+        val oldForBatch = corpusBuckets
+          .join(hinted(newCounts.select(keyCols: _*)), keys, "left_semi")
+        val dropped = newCounts.join(oldForBatch, keys, "left")
+          .withColumn("total",
+            col("n_new") + coalesce(col("bucket_n"), lit(0L)))
+          .filter(col("total") > maxBucketSize)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        caches += dropped
+        val censusRow = dropped
+          .agg(count(lit(1)), coalesce(sum(col("total")), lit(0L))).head()
+        val census = LshSkew.CapCensus(
+          censusRow.getLong(0), censusRow.getLong(1), maxBucketSize)
+        if (!census.anyDropped) (census, newBanded, corpusBanded)
         else {
-          val newCounts = newBanded.groupBy(keyCols: _*)
-            .agg(count(lit(1)).as("n_new"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          extraCaches += newCounts
-          // union totals for the batch's buckets only: semi-filter the
-          // stored counts by the batch's bucket keys (map-side — the
-          // batch side broadcasts), then join tiny-vs-tiny
-          val oldForBatch = corpusBuckets
-            .join(broadcast(newCounts.select(keyCols: _*)), keys, "left_semi")
-          val dropped = newCounts.join(oldForBatch, keys, "left")
-            .withColumn("total",
-              col("n_new") + coalesce(col("bucket_n"), lit(0L)))
-            .filter(col("total") > maxBucketSize)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          extraCaches += dropped
-          val censusRow = dropped
-            .agg(count(lit(1)), coalesce(sum(col("total")), lit(0L))).head()
-          val census = LshSkew.CapCensus(
-            censusRow.getLong(0), censusRow.getLong(1), maxBucketSize)
-          if (!census.anyDropped) (census, newBanded, corpusBanded)
-          else {
-            val guardKeys = dropped.select(keyCols: _*)
-            val guard =
-              if (census.droppedBuckets <= LshSkew.MaxBroadcastKeys)
-                broadcast(guardKeys)
-              else guardKeys
-            (census,
-              newBanded.join(guard, keys, "left_anti"),
-              corpusBanded.join(guard, keys, "left_anti"))
-          }
+          val guardKeys = dropped.select(keyCols: _*)
+          val guard =
+            if (census.droppedBuckets <= LshSkew.MaxBroadcastKeys)
+              broadcast(guardKeys)
+            else guardKeys
+          (census,
+            newBanded.join(guard, keys, "left_anti"),
+            corpusBanded.join(guard, keys, "left_anti"))
         }
-      // every pair with ≥ 1 batch member meets in a bucket as
-      // (batch row, union row): join the batch side against
-      // corpus ∪ batch and canonicalize — batch-batch pairs arrive
-      // twice (once per orientation) and collapse in the dedup
-      val n = cappedNew.select(keyCols :+ col("id").as("id_n"): _*)
-      val u = cappedCorpus.select(keyCols :+ col("id").as("id_u"): _*)
-        .unionByName(cappedNew.select(keyCols :+ col("id").as("id_u"): _*))
-      val candidates = u.join(n, keys)
-        .filter(col("id_u") =!= col("id_n"))
-        .select(least(col("id_u"), col("id_n")).as("id_a"),
-                greatest(col("id_u"), col("id_n")).as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      val payload = verifyOn match {
-        case VerifyOn.Shingles => "sh"
-        case VerifyOn.HashSets => "h1"
       }
-      val unionBase = corpusBase.select(col("id"), col(payload))
-        .unionByName(newBase.select(col("id"), col(payload)))
-      (verifyPairs(candidates, unionBase, threshold, verifyOn)
-        .localCheckpoint(true), census)
-    } finally {
-      newBase.unpersist()
-      newBanded.unpersist()
-      extraCaches.foreach(_.unpersist())
+    // every pair with ≥ 1 batch member meets in a bucket as
+    // (batch row, union row): join the batch side against
+    // corpus ∪ batch and canonicalize — batch-batch pairs arrive
+    // twice (once per orientation) and collapse in the dedup
+    val n = cappedNew.select(keyCols :+ col("id").as("id_n"): _*)
+    val u = cappedCorpus.select(keyCols :+ col("id").as("id_u"): _*)
+      .unionByName(cappedNew.select(keyCols :+ col("id").as("id_u"): _*))
+    val candidates = u.join(hinted(n), keys)
+      .filter(col("id_u") =!= col("id_n"))
+      .select(least(col("id_u"), col("id_n")).as("id_a"),
+              greatest(col("id_u"), col("id_n")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val payload = verifyOn match {
+      case VerifyOn.Shingles => "sh"
+      case VerifyOn.HashSets => "h1"
     }
+    val unionBase = corpusBase.select(col("id"), col(payload))
+      .unionByName(newBase.select(col("id"), col(payload)))
+    // the verify joins stay UN-hinted on purpose: the candidate set's
+    // size is runtime-data-dependent (quadratic in bucket overlap), so
+    // AQE's runtime decision is the safe broadcaster there
+    (verifyPairs(candidates, unionBase, threshold, verifyOn),
+      caches.toSeq, census)
   }
 
   /** Rejoin-and-verify shared by the fused and staged pair paths — ONE

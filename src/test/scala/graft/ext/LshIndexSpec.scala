@@ -153,6 +153,68 @@ class LshIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("incremental plan: corpus banded/buckets scans are shuffle-free, batch side broadcasts") {
+    // The operator's whole scale argument, pinned as a plan shape:
+    // the stored counts and banded frames must be consumed by
+    // map-side joins against EXPLICITLY broadcast batch frames (the
+    // hints are size-guarded in code, not left to the AQE threshold).
+    // AQE off + auto-broadcast -1 so only the explicit hints can
+    // produce a broadcast, and the executed tree is inspectable.
+    // The verify joins are exempt BY DESIGN (candidate volume is
+    // runtime-data-dependent; AQE decides there), so the corpus BASE
+    // scan may sit under an exchange in this pinned conf — only
+    // banded + buckets carry the no-corpus-shuffle guarantee.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val root = tmp()
+    try {
+      val index = buildIndex(root)
+      withConfs(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val (pairs, caches, _) = Dedup.lshNearDupPairsIncrementalLazy(
+          index.base, index.banded, index.buckets, batch, "text", "doc_id",
+          1, 8, 2, 0.5, LshSkew.DefaultMaxBucketSize, Dedup.VerifyOn.HashSets)
+        try {
+          val plan = pairs.queryExecution.executedPlan
+          def scansUnder(p: SparkPlan, what: String): Int = p.collect {
+            case s: FileSourceScanExec
+                if s.relation.location.rootPaths.exists(_.toString.contains(what)) => ()
+          }.size
+          // the corpus banded scan is in the plan, the buckets frame is
+          // ABSENT by design: its semi-join ran eagerly inside the
+          // census (zero drops on this fixture), so the pair plan
+          // carries no counts subtree at all
+          scansUnder(plan, "banded.parquet") should be >= 1
+          scansUnder(plan, "buckets.parquet") shouldBe 0
+          // the candidate join is the ONE BroadcastHashJoin (the
+          // size-guarded hint survived planning; under threshold -1
+          // only the explicit hint can produce it), its STREAMED side
+          // holds the corpus banded scan, and no shuffle sits between
+          // that scan and the join — the corpus flows into the join
+          // exactly as written to disk
+          val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+          withClue("expected exactly the candidate join as BroadcastHashJoin: ") {
+            bhj.size shouldBe 1
+          }
+          val streamed = bhj.head.children(
+            if (bhj.head.buildSide.toString.contains("Right")) 0 else 1)
+          scansUnder(streamed, "banded.parquet") shouldBe 1
+          withClue("shuffle between the corpus banded scan and the candidate join: ") {
+            streamed.collect { case e: ShuffleExchangeExec => e } shouldBe empty
+          }
+          // the verify joins are un-hinted by design — under this conf
+          // their SMJ re-shuffles the base payload, which is AQE's
+          // runtime call in production — so base appears, un-pinned
+          scansUnder(plan, "base.parquet") should be >= 1
+          plan.collect { case e: BroadcastExchangeExec => e }.size shouldBe 1
+        } finally caches.foreach(_.unpersist())
+      }
+    } finally delete(root)
+  }
+
   test("the batch is banded with the INDEX's params, not the caller's") {
     val root = tmp()
     try {
