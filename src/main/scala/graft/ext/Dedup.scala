@@ -49,6 +49,16 @@ object Dedup {
     case object HashSets extends VerifyOn
   }
 
+  /** The ONE payload-column mapping (used by the verify stage, the
+    * incremental path, and [[LshIndex]]'s persisted base frame — a
+    * rename or a new case must not desynchronize a persisted index
+    * from the verify path reading it).
+    */
+  private[graft] def payloadColumn(verifyOn: VerifyOn): String = verifyOn match {
+    case VerifyOn.Shingles => "sh"
+    case VerifyOn.HashSets => "h1"
+  }
+
   /** Distinct word shingles of width `n` (n=1 → the word set).
     * n>1 rides the native [[graft.functions.WordNGrams]] expression
     * (same '_'-joined windows, empty below n tokens, codegen'd instead
@@ -356,10 +366,19 @@ object Dedup {
     *    one map-side semi-filtered scan of the counts frame, no
     *    corpus-side shuffle;
     *  - the candidate join streams the corpus banded frame once
-    *    against the (small, broadcastable) batch side;
-    *  - the verify joins pull payloads for matched pair ids only.
-    * No corpus text is re-shingled and no corpus-side shuffle occurs;
-    * the three corpus-frame scans are the whole corpus-side cost.
+    *    against the batch side (EXPLICIT size-guarded broadcast hint —
+    *    plan-pinned in LshIndexSpec);
+    *  - the verify joins pull payloads for matched pair ids only, with
+    *    AQE broadcasting the (typically small) candidate side at
+    *    runtime. This is the one corpus-frame consumer that CAN
+    *    shuffle: a candidate set past the broadcast threshold
+    *    (quadratic in bucket overlap) falls back to a sort-merge join
+    *    over the base payload — un-hinted on purpose, because forcing
+    *    a broadcast of an unbounded candidate set is the worse failure.
+    * No corpus text is re-shingled, and the banded/counts frames are
+    * consumed strictly map-side; the corpus-side cost is the three
+    * frame scans plus, only in the oversized-candidate regime, the
+    * verify join's base shuffle.
     *
     * The returned census covers the buckets the BATCH touches (the
     * only ones that can affect this batch's pairs); corpus-only
@@ -424,7 +443,6 @@ object Dedup {
         val newCounts = newBanded.groupBy(keyCols: _*)
           .agg(count(lit(1)).as("n_new"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        caches += newCounts
         // union totals for the batch's buckets only: semi-filter the
         // stored counts by the batch's bucket keys (map-side — the
         // batch side broadcasts), then join tiny-vs-tiny
@@ -435,13 +453,21 @@ object Dedup {
             col("n_new") + coalesce(col("bucket_n"), lit(0L)))
           .filter(col("total") > maxBucketSize)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        caches += dropped
         val censusRow = dropped
           .agg(count(lit(1)), coalesce(sum(col("total")), lit(0L))).head()
         val census = LshSkew.CapCensus(
           censusRow.getLong(0), censusRow.getLong(1), maxBucketSize)
-        if (!census.anyDropped) (census, newBanded, corpusBanded)
-        else {
+        if (!census.anyDropped) {
+          // the common healthy path: neither counts frame is part of
+          // the pair plan — release both NOW rather than pinning two
+          // dead caches through the candidate join + verify (the same
+          // immediate-release discipline as LshSkew.capBuckets)
+          dropped.unpersist()
+          newCounts.unpersist()
+          (census, newBanded, corpusBanded)
+        } else {
+          caches += newCounts
+          caches += dropped
           val guardKeys = dropped.select(keyCols: _*)
           val guard =
             if (census.droppedBuckets <= LshSkew.MaxBroadcastKeys)
@@ -464,10 +490,7 @@ object Dedup {
       .select(least(col("id_u"), col("id_n")).as("id_a"),
               greatest(col("id_u"), col("id_n")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val payload = verifyOn match {
-      case VerifyOn.Shingles => "sh"
-      case VerifyOn.HashSets => "h1"
-    }
+    val payload = payloadColumn(verifyOn)
     val unionBase = corpusBase.select(col("id"), col(payload))
       .unionByName(newBase.select(col("id"), col(payload)))
     // the verify joins stay UN-hinted on purpose: the candidate set's
@@ -488,10 +511,7 @@ object Dedup {
   private def verifyPairs(candidates: DataFrame, base: DataFrame,
                           threshold: Double,
                           verifyOn: VerifyOn = VerifyOn.HashSets): DataFrame = {
-    val payload = verifyOn match {
-      case VerifyOn.Shingles => "sh"
-      case VerifyOn.HashSets => "h1"
-    }
+    val payload = payloadColumn(verifyOn)
     candidates
       .join(base.select(col("id").as("id_a"), col(payload).as("sh_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col(payload).as("sh_b")), "id_b")

@@ -58,10 +58,11 @@ object LshIndex {
                                 shingleWidth: Int, numHashes: Int,
                                 numBands: Int, payload: String)
 
-  private def payloadCol(verifyOn: Dedup.VerifyOn): String = verifyOn match {
-    case Dedup.VerifyOn.Shingles => "sh"
-    case Dedup.VerifyOn.HashSets => "h1"
-  }
+  // forward mapping is THE shared one (Dedup.payloadColumn) so the
+  // persisted base column can never drift from what the verify stage
+  // reads; only the meta-string reverse mapping lives here
+  private def payloadCol(verifyOn: Dedup.VerifyOn): String =
+    Dedup.payloadColumn(verifyOn)
   private def payloadVerifyOn(payload: String): Dedup.VerifyOn = payload match {
     case "sh" => Dedup.VerifyOn.Shingles
     case "h1" => Dedup.VerifyOn.HashSets
@@ -87,8 +88,12 @@ object LshIndex {
       shingleWidth, numHashes, numBands, verifyOn)
     try {
       // meta deleted first: a killed rewrite leaves the index
-      // incomplete (no meta), never old-meta-over-new-frames
+      // incomplete (no meta), never old-meta-over-new-frames. A
+      // leftover counts-merge temp dir from a killed append is also
+      // cleared — rebuild is append's documented recovery path, so
+      // build owns that cleanup
       fs.delete(new Path(s"$path/_lsh_meta.json"), false)
+      fs.delete(new Path(s"$path/buckets.parquet.tmp"), true)
       base.select(col("id"), col(payloadCol(verifyOn)))
         .write.mode(SaveMode.Overwrite).parquet(s"$path/base.parquet")
       banded.write.mode(SaveMode.Overwrite).parquet(s"$path/banded.parquet")
@@ -167,6 +172,7 @@ object LshIndex {
       // dir, swapped in after — overwriting a parquet dir that the
       // writing plan is also reading is not safe
       val mergedTmp = s"$path/buckets.parquet.tmp"
+      fs.delete(new Path(mergedTmp), true) // clear a killed append's leftover
       spark.read.parquet(s"$path/buckets.parquet")
         .unionByName(banded.groupBy(col("band_idx"), col("band_hash"))
           .agg(count(lit(1)).as("bucket_n")))

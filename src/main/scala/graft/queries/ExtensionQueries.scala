@@ -441,9 +441,11 @@ object ExtensionQueries {
   lazy val q107Sql: String = q62Sql
 
   /** ✚ incremental LSH near-dup — q30's pipeline run through a
-    * persisted [[graft.ext.LshIndex]]: build the index over the corpus
-    * slice (doc_id < 800), load it back, and dedup the NEW batch
-    * (doc_id 800–999) against it with
+    * persisted [[graft.ext.LshIndex]]: build the index over the
+    * corpus slice (doc_id < 250 — the fixture's near-dup mass lives in
+    * the low ids, so this split leaves thousands of batch-touching
+    * pairs at both SFs), load it back, and dedup the NEW batch
+    * (doc_id 250–999) against it with
     * [[graft.ext.LshIndex.incrementalPairs]] — no corpus re-shingling,
     * no corpus-internal pair regeneration. The oracle replays the FULL
     * q30 pipeline over the union slice restricted to pairs touching
@@ -468,38 +470,17 @@ object ExtensionQueries {
       pairs.orderBy(col("id_a"), col("id_b")), root)
   }
 
-  val q109Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, list_distinct(string_split(text,' ')) AS sh
-      |  FROM documents WHERE doc_id < 1000),
-      |h AS (
-      |  SELECT doc_id, sh,
-      |    list_transform(sh, s -> CAST('0x'||substr(md5('a#'||s),1,13) AS BIGINT)) AS h1,
-      |    list_transform(sh, s -> CAST('0x'||substr(md5('b#'||s),1,13) AS BIGINT)) AS h2
-      |  FROM d),
-      |sig AS (
-      |  SELECT doc_id, sh,
-      |    [list_min(list_transform(list_zip(h1, h2), z -> z[1] + i*z[2]))
-      |     for i in range(0, 24)] AS sg
-      |  FROM h),
-      |bands AS (
-      |  SELECT doc_id, b,
-      |    md5(sg[8*b+1]||'|'||sg[8*b+2]||'|'||sg[8*b+3]||'|'||sg[8*b+4]||'|'||
-      |        sg[8*b+5]||'|'||sg[8*b+6]||'|'||sg[8*b+7]||'|'||sg[8*b+8]) AS h
-      |  FROM sig, range(0, 3) t(b)),
-      |cand AS (
-      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM bands a JOIN bands b ON a.b = b.b AND a.h = b.h
-      |  WHERE a.doc_id < b.doc_id AND b.doc_id >= 250)
-      |SELECT c.id_a, c.id_b,
-      |  CAST(len(list_intersect(da.h1, db.h1)) AS DOUBLE)
-      |    / len(list_distinct(da.h1 || db.h1)) AS jaccard
-      |FROM cand c
-      |JOIN h da ON c.id_a = da.doc_id
-      |JOIN h db ON c.id_b = db.doc_id
-      |WHERE CAST(len(list_intersect(da.h1, db.h1)) AS DOUBLE)
-      |    / len(list_distinct(da.h1 || db.h1)) >= 0.9
-      |ORDER BY id_a, id_b""".stripMargin
+  // DERIVED from q30Sql (one shared LSH oracle pipeline, like
+  // q107Sql = q62Sql): the only difference is the batch restriction
+  // inside the cand CTE. lazy + guarded so a q30Sql edit that breaks
+  // the anchor fails loudly instead of silently shipping q30's
+  // unrestricted oracle as q109's.
+  lazy val q109Sql: String = {
+    val anchor = "WHERE a.doc_id < b.doc_id)"
+    require(q30Sql.contains(anchor),
+      "q109Sql: q30Sql's cand predicate moved — re-anchor the derived oracle")
+    q30Sql.replace(anchor, "WHERE a.doc_id < b.doc_id AND b.doc_id >= 250)")
+  }
 
   val q62Sql: String =
     """WITH c0 AS (

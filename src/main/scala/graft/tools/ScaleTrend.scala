@@ -256,15 +256,30 @@ object ScaleTrend {
     }
 
     // incremental LSH (corpus-growth dedup): corpus = all but the last
-    // 1% of ids, batch = that 1%. `lshidx_build` prices the ONE-TIME
-    // index build over the corpus, `lshinc` the per-batch incremental
-    // dedup against the loaded index, `lshfull` the full recompute it
-    // replaces — restricted to the same batch-touching pairs (id_b ≥
-    // split; ids ordered, batch = upper range), so the two shapes'
-    // out-rows must MATCH: the printed counts double as a scale-size
-    // equality check of the q109 contract, cap drops included.
-    def incSplit(n: Long): Long = n - n / 100
-    def lshIdxPath(n: Long): String = s"$out/lshidx_${n}_$GenVersion"
+    // batch-pct of ids, batch = that slice. `lshidx_build` prices the
+    // ONE-TIME index build over the corpus, `lshinc` the per-batch
+    // incremental dedup against the loaded index, `lshfull` the full
+    // recompute it replaces — restricted to the same batch-touching
+    // pairs (id_b ≥ split; ids ordered, batch = upper range), so the
+    // two shapes' out-rows must MATCH. Threshold 0 ON PURPOSE: every
+    // capped candidate survives the verify filter, so the printed
+    // counts compare the candidate + cap machinery itself — at 0.9 the
+    // synthetic corpus verifies zero pairs and the equality check would
+    // be 0 == 0, gating nothing (the verified-VALUE equality is q109's
+    // oracle on the real fixture; this row's check is candidate-level).
+    // batch fraction (percent) via SPARK_GRAFT_INC_BATCH_PCT (default
+    // 1): the crossover sweep re-runs the three shapes at 10/50% to
+    // locate where incremental stops beating a rebuild
+    val incBatchPct = sys.env.get("SPARK_GRAFT_INC_BATCH_PCT")
+      .map(v => v.toIntOption.filter(p => p >= 1 && p <= 99).getOrElse(
+        sys.error(s"SPARK_GRAFT_INC_BATCH_PCT='$v': expected an integer " +
+          "1..99 (batch percent; 100 would leave an empty corpus)")))
+      .getOrElse(1)
+    def incSplit(n: Long): Long = n - n * incBatchPct / 100
+    // pct in the path: a shape-filtered `lshinc`-only run must never
+    // hit an index another batch fraction's build wrote
+    def lshIdxPath(n: Long): String =
+      s"$out/lshidx_${n}_p${incBatchPct}_$GenVersion"
     def lshIdxBuildShape(path: String, n: Long): Long = {
       graft.ext.LshIndex.build(spark, lshIdxPath(n),
         spark.read.parquet(path).filter(col("doc_id") < incSplit(n)),
@@ -275,12 +290,12 @@ object ScaleTrend {
       val idx = graft.ext.LshIndex.load(spark, lshIdxPath(n))
       graft.ext.LshIndex.incrementalPairs(idx,
         spark.read.parquet(path).filter(col("doc_id") >= incSplit(n)),
-        "text", threshold = 0.9, maxBucketSize = cap)._1.count()
+        "text", threshold = 0.0, maxBucketSize = cap)._1.count()
     }
     def lshFullShape(path: String, n: Long): Long =
       graft.ext.Dedup.lshNearDupPairs(spark.read.parquet(path), "text",
           "doc_id", shingleWidth = 1, numHashes = 24, numBands = 3,
-          threshold = 0.9, maxBucketSize = cap)
+          threshold = 0.0, maxBucketSize = cap)
         .filter(col("id_b") >= incSplit(n)).count()
 
     def q91Shape(n: Long): Long = {
