@@ -143,6 +143,45 @@ object IvfIndex {
     load(spark, path)
   }
 
+  /** Fold newly-arrived vectors into a saved index: assign them
+    * against the EXISTING centroids (the map-side
+    * [[Similarity.assignToCentroids]] scan — O(batch), no retraining,
+    * no corpus re-assignment) and append the rows to
+    * `assignments.parquet`. The corpus-growth serve path, mirroring
+    * [[LshIndex.append]]: a later [[load]] + [[search]] sees
+    * corpus ∪ batch exactly as if both had been assigned together,
+    * because assignment is per-row against a fixed centroid matrix
+    * (spec-pinned in IvfIndexSpec).
+    *
+    * Centroids are NOT updated — by design: retraining on drifted data
+    * is a deliberate rebuild ([[save]] from a fresh
+    * [[Similarity.kmeansTrain]]), not something an append should do
+    * silently, since moving centroids would invalidate every existing
+    * assignment. Only valid on an index saved WITH assignments (an
+    * assignments-free index has nothing to append to — search there
+    * assigns its corpus per call).
+    *
+    * Crash-safety: meta deleted first, rewritten after the append — a
+    * killed append leaves an index that refuses to load; rebuild it.
+    */
+  def append(spark: SparkSession, path: String, newVectors: DataFrame): Unit = {
+    val meta0 = readMeta(spark, s"$path/_ivf_meta.json")
+    require(meta0.version == FormatVersion,
+      s"IvfIndex at $path has format version ${meta0.version}; " +
+        s"this build writes $FormatVersion")
+    require(meta0.hasAssignments,
+      s"IvfIndex at $path was saved without assignments — append has " +
+        "nothing to fold into; rebuild with save(..., assignments = Some(...))")
+    val centroids = spark.read.parquet(s"$path/centroids.parquet")
+    val assigned = Similarity.assignToCentroids(
+      newVectors, centroids, meta0.idCol, meta0.vecCol)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$path/_ivf_meta.json"), false)
+    assigned.select(col(meta0.idCol), col(meta0.vecCol), col("centroid_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/assignments.parquet")
+    writeMeta(spark, s"$path/_ivf_meta.json", meta0)
+  }
+
   /** Search a loaded index: [[Similarity.ivfKnnPreassigned]] when
     * assignments were saved, otherwise assign `corpus` on the fly
     * (which then must be provided).

@@ -155,9 +155,17 @@ object LshIndex {
     * counts are written to a temp dir and swapped in, so the old
     * counts are still readable while the merge computes. A killed
     * append leaves an index that refuses to load — rebuild it.
+    *
+    * `batchMarker` (the streaming fold-in's exactly-once handle): the
+    * id is recorded in `_appended_through` INSIDE the append
+    * transaction — after the frames, before the meta — so there is no
+    * window where the append completed but the marker is missing: a
+    * crash before the meta write leaves an incomplete index (loud
+    * rebuild), never a silently re-appendable one. [[appendedThrough]]
+    * reads the marker back.
     */
   def append(spark: SparkSession, path: String, df: DataFrame,
-             textCol: String): Unit = {
+             textCol: String, batchMarker: Option[Long] = None): Unit = {
     val meta = readMeta(spark, s"$path/_lsh_meta.json")
     require(meta.version == FormatVersion,
       s"LshIndex at $path has format version ${meta.version}; " +
@@ -185,12 +193,79 @@ object LshIndex {
       fs.delete(new Path(s"$path/buckets.parquet"), true)
       require(fs.rename(new Path(mergedTmp), new Path(s"$path/buckets.parquet")),
         s"LshIndex.append: rename of merged counts failed at $path")
+      batchMarker.foreach { id =>
+        val out = fs.create(new Path(s"$path/_appended_through"), true)
+        try out.write(id.toString.getBytes("UTF-8"))
+        finally out.close()
+      }
       writeMeta(spark, s"$path/_lsh_meta.json", meta)
     } finally {
       base.unpersist()
       banded.unpersist()
     }
   }
+
+  /** The highest batch id folded in via `append(..., batchMarker)`;
+    * −1 if no marked append ever completed. The streaming fold-in's
+    * replay check.
+    */
+  def appendedThrough(spark: SparkSession, path: String): Long = {
+    val p = new Path(s"$path/_appended_through")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      text.toLongOption.getOrElse(sys.error(
+        s"LshIndex at $path: _appended_through is corrupt ('$text') — " +
+          "the index is incomplete; rebuild it"))
+    }
+  }
+
+  /** Streaming corpus-growth dedup: the `foreachBatch` body that runs
+    * each arriving micro-batch of documents through
+    * [[incrementalPairs]] against the index at `path`, hands the pair
+    * frame to `onPairs`, and (when `appendBatches`, the default) folds
+    * the batch into the index so LATER micro-batches pair against it —
+    * across the whole stream every batch-touching pair is produced
+    * EXACTLY ONCE (within-batch pairs by the batch's own incremental
+    * run, cross-batch pairs when the later side arrives), which is why
+    * the q110 gate can replay the stream against q109's batch oracle.
+    *
+    * State lives in the INDEX, not the state store: this is the
+    * stateless-streaming shape of near-dup dedup — no watermark, no
+    * growing dedup state, restart-safe because the index on disk IS
+    * the progress. Replay safety: the batch id is recorded inside the
+    * append transaction ([[append]]'s `batchMarker`), so a replayed
+    * micro-batch (id ≤ [[appendedThrough]]) re-emits its pairs (sink
+    * semantics are the sink's business — at-least-once unless the sink
+    * dedups on batch id) but NEVER double-appends the index.
+    *
+    * Usage:
+    * {{{
+    *   docsStream.writeStream
+    *     .foreachBatch(LshIndex.streamingDedupBatch(spark, path, "text")(
+    *       (pairs, batchId) => pairs.write.mode("append").parquet(out)))
+    *     .trigger(Trigger.AvailableNow()).start()
+    * }}}
+    */
+  def streamingDedupBatch(spark: SparkSession, path: String, textCol: String,
+                          threshold: Double = 0.9,
+                          maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
+                          appendBatches: Boolean = true)(
+      onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      // re-load per batch: append adds files, and a cached listing
+      // would pair this batch against a stale corpus
+      val index = load(spark, path)
+      val (pairs, _) = incrementalPairs(index, batch, textCol,
+        threshold, maxBucketSize)
+      onPairs(pairs, batchId)
+      if (appendBatches && batchId > appendedThrough(spark, path))
+        append(spark, path, batch, textCol, batchMarker = Some(batchId))
+    }
 
   // hand-rolled flat JSON, same shape/discipline as IvfIndex's meta:
   // fixed fields, no nesting; parse failure = incomplete index

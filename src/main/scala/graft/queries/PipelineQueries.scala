@@ -461,6 +461,51 @@ object PipelineQueries {
     * oracle floors the same way; the ≤ boundary (window end equal to
     * the watermark ⇒ emitted) is pinned executably in StreamSinkSpec.
     */
+  /** ✚ STREAMING corpus-growth dedup — q109's batch contract replayed
+    * through a live Structured Streaming query: the corpus slice
+    * (doc_id < 250) is indexed, the batch slice (250–999) is written
+    * as three parquet files and streamed back one file per
+    * micro-batch, and each micro-batch runs
+    * [[graft.ext.LshIndex.streamingDedupBatch]] — incremental pairs
+    * against the index, then fold the batch IN, so later micro-batches
+    * pair against earlier ones. Across the stream every batch-touching
+    * pair is produced exactly once, which is why THE ORACLE IS
+    * q109's: the hash passes only if stream-with-index-growth ≡ one
+    * batch incremental run ≡ the full recompute restricted to the
+    * batch. State lives in the index on disk, not the state store —
+    * the stateless-streaming dedup shape (no watermark, no growing
+    * dedup state, restart = resume from the index).
+    */
+  def q110StreamIncLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_q110_").toString
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 1000)
+    graft.ext.LshIndex.build(spark, s"$root/idx",
+      docs.filter(col("doc_id") < 250), "text", "doc_id",
+      shingleWidth = 1, numHashes = 24, numBands = 3)
+    val batchDir = s"$root/batches"
+    docs.filter(col("doc_id") >= 250).select(col("doc_id"), col("text"))
+      .repartition(3).write.parquet(batchDir)
+    val outDir = s"$root/pairs"
+    val q = spark.readStream
+      .schema(spark.read.parquet(batchDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(batchDir)
+      .writeStream
+      .foreachBatch(graft.ext.LshIndex.streamingDedupBatch(
+        spark, s"$root/idx", "text", threshold = 0.9)(
+        (pairs, _) => pairs.write.mode("append").parquet(outDir)))
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    SourceQueries.materializeThenDelete(
+      spark.read.parquet(outDir).orderBy(col("id_a"), col("id_b")), root)
+  }
+
+  // the batch incremental gate's oracle IS this gate's oracle — that
+  // equality is the whole point (see scaladoc above)
+  lazy val q110Sql: String = ExtensionQueries.q109Sql
+
   def q104AppendWindow(spark: SparkSession, dir: String): DataFrame =
     EventStream.withShufflePartitions(spark, 8) {
       val agg = EventStream.hourlyByType(EventStream.readEvents(spark, dir))

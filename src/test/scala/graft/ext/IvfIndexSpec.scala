@@ -164,6 +164,39 @@ class IvfIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("append folds new vectors in: serve == assigning corpus and batch together") {
+    val root = tmp()
+    try {
+      val corpus = emb.filter(col("vec_id") < 200)
+      val batch = emb.filter(col("vec_id") >= 200)
+      val centroids = Similarity.kmeansTrain(
+        corpus, corpus.filter(col("vec_id") < 8), iters = 2, dims = 64)
+      IvfIndex.save(spark, s"$root/idx", centroids,
+        Some(Similarity.assignToCentroids(corpus, centroids)))
+      IvfIndex.append(spark, s"$root/idx", batch)
+      val served = IvfIndex.search(IvfIndex.load(spark, s"$root/idx"),
+        emb.filter(col("vec_id") < 3), k = 5, nprobe = 2)
+      // the contract: exactly as if corpus ∪ batch had been assigned
+      // together against the SAME (corpus-trained) centroids
+      val together = Similarity.ivfKnnPreassigned(
+        Similarity.assignToCentroids(emb, centroids), centroids,
+        emb.filter(col("vec_id") < 3), k = 5, nprobe = 2)
+      rows(served) shouldBe rows(together)
+    } finally delete(root)
+  }
+
+  test("append refuses an assignments-free index") {
+    val root = tmp()
+    try {
+      val (centroids, _) = freshIndex()
+      IvfIndex.save(spark, s"$root/idx", centroids, None)
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.append(spark, s"$root/idx", emb.filter(col("vec_id") >= 400))
+      }
+      e.getMessage should include("without assignments")
+    } finally delete(root)
+  }
+
   test("save rejects column names the flat meta cannot represent") {
     val root = tmp()
     try {

@@ -215,6 +215,51 @@ class LshIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("streaming fold-in: micro-batched pairs union equals one batch run") {
+    val rootS = tmp()
+    val rootB = tmp()
+    try {
+      // the closure is a plain function — drive it directly with two
+      // "micro-batches" (the q110 gate drives the real streaming engine)
+      LshIndex.build(spark, s"$rootS/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val b1 = docs.filter(col("doc_id") >= Split && col("doc_id") < 50)
+      val b2 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      val body = LshIndex.streamingDedupBatch(spark, s"$rootS/idx", "text",
+        threshold = 0.5)((pairs, _) => got ++= rows(pairs))
+      body(b1, 0L)
+      body(b2, 1L)
+      // one-shot reference: index over the corpus, whole batch at once
+      LshIndex.build(spark, s"$rootB/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val (whole, _) = LshIndex.incrementalPairs(
+        LshIndex.load(spark, s"$rootB/idx"), batch, "text", threshold = 0.5)
+      val expected = rows(whole)
+      expected should not be empty
+      // cross-batch pairs (a b1 doc near-dup of a b2 doc) must be in
+      // the union — the fold-in is what makes them reachable
+      got.sorted.toSeq shouldBe expected.sorted
+    } finally { delete(rootS); delete(rootB) }
+  }
+
+  test("a replayed micro-batch re-emits pairs but never double-appends") {
+    val root = tmp()
+    try {
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      var calls = 0
+      val body = LshIndex.streamingDedupBatch(spark, s"$root/idx", "text",
+        threshold = 0.5)((_, _) => calls += 1)
+      body(batch, 7L)
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 7L
+      val rowsAfterFirst = LshIndex.load(spark, s"$root/idx").banded.count()
+      body(batch, 7L) // crash-replay of the same micro-batch
+      calls shouldBe 2 // pairs re-emitted (sink's at-least-once contract)
+      LshIndex.load(spark, s"$root/idx").banded.count() shouldBe rowsAfterFirst
+    } finally delete(root)
+  }
+
   test("the batch is banded with the INDEX's params, not the caller's") {
     val root = tmp()
     try {
