@@ -106,6 +106,26 @@ object ScaleTrend {
     path
   }
 
+  /** Build-once incremental-LSH index fixture: the docs fixture minus
+    * its last `pct`% of ids, indexed with the scale rows' banding
+    * (1/24/3). Same cache + path-version discipline as [[docsFixture]]
+    * (the meta file doubles as the completeness marker); shared with
+    * SpillProbe so its `inc` variants bracket EXACTLY the index the
+    * trend rows measured.
+    */
+  private[tools] def lshIndexFixture(spark: SparkSession, n: Long,
+                                     out: String, pct: Int): String = {
+    val path = s"$out/lshidx_${n}_p${pct}_$GenVersion"
+    if (!new java.io.File(s"$path/_lsh_meta.json").exists()) {
+      val split = n - n * pct / 100
+      graft.ext.LshIndex.build(spark, path,
+        spark.read.parquet(docsFixture(spark, n, out))
+          .filter(col("doc_id") < split),
+        "text", "doc_id", shingleWidth = 1, numHashes = 24, numBands = 3)
+    }
+    path
+  }
+
   /** Path graph 0–(n−1): the maximum-diameter CC input. */
   private[tools] def chain(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
     val nodes = spark.range(n).select(col("id"))

@@ -185,6 +185,11 @@ object SpillProbe {
     // VerifyOn.HashSets — the verify joins (the stage's measured
     // dominant shuffle/spill term) carry 52-bit hash arrays instead of
     // shingle strings, and the cached base frame drops the strings too.
+    // `inc[off]` = LshIndex.incrementalPairs over the shared index
+    // fixture (corpus = first 99% of ids) with the last 1% as the
+    // batch — the per-batch footprint of corpus-growth dedup, bracketed
+    // for bytes the way the ScaleTrend rows are for wall. The index
+    // build is fixture work and runs OUTSIDE the bracket.
     def runEntry(staged: Boolean,
                  verifyOn: graft.ext.Dedup.VerifyOn =
                    graft.ext.Dedup.VerifyOn.Shingles): (Double, Long, Int, Long, Long, Long, Long) = {
@@ -218,6 +223,26 @@ object SpillProbe {
         shufWrite.get - w0, tasks.get - t0c)
     }
 
+    def runInc(): (Double, Long, Int, Long, Long, Long, Long) = {
+      val idxPath = ScaleTrend.lshIndexFixture(spark, docsN, out, 1)
+      val split = docsN - docsN / 100
+      val batch = docs.filter(org.apache.spark.sql.functions.col("doc_id") >= split)
+      org.apache.spark.sql.graftbridge.Bridge
+        .waitListenerBusEmpty(spark.sparkContext)
+      val (m0, d0, w0, t0c) =
+        (memSpill.get, diskSpill.get, shufWrite.get, tasks.get)
+      val t0 = System.nanoTime()
+      val idx = graft.ext.LshIndex.load(spark, idxPath)
+      val (pairs, _) = graft.ext.LshIndex.incrementalPairs(
+        idx, batch, "text", threshold = 0.9, maxBucketSize = 200)
+      val rows = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graftbridge.Bridge
+        .waitListenerBusEmpty(spark.sparkContext)
+      (sec, rows, 0, memSpill.get - m0, diskSpill.get - d0,
+        shufWrite.get - w0, tasks.get - t0c)
+    }
+
     println(f"${"parts"}%6s ${"variant"}%-9s ${"run"}%4s ${"sec"}%8s " +
       f"${"memSpill"}%12s ${"diskSpill"}%12s ${"shufWrite"}%12s ${"skew"}%5s " +
       f"${"tasks"}%6s   rows")
@@ -234,12 +259,15 @@ object SpillProbe {
           case "fusedoff"     => ("off", "fused")
           case "fusedhash"    => ("default", "fusedhash")
           case "fusedhashoff" => ("off", "fusedhash")
+          case "inc"          => ("default", "inc")
+          case "incoff"       => ("off", "inc")
           case other          => (other, "lazy")
         }
         applyVariant(confV)
         (1 to 2).foreach { i =>
           val (sec, rows, skews0, dm, dd, dw, dt) =
             if (path == "lazy") run()
+            else if (path == "inc") runInc()
             else runEntry(path == "staged",
               if (path == "fusedhash") graft.ext.Dedup.VerifyOn.HashSets
               else graft.ext.Dedup.VerifyOn.Shingles)
