@@ -420,9 +420,26 @@ object Dedup {
       verifyOn: VerifyOn): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
     val (newBase, newBanded) = bandedFrame(newDf, textCol, idCol,
       shingleWidth, numHashes, numBands, verifyOn)
+    val (pairs, caches, census) = lshNearDupPairsIncrementalFromFrames(
+      corpusBase, corpusBanded, corpusBuckets, newBase, newBanded,
+      threshold, maxBucketSize, verifyOn)
+    (pairs, Seq(newBase, newBanded) ++ caches, census)
+  }
+
+  /** The incremental pair plan over ALREADY-banded batch frames (the
+    * [[bandedFrame]] output, persisted, owned by the caller — the
+    * streaming fold-in bands each micro-batch exactly once and feeds
+    * the same frames to BOTH the pair run and the index append).
+    * Returned caches are this function's internal intermediates only.
+    */
+  private[graft] def lshNearDupPairsIncrementalFromFrames(
+      corpusBase: DataFrame, corpusBanded: DataFrame, corpusBuckets: DataFrame,
+      newBase: DataFrame, newBanded: DataFrame,
+      threshold: Double, maxBucketSize: Int,
+      verifyOn: VerifyOn): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
     val keys = Seq("band_idx", "band_hash")
     val keyCols = keys.map(col)
-    val caches = scala.collection.mutable.ArrayBuffer[DataFrame](newBase, newBanded)
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // one batch-side action up front: materializes the banded cache
     // (both the counts and the candidate join re-read it) and sizes
     // the EXPLICIT broadcast hints below. Hinting beats trusting the

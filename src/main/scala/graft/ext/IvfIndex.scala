@@ -67,8 +67,11 @@ object IvfIndex {
     // overwrite crash-safety: drop the OLD meta before touching the
     // parquet dirs, so a save killed mid-rewrite leaves the index
     // marked incomplete (no meta) instead of an old meta pointing at
-    // half-overwritten frames
+    // half-overwritten frames. The append marker goes too — a rebuilt
+    // index contains none of the marked batches, and a stale marker
+    // would tell a retrying caller their batch is already in
     fs.delete(new Path(s"$path/_ivf_meta.json"), false)
+    fs.delete(new Path(s"$path/_appended_through"), false)
     centroids
       .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
@@ -161,10 +164,20 @@ object IvfIndex {
     * assignments-free index has nothing to append to — search there
     * assigns its corpus per call).
     *
+    * Caller contract (same as [[LshIndex]]'s): ids unique across the
+    * corpus and every batch — append never re-checks, and a duplicate
+    * id would make search return the same `vec_id` twice, displacing a
+    * legitimate neighbor. Append is NOT idempotent on its own (a
+    * retried append duplicates the rows); a caller retrying after an
+    * ambiguous failure passes `batchMarker` — the id is recorded
+    * inside the transaction (before the meta write), so [[appendedThrough]]
+    * tells the retry whether the previous attempt committed.
+    *
     * Crash-safety: meta deleted first, rewritten after the append — a
     * killed append leaves an index that refuses to load; rebuild it.
     */
-  def append(spark: SparkSession, path: String, newVectors: DataFrame): Unit = {
+  def append(spark: SparkSession, path: String, newVectors: DataFrame,
+             batchMarker: Option[Long] = None): Unit = {
     val meta0 = readMeta(spark, s"$path/_ivf_meta.json")
     require(meta0.version == FormatVersion,
       s"IvfIndex at $path has format version ${meta0.version}; " +
@@ -179,7 +192,30 @@ object IvfIndex {
     fs.delete(new Path(s"$path/_ivf_meta.json"), false)
     assigned.select(col(meta0.idCol), col(meta0.vecCol), col("centroid_id"))
       .write.mode(SaveMode.Append).parquet(s"$path/assignments.parquet")
+    batchMarker.foreach { id =>
+      val out = fs.create(new Path(s"$path/_appended_through"), true)
+      try out.write(id.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
     writeMeta(spark, s"$path/_ivf_meta.json", meta0)
+  }
+
+  /** The highest batch id folded in via `append(..., batchMarker)`;
+    * −1 if no marked append ever completed.
+    */
+  def appendedThrough(spark: SparkSession, path: String): Long = {
+    val p = new Path(s"$path/_appended_through")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      text.toLongOption.getOrElse(sys.error(
+        s"IvfIndex at $path: _appended_through is corrupt ('$text') — " +
+          "the index is incomplete; rebuild it"))
+    }
   }
 
   /** Search a loaded index: [[Similarity.ivfKnnPreassigned]] when

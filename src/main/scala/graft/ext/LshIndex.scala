@@ -91,9 +91,13 @@ object LshIndex {
       // incomplete (no meta), never old-meta-over-new-frames. A
       // leftover counts-merge temp dir from a killed append is also
       // cleared — rebuild is append's documented recovery path, so
-      // build owns that cleanup
+      // build owns that cleanup — and so is the streaming replay
+      // marker: a REBUILT index contains none of the streamed batches,
+      // so a stale marker would make a restarted stream silently skip
+      // folding them back in (their cross-batch pairs lost forever)
       fs.delete(new Path(s"$path/_lsh_meta.json"), false)
       fs.delete(new Path(s"$path/buckets.parquet.tmp"), true)
+      fs.delete(new Path(s"$path/_appended_through"), false)
       base.select(col("id"), col(payloadCol(verifyOn)))
         .write.mode(SaveMode.Overwrite).parquet(s"$path/base.parquet")
       banded.write.mode(SaveMode.Overwrite).parquet(s"$path/banded.parquet")
@@ -123,6 +127,43 @@ object LshIndex {
       spark.read.parquet(s"$path/buckets.parquet"),
       meta.idCol, meta.shingleWidth, meta.numHashes, meta.numBands,
       payloadVerifyOn(meta.payload))
+  }
+
+  /** The cache-or-build face (same contract as
+    * [[IvfIndex.loadOrTrain]]): load the index at `path` if complete
+    * AND its meta matches the requested params exactly, otherwise
+    * (re)build from `df` and load the fresh copy. A param mismatch is
+    * a REBUILD, not an error — banding params are part of the index's
+    * identity (pairs from mismatched banding would be silently
+    * different), so changing them must invalidate the cache the same
+    * way a format bump does. A corrupt/truncated meta is an incomplete
+    * index: cache miss, rebuild. The one asymmetry shared with
+    * [[IvfIndex.loadOrTrain]]: an index written by a NEWER format
+    * version still throws — an old build silently clobbering a newer
+    * build's artifact would be data loss, not cache maintenance.
+    */
+  def loadOrBuild(spark: SparkSession, path: String, df: => DataFrame,
+                  textCol: String, idCol: String = "doc_id",
+                  shingleWidth: Int = 1, numHashes: Int = 24,
+                  numBands: Int = 3,
+                  verifyOn: Dedup.VerifyOn = Dedup.VerifyOn.HashSets): Index = {
+    val metaPath = new Path(s"$path/_lsh_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = Meta(FormatVersion, idCol, shingleWidth, numHashes, numBands,
+      Dedup.payloadColumn(verifyOn))
+    val found =
+      if (!fs.exists(metaPath)) None
+      else parseMeta(readMetaText(spark, metaPath.toString))
+    found.foreach { m =>
+      require(m.version <= FormatVersion,
+        s"LshIndex at $path has format version ${m.version}, newer than " +
+          s"this build's $FormatVersion — refusing to overwrite a newer " +
+          "build's index; delete it explicitly to rebuild")
+    }
+    if (!found.contains(want))
+      build(spark, path, df, textCol, idCol, shingleWidth, numHashes,
+        numBands, verifyOn)
+    load(spark, path)
   }
 
   /** Near-dup pairs involving ≥ 1 document of `newDf`, against the
@@ -170,39 +211,48 @@ object LshIndex {
     require(meta.version == FormatVersion,
       s"LshIndex at $path has format version ${meta.version}; " +
         s"this build writes $FormatVersion")
-    val verifyOn = payloadVerifyOn(meta.payload)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (base, banded) = Dedup.bandedFrame(df, textCol, meta.idCol,
-      meta.shingleWidth, meta.numHashes, meta.numBands, verifyOn)
-    try {
-      fs.delete(new Path(s"$path/_lsh_meta.json"), false)
-      // merged counts FIRST (reads the old buckets frame) into a temp
-      // dir, swapped in after — overwriting a parquet dir that the
-      // writing plan is also reading is not safe
-      val mergedTmp = s"$path/buckets.parquet.tmp"
-      fs.delete(new Path(mergedTmp), true) // clear a killed append's leftover
-      spark.read.parquet(s"$path/buckets.parquet")
-        .unionByName(banded.groupBy(col("band_idx"), col("band_hash"))
-          .agg(count(lit(1)).as("bucket_n")))
-        .groupBy(col("band_idx"), col("band_hash"))
-        .agg(sum(col("bucket_n")).as("bucket_n"))
-        .write.mode(SaveMode.Overwrite).parquet(mergedTmp)
-      base.select(col("id"), col(payloadCol(verifyOn)))
-        .write.mode(SaveMode.Append).parquet(s"$path/base.parquet")
-      banded.write.mode(SaveMode.Append).parquet(s"$path/banded.parquet")
-      fs.delete(new Path(s"$path/buckets.parquet"), true)
-      require(fs.rename(new Path(mergedTmp), new Path(s"$path/buckets.parquet")),
-        s"LshIndex.append: rename of merged counts failed at $path")
-      batchMarker.foreach { id =>
-        val out = fs.create(new Path(s"$path/_appended_through"), true)
-        try out.write(id.toString.getBytes("UTF-8"))
-        finally out.close()
-      }
-      writeMeta(spark, s"$path/_lsh_meta.json", meta)
-    } finally {
+      meta.shingleWidth, meta.numHashes, meta.numBands,
+      payloadVerifyOn(meta.payload))
+    try appendFrames(spark, path, base, banded, meta, batchMarker)
+    finally {
       base.unpersist()
       banded.unpersist()
     }
+  }
+
+  /** The append transaction over ALREADY-banded frames — shared by
+    * [[append]] and the streaming fold-in (which bands each
+    * micro-batch exactly once for BOTH the pair run and this append).
+    */
+  private def appendFrames(spark: SparkSession, path: String,
+                           base: DataFrame, banded: DataFrame,
+                           meta: Meta, batchMarker: Option[Long]): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$path/_lsh_meta.json"), false)
+    // merged counts FIRST (reads the old buckets frame) into a temp
+    // dir, swapped in after — overwriting a parquet dir that the
+    // writing plan is also reading is not safe
+    val mergedTmp = s"$path/buckets.parquet.tmp"
+    fs.delete(new Path(mergedTmp), true) // clear a killed append's leftover
+    spark.read.parquet(s"$path/buckets.parquet")
+      .unionByName(banded.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("bucket_n")))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sum(col("bucket_n")).as("bucket_n"))
+      .write.mode(SaveMode.Overwrite).parquet(mergedTmp)
+    base.select(col("id"), col(meta.payload))
+      .write.mode(SaveMode.Append).parquet(s"$path/base.parquet")
+    banded.write.mode(SaveMode.Append).parquet(s"$path/banded.parquet")
+    fs.delete(new Path(s"$path/buckets.parquet"), true)
+    require(fs.rename(new Path(mergedTmp), new Path(s"$path/buckets.parquet")),
+      s"LshIndex.append: rename of merged counts failed at $path")
+    batchMarker.foreach { id =>
+      val out = fs.create(new Path(s"$path/_appended_through"), true)
+      try out.write(id.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+    writeMeta(spark, s"$path/_lsh_meta.json", meta)
   }
 
   /** The highest batch id folded in via `append(..., batchMarker)`;
@@ -238,10 +288,23 @@ object LshIndex {
     * stateless-streaming shape of near-dup dedup — no watermark, no
     * growing dedup state, restart-safe because the index on disk IS
     * the progress. Replay safety: the batch id is recorded inside the
-    * append transaction ([[append]]'s `batchMarker`), so a replayed
-    * micro-batch (id ≤ [[appendedThrough]]) re-emits its pairs (sink
-    * semantics are the sink's business — at-least-once unless the sink
-    * dedups on batch id) but NEVER double-appends the index.
+    * append transaction ([[append]]'s `batchMarker`). A replayed
+    * micro-batch (id ≤ [[appendedThrough]]) NEVER double-appends, and
+    * its pair emission is reproduced EXACTLY: the index already
+    * contains the batch, so the pre-append view is reconstructed by
+    * subtracting this batch's own rows (exact — the marker guarantees
+    * it was folded in exactly once) before re-running the pair plan;
+    * without the subtraction the batch would pair against itself
+    * through both the index and the batch side, emitting duplicated
+    * and cap-distorted rows. Spec-pinned (LshIndexSpec replay test).
+    *
+    * Each micro-batch is banded ONCE — the same persisted frames feed
+    * the pair run and the fold-in append.
+    *
+    * `onCensus` (default no-op) receives each batch's
+    * [[LshSkew.CapCensus]] — a production stream asserts
+    * `!census.anyDropped` (or routes drops) there, the same
+    * post-condition the batch API returns directly.
     *
     * Usage:
     * {{{
@@ -254,17 +317,51 @@ object LshIndex {
   def streamingDedupBatch(spark: SparkSession, path: String, textCol: String,
                           threshold: Double = 0.9,
                           maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
-                          appendBatches: Boolean = true)(
+                          appendBatches: Boolean = true,
+                          onCensus: (LshSkew.CapCensus, Long) => Unit =
+                            (_, _) => ())(
       onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       // re-load per batch: append adds files, and a cached listing
       // would pair this batch against a stale corpus
       val index = load(spark, path)
-      val (pairs, _) = incrementalPairs(index, batch, textCol,
-        threshold, maxBucketSize)
-      onPairs(pairs, batchId)
-      if (appendBatches && batchId > appendedThrough(spark, path))
-        append(spark, path, batch, textCol, batchMarker = Some(batchId))
+      val meta = readMeta(spark, s"$path/_lsh_meta.json")
+      val alreadyFolded = batchId <= appendedThrough(spark, path)
+      val (bBase, bBanded) = Dedup.bandedFrame(batch, textCol, index.idCol,
+        index.shingleWidth, index.numHashes, index.numBands, index.verifyOn)
+      try {
+        val keyCols = Seq(col("band_idx"), col("band_hash"))
+        val corpusView =
+          if (!alreadyFolded) index
+          else {
+            val ids = broadcast(bBase.select(col("id")))
+            val bCounts = bBanded.groupBy(keyCols: _*)
+              .agg(count(lit(1)).as("n_b"))
+            index.copy(
+              base = index.base.join(ids, Seq("id"), "left_anti"),
+              banded = index.banded.join(ids, Seq("id"), "left_anti"),
+              buckets = index.buckets
+                .join(broadcast(bCounts), Seq("band_idx", "band_hash"), "left")
+                .select(col("band_idx"), col("band_hash"),
+                  (col("bucket_n") - coalesce(col("n_b"), lit(0L)))
+                    .as("bucket_n"))
+                .filter(col("bucket_n") > 0))
+          }
+        val (pairsLazy, caches, census) =
+          Dedup.lshNearDupPairsIncrementalFromFrames(
+            corpusView.base, corpusView.banded, corpusView.buckets,
+            bBase, bBanded, threshold, maxBucketSize, index.verifyOn)
+        val pairs =
+          try pairsLazy.localCheckpoint(true)
+          finally caches.foreach(_.unpersist())
+        onCensus(census, batchId)
+        onPairs(pairs, batchId)
+        if (appendBatches && !alreadyFolded)
+          appendFrames(spark, path, bBase, bBanded, meta, Some(batchId))
+      } finally {
+        bBase.unpersist()
+        bBanded.unpersist()
+      }
     }
 
   // hand-rolled flat JSON, same shape/discipline as IvfIndex's meta:
@@ -281,18 +378,19 @@ object LshIndex {
     finally out.close()
   }
 
-  private def readMeta(spark: SparkSession, path: String): Meta = {
+  private def readMeta(spark: SparkSession, path: String): Meta =
+    parseMeta(readMetaText(spark, path)).getOrElse(sys.error(
+      s"LshIndex meta at $path exists but is truncated/corrupt (killed " +
+        "writer?) — the index is incomplete; rebuild it"))
+
+  private def readMetaText(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"no LSH index at ${p.getParent}: missing/incomplete (no _lsh_meta.json)")
     val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    parseMeta(text).getOrElse(sys.error(
-      s"LshIndex meta at $path exists but is truncated/corrupt (killed " +
-        "writer?) — the index is incomplete; rebuild it"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
   private def parseMeta(text: String): Option[Meta] = {

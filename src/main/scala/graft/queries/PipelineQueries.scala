@@ -493,7 +493,11 @@ object PipelineQueries {
       .parquet(batchDir)
       .writeStream
       .foreachBatch(graft.ext.LshIndex.streamingDedupBatch(
-        spark, s"$root/idx", "text", threshold = 0.9)(
+        spark, s"$root/idx", "text", threshold = 0.9,
+        // same no-drop precondition q109 requires — without it a
+        // cap-divergent fixture would fail as an opaque hash mismatch
+        onCensus = (census, _) => require(!census.anyDropped,
+          "q110: gate fixture must not hit the bucket cap"))(
         (pairs, _) => pairs.write.mode("append").parquet(outDir)))
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow()).start()

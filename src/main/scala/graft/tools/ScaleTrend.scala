@@ -113,16 +113,35 @@ object ScaleTrend {
     * SpillProbe so its `inc` variants bracket EXACTLY the index the
     * trend rows measured.
     */
+  private[tools] val LshShingleWidth = 1
+  private[tools] val LshNumHashes = 24
+  private[tools] val LshNumBands = 3
+
+  /** The one path scheme + build invocation for the incremental-LSH
+    * index fixtures — the trend runner's timed `lshidx_build` shape
+    * and this ensure-style cache go through the SAME definitions, so
+    * SpillProbe can never bracket an index a different banding built.
+    */
+  private[tools] def lshIndexFixturePath(out: String, n: Long,
+                                         pct: Int): String =
+    s"$out/lshidx_${n}_p${pct}_$GenVersion"
+
+  private[tools] def buildLshIndexFixture(spark: SparkSession,
+                                          docsPath: String, n: Long,
+                                          out: String, pct: Int): String = {
+    val path = lshIndexFixturePath(out, n, pct)
+    val split = n - n * pct / 100
+    graft.ext.LshIndex.build(spark, path,
+      spark.read.parquet(docsPath).filter(col("doc_id") < split),
+      "text", "doc_id", LshShingleWidth, LshNumHashes, LshNumBands)
+    path
+  }
+
   private[tools] def lshIndexFixture(spark: SparkSession, n: Long,
                                      out: String, pct: Int): String = {
-    val path = s"$out/lshidx_${n}_p${pct}_$GenVersion"
-    if (!new java.io.File(s"$path/_lsh_meta.json").exists()) {
-      val split = n - n * pct / 100
-      graft.ext.LshIndex.build(spark, path,
-        spark.read.parquet(docsFixture(spark, n, out))
-          .filter(col("doc_id") < split),
-        "text", "doc_id", shingleWidth = 1, numHashes = 24, numBands = 3)
-    }
+    val path = lshIndexFixturePath(out, n, pct)
+    if (!new java.io.File(s"$path/_lsh_meta.json").exists())
+      buildLshIndexFixture(spark, docsFixture(spark, n, out), n, out, pct)
     path
   }
 
@@ -296,25 +315,23 @@ object ScaleTrend {
           "1..99 (batch percent; 100 would leave an empty corpus)")))
       .getOrElse(1)
     def incSplit(n: Long): Long = n - n * incBatchPct / 100
-    // pct in the path: a shape-filtered `lshinc`-only run must never
-    // hit an index another batch fraction's build wrote
-    def lshIdxPath(n: Long): String =
-      s"$out/lshidx_${n}_p${incBatchPct}_$GenVersion"
-    def lshIdxBuildShape(path: String, n: Long): Long = {
-      graft.ext.LshIndex.build(spark, lshIdxPath(n),
-        spark.read.parquet(path).filter(col("doc_id") < incSplit(n)),
-        "text", "doc_id", shingleWidth = 1, numHashes = 24, numBands = 3)
+    // pct in the path (via the shared lshIndexFixturePath scheme): a
+    // shape-filtered `lshinc`-only run must never hit an index another
+    // batch fraction's build wrote
+    def lshIdxBuildShape(docsPath: String, n: Long): Long = {
+      buildLshIndexFixture(spark, docsPath, n, out, incBatchPct)
       incSplit(n)
     }
     def lshIncShape(path: String, n: Long): Long = {
-      val idx = graft.ext.LshIndex.load(spark, lshIdxPath(n))
+      val idx = graft.ext.LshIndex.load(spark,
+        lshIndexFixturePath(out, n, incBatchPct))
       graft.ext.LshIndex.incrementalPairs(idx,
         spark.read.parquet(path).filter(col("doc_id") >= incSplit(n)),
         "text", threshold = 0.0, maxBucketSize = cap)._1.count()
     }
     def lshFullShape(path: String, n: Long): Long =
       graft.ext.Dedup.lshNearDupPairs(spark.read.parquet(path), "text",
-          "doc_id", shingleWidth = 1, numHashes = 24, numBands = 3,
+          "doc_id", LshShingleWidth, LshNumHashes, LshNumBands,
           threshold = 0.0, maxBucketSize = cap)
         .filter(col("id_b") >= incSplit(n)).count()
 

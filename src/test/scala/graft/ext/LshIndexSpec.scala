@@ -243,20 +243,59 @@ class LshIndexSpec extends SparkSpec {
     } finally { delete(rootS); delete(rootB) }
   }
 
-  test("a replayed micro-batch re-emits pairs but never double-appends") {
+  test("a replayed micro-batch reproduces its ORIGINAL pairs, never double-appends") {
     val root = tmp()
     try {
       LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
         shingleWidth = 1, numHashes = 8, numBands = 2)
-      var calls = 0
+      val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
       val body = LshIndex.streamingDedupBatch(spark, s"$root/idx", "text",
-        threshold = 0.5)((_, _) => calls += 1)
+        threshold = 0.5)((pairs, _) => emissions += rows(pairs))
       body(batch, 7L)
       LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 7L
       val rowsAfterFirst = LshIndex.load(spark, s"$root/idx").banded.count()
       body(batch, 7L) // crash-replay of the same micro-batch
-      calls shouldBe 2 // pairs re-emitted (sink's at-least-once contract)
+      emissions.size shouldBe 2
+      emissions.head should not be empty
+      // CONTENT equality: the index already contains the batch on
+      // replay, so the body must reconstruct the pre-append view —
+      // pairing the batch against itself through the index would emit
+      // duplicated/cap-distorted rows here
+      emissions(1) shouldBe emissions.head
       LshIndex.load(spark, s"$root/idx").banded.count() shouldBe rowsAfterFirst
+    } finally delete(root)
+  }
+
+  test("rebuild clears the streaming replay marker") {
+    val root = tmp()
+    try {
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      LshIndex.append(spark, s"$root/idx", batch, "text", batchMarker = Some(5L))
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 5L
+      // rebuild = a fresh corpus with NONE of the streamed batches; a
+      // stale marker would make a restarted stream skip folding them in
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe -1L
+    } finally delete(root)
+  }
+
+  test("loadOrBuild: cache hit on matching params, rebuild on a param change") {
+    val root = tmp()
+    try {
+      LshIndex.loadOrBuild(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      // matching params → cache hit: the by-name df must not be touched
+      val hit = LshIndex.loadOrBuild(spark, s"$root/idx",
+        sys.error("cache hit expected: df must not be evaluated"),
+        "text", "doc_id", shingleWidth = 1, numHashes = 8, numBands = 2)
+      hit.numHashes shouldBe 8
+      // banding is part of the index's identity: a param change rebuilds
+      val rebuilt = LshIndex.loadOrBuild(spark, s"$root/idx", corpus,
+        "text", "doc_id", shingleWidth = 1, numHashes = 8, numBands = 4)
+      rebuilt.numBands shouldBe 4
+      LshIndex.load(spark, s"$root/idx").numBands shouldBe 4
     } finally delete(root)
   }
 
