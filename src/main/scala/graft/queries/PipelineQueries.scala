@@ -464,8 +464,10 @@ object PipelineQueries {
   /** ✚ STREAMING corpus-growth dedup — q109's batch contract replayed
     * through a live Structured Streaming query: the corpus slice
     * (doc_id < 250) is indexed, the batch slice (250–999) is written
-    * as three parquet files and streamed back one file per
-    * micro-batch, and each micro-batch runs
+    * as two parquet files and streamed back one file per
+    * micro-batch (two is the minimum that exercises cross-batch
+    * pairing; each extra micro-batch costs ~3 s of fixed
+    * load+append overhead at gate scale), and each micro-batch runs
     * [[graft.ext.LshIndex.streamingDedupBatch]] — incremental pairs
     * against the index, then fold the batch IN, so later micro-batches
     * pair against earlier ones. Across the stream every batch-touching
@@ -485,7 +487,7 @@ object PipelineQueries {
       shingleWidth = 1, numHashes = 24, numBands = 3)
     val batchDir = s"$root/batches"
     docs.filter(col("doc_id") >= 250).select(col("doc_id"), col("text"))
-      .repartition(3).write.parquet(batchDir)
+      .repartition(2).write.parquet(batchDir)
     val outDir = s"$root/pairs"
     val q = spark.readStream
       .schema(spark.read.parquet(batchDir).schema)
