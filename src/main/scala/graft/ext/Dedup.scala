@@ -462,9 +462,14 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // union totals for the batch's buckets only: semi-filter the
         // stored counts by the batch's bucket keys (map-side — the
-        // batch side broadcasts), then join tiny-vs-tiny
+        // batch side broadcasts), then join tiny-vs-tiny. The stored
+        // frame is DELTA rows (append-only: possibly several rows per
+        // bucket, negative rows allowed — the replay view uses them),
+        // so the semi-filtered slice aggregates to one total per key
         val oldForBatch = corpusBuckets
           .join(hinted(newCounts.select(keyCols: _*)), keys, "left_semi")
+          .groupBy(keyCols: _*)
+          .agg(sum(col("bucket_n")).as("bucket_n"))
         val dropped = newCounts.join(oldForBatch, keys, "left")
           .withColumn("total",
             col("n_new") + coalesce(col("bucket_n"), lit(0L)))

@@ -44,9 +44,14 @@ import org.apache.spark.sql.functions._
 object LshIndex {
 
   /** Bumped on layout changes; [[load]] rejects indexes written by a
-    * different layout rather than misreading them.
+    * different layout rather than misreading them. v2: the counts
+    * frame is append-only DELTA rows — possibly several (and, in a
+    * replay view, negative) rows per bucket, summed by readers — so
+    * [[append]] is O(batch) instead of rewriting the counts frame
+    * per fold-in. (v1's aggregated rows are a valid v2 state, but a
+    * v1 READER would fan out on delta rows, hence the bump.)
     */
-  val FormatVersion = 1
+  val FormatVersion = 2
 
   final case class Index(base: DataFrame, banded: DataFrame,
                          buckets: DataFrame,
@@ -224,34 +229,56 @@ object LshIndex {
   /** The append transaction over ALREADY-banded frames — shared by
     * [[append]] and the streaming fold-in (which bands each
     * micro-batch exactly once for BOTH the pair run and this append).
+    *
+    * O(batch) BY LAYOUT: all three frames append — the counts frame
+    * is delta rows (format v2; readers sum per bucket), so folding a
+    * batch in never reads or rewrites anything corpus-sized. The
+    * pre-v2 layout merged + rewrote the full counts frame here, an
+    * O(distinct buckets) read+write per micro-batch that would
+    * dominate a stream against a large corpus; [[compactBuckets]] is
+    * the explicit maintenance face that bounds delta growth.
     */
   private def appendFrames(spark: SparkSession, path: String,
                            base: DataFrame, banded: DataFrame,
                            meta: Meta, batchMarker: Option[Long]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"$path/_lsh_meta.json"), false)
-    // merged counts FIRST (reads the old buckets frame) into a temp
-    // dir, swapped in after — overwriting a parquet dir that the
-    // writing plan is also reading is not safe
-    val mergedTmp = s"$path/buckets.parquet.tmp"
-    fs.delete(new Path(mergedTmp), true) // clear a killed append's leftover
-    spark.read.parquet(s"$path/buckets.parquet")
-      .unionByName(banded.groupBy(col("band_idx"), col("band_hash"))
-        .agg(count(lit(1)).as("bucket_n")))
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(sum(col("bucket_n")).as("bucket_n"))
-      .write.mode(SaveMode.Overwrite).parquet(mergedTmp)
     base.select(col("id"), col(meta.payload))
       .write.mode(SaveMode.Append).parquet(s"$path/base.parquet")
     banded.write.mode(SaveMode.Append).parquet(s"$path/banded.parquet")
-    fs.delete(new Path(s"$path/buckets.parquet"), true)
-    require(fs.rename(new Path(mergedTmp), new Path(s"$path/buckets.parquet")),
-      s"LshIndex.append: rename of merged counts failed at $path")
+    banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .write.mode(SaveMode.Append).parquet(s"$path/buckets.parquet")
     batchMarker.foreach { id =>
       val out = fs.create(new Path(s"$path/_appended_through"), true)
       try out.write(id.toString.getBytes("UTF-8"))
       finally out.close()
     }
+    writeMeta(spark, s"$path/_lsh_meta.json", meta)
+  }
+
+  /** Aggregate the counts deltas back to one row per bucket — the
+    * explicit maintenance op for long-running streams (each append
+    * adds one delta row per batch-touched bucket; reads stay correct
+    * regardless, this just keeps the counts frame from growing
+    * unboundedly). Same tmp-write + swap + meta protocol as every
+    * other mutation: a killed compaction leaves an index that refuses
+    * to load.
+    */
+  def compactBuckets(spark: SparkSession, path: String): Unit = {
+    val meta = readMeta(spark, s"$path/_lsh_meta.json")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$path/buckets.parquet.tmp"
+    fs.delete(new Path(tmp), true) // clear a killed compaction's leftover
+    fs.delete(new Path(s"$path/_lsh_meta.json"), false)
+    spark.read.parquet(s"$path/buckets.parquet")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sum(col("bucket_n")).as("bucket_n"))
+      .filter(col("bucket_n") > 0)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(new Path(s"$path/buckets.parquet"), true)
+    require(fs.rename(new Path(tmp), new Path(s"$path/buckets.parquet")),
+      s"LshIndex.compactBuckets: rename failed at $path")
     writeMeta(spark, s"$path/_lsh_meta.json", meta)
   }
 
@@ -335,17 +362,16 @@ object LshIndex {
           if (!alreadyFolded) index
           else {
             val ids = broadcast(bBase.select(col("id")))
-            val bCounts = bBanded.groupBy(keyCols: _*)
-              .agg(count(lit(1)).as("n_b"))
+            // the counts frame is delta rows (summed by readers), so
+            // the batch's contribution subtracts as a NEGATIVE delta —
+            // no join, no rewrite, exact by the marker's
+            // appended-exactly-once guarantee
             index.copy(
               base = index.base.join(ids, Seq("id"), "left_anti"),
               banded = index.banded.join(ids, Seq("id"), "left_anti"),
-              buckets = index.buckets
-                .join(broadcast(bCounts), Seq("band_idx", "band_hash"), "left")
-                .select(col("band_idx"), col("band_hash"),
-                  (col("bucket_n") - coalesce(col("n_b"), lit(0L)))
-                    .as("bucket_n"))
-                .filter(col("bucket_n") > 0))
+              buckets = index.buckets.unionByName(
+                bBanded.groupBy(keyCols: _*)
+                  .agg((-count(lit(1))).as("bucket_n"))))
           }
         val (pairsLazy, caches, census) =
           Dedup.lshNearDupPairsIncrementalFromFrames(

@@ -140,8 +140,14 @@ object ScaleTrend {
   private[tools] def lshIndexFixture(spark: SparkSession, n: Long,
                                      out: String, pct: Int): String = {
     val path = lshIndexFixturePath(out, n, pct)
-    if (!new java.io.File(s"$path/_lsh_meta.json").exists())
-      buildLshIndexFixture(spark, docsFixture(spark, n, out), n, out, pct)
+    val split = n - n * pct / 100
+    // loadOrBuild, not a bare existence check: a cached index written
+    // by an older FORMAT version (e.g. pre-delta-counts v1) or other
+    // banding must rebuild, not fail the probe's load
+    graft.ext.LshIndex.loadOrBuild(spark, path,
+      spark.read.parquet(docsFixture(spark, n, out))
+        .filter(col("doc_id") < split),
+      "text", "doc_id", LshShingleWidth, LshNumHashes, LshNumBands)
     path
   }
 

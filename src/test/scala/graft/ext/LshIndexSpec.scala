@@ -116,7 +116,12 @@ class LshIndexSpec extends SparkSpec {
         df.collect().map(_.toString).sorted.toSeq
       dump(a.base) shouldBe dump(b.base)
       dump(a.banded) shouldBe dump(b.banded)
-      dump(a.buckets) shouldBe dump(b.buckets)
+      // counts are delta rows (append adds one row per touched
+      // bucket); equality holds at the per-bucket TOTALS readers sum
+      def totals(df: DataFrame): Seq[String] = dump(
+        df.groupBy(col("band_idx"), col("band_hash"))
+          .agg(sum(col("bucket_n")).as("bucket_n")))
+      totals(a.buckets) shouldBe totals(b.buckets)
       // and the appended index serves the NEXT batch identically
       val next = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
       rows(LshIndex.incrementalPairs(a, next, "text", threshold = 0.5)._1)
@@ -278,6 +283,30 @@ class LshIndexSpec extends SparkSpec {
       LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
         shingleWidth = 1, numHashes = 8, numBands = 2)
       LshIndex.appendedThrough(spark, s"$root/idx") shouldBe -1L
+    } finally delete(root)
+  }
+
+  test("compactBuckets folds deltas to one row per bucket; reads unchanged") {
+    val root = tmp()
+    try {
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      LshIndex.append(spark, s"$root/idx", batch, "text")
+      val before = LshIndex.incrementalPairs(
+        LshIndex.load(spark, s"$root/idx"),
+        docs.filter(col("doc_id") >= 60 && col("doc_id") < 70),
+        "text", threshold = 0.5, maxBucketSize = 5)
+      LshIndex.compactBuckets(spark, s"$root/idx")
+      val idx = LshIndex.load(spark, s"$root/idx")
+      // one row per bucket after compaction
+      idx.buckets.groupBy(col("band_idx"), col("band_hash"))
+        .count().filter(col("count") > 1).count() shouldBe 0L
+      // and a CAP-ACTIVE read over the compacted counts is unchanged
+      val after = LshIndex.incrementalPairs(idx,
+        docs.filter(col("doc_id") >= 60 && col("doc_id") < 70),
+        "text", threshold = 0.5, maxBucketSize = 5)
+      after._2 shouldBe before._2
+      rows(after._1) shouldBe rows(before._1)
     } finally delete(root)
   }
 
