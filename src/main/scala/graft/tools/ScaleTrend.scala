@@ -329,8 +329,11 @@ object ScaleTrend {
       incSplit(n)
     }
     def lshIncShape(path: String, n: Long): Long = {
+      // through the ensure face, not a bare load: a shape-filtered
+      // `lshinc`-only run must (re)build a missing or older-format
+      // cached index instead of failing the probe
       val idx = graft.ext.LshIndex.load(spark,
-        lshIndexFixturePath(out, n, incBatchPct))
+        lshIndexFixture(spark, n, out, incBatchPct))
       graft.ext.LshIndex.incrementalPairs(idx,
         spark.read.parquet(path).filter(col("doc_id") >= incSplit(n)),
         "text", threshold = 0.0, maxBucketSize = cap)._1.count()
