@@ -103,6 +103,41 @@ class StreamPlanSpec extends SparkSpec {
     }
   }
 
+  test("q110 streaming dedup: ZERO state operators — state lives in the index") {
+    // the q110 operator's whole claim is STATELESS streaming: dedup
+    // progress is the on-disk LshIndex, not the state store, so a
+    // stateful op appearing here (an accidental dropDuplicates or agg
+    // on the stream side) means unbounded state snuck back in
+    val root = java.nio.file.Files.createTempDirectory("graft_splan110_").toString
+    try {
+      val docs = graft.Tables(spark, sf, "documents").filter(col("doc_id") < 60)
+      graft.ext.LshIndex.build(spark, s"$root/idx",
+        docs.filter(col("doc_id") < 40), "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val batchDir = s"$root/b"
+      docs.filter(col("doc_id") >= 40).select(col("doc_id"), col("text"))
+        .repartition(2).write.parquet(batchDir)
+      var batches = 0
+      val q = spark.readStream
+        .schema(spark.read.parquet(batchDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(batchDir)
+        .writeStream
+        .foreachBatch(graft.ext.LshIndex.streamingDedupBatch(
+          spark, s"$root/idx", "text", threshold = 0.5)(
+          (_, _) => batches += 1))
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      batches should be >= 2
+      val progresses = q.recentProgress.toSeq
+      progresses should not be empty
+      progresses.foreach(p => p.stateOperators.toSeq shouldBe empty)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("the StreamProbe override key still reroutes the gates' partition pin") {
     withConfs(EventStream.StreamPartitionsOverrideKey -> "4") {
       EventStream.withShufflePartitions(spark, 8) {
