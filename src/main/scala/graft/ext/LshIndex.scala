@@ -94,11 +94,11 @@ object LshIndex {
     try {
       // meta deleted first: a killed rewrite leaves the index
       // incomplete (no meta), never old-meta-over-new-frames. A
-      // leftover counts-merge temp dir from a killed append is also
-      // cleared — rebuild is append's documented recovery path, so
-      // build owns that cleanup — and so is the streaming replay
-      // marker: a REBUILT index contains none of the streamed batches,
-      // so a stale marker would make a restarted stream silently skip
+      // leftover temp dir from a killed compactBuckets is also
+      // cleared — rebuild is the documented recovery path, so build
+      // owns that cleanup — and so is the streaming replay marker: a
+      // REBUILT index contains none of the streamed batches, so a
+      // stale marker would make a restarted stream silently skip
       // folding them back in (their cross-batch pairs lost forever)
       fs.delete(new Path(s"$path/_lsh_meta.json"), false)
       fs.delete(new Path(s"$path/buckets.parquet.tmp"), true)
@@ -171,6 +171,26 @@ object LshIndex {
     load(spark, path)
   }
 
+  /** True iff a COMPLETE index of THIS format with EXACTLY these
+    * params exists at `path` — [[loadOrBuild]]'s cache-hit predicate
+    * without the load, for callers (measurement fixtures) that must
+    * not pay a load outside their timed region. Says nothing about
+    * newer-version indexes (false for them too); the
+    * clobber-protection decision belongs to the mutating caller.
+    */
+  def isCompatible(spark: SparkSession, path: String,
+                   idCol: String = "doc_id",
+                   shingleWidth: Int = 1, numHashes: Int = 24,
+                   numBands: Int = 3,
+                   verifyOn: Dedup.VerifyOn = Dedup.VerifyOn.HashSets): Boolean = {
+    val metaPath = new Path(s"$path/_lsh_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(metaPath) &&
+      parseMeta(readMetaText(spark, metaPath.toString)).contains(
+        Meta(FormatVersion, idCol, shingleWidth, numHashes, numBands,
+          Dedup.payloadColumn(verifyOn)))
+  }
+
   /** Near-dup pairs involving ≥ 1 document of `newDf`, against the
     * loaded index — banding params and verify payload come from the
     * index meta, so a batch can never be shingled differently from the
@@ -190,17 +210,18 @@ object LshIndex {
       index.shingleWidth, index.numHashes, index.numBands,
       threshold, maxBucketSize, index.verifyOn)
 
-  /** Fold a batch into the index: append its base/banded rows and merge
-    * its bucket counts, under the same banding params (read from the
+  /** Fold a batch into the index: append its base/banded rows and its
+    * bucket-count DELTAS, under the same banding params (read from the
     * meta — a mismatched append is structurally impossible). After
     * append, [[load]] + [[incrementalPairs]] behave as if the index had
-    * been [[build]]t over corpus ∪ batch (spec-pinned frame equality).
+    * been [[build]]t over corpus ∪ batch (spec-pinned: frame equality
+    * for base/banded, per-bucket-total equality for counts).
     *
     * Crash-safety: the meta is deleted before any mutation and
-    * rewritten only after all three frames are consistent; the merged
-    * counts are written to a temp dir and swapped in, so the old
-    * counts are still readable while the merge computes. A killed
-    * append leaves an index that refuses to load — rebuild it.
+    * rewritten only after all three frames are consistent; every write
+    * in between is a pure O(batch) append (format v2 — nothing
+    * corpus-sized is read or rewritten). A killed append leaves an
+    * index that refuses to load — rebuild it.
     *
     * `batchMarker` (the streaming fold-in's exactly-once handle): the
     * id is recorded in `_appended_through` INSIDE the append
@@ -261,21 +282,33 @@ object LshIndex {
     * explicit maintenance op for long-running streams (each append
     * adds one delta row per batch-touched bucket; reads stay correct
     * regardless, this just keeps the counts frame from growing
-    * unboundedly). Same tmp-write + swap + meta protocol as every
-    * other mutation: a killed compaction leaves an index that refuses
-    * to load.
+    * unboundedly).
+    *
+    * QUIESCE FIRST: run between streams/batches, not against a live
+    * reader — the swap removes the old counts files, so an in-flight
+    * plan that listed them can fail mid-job. The aggregation runs
+    * BEFORE the meta is touched (old index stays fully readable for
+    * the whole Spark job); the refuse-to-load window is only the
+    * final delete + swap + meta rewrite, and a kill inside it leaves
+    * an index that refuses to load — rebuild it.
     */
   def compactBuckets(spark: SparkSession, path: String): Unit = {
     val meta = readMeta(spark, s"$path/_lsh_meta.json")
+    // same asymmetric version guard as append/loadOrBuild: rewriting a
+    // NEWER layout's counts with this build's semantics — and then
+    // re-stamping the newer meta over it — would be silent corruption
+    require(meta.version == FormatVersion,
+      s"LshIndex at $path has format version ${meta.version}; " +
+        s"this build compacts $FormatVersion")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = s"$path/buckets.parquet.tmp"
     fs.delete(new Path(tmp), true) // clear a killed compaction's leftover
-    fs.delete(new Path(s"$path/_lsh_meta.json"), false)
     spark.read.parquet(s"$path/buckets.parquet")
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sum(col("bucket_n")).as("bucket_n"))
       .filter(col("bucket_n") > 0)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(new Path(s"$path/_lsh_meta.json"), false)
     fs.delete(new Path(s"$path/buckets.parquet"), true)
     require(fs.rename(new Path(tmp), new Path(s"$path/buckets.parquet")),
       s"LshIndex.compactBuckets: rename failed at $path")

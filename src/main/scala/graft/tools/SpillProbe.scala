@@ -225,7 +225,7 @@ object SpillProbe {
 
     def runInc(): (Double, Long, Int, Long, Long, Long, Long) = {
       val idxPath = ScaleTrend.lshIndexFixture(spark, docsN, out, 1)
-      val split = docsN - docsN / 100
+      val split = ScaleTrend.incSplitFor(docsN, 1)
       val batch = docs.filter(org.apache.spark.sql.functions.col("doc_id") >= split)
       org.apache.spark.sql.graftbridge.Bridge
         .waitListenerBusEmpty(spark.sparkContext)
