@@ -1,0 +1,166 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared sidecar-file protocol of the persisted index family
+  * ([[LshIndex]], [[SrpIndex]], [[IvfIndex]]): the append marker and
+  * the writer lease. One definition, so the three indexes cannot
+  * drift on the two contracts that make concurrent/retrying writers
+  * safe:
+  *
+  * '''Append marker''' (`_appended_through`): two lines — the highest
+  * batch id folded in, and the WRITER IDENTITY that folded it (a
+  * streaming query id, or [[ManualWriter]] for batch-API callers).
+  * Identity is what makes the replay check sound: a marker only means
+  * "batch id N is already in the index" to the SAME writer whose
+  * batch numbering produced N. A restarted stream with a FRESH
+  * checkpoint restarts batch ids at 0 while the old marker holds the
+  * dead stream's high id — without the identity check every new batch
+  * would be silently misclassified as a replay (never folded in,
+  * cross-batch pairs lost, negative count deltas subtracted for docs
+  * not in the index). With it, the mismatch is a hard error naming
+  * the fix (rebuild the index, or resume the original checkpoint).
+  *
+  * Marker writes are MONOTONIC per identity: [[writeMarker]] records
+  * `max(existing, new)`, so an out-of-order manual
+  * `append(batchMarker = ...)` can never regress the marker and make
+  * an already-folded batch look un-folded (a retry would then
+  * double-append it — duplicate rows, inflated bucket counts).
+  *
+  * '''Writer lease''' (`_writer_lock`): best-effort single-writer
+  * guard over index mutation. The index family's crash-safety
+  * protocol (meta deleted first, rewritten last) makes a KILLED
+  * writer safe, but two CONCURRENT writers interleaving meta deletes
+  * can both "succeed" and leave frames from two different transactions
+  * behind one meta. [[withWriterLease]] makes the second writer fail
+  * loudly instead: create-exclusive lock file, age-based takeover (a
+  * crashed writer's stale lock must not brick the index forever),
+  * released in `finally`. Best-effort BY DESIGN — HDFS/local rename
+  * and create-exclusive are atomic, object stores may be weaker; the
+  * lease narrows the race to the takeover window rather than claiming
+  * distributed-lock semantics it cannot have on every filesystem.
+  */
+private[graft] object IndexFiles {
+
+  /** Identity recorded by batch-API callers (no streaming query). */
+  val ManualWriter = "manual"
+
+  /** Lock older than this is presumed crashed and taken over. */
+  val DefaultLeaseStaleMs: Long = 30L * 60 * 1000
+
+  private def fsFor(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markerPath(dir: String) = new Path(s"$dir/_appended_through")
+  private def lockPath(dir: String) = new Path(s"$dir/_writer_lock")
+
+  /** (highest folded batch id, writer identity), or None if no marked
+    * append ever completed. A one-line legacy marker (pre-identity
+    * layout) reads as [[ManualWriter]]. A corrupt marker is an
+    * incomplete index — loud error, rebuild.
+    */
+  def readMarker(spark: SparkSession, dir: String): Option[(Long, String)] = {
+    val p = markerPath(dir)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n", -1)
+      val id = lines.head.trim.toLongOption.getOrElse(sys.error(
+        s"index at $dir: _appended_through is corrupt " +
+          s"('${lines.head.trim}') — the index is incomplete; rebuild it"))
+      val writer = lines.drop(1).map(_.trim).find(_.nonEmpty)
+        .getOrElse(ManualWriter)
+      Some((id, writer))
+    }
+  }
+
+  /** The highest batch id folded in; −1 if none. */
+  def appendedThrough(spark: SparkSession, dir: String): Long =
+    readMarker(spark, dir).map(_._1).getOrElse(-1L)
+
+  /** Pre-flight identity check for a marked append — run BEFORE the
+    * mutation transaction opens, so a mismatch is a clean refusal, not
+    * a mid-transaction abort that leaves the index incomplete. Folding
+    * marked batches from two different writers into one index makes
+    * the replay check meaningless for both (their batch numberings are
+    * unrelated), so the second writer must rebuild or adopt the
+    * first's checkpoint, never silently mix.
+    */
+  def requireWriter(spark: SparkSession, dir: String, writer: String): Unit =
+    readMarker(spark, dir).foreach { case (_, prevWriter) =>
+      require(prevWriter == writer,
+        s"index at $dir: _appended_through was written by '$prevWriter' " +
+          s"but this append carries identity '$writer' — batch ids from " +
+          "different writers are unrelated, so the replay check would " +
+          "misclassify batches; rebuild the index (or resume the " +
+          "original stream's checkpoint)")
+    }
+
+  /** Record a fold-in: `max(existing, batchId)` under `writer`'s
+    * identity ([[requireWriter]] re-checked here as defense — callers
+    * must have run it pre-transaction).
+    */
+  def writeMarker(spark: SparkSession, dir: String, batchId: Long,
+                  writer: String): Unit = {
+    requireWriter(spark, dir, writer)
+    val id = math.max(
+      readMarker(spark, dir).map(_._1).getOrElse(Long.MinValue), batchId)
+    val p = markerPath(dir)
+    val out = fsFor(spark, p).create(p, true)
+    try out.write(s"$id\n$writer".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def deleteMarker(spark: SparkSession, dir: String): Unit = {
+    val p = markerPath(dir)
+    fsFor(spark, p).delete(p, false)
+  }
+
+  /** Run `body` holding the index's writer lease. A live concurrent
+    * writer (lock younger than `staleMs`) fails loudly; a crashed
+    * writer's stale lock is taken over. The lease is released in
+    * `finally` — including when `body` throws, because the index
+    * protocol already handles a failed mutation (no meta → refuses to
+    * load → rebuild), and a lock surviving the failure would only
+    * delay that recovery by `staleMs`.
+    */
+  def withWriterLease[T](spark: SparkSession, dir: String, op: String,
+                         staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
+    val p = lockPath(dir)
+    val fs = fsFor(spark, p)
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(p, false) // create-exclusive: fails if present
+        try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val ageMs =
+        try {
+          val in = fs.open(p)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          text.toLongOption.map(System.currentTimeMillis() - _)
+        } catch { case _: java.io.IOException => None } // raced: lock released
+      val stale = ageMs.forall(_ > staleMs) // unreadable/vanished ⇒ retry
+      require(stale,
+        s"$op at $dir: another writer holds _writer_lock " +
+          s"(age ${ageMs.getOrElse(-1L)} ms < stale threshold $staleMs ms) — " +
+          "index mutation is single-writer; wait for it to finish, or " +
+          "delete the lock if you know the writer is dead")
+      fs.delete(p, false)
+      require(tryAcquire(),
+        s"$op at $dir: lost the takeover race for _writer_lock to another " +
+          "writer — retry once the winner finishes")
+    }
+    try body
+    finally fs.delete(p, false)
+  }
+}

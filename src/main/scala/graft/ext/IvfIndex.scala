@@ -64,31 +64,33 @@ object IvfIndex {
           "representable in the index meta; rename the column before saving")
     }
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // overwrite crash-safety: drop the OLD meta before touching the
-    // parquet dirs, so a save killed mid-rewrite leaves the index
-    // marked incomplete (no meta) instead of an old meta pointing at
-    // half-overwritten frames. The append marker goes too — a rebuilt
-    // index contains none of the marked batches, and a stale marker
-    // would tell a retrying caller their batch is already in
-    fs.delete(new Path(s"$path/_ivf_meta.json"), false)
-    fs.delete(new Path(s"$path/_appended_through"), false)
-    centroids
-      .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
-    assignments match {
-      case Some(a) =>
-        a.select(col(idCol), col(vecCol), col("centroid_id"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$path/assignments.parquet")
-      case None =>
-        // an earlier save at this path may have written assignments —
-        // the corpus-sized artifact; without this delete it would be
-        // silently retained forever (the new meta says hasAssignments
-        // = false, so nothing would ever read OR remove it)
-        fs.delete(new Path(s"$path/assignments.parquet"), true)
+    IndexFiles.withWriterLease(spark, path, "IvfIndex.save") {
+      // overwrite crash-safety: drop the OLD meta before touching the
+      // parquet dirs, so a save killed mid-rewrite leaves the index
+      // marked incomplete (no meta) instead of an old meta pointing at
+      // half-overwritten frames. The append marker goes too — a rebuilt
+      // index contains none of the marked batches, and a stale marker
+      // would tell a retrying caller their batch is already in
+      fs.delete(new Path(s"$path/_ivf_meta.json"), false)
+      IndexFiles.deleteMarker(spark, path)
+      centroids
+        .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
+      assignments match {
+        case Some(a) =>
+          a.select(col(idCol), col(vecCol), col("centroid_id"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$path/assignments.parquet")
+        case None =>
+          // an earlier save at this path may have written assignments —
+          // the corpus-sized artifact; without this delete it would be
+          // silently retained forever (the new meta says hasAssignments
+          // = false, so nothing would ever read OR remove it)
+          fs.delete(new Path(s"$path/assignments.parquet"), true)
+      }
+      // meta last: its presence marks the index complete
+      writeMeta(spark, s"$path/_ivf_meta.json",
+        Meta(FormatVersion, idCol, vecCol, assignments.nonEmpty))
     }
-    // meta last: its presence marks the index complete
-    writeMeta(spark, s"$path/_ivf_meta.json",
-      Meta(FormatVersion, idCol, vecCol, assignments.nonEmpty))
   }
 
   /** Load a saved index. Fails with an explicit message on a missing /
@@ -185,38 +187,31 @@ object IvfIndex {
     require(meta0.hasAssignments,
       s"IvfIndex at $path was saved without assignments — append has " +
         "nothing to fold into; rebuild with save(..., assignments = Some(...))")
+    // identity pre-flight BEFORE the transaction: a mismatch must be a
+    // clean refusal, not a mid-transaction abort that leaves no meta
+    batchMarker.foreach(_ =>
+      IndexFiles.requireWriter(spark, path, IndexFiles.ManualWriter))
     val centroids = spark.read.parquet(s"$path/centroids.parquet")
     val assigned = Similarity.assignToCentroids(
       newVectors, centroids, meta0.idCol, meta0.vecCol)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(s"$path/_ivf_meta.json"), false)
-    assigned.select(col(meta0.idCol), col(meta0.vecCol), col("centroid_id"))
-      .write.mode(SaveMode.Append).parquet(s"$path/assignments.parquet")
-    batchMarker.foreach { id =>
-      val out = fs.create(new Path(s"$path/_appended_through"), true)
-      try out.write(id.toString.getBytes("UTF-8"))
-      finally out.close()
+    IndexFiles.withWriterLease(spark, path, "IvfIndex.append") {
+      fs.delete(new Path(s"$path/_ivf_meta.json"), false)
+      assigned.select(col(meta0.idCol), col(meta0.vecCol), col("centroid_id"))
+        .write.mode(SaveMode.Append).parquet(s"$path/assignments.parquet")
+      batchMarker.foreach(id =>
+        IndexFiles.writeMarker(spark, path, id, IndexFiles.ManualWriter))
+      writeMeta(spark, s"$path/_ivf_meta.json", meta0)
     }
-    writeMeta(spark, s"$path/_ivf_meta.json", meta0)
   }
 
   /** The highest batch id folded in via `append(..., batchMarker)`;
-    * −1 if no marked append ever completed.
+    * −1 if no marked append ever completed. [[IndexFiles]] marker
+    * semantics: monotonic (out-of-order ids never regress it),
+    * identity-checked on write.
     */
-  def appendedThrough(spark: SparkSession, path: String): Long = {
-    val p = new Path(s"$path/_appended_through")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      text.toLongOption.getOrElse(sys.error(
-        s"IvfIndex at $path: _appended_through is corrupt ('$text') — " +
-          "the index is incomplete; rebuild it"))
-    }
-  }
+  def appendedThrough(spark: SparkSession, path: String): Long =
+    IndexFiles.appendedThrough(spark, path)
 
   /** Search a loaded index: [[Similarity.ivfKnnPreassigned]] when
     * assignments were saved, otherwise assign `corpus` on the fly

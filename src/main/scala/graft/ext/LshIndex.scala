@@ -91,18 +91,18 @@ object LshIndex {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (base, banded) = Dedup.bandedFrame(df, textCol, idCol,
       shingleWidth, numHashes, numBands, verifyOn)
-    try {
+    try IndexFiles.withWriterLease(spark, path, "LshIndex.build") {
       // meta deleted first: a killed rewrite leaves the index
       // incomplete (no meta), never old-meta-over-new-frames. A
-      // leftover temp dir from a killed compactBuckets is also
+      // leftover temp dir from a killed compaction is also
       // cleared — rebuild is the documented recovery path, so build
       // owns that cleanup — and so is the streaming replay marker: a
       // REBUILT index contains none of the streamed batches, so a
       // stale marker would make a restarted stream silently skip
       // folding them back in (their cross-batch pairs lost forever)
       fs.delete(new Path(s"$path/_lsh_meta.json"), false)
-      fs.delete(new Path(s"$path/buckets.parquet.tmp"), true)
-      fs.delete(new Path(s"$path/_appended_through"), false)
+      Frames.foreach(f => fs.delete(new Path(s"$path/$f.tmp"), true))
+      IndexFiles.deleteMarker(spark, path)
       base.select(col("id"), col(payloadCol(verifyOn)))
         .write.mode(SaveMode.Overwrite).parquet(s"$path/base.parquet")
       banded.write.mode(SaveMode.Overwrite).parquet(s"$path/banded.parquet")
@@ -117,6 +117,9 @@ object LshIndex {
       banded.unpersist()
     }
   }
+
+  /** The three persisted frame directories, in swap order. */
+  private val Frames = Seq("base.parquet", "banded.parquet", "buckets.parquet")
 
   /** Load a built index. Fails with an explicit message on a missing /
     * incomplete index or a format-version mismatch.
@@ -229,7 +232,10 @@ object LshIndex {
     * window where the append completed but the marker is missing: a
     * crash before the meta write leaves an incomplete index (loud
     * rebuild), never a silently re-appendable one. [[appendedThrough]]
-    * reads the marker back.
+    * reads the marker back. Marker semantics are [[IndexFiles]]'s:
+    * monotonic (`max(existing, new)` — out-of-order ids never regress
+    * it) and identity-checked (a batch-API marker cannot silently mix
+    * with a streaming query's marker — the ids would be unrelated).
     */
   def append(spark: SparkSession, path: String, df: DataFrame,
              textCol: String, batchMarker: Option[Long] = None): Unit = {
@@ -237,11 +243,17 @@ object LshIndex {
     require(meta.version == FormatVersion,
       s"LshIndex at $path has format version ${meta.version}; " +
         s"this build writes $FormatVersion")
+    // identity pre-flight BEFORE the transaction: a mismatch must be a
+    // clean refusal, not a mid-transaction abort that leaves no meta
+    batchMarker.foreach(_ =>
+      IndexFiles.requireWriter(spark, path, IndexFiles.ManualWriter))
     val (base, banded) = Dedup.bandedFrame(df, textCol, meta.idCol,
       meta.shingleWidth, meta.numHashes, meta.numBands,
       payloadVerifyOn(meta.payload))
-    try appendFrames(spark, path, base, banded, meta, batchMarker)
-    finally {
+    try IndexFiles.withWriterLease(spark, path, "LshIndex.append") {
+      appendFrames(spark, path, base, banded, meta, batchMarker,
+        IndexFiles.ManualWriter)
+    } finally {
       base.unpersist()
       banded.unpersist()
     }
@@ -261,7 +273,8 @@ object LshIndex {
     */
   private def appendFrames(spark: SparkSession, path: String,
                            base: DataFrame, banded: DataFrame,
-                           meta: Meta, batchMarker: Option[Long]): Unit = {
+                           meta: Meta, batchMarker: Option[Long],
+                           writer: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(s"$path/_lsh_meta.json"), false)
     base.select(col("id"), col(meta.payload))
@@ -270,19 +283,91 @@ object LshIndex {
     banded.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("bucket_n"))
       .write.mode(SaveMode.Append).parquet(s"$path/buckets.parquet")
-    batchMarker.foreach { id =>
-      val out = fs.create(new Path(s"$path/_appended_through"), true)
-      try out.write(id.toString.getBytes("UTF-8"))
-      finally out.close()
-    }
+    batchMarker.foreach(id => IndexFiles.writeMarker(spark, path, id, writer))
     writeMeta(spark, s"$path/_lsh_meta.json", meta)
+  }
+
+  /** What [[compactFrames]] did — footer-verified numbers for the two
+    * row-preserving rewrites (base, banded — [[graft.ops.Compaction.Report]]
+    * enforces row parity), plus the counts frame's file/row shrink
+    * (its ROWS change by design: deltas aggregate to one per bucket,
+    * so parity there is per-bucket-total equality, spec-pinned).
+    */
+  final case class FramesReport(base: graft.ops.Compaction.Report,
+                                banded: graft.ops.Compaction.Report,
+                                bucketFilesBefore: Int, bucketFilesAfter: Int,
+                                bucketRowsBefore: Long, bucketRowsAfter: Long)
+
+  /** Bound the per-append SMALL-FILE growth of all three frames — the
+    * physical-maintenance face for long-running streams. Every
+    * [[append]]/streaming fold-in writes one new small parquet file
+    * set into base/banded/buckets, and [[load]] re-lists all three
+    * dirs per micro-batch: after thousands of fold-ins, listing +
+    * parquet footer reads dominate the O(batch) incremental win
+    * (measured — BASELINE.md §"Index file maintenance": load+pair
+    * wall at 8 M docs grows with append count and compaction restores
+    * the fresh-build cost). This rewrites each frame to
+    * ~`targetFileBytes` files via the [[graft.ops.Compaction]]
+    * footer-verified discipline (base/banded: row-parity-checked
+    * rewrite; buckets: delta rows aggregated to one per bucket, like
+    * [[compactBuckets]], then size-bounded).
+    *
+    * QUIESCE FIRST (same contract as [[compactBuckets]]): run between
+    * streams/batches, not against a live reader — the swap removes
+    * the old frame files, so an in-flight plan that listed them can
+    * fail mid-job. All heavy work (three rewrites into `.tmp` dirs)
+    * runs BEFORE the meta is touched; the refuse-to-load window is
+    * only the final delete + three renames + meta rewrite, and a kill
+    * inside it leaves an index that refuses to load — rebuild it. The
+    * append marker is NOT touched: compaction changes layout, never
+    * which batches are folded in.
+    */
+  def compactFrames(spark: SparkSession, path: String,
+                    targetFileBytes: Long = 128L * 1024 * 1024): FramesReport = {
+    val meta = readMeta(spark, s"$path/_lsh_meta.json")
+    // same asymmetric version guard as compactBuckets: rewriting a
+    // NEWER layout's frames with this build's reader — then re-stamping
+    // the newer meta over the result — would be silent corruption
+    require(meta.version == FormatVersion,
+      s"LshIndex at $path has format version ${meta.version}; " +
+        s"this build compacts $FormatVersion")
+    IndexFiles.withWriterLease(spark, path, "LshIndex.compactFrames") {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Frames.foreach(f => fs.delete(new Path(s"$path/$f.tmp"), true))
+      val baseR = graft.ops.Compaction.compactTo(spark,
+        s"$path/base.parquet", s"$path/base.parquet.tmp", targetFileBytes)
+      val bandedR = graft.ops.Compaction.compactTo(spark,
+        s"$path/banded.parquet", s"$path/banded.parquet.tmp", targetFileBytes)
+      val (bFiles, _, bRows, bBytes) =
+        graft.ops.Compaction.census(spark, s"$path/buckets.parquet")
+      val nOut = math.max(1L,
+        (bBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      spark.read.parquet(s"$path/buckets.parquet")
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sum(col("bucket_n")).as("bucket_n"))
+        .filter(col("bucket_n") > 0)
+        .coalesce(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/buckets.parquet.tmp")
+      val (bFilesAfter, _, bRowsAfter, _) =
+        graft.ops.Compaction.census(spark, s"$path/buckets.parquet.tmp")
+      fs.delete(new Path(s"$path/_lsh_meta.json"), false)
+      Frames.foreach { f =>
+        fs.delete(new Path(s"$path/$f"), true)
+        require(fs.rename(new Path(s"$path/$f.tmp"), new Path(s"$path/$f")),
+          s"LshIndex.compactFrames: rename failed for $f at $path")
+      }
+      writeMeta(spark, s"$path/_lsh_meta.json", meta)
+      FramesReport(baseR, bandedR, bFiles, bFilesAfter, bRows, bRowsAfter)
+    }
   }
 
   /** Aggregate the counts deltas back to one row per bucket — the
     * explicit maintenance op for long-running streams (each append
     * adds one delta row per batch-touched bucket; reads stay correct
     * regardless, this just keeps the counts frame from growing
-    * unboundedly).
+    * unboundedly). [[compactFrames]] is the full face (also bounds
+    * every frame's FILE count); this one stays for counts-only
+    * maintenance, which skips the two corpus-frame rewrites.
     *
     * QUIESCE FIRST: run between streams/batches, not against a live
     * reader — the swap removes the old counts files, so an in-flight
@@ -300,39 +385,30 @@ object LshIndex {
     require(meta.version == FormatVersion,
       s"LshIndex at $path has format version ${meta.version}; " +
         s"this build compacts $FormatVersion")
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = s"$path/buckets.parquet.tmp"
-    fs.delete(new Path(tmp), true) // clear a killed compaction's leftover
-    spark.read.parquet(s"$path/buckets.parquet")
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(sum(col("bucket_n")).as("bucket_n"))
-      .filter(col("bucket_n") > 0)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(new Path(s"$path/_lsh_meta.json"), false)
-    fs.delete(new Path(s"$path/buckets.parquet"), true)
-    require(fs.rename(new Path(tmp), new Path(s"$path/buckets.parquet")),
-      s"LshIndex.compactBuckets: rename failed at $path")
-    writeMeta(spark, s"$path/_lsh_meta.json", meta)
+    IndexFiles.withWriterLease(spark, path, "LshIndex.compactBuckets") {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = s"$path/buckets.parquet.tmp"
+      fs.delete(new Path(tmp), true) // clear a killed compaction's leftover
+      spark.read.parquet(s"$path/buckets.parquet")
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sum(col("bucket_n")).as("bucket_n"))
+        .filter(col("bucket_n") > 0)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      fs.delete(new Path(s"$path/_lsh_meta.json"), false)
+      fs.delete(new Path(s"$path/buckets.parquet"), true)
+      require(fs.rename(new Path(tmp), new Path(s"$path/buckets.parquet")),
+        s"LshIndex.compactBuckets: rename failed at $path")
+      writeMeta(spark, s"$path/_lsh_meta.json", meta)
+    }
   }
 
   /** The highest batch id folded in via `append(..., batchMarker)`;
     * −1 if no marked append ever completed. The streaming fold-in's
-    * replay check.
+    * replay check ([[IndexFiles.readMarker]] carries the writer
+    * identity the check additionally requires).
     */
-  def appendedThrough(spark: SparkSession, path: String): Long = {
-    val p = new Path(s"$path/_appended_through")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      text.toLongOption.getOrElse(sys.error(
-        s"LshIndex at $path: _appended_through is corrupt ('$text') — " +
-          "the index is incomplete; rebuild it"))
-    }
-  }
+  def appendedThrough(spark: SparkSession, path: String): Long =
+    IndexFiles.appendedThrough(spark, path)
 
   /** Streaming corpus-growth dedup: the `foreachBatch` body that runs
     * each arriving micro-batch of documents through
@@ -356,7 +432,15 @@ object LshIndex {
     * it was folded in exactly once) before re-running the pair plan;
     * without the subtraction the batch would pair against itself
     * through both the index and the batch side, emitting duplicated
-    * and cap-distorted rows. Spec-pinned (LshIndexSpec replay test).
+    * and cap-distorted rows. Spec-pinned (LshIndexSpec replay test;
+    * StreamIncLshRestartSpec drives it cross-session through a real
+    * checkpoint). The replay check is IDENTITY-SCOPED: the marker
+    * records which streaming query (or batch caller) folded batches
+    * in, and a different identity — a fresh/changed checkpoint whose
+    * batch ids restart at 0, so comparing against the dead stream's
+    * high marker would misclassify every new batch — is a hard error,
+    * never a silent misclassification (index and checkpoint are
+    * created and deleted together, or the index is rebuilt).
     *
     * Each micro-batch is banded ONCE — the same persisted frames feed
     * the pair run and the fold-in append.
@@ -386,7 +470,29 @@ object LshIndex {
       // would pair this batch against a stale corpus
       val index = load(spark, path)
       val meta = readMeta(spark, s"$path/_lsh_meta.json")
-      val alreadyFolded = batchId <= appendedThrough(spark, path)
+      // writer identity = the streaming query id (stable across
+      // restarts WITH the same checkpoint — it is recorded in the
+      // checkpoint's metadata file — and fresh with a fresh one);
+      // direct-driven callers (no streaming thread) are "manual"
+      val writerId = Option(spark.sparkContext
+          .getLocalProperty("sql.streaming.queryId"))
+        .getOrElse(IndexFiles.ManualWriter)
+      val marker = IndexFiles.readMarker(spark, path)
+      // the replay check is only sound against OUR OWN marker: a fresh
+      // checkpoint restarts batch ids at 0 while a dead stream's
+      // marker holds its high id — comparing across identities would
+      // silently misclassify every new batch as a replay (never folded
+      // in, cross-batch pairs lost, counts distorted by subtractions
+      // for docs not in the index). Hard error instead.
+      marker.foreach { case (_, w) =>
+        require(w == writerId,
+          s"LshIndex at $path was folded into by writer '$w' but this " +
+            s"stream is '$writerId' — their batch numberings are " +
+            "unrelated, so resuming would misclassify batches; rebuild " +
+            "the index, or restart from the original checkpoint " +
+            "(index and checkpoint must be created/deleted together)")
+      }
+      val alreadyFolded = marker.exists(_._1 >= batchId)
       val (bBase, bBanded) = Dedup.bandedFrame(batch, textCol, index.idCol,
         index.shingleWidth, index.numHashes, index.numBands, index.verifyOn)
       try {
@@ -416,7 +522,10 @@ object LshIndex {
         onCensus(census, batchId)
         onPairs(pairs, batchId)
         if (appendBatches && !alreadyFolded)
-          appendFrames(spark, path, bBase, bBanded, meta, Some(batchId))
+          IndexFiles.withWriterLease(spark, path, "LshIndex streaming fold-in") {
+            appendFrames(spark, path, bBase, bBanded, meta, Some(batchId),
+              writerId)
+          }
       } finally {
         bBase.unpersist()
         bBanded.unpersist()

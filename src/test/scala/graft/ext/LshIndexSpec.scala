@@ -310,6 +310,56 @@ class LshIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("compactFrames bounds every frame's file count; reads identical pre/post") {
+    val root = tmp()
+    try {
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      // many tiny fold-ins: each append writes a fresh small file set
+      // into all three frames — the growth compactFrames exists to bound
+      (0 until 6).foreach { i =>
+        LshIndex.append(spark, s"$root/idx",
+          docs.filter(col("doc_id") >= Split + i * 2
+            && col("doc_id") < Split + i * 2 + 2), "text",
+          batchMarker = Some(i.toLong))
+      }
+      def files(frame: String): Int = {
+        val dir = new java.io.File(s"$root/idx/$frame")
+        dir.listFiles().count(f => f.isFile && !f.getName.startsWith(".")
+          && !f.getName.startsWith("_"))
+      }
+      val next = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+      val before = LshIndex.incrementalPairs(
+        LshIndex.load(spark, s"$root/idx"), next, "text",
+        threshold = 0.5, maxBucketSize = 5)
+      val filesBefore = Frames.map(files)
+      filesBefore.foreach(_ should be > 6) // growth actually happened
+      val report = LshIndex.compactFrames(spark, s"$root/idx")
+      // every frame collapsed to the byte-sized file count (tiny here)
+      Frames.map(files) shouldBe Seq(1, 1, 1)
+      report.base.filesAfter shouldBe 1
+      report.banded.filesAfter shouldBe 1
+      report.bucketFilesAfter shouldBe 1
+      report.bucketRowsAfter should be < report.bucketRowsBefore
+      // a CAP-ACTIVE read over the compacted frames is unchanged
+      val idx = LshIndex.load(spark, s"$root/idx")
+      val after = LshIndex.incrementalPairs(idx, next, "text",
+        threshold = 0.5, maxBucketSize = 5)
+      after._2 shouldBe before._2
+      rows(after._1) shouldBe rows(before._1)
+      // the replay marker survives: compaction changes layout, never
+      // which batches are folded in
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 5L
+      // and the compacted index still accepts appends
+      LshIndex.append(spark, s"$root/idx",
+        docs.filter(col("doc_id") >= 70 && col("doc_id") < 72), "text",
+        batchMarker = Some(6L))
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 6L
+    } finally delete(root)
+  }
+
+  private val Frames = Seq("base.parquet", "banded.parquet", "buckets.parquet")
+
   test("loadOrBuild: cache hit on matching params, rebuild on a param change") {
     val root = tmp()
     try {
