@@ -437,81 +437,14 @@ object Dedup {
       newBase: DataFrame, newBanded: DataFrame,
       threshold: Double, maxBucketSize: Int,
       verifyOn: VerifyOn): (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
-    val keys = Seq("band_idx", "band_hash")
-    val keyCols = keys.map(col)
-    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // one batch-side action up front: materializes the banded cache
-    // (both the counts and the candidate join re-read it) and sizes
-    // the EXPLICIT broadcast hints below. Hinting beats trusting the
-    // adaptive threshold — at production scale the batch banded frame
-    // can sit just past the AQE auto-broadcast cutoff, and a silent
-    // fallback to a sort-merge join would shuffle the CORPUS banded
-    // frame, the exact cost this operator exists to avoid. Past
-    // MaxBroadcastKeys banded rows the hint is omitted (a genuinely
-    // huge batch cannot broadcast; Spark then picks the shuffle plan,
-    // and the right call is a rebuild — see the SURVEY §9 row).
-    val batchBandedRows = newBanded.count()
-    def hinted(df: DataFrame): DataFrame =
-      if (batchBandedRows <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
-    val (census, cappedNew, cappedCorpus) =
-      if (maxBucketSize == Int.MaxValue)
-        (LshSkew.CapCensus.none(maxBucketSize), newBanded, corpusBanded)
-      else {
-        val newCounts = newBanded.groupBy(keyCols: _*)
-          .agg(count(lit(1)).as("n_new"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // union totals for the batch's buckets only: semi-filter the
-        // stored counts by the batch's bucket keys (map-side — the
-        // batch side broadcasts), then join tiny-vs-tiny. The stored
-        // frame is DELTA rows (append-only: possibly several rows per
-        // bucket, negative rows allowed — the replay view uses them),
-        // so the semi-filtered slice aggregates to one total per key
-        val oldForBatch = corpusBuckets
-          .join(hinted(newCounts.select(keyCols: _*)), keys, "left_semi")
-          .groupBy(keyCols: _*)
-          .agg(sum(col("bucket_n")).as("bucket_n"))
-        val dropped = newCounts.join(oldForBatch, keys, "left")
-          .withColumn("total",
-            col("n_new") + coalesce(col("bucket_n"), lit(0L)))
-          .filter(col("total") > maxBucketSize)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val censusRow = dropped
-          .agg(count(lit(1)), coalesce(sum(col("total")), lit(0L))).head()
-        val census = LshSkew.CapCensus(
-          censusRow.getLong(0), censusRow.getLong(1), maxBucketSize)
-        if (!census.anyDropped) {
-          // the common healthy path: neither counts frame is part of
-          // the pair plan — release both NOW rather than pinning two
-          // dead caches through the candidate join + verify (the same
-          // immediate-release discipline as LshSkew.capBuckets)
-          dropped.unpersist()
-          newCounts.unpersist()
-          (census, newBanded, corpusBanded)
-        } else {
-          caches += newCounts
-          caches += dropped
-          val guardKeys = dropped.select(keyCols: _*)
-          val guard =
-            if (census.droppedBuckets <= LshSkew.MaxBroadcastKeys)
-              broadcast(guardKeys)
-            else guardKeys
-          (census,
-            newBanded.join(guard, keys, "left_anti"),
-            corpusBanded.join(guard, keys, "left_anti"))
-        }
-      }
-    // every pair with ≥ 1 batch member meets in a bucket as
-    // (batch row, union row): join the batch side against
-    // corpus ∪ batch and canonicalize — batch-batch pairs arrive
-    // twice (once per orientation) and collapse in the dedup
-    val n = cappedNew.select(keyCols :+ col("id").as("id_n"): _*)
-    val u = cappedCorpus.select(keyCols :+ col("id").as("id_u"): _*)
-      .unionByName(cappedNew.select(keyCols :+ col("id").as("id_u"): _*))
-    val candidates = u.join(hinted(n), keys)
-      .filter(col("id_u") =!= col("id_n"))
-      .select(least(col("id_u"), col("id_n")).as("id_a"),
-              greatest(col("id_u"), col("id_n")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    // candidate generation + union-bucket capping live in the shared
+    // key-generic [[LshIncremental.candidates]] (one definition with
+    // the SRP embedding path) — see its scaladoc for the per-stage
+    // scale argument (stored-counts capping, size-guarded batch-side
+    // broadcast, corpus frames consumed map-side)
+    val (candidates, caches, census) = LshIncremental.candidates(
+      corpusBanded, corpusBuckets, newBanded,
+      Seq("band_idx", "band_hash"), maxBucketSize)
     val payload = payloadColumn(verifyOn)
     val unionBase = corpusBase.select(col("id"), col(payload))
       .unionByName(newBase.select(col("id"), col(payload)))

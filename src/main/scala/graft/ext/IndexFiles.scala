@@ -121,6 +121,28 @@ private[graft] object IndexFiles {
     fsFor(spark, p).delete(p, false)
   }
 
+  /** Small-sidecar text IO shared by the index metas (hand-rolled flat
+    * JSON, no library dependency): overwrite-create on write; on read,
+    * a MISSING file is the caller's "incomplete index" message (the
+    * meta-last protocol's completeness marker doing its job).
+    */
+  def writeTextFile(spark: SparkSession, path: String, text: String): Unit = {
+    val p = new Path(path)
+    val out = fsFor(spark, p).create(p, true)
+    try out.write(text.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readTextFile(spark: SparkSession, path: String,
+                   missingMsg: => String): String = {
+    val p = new Path(path)
+    val fs = fsFor(spark, p)
+    require(fs.exists(p), missingMsg)
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   /** Run `body` holding the index's writer lease. A live concurrent
     * writer (lock younger than `staleMs`) fails loudly; a crashed
     * writer's stale lock is taken over. The lease is released in

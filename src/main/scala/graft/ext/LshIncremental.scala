@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ONE incremental-LSH candidate plan, generic over the bucket
+  * key columns — the MinHash text path ([[Dedup]], keys
+  * `(band_idx, band_hash)`) and the SRP embedding path
+  * ([[Similarity]], keys `(band_idx, bucket)`) produce their
+  * batch-vs-corpus candidates through this single definition, so the
+  * two paths' identical-output-and-plan-shape contracts (the
+  * [[LshIndex]]/[[SrpIndex]] scale arguments) are structural rather
+  * than copy-kept — the same sharing discipline as
+  * [[Dedup.lshNearDupPairsStagedWithStats]]'s verify stage.
+  *
+  * Semantics: candidate id pairs involving ≥ 1 member of the batch,
+  * under union-bucket capping computed from the STORED per-bucket
+  * counts + the batch's own counts (never from re-counting corpus
+  * rows). Equals the full self-join over corpus ∪ batch (same cap)
+  * restricted to pairs with ≥ 1 batch id — a full-run pair (x, y)
+  * survives iff x, y share a capped bucket of the union, and every
+  * union bucket containing a batch row is reproduced here.
+  *
+  * The 100 TB shape (per stage):
+  *  - capping touches counts only for buckets the batch touches (a
+  *    bucket with no batch row cannot produce a batch pair, dropped
+  *    or not) — one map-side semi-filtered scan of the counts frame,
+  *    no corpus-side shuffle; the stored frame is DELTA rows
+  *    (append-only, negative rows allowed — the streaming replay view
+  *    uses them), summed per key after the semi-filter;
+  *  - the candidate join streams the corpus banded frame once against
+  *    the batch side (EXPLICIT size-guarded broadcast hint —
+  *    plan-pinned in LshIndexSpec). Hinting beats trusting the
+  *    adaptive threshold: at production scale the batch banded frame
+  *    can sit just past the AQE auto-broadcast cutoff, and a silent
+  *    fallback to a sort-merge join would shuffle the CORPUS banded
+  *    frame, the exact cost the incremental path exists to avoid.
+  *    Past [[LshSkew.MaxBroadcastKeys]] banded rows the hint is
+  *    omitted (a genuinely huge batch cannot broadcast; Spark then
+  *    picks the shuffle plan, and the right call is a rebuild).
+  *
+  * Returned census covers the buckets the BATCH touches (the only
+  * ones that can affect this batch's pairs); the caches are this
+  * plan's internal intermediates, owned by the caller.
+  */
+private[graft] object LshIncremental {
+
+  def candidates(corpusBanded: DataFrame, corpusBuckets: DataFrame,
+                 newBanded: DataFrame, keys: Seq[String],
+                 maxBucketSize: Int)
+      : (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
+    val keyCols = keys.map(col)
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // one batch-side action up front: materializes the banded cache
+    // (both the counts and the candidate join re-read it) and sizes
+    // the explicit broadcast hints below
+    val batchBandedRows = newBanded.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (batchBandedRows <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
+    val (census, cappedNew, cappedCorpus) =
+      if (maxBucketSize == Int.MaxValue)
+        (LshSkew.CapCensus.none(maxBucketSize), newBanded, corpusBanded)
+      else {
+        val newCounts = newBanded.groupBy(keyCols: _*)
+          .agg(count(lit(1)).as("n_new"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // union totals for the batch's buckets only: semi-filter the
+        // stored counts by the batch's bucket keys (map-side — the
+        // batch side broadcasts), then join tiny-vs-tiny
+        val oldForBatch = corpusBuckets
+          .join(hinted(newCounts.select(keyCols: _*)), keys, "left_semi")
+          .groupBy(keyCols: _*)
+          .agg(sum(col("bucket_n")).as("bucket_n"))
+        val dropped = newCounts.join(oldForBatch, keys, "left")
+          .withColumn("total",
+            col("n_new") + coalesce(col("bucket_n"), lit(0L)))
+          .filter(col("total") > maxBucketSize)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val censusRow = dropped
+          .agg(count(lit(1)), coalesce(sum(col("total")), lit(0L))).head()
+        val census = LshSkew.CapCensus(
+          censusRow.getLong(0), censusRow.getLong(1), maxBucketSize)
+        if (!census.anyDropped) {
+          // the common healthy path: neither counts frame is part of
+          // the pair plan — release both NOW rather than pinning two
+          // dead caches through the candidate join + verify (the same
+          // immediate-release discipline as LshSkew.capBuckets)
+          dropped.unpersist()
+          newCounts.unpersist()
+          (census, newBanded, corpusBanded)
+        } else {
+          caches += newCounts
+          caches += dropped
+          val guardKeys = dropped.select(keyCols: _*)
+          val guard =
+            if (census.droppedBuckets <= LshSkew.MaxBroadcastKeys)
+              broadcast(guardKeys)
+            else guardKeys
+          (census,
+            newBanded.join(guard, keys, "left_anti"),
+            corpusBanded.join(guard, keys, "left_anti"))
+        }
+      }
+    // every pair with ≥ 1 batch member meets in a bucket as
+    // (batch row, union row): join the batch side against
+    // corpus ∪ batch and canonicalize — batch-batch pairs arrive
+    // twice (once per orientation) and collapse in the dedup
+    val n = cappedNew.select(keyCols :+ col("id").as("id_n"): _*)
+    val u = cappedCorpus.select(keyCols :+ col("id").as("id_u"): _*)
+      .unionByName(cappedNew.select(keyCols :+ col("id").as("id_u"): _*))
+    val candidates = u.join(hinted(n), keys)
+      .filter(col("id_u") =!= col("id_n"))
+      .select(least(col("id_u"), col("id_n")).as("id_a"),
+              greatest(col("id_u"), col("id_n")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    (candidates, caches.toSeq, census)
+  }
+}

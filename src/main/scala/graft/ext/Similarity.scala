@@ -329,4 +329,58 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
     (pairs, bucketed +: guardCaches, census)
   }
+
+  /** The SRP analog of [[Dedup.bandedFrame]]: (base, banded) where
+    * base = (id, v array<double>) — the verify payload per vector —
+    * and banded = (id, band_idx, bucket), both persisted (the counts,
+    * the candidate join, and both verify joins re-reference them).
+    * Callers own the unpersist. Values are BIT-IDENTICAL to the full
+    * [[srpNearDupPairsLazy]] path's by construction: same
+    * [[srpBuckets]] planes (deterministic md5 derivation), same
+    * exact float→double cast — which is what lets [[SrpIndex]] prove
+    * incremental ≡ full-recompute-restricted with a hash equality.
+    */
+  private[graft] def srpFrames(df: DataFrame, idCol: String, vecCol: String,
+                               numBands: Int, planesPerBand: Int,
+                               dims: Int): (DataFrame, DataFrame) = {
+    val base = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base
+      .select(col("id"), posexplode(
+        srpBuckets(col("v"), numBands, planesPerBand, dims))
+        .as(Seq("band_idx", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (base, banded)
+  }
+
+  /** Incremental SRP near-dup over ALREADY-banded batch frames against
+    * persisted corpus frames (the [[SrpIndex]] layout) — the embedding
+    * twin of [[Dedup.lshNearDupPairsIncrementalFromFrames]], sharing
+    * its candidate machinery ([[LshIncremental.candidates]]: stored-
+    * counts union capping, size-guarded batch-side broadcast, corpus
+    * frames consumed map-side) with only the verify step differing:
+    * exact cosine over the stored double vectors instead of Jaccard
+    * over shingle-hash sets. The verify joins stay UN-hinted for the
+    * same reason as the text path's — candidate volume is runtime-
+    * data-dependent, so AQE is the safe broadcaster there.
+    */
+  private[graft] def srpNearDupPairsIncrementalFromFrames(
+      corpusBase: DataFrame, corpusBanded: DataFrame, corpusBuckets: DataFrame,
+      newBase: DataFrame, newBanded: DataFrame,
+      threshold: Double, maxBucketSize: Int)
+      : (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
+    val (candidates, caches, census) = LshIncremental.candidates(
+      corpusBanded, corpusBuckets, newBanded,
+      Seq("band_idx", "bucket"), maxBucketSize)
+    val unionBase = corpusBase.select(col("id"), col("v"))
+      .unionByName(newBase.select(col("id"), col("v")))
+    val pairs = candidates
+      .join(unionBase.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(unionBase.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    (pairs, caches, census)
+  }
 }

@@ -1,0 +1,349 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted SRP-LSH embedding index — [[LshIndex]]'s twin for the
+  * EMBEDDING near-dup path ([[Similarity.srpNearDupPairs]]): at corpus
+  * scale the expensive passes are the numBands×planesPerBand
+  * dot-product battery and the sign-bucket self-join, so the
+  * bucket-derived frames are built ONCE, persisted to parquet, and
+  * every arriving vector batch runs [[incrementalPairs]] against them
+  * — O(batch) work plus map-side corpus-frame scans, no corpus
+  * re-projection, no corpus×corpus pair regeneration. [[append]] folds
+  * the batch in so the next batch sees it as corpus. Same
+  * compute-once-reload contract as the S8 parquet cache
+  * (`processors/_impl/plotting_impl.py:126-147`,
+  * [[graft.sinks.Exporters.cached]]), same three-frame artifact and
+  * crash-safety protocol as [[LshIndex]] (meta written LAST, deleted
+  * FIRST on any mutation), same marker/lease discipline
+  * ([[IndexFiles]]):
+  *
+  * {{{
+  *   <path>/_srp_meta.json     format version + banding params
+  *   <path>/base.parquet       (id, v array<double>)  — verify payload
+  *   <path>/banded.parquet     (id, band_idx, bucket)
+  *   <path>/buckets.parquet    (band_idx, bucket, bucket_n) — DELTA rows
+  * }}}
+  *
+  * The hyperplanes are NOT persisted: [[Similarity.srpPlanes]] derives
+  * them deterministically from (numBands, planesPerBand, dims) via
+  * md5, so the meta's params fully determine the projection — a batch
+  * can never be bucketed with different planes than the corpus it is
+  * compared to (the same enforced-from-meta contract as LshIndex's
+  * banding params).
+  *
+  * Caller contract: vector ids unique across the corpus and every
+  * batch (the index never re-checks); `buckets.parquet` is append-only
+  * delta rows summed by readers, so [[append]] is O(batch) — bound the
+  * per-append small-file growth with [[compactFrames]].
+  */
+object SrpIndex {
+
+  /** Bumped on layout changes; [[load]] rejects indexes written by a
+    * different layout rather than misreading them. v1 is the
+    * delta-counts layout from the start (LshIndex's v2 lesson baked
+    * in: a per-append counts rewrite is O(corpus) per fold-in).
+    */
+  val FormatVersion = 1
+
+  final case class Index(base: DataFrame, banded: DataFrame,
+                         buckets: DataFrame,
+                         idCol: String, numBands: Int, planesPerBand: Int,
+                         dims: Int)
+
+  private final case class Meta(version: Int, idCol: String,
+                                numBands: Int, planesPerBand: Int, dims: Int)
+
+  private val Frames = Seq("base.parquet", "banded.parquet", "buckets.parquet")
+
+  /** Build (or overwrite) the index at `path` from `df`'s `vecCol`.
+    * One corpus pass: project → sign buckets → band explode, then the
+    * three frames written; the self-join is NOT run — corpus-internal
+    * pairs are the build-time caller's business
+    * ([[Similarity.srpNearDupPairs]] over the same frame).
+    */
+  def build(spark: SparkSession, path: String, df: DataFrame,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            numBands: Int = 4, planesPerBand: Int = 8, dims: Int = 64): Unit = {
+    require(!idCol.exists(c => c == '"' || c == '\\'),
+      s"SrpIndex.build: idCol '$idCol' contains a quote/backslash — not " +
+        "representable in the index meta; rename the column before building")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (base, banded) = Similarity.srpFrames(df, idCol, vecCol,
+      numBands, planesPerBand, dims)
+    try IndexFiles.withWriterLease(spark, path, "SrpIndex.build") {
+      // meta deleted first; leftover tmp dirs and the replay marker
+      // cleared — same rebuild-owns-recovery contract as LshIndex.build
+      fs.delete(new Path(s"$path/_srp_meta.json"), false)
+      Frames.foreach(f => fs.delete(new Path(s"$path/$f.tmp"), true))
+      IndexFiles.deleteMarker(spark, path)
+      base.write.mode(SaveMode.Overwrite).parquet(s"$path/base.parquet")
+      banded.write.mode(SaveMode.Overwrite).parquet(s"$path/banded.parquet")
+      banded.groupBy(col("band_idx"), col("bucket"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/buckets.parquet")
+      writeMeta(spark, path,
+        Meta(FormatVersion, idCol, numBands, planesPerBand, dims))
+    } finally {
+      base.unpersist()
+      banded.unpersist()
+    }
+  }
+
+  /** Load a built index. Fails with an explicit message on a missing /
+    * incomplete index or a format-version mismatch.
+    */
+  def load(spark: SparkSession, path: String): Index = {
+    val meta = readMeta(spark, path)
+    require(meta.version == FormatVersion,
+      s"SrpIndex at $path has format version ${meta.version}; " +
+        s"this build reads $FormatVersion")
+    Index(
+      spark.read.parquet(s"$path/base.parquet"),
+      spark.read.parquet(s"$path/banded.parquet"),
+      spark.read.parquet(s"$path/buckets.parquet"),
+      meta.idCol, meta.numBands, meta.planesPerBand, meta.dims)
+  }
+
+  /** True iff a COMPLETE index of THIS format with EXACTLY these
+    * params exists at `path` — the cache-hit predicate without the
+    * load (measurement fixtures must not pay a load outside their
+    * timed region; same contract as [[LshIndex.isCompatible]]).
+    */
+  def isCompatible(spark: SparkSession, path: String,
+                   idCol: String = "vec_id",
+                   numBands: Int = 4, planesPerBand: Int = 8,
+                   dims: Int = 64): Boolean = {
+    val metaPath = new Path(s"$path/_srp_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(metaPath) && parseMeta(IndexFiles.readTextFile(spark,
+        metaPath.toString, "unreachable: existence checked"))
+      .contains(Meta(FormatVersion, idCol, numBands, planesPerBand, dims))
+  }
+
+  /** Near-dup pairs involving ≥ 1 vector of `newDf`, against the
+    * loaded index — banding params come from the index meta, so a
+    * batch can never be projected differently from the corpus it is
+    * compared to. Returns (pairs, census); output equals the full
+    * [[Similarity.srpNearDupPairs]] over corpus ∪ batch restricted to
+    * pairs with ≥ 1 batch id (same threshold and cap) — the q111 gate
+    * proves the equality against the full-recompute oracle.
+    */
+  def incrementalPairs(index: Index, newDf: DataFrame,
+                       vecCol: String = "embedding",
+                       threshold: Double = 0.9,
+                       maxBucketSize: Int = LshSkew.DefaultMaxBucketSize)
+      : (DataFrame, LshSkew.CapCensus) = {
+    val (newBase, newBanded) = Similarity.srpFrames(newDf, index.idCol,
+      vecCol, index.numBands, index.planesPerBand, index.dims)
+    try {
+      val (pairsLazy, caches, census) =
+        Similarity.srpNearDupPairsIncrementalFromFrames(
+          index.base, index.banded, index.buckets, newBase, newBanded,
+          threshold, maxBucketSize)
+      val pairs =
+        try pairsLazy.localCheckpoint(true)
+        finally caches.foreach(_.unpersist())
+      (pairs, census)
+    } finally {
+      newBase.unpersist()
+      newBanded.unpersist()
+    }
+  }
+
+  /** Fold a batch into the index: append its base/banded rows and its
+    * bucket-count DELTAS under the meta's params. After append,
+    * [[load]] + [[incrementalPairs]] behave as if the index had been
+    * [[build]]t over corpus ∪ batch (spec-pinned, the LshIndex
+    * contract). Marker semantics are [[IndexFiles]]'s: monotonic,
+    * identity-checked, recorded inside the transaction.
+    */
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             vecCol: String = "embedding",
+             batchMarker: Option[Long] = None): Unit = {
+    val meta = readMeta(spark, path)
+    require(meta.version == FormatVersion,
+      s"SrpIndex at $path has format version ${meta.version}; " +
+        s"this build writes $FormatVersion")
+    batchMarker.foreach(_ =>
+      IndexFiles.requireWriter(spark, path, IndexFiles.ManualWriter))
+    val (base, banded) = Similarity.srpFrames(df, meta.idCol, vecCol,
+      meta.numBands, meta.planesPerBand, meta.dims)
+    try IndexFiles.withWriterLease(spark, path, "SrpIndex.append") {
+      appendFrames(spark, path, base, banded, meta, batchMarker,
+        IndexFiles.ManualWriter)
+    } finally {
+      base.unpersist()
+      banded.unpersist()
+    }
+  }
+
+  /** The append transaction over ALREADY-banded frames — O(batch) BY
+    * LAYOUT (all three frames append; counts are delta rows), shared
+    * by [[append]] and the streaming fold-in.
+    */
+  private def appendFrames(spark: SparkSession, path: String,
+                           base: DataFrame, banded: DataFrame,
+                           meta: Meta, batchMarker: Option[Long],
+                           writer: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$path/_srp_meta.json"), false)
+    base.write.mode(SaveMode.Append).parquet(s"$path/base.parquet")
+    banded.write.mode(SaveMode.Append).parquet(s"$path/banded.parquet")
+    banded.groupBy(col("band_idx"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .write.mode(SaveMode.Append).parquet(s"$path/buckets.parquet")
+    batchMarker.foreach(id => IndexFiles.writeMarker(spark, path, id, writer))
+    writeMeta(spark, path, meta)
+  }
+
+  /** The highest batch id folded in via `append(..., batchMarker)`;
+    * −1 if no marked append ever completed.
+    */
+  def appendedThrough(spark: SparkSession, path: String): Long =
+    IndexFiles.appendedThrough(spark, path)
+
+  /** Bound the per-append small-file growth of all three frames —
+    * same maintenance op, swap protocol, and quiesce-first contract
+    * as [[LshIndex.compactFrames]] (base/banded: footer-verified
+    * row-parity rewrite; counts: deltas aggregated to one row per
+    * bucket, then size-bounded). Marker untouched.
+    */
+  def compactFrames(spark: SparkSession, path: String,
+                    targetFileBytes: Long = 128L * 1024 * 1024)
+      : LshIndex.FramesReport = {
+    val meta = readMeta(spark, path)
+    require(meta.version == FormatVersion,
+      s"SrpIndex at $path has format version ${meta.version}; " +
+        s"this build compacts $FormatVersion")
+    IndexFiles.withWriterLease(spark, path, "SrpIndex.compactFrames") {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Frames.foreach(f => fs.delete(new Path(s"$path/$f.tmp"), true))
+      val baseR = graft.ops.Compaction.compactTo(spark,
+        s"$path/base.parquet", s"$path/base.parquet.tmp", targetFileBytes)
+      val bandedR = graft.ops.Compaction.compactTo(spark,
+        s"$path/banded.parquet", s"$path/banded.parquet.tmp", targetFileBytes)
+      val (bFiles, _, bRows, bBytes) =
+        graft.ops.Compaction.census(spark, s"$path/buckets.parquet")
+      val nOut = math.max(1L,
+        (bBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      spark.read.parquet(s"$path/buckets.parquet")
+        .groupBy(col("band_idx"), col("bucket"))
+        .agg(sum(col("bucket_n")).as("bucket_n"))
+        .filter(col("bucket_n") > 0)
+        .coalesce(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/buckets.parquet.tmp")
+      val (bFilesAfter, _, bRowsAfter, _) =
+        graft.ops.Compaction.census(spark, s"$path/buckets.parquet.tmp")
+      fs.delete(new Path(s"$path/_srp_meta.json"), false)
+      Frames.foreach { f =>
+        fs.delete(new Path(s"$path/$f"), true)
+        require(fs.rename(new Path(s"$path/$f.tmp"), new Path(s"$path/$f")),
+          s"SrpIndex.compactFrames: rename failed for $f at $path")
+      }
+      writeMeta(spark, path, meta)
+      LshIndex.FramesReport(baseR, bandedR, bFiles, bFilesAfter,
+        bRows, bRowsAfter)
+    }
+  }
+
+  /** Streaming corpus-growth embedding dedup — the `foreachBatch` body
+    * mirroring [[LshIndex.streamingDedupBatch]] exactly: each
+    * micro-batch of vectors runs [[incrementalPairs]] against the
+    * index, hands the pairs to `onPairs`, and folds the batch in so
+    * later micro-batches pair against it. State lives in the INDEX,
+    * not the state store; replay safety is the identity-scoped marker
+    * ([[IndexFiles]]): a replayed micro-batch reconstructs the
+    * pre-append view by subtracting its own rows (negative count
+    * deltas — exact by the folded-exactly-once guarantee) and NEVER
+    * double-appends; a different stream identity (fresh/changed
+    * checkpoint) is a hard error.
+    */
+  def streamingDedupBatch(spark: SparkSession, path: String,
+                          vecCol: String = "embedding",
+                          threshold: Double = 0.9,
+                          maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
+                          appendBatches: Boolean = true,
+                          onCensus: (LshSkew.CapCensus, Long) => Unit =
+                            (_, _) => ())(
+      onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val index = load(spark, path)
+      val meta = readMeta(spark, path)
+      val writerId = Option(spark.sparkContext
+          .getLocalProperty("sql.streaming.queryId"))
+        .getOrElse(IndexFiles.ManualWriter)
+      val marker = IndexFiles.readMarker(spark, path)
+      marker.foreach { case (_, w) =>
+        require(w == writerId,
+          s"SrpIndex at $path was folded into by writer '$w' but this " +
+            s"stream is '$writerId' — their batch numberings are " +
+            "unrelated, so resuming would misclassify batches; rebuild " +
+            "the index, or restart from the original checkpoint")
+      }
+      val alreadyFolded = marker.exists(_._1 >= batchId)
+      val (bBase, bBanded) = Similarity.srpFrames(batch, index.idCol, vecCol,
+        index.numBands, index.planesPerBand, index.dims)
+      try {
+        val keyCols = Seq(col("band_idx"), col("bucket"))
+        val corpusView =
+          if (!alreadyFolded) index
+          else {
+            val ids = broadcast(bBase.select(col("id")))
+            index.copy(
+              base = index.base.join(ids, Seq("id"), "left_anti"),
+              banded = index.banded.join(ids, Seq("id"), "left_anti"),
+              buckets = index.buckets.unionByName(
+                bBanded.groupBy(keyCols: _*)
+                  .agg((-count(lit(1))).as("bucket_n"))))
+          }
+        val (pairsLazy, caches, census) =
+          Similarity.srpNearDupPairsIncrementalFromFrames(
+            corpusView.base, corpusView.banded, corpusView.buckets,
+            bBase, bBanded, threshold, maxBucketSize)
+        val pairs =
+          try pairsLazy.localCheckpoint(true)
+          finally caches.foreach(_.unpersist())
+        onCensus(census, batchId)
+        onPairs(pairs, batchId)
+        if (appendBatches && !alreadyFolded)
+          IndexFiles.withWriterLease(spark, path, "SrpIndex streaming fold-in") {
+            appendFrames(spark, path, bBase, bBanded, meta, Some(batchId),
+              writerId)
+          }
+      } finally {
+        bBase.unpersist()
+        bBanded.unpersist()
+      }
+    }
+
+  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit =
+    IndexFiles.writeTextFile(spark, s"$path/_srp_meta.json",
+      s"""{"version":${m.version},"idCol":"${m.idCol}",""" +
+        s""""numBands":${m.numBands},"planesPerBand":${m.planesPerBand},""" +
+        s""""dims":${m.dims}}""")
+
+  private def readMeta(spark: SparkSession, path: String): Meta =
+    parseMeta(IndexFiles.readTextFile(spark, s"$path/_srp_meta.json",
+      s"no SRP index at $path: missing/incomplete (no _srp_meta.json)"))
+      .getOrElse(sys.error(
+        s"SrpIndex meta at $path exists but is truncated/corrupt (killed " +
+          "writer?) — the index is incomplete; rebuild it"))
+
+  private def parseMeta(text: String): Option[Meta] = {
+    def str(k: String): Option[String] =
+      s""""$k":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
+    def num(k: String): Option[Int] =
+      s""""$k":([^,}]*)""".r.findFirstMatchIn(text)
+        .flatMap(_.group(1).toIntOption)
+    for {
+      version <- num("version")
+      idCol <- str("idCol")
+      numBands <- num("numBands")
+      planesPerBand <- num("planesPerBand")
+      dims <- num("dims")
+    } yield Meta(version, idCol, numBands, planesPerBand, dims)
+  }
+}

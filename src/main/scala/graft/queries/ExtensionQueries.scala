@@ -482,6 +482,47 @@ object ExtensionQueries {
     q30Sql.replace(anchor, "WHERE a.doc_id < b.doc_id AND b.doc_id >= 250)")
   }
 
+  /** ✚ incremental SRP embedding near-dup — q69's pipeline run through
+    * a persisted [[graft.ext.SrpIndex]] (the embedding twin of q109):
+    * build the index over the corpus slice (vec_id < 150), load it
+    * back, and dedup the NEW batch (vec_id 150–299) against it with
+    * [[graft.ext.SrpIndex.incrementalPairs]] — no corpus
+    * re-projection, no corpus-internal pair regeneration. The oracle
+    * replays the FULL q69 pipeline over the union slice restricted to
+    * pairs touching the batch (id_a < id_b, so "≥ 1 batch id" ⇔
+    * id_b ≥ 150), so the hash passes only if
+    * incremental-against-loaded-index is bit-identical to
+    * full-recompute — closing the operability asymmetry where text
+    * near-dup had a corpus-growth face (q109/q110) but embedding
+    * near-dup recomputed the corpus per run.
+    */
+  def q111IncrementalSrp(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q111_").toString
+    val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 300)
+    graft.ext.SrpIndex.build(spark, s"$root/idx",
+      e.filter(col("vec_id") < 150), "vec_id", "embedding",
+      numBands = 2, planesPerBand = 6, dims = 64)
+    val index = graft.ext.SrpIndex.load(spark, s"$root/idx")
+    val (pairs, census) = graft.ext.SrpIndex.incrementalPairs(
+      index, e.filter(col("vec_id") >= 150), threshold = 0.35)
+    require(!census.anyDropped,
+      "q111: gate fixture must not hit the bucket cap")
+    SourceQueries.materializeThenDelete(
+      pairs.orderBy(col("id_a"), col("id_b")), root)
+  }
+
+  // DERIVED from q69Sql (one shared SRP oracle pipeline — the q109 ←
+  // q30 pattern): the only difference is the batch restriction inside
+  // the cand CTE. lazy + guarded so a q69Sql edit that breaks the
+  // anchor fails loudly instead of silently shipping q69's
+  // unrestricted oracle as q111's.
+  lazy val q111Sql: String = {
+    val anchor = "AND a.vec_id < b.vec_id)"
+    require(q69Sql.contains(anchor),
+      "q111Sql: q69Sql's cand predicate moved — re-anchor the derived oracle")
+    q69Sql.replace(anchor, "AND a.vec_id < b.vec_id AND b.vec_id >= 150)")
+  }
+
   val q62Sql: String =
     """WITH c0 AS (
       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec

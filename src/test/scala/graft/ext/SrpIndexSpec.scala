@@ -1,0 +1,190 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted SRP embedding index + incremental batch dedup — the
+  * embedding twin of LshIndexSpec's contract: the incremental pair set
+  * must equal the full-recompute run restricted to batch-touching
+  * pairs (including under an active bucket cap), append must be
+  * indistinguishable from a rebuild over the union, partial writes
+  * must not load, and the streaming fold-in must reproduce replays
+  * exactly without double-appending.
+  */
+class SrpIndexSpec extends SparkSpec {
+
+  private lazy val vecs = Tables(spark, sf, "embeddings")
+
+  private val Split = 120L
+  private lazy val corpus = vecs.filter(col("vec_id") < Split)
+  private lazy val batch =
+    vecs.filter(col("vec_id") >= Split && col("vec_id") < 200)
+  private lazy val union = vecs.filter(col("vec_id") < 200)
+
+  private val Bands = 2
+  private val Planes = 4
+  private val Dims = 64
+  private val Thr = 0.3
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_srpidx_").toString
+
+  private def delete(root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.orderBy("id_a", "id_b").collect().map(_.toString).toSeq
+
+  /** Full-run pairs over the union slice, restricted to pairs with
+    * ≥ 1 batch id (ids ordered, batch is the upper range).
+    */
+  private def fullRestricted(maxBucketSize: Int): DataFrame =
+    Similarity.srpNearDupPairs(union, Thr, Bands, Planes, Dims,
+        maxBucketSize = maxBucketSize)
+      .filter(col("id_b") >= Split)
+
+  private def buildIndex(root: String): SrpIndex.Index = {
+    SrpIndex.build(spark, s"$root/idx", corpus, "vec_id", "embedding",
+      Bands, Planes, Dims)
+    SrpIndex.load(spark, s"$root/idx")
+  }
+
+  test("incremental pairs equal the full recompute restricted to the batch") {
+    val root = tmp()
+    try {
+      val index = buildIndex(root)
+      val (pairs, census) = SrpIndex.incrementalPairs(index, batch,
+        threshold = Thr)
+      census.anyDropped shouldBe false
+      val expected = rows(fullRestricted(LshSkew.DefaultMaxBucketSize))
+      expected should not be empty // a vacuous equality gates nothing
+      rows(pairs) shouldBe expected
+    } finally delete(root)
+  }
+
+  test("incremental capping reproduces the full run's union-bucket cap") {
+    val root = tmp()
+    try {
+      val index = buildIndex(root)
+      // 2 bands × 4 planes over clustered synthetic vectors crowd the
+      // sign buckets, so a small cap overflows union buckets
+      val cap = 8
+      val (pairs, census) = SrpIndex.incrementalPairs(index, batch,
+        threshold = Thr, maxBucketSize = cap)
+      census.anyDropped shouldBe true // otherwise this test gates nothing
+      rows(pairs) shouldBe rows(fullRestricted(cap))
+    } finally delete(root)
+  }
+
+  test("append is indistinguishable from a rebuild over the union") {
+    val rootA = tmp()
+    val rootB = tmp()
+    try {
+      SrpIndex.build(spark, s"$rootA/idx", corpus, "vec_id", "embedding",
+        Bands, Planes, Dims)
+      SrpIndex.append(spark, s"$rootA/idx", batch)
+      SrpIndex.build(spark, s"$rootB/idx", union, "vec_id", "embedding",
+        Bands, Planes, Dims)
+      val a = SrpIndex.load(spark, s"$rootA/idx")
+      val b = SrpIndex.load(spark, s"$rootB/idx")
+      def dump(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      dump(a.base) shouldBe dump(b.base)
+      dump(a.banded) shouldBe dump(b.banded)
+      // counts are delta rows; equality holds at per-bucket TOTALS
+      def totals(df: DataFrame): Seq[String] = dump(
+        df.groupBy(col("band_idx"), col("bucket"))
+          .agg(sum(col("bucket_n")).as("bucket_n")))
+      totals(a.buckets) shouldBe totals(b.buckets)
+      // and the appended index serves the NEXT batch identically
+      val next = vecs.filter(col("vec_id") >= 200 && col("vec_id") < 230)
+      rows(SrpIndex.incrementalPairs(a, next, threshold = Thr)._1)
+        .shouldBe(rows(SrpIndex.incrementalPairs(b, next, threshold = Thr)._1))
+    } finally { delete(rootA); delete(rootB) }
+  }
+
+  test("a partial index (no meta) refuses to load; append refuses too") {
+    val root = tmp()
+    try {
+      corpus.limit(1).write.parquet(s"$root/idx/base.parquet")
+      intercept[IllegalArgumentException] {
+        SrpIndex.load(spark, s"$root/idx")
+      }.getMessage should include("missing/incomplete")
+      intercept[IllegalArgumentException] {
+        SrpIndex.append(spark, s"$root/idx", batch)
+      }
+    } finally delete(root)
+  }
+
+  test("the batch is bucketed with the INDEX's params, not the caller's") {
+    val root = tmp()
+    try {
+      val index = buildIndex(root)
+      index.numBands shouldBe Bands
+      index.planesPerBand shouldBe Planes
+      index.dims shouldBe Dims
+      index.idCol shouldBe "vec_id"
+    } finally delete(root)
+  }
+
+  test("streaming fold-in: micro-batched pairs union equals one batch run; replay exact") {
+    val rootS = tmp()
+    val rootB = tmp()
+    try {
+      SrpIndex.build(spark, s"$rootS/idx", corpus, "vec_id", "embedding",
+        Bands, Planes, Dims)
+      val b1 = vecs.filter(col("vec_id") >= Split && col("vec_id") < 160)
+      val b2 = vecs.filter(col("vec_id") >= 160 && col("vec_id") < 200)
+      val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val body = SrpIndex.streamingDedupBatch(spark, s"$rootS/idx",
+        threshold = Thr)((pairs, _) => emissions += rows(pairs))
+      body(b1, 0L)
+      body(b2, 1L)
+      SrpIndex.appendedThrough(spark, s"$rootS/idx") shouldBe 1L
+      // one-shot reference: index over the corpus, whole batch at once
+      SrpIndex.build(spark, s"$rootB/idx", corpus, "vec_id", "embedding",
+        Bands, Planes, Dims)
+      val (whole, _) = SrpIndex.incrementalPairs(
+        SrpIndex.load(spark, s"$rootB/idx"), batch, threshold = Thr)
+      val expected = rows(whole)
+      expected should not be empty
+      emissions.flatten.sorted shouldBe expected.sorted
+      // crash-replay of batch 1: original pairs reproduced exactly
+      // (pre-append view reconstructed), index NOT double-appended
+      val bandedRows = SrpIndex.load(spark, s"$rootS/idx").banded.count()
+      body(b2, 1L)
+      emissions.size shouldBe 3
+      emissions(2) shouldBe emissions(1)
+      SrpIndex.load(spark, s"$rootS/idx").banded.count() shouldBe bandedRows
+    } finally { delete(rootS); delete(rootB) }
+  }
+
+  test("compactFrames bounds file counts; reads identical pre/post") {
+    val root = tmp()
+    try {
+      SrpIndex.build(spark, s"$root/idx", corpus, "vec_id", "embedding",
+        Bands, Planes, Dims)
+      (0 until 4).foreach { i =>
+        SrpIndex.append(spark, s"$root/idx",
+          vecs.filter(col("vec_id") >= Split + i * 20
+            && col("vec_id") < Split + i * 20 + 20))
+      }
+      val next = vecs.filter(col("vec_id") >= 200 && col("vec_id") < 230)
+      val before = SrpIndex.incrementalPairs(
+        SrpIndex.load(spark, s"$root/idx"), next,
+        threshold = Thr, maxBucketSize = 30)
+      val report = SrpIndex.compactFrames(spark, s"$root/idx")
+      report.base.filesAfter shouldBe 1
+      report.bucketRowsAfter should be < report.bucketRowsBefore
+      val after = SrpIndex.incrementalPairs(
+        SrpIndex.load(spark, s"$root/idx"), next,
+        threshold = Thr, maxBucketSize = 30)
+      after._2 shouldBe before._2
+      rows(after._1) shouldBe rows(before._1)
+    } finally delete(root)
+  }
+}
