@@ -43,8 +43,39 @@ object IvfIndex {
                          assignments: Option[DataFrame],
                          idCol: String, vecCol: String)
 
+  /** Running assignment-distance counters persisted in the meta — the
+    * cheap drift statistic behind [[driftStat]]: mean cosine distance
+    * (1 − cosine) of each vector to its assigned centroid, tracked
+    * separately for the TRAIN-TIME corpus (written once by [[save]])
+    * and for everything [[append]]ed since (each append adds its
+    * batch's count/sum — O(batch), no corpus re-scan ever). Appended
+    * vectors are assigned against FROZEN centroids, so under
+    * distribution drift their mean distance rises while the train
+    * mean stays fixed — the ratio is the retrain dial (measured decay
+    * curve: BASELINE.md §"IVF drift"; rule: SURVEY §9).
+    */
+  private[graft] final case class DriftCounters(
+      trainN: Long, trainDistSum: Double,
+      appendN: Long, appendDistSum: Double)
+
+  /** [[driftStat]]'s answer: how far the appended population sits from
+    * the frozen centroids, relative to the train-time population.
+    * `ratio` ≈ 1 means appends look like the training data (recall
+    * holds); a rising ratio means the centroids no longer describe
+    * the arriving distribution and recall is decaying silently —
+    * retrain past the measured threshold (SURVEY §9 row).
+    */
+  final case class DriftStat(trainN: Long, trainMeanDist: Double,
+                             appendedN: Long,
+                             appendedMeanDist: Option[Double],
+                             appendedFraction: Double) {
+    def ratio: Option[Double] =
+      appendedMeanDist.filter(_ => trainMeanDist > 0).map(_ / trainMeanDist)
+  }
+
   private final case class Meta(version: Int, idCol: String, vecCol: String,
-                                hasAssignments: Boolean)
+                                hasAssignments: Boolean,
+                                drift: Option[DriftCounters])
 
   /** Persist a trained index. `centroids` is the [[Similarity.kmeansTrain]]
     * output (idCol, vecCol); pass `assignments` (the
@@ -76,21 +107,46 @@ object IvfIndex {
       centroids
         .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
         .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
-      assignments match {
+      val drift = assignments match {
         case Some(a) =>
           a.select(col(idCol), col(vecCol), col("centroid_id"))
             .write.mode(SaveMode.Overwrite).parquet(s"$path/assignments.parquet")
+          // train-time drift counters, computed from the WRITTEN frame
+          // (one map-side scan with the centroids broadcast — never
+          // re-evaluates the caller's assignment plan): the baseline
+          // the append-side counters are compared against
+          Some(distCounters(spark,
+            spark.read.parquet(s"$path/assignments.parquet"),
+            spark.read.parquet(s"$path/centroids.parquet"), idCol, vecCol))
         case None =>
           // an earlier save at this path may have written assignments —
           // the corpus-sized artifact; without this delete it would be
           // silently retained forever (the new meta says hasAssignments
           // = false, so nothing would ever read OR remove it)
           fs.delete(new Path(s"$path/assignments.parquet"), true)
+          None
       }
       // meta last: its presence marks the index complete
       writeMeta(spark, s"$path/_ivf_meta.json",
-        Meta(FormatVersion, idCol, vecCol, assignments.nonEmpty))
+        Meta(FormatVersion, idCol, vecCol, assignments.nonEmpty, drift))
     }
+  }
+
+  /** (count, sum) of per-vector cosine distance (1 − cosine) to the
+    * assigned centroid — one map-side pass over `assigned`, centroids
+    * broadcast. Null cosines (zero-magnitude vectors) are excluded
+    * from both count and sum, consistently on every path.
+    */
+  private def distCounters(spark: SparkSession, assigned: DataFrame,
+                           centroids: DataFrame, idCol: String,
+                           vecCol: String): DriftCounters = {
+    val cents = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("cent_vec"))
+    val row = assigned.join(broadcast(cents), "centroid_id")
+      .select((lit(1.0) - Similarity.cosine(col(vecCol), col("cent_vec")))
+        .as("dist"))
+      .agg(count(col("dist")), coalesce(sum(col("dist")), lit(0.0))).head()
+    DriftCounters(row.getLong(0), row.getDouble(1), 0L, 0.0)
   }
 
   /** Load a saved index. Fails with an explicit message on a missing /
@@ -192,17 +248,57 @@ object IvfIndex {
     batchMarker.foreach(_ =>
       IndexFiles.requireWriter(spark, path, IndexFiles.ManualWriter))
     val centroids = spark.read.parquet(s"$path/centroids.parquet")
+    // localCheckpoint: the frame feeds both the parquet append and the
+    // drift counters — one assignment scan, not two
     val assigned = Similarity.assignToCentroids(
-      newVectors, centroids, meta0.idCol, meta0.vecCol)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    IndexFiles.withWriterLease(spark, path, "IvfIndex.append") {
-      fs.delete(new Path(s"$path/_ivf_meta.json"), false)
-      assigned.select(col(meta0.idCol), col(meta0.vecCol), col("centroid_id"))
-        .write.mode(SaveMode.Append).parquet(s"$path/assignments.parquet")
-      batchMarker.foreach(id =>
-        IndexFiles.writeMarker(spark, path, id, IndexFiles.ManualWriter))
-      writeMeta(spark, s"$path/_ivf_meta.json", meta0)
-    }
+      newVectors, centroids, meta0.idCol, meta0.vecCol).localCheckpoint(true)
+    try {
+      // fold the batch's distance counters into the running append-side
+      // totals (O(batch); the train-side baseline never moves) — only
+      // when the index has a baseline to compare against (saved with
+      // assignments by a stats-aware build)
+      val drift = meta0.drift.map { dc =>
+        val b = distCounters(spark, assigned, centroids,
+          meta0.idCol, meta0.vecCol)
+        dc.copy(appendN = dc.appendN + b.trainN,
+          appendDistSum = dc.appendDistSum + b.trainDistSum)
+      }
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      IndexFiles.withWriterLease(spark, path, "IvfIndex.append") {
+        fs.delete(new Path(s"$path/_ivf_meta.json"), false)
+        assigned.select(col(meta0.idCol), col(meta0.vecCol), col("centroid_id"))
+          .write.mode(SaveMode.Append).parquet(s"$path/assignments.parquet")
+        batchMarker.foreach(id =>
+          IndexFiles.writeMarker(spark, path, id, IndexFiles.ManualWriter))
+        writeMeta(spark, s"$path/_ivf_meta.json", meta0.copy(drift = drift))
+      }
+    } finally assigned.unpersist()
+  }
+
+  /** The drift statistic ([[DriftStat]]): how far the APPENDED
+    * population's mean assignment distance sits from the TRAIN-TIME
+    * mean — read straight from the meta's running counters, O(1), no
+    * scan of anything. The executable "when to retrain" dial:
+    * [[append]] assigns against frozen centroids, which is correct
+    * but decays recall silently under distribution drift; the
+    * measured decay curve (BASELINE.md §"IVF drift") maps this ratio
+    * to recall, and SURVEY §9 carries the threshold rule. Requires an
+    * index saved with assignments by a stats-aware build (the
+    * counters live in the meta; an older meta has none).
+    */
+  def driftStat(spark: SparkSession, path: String): DriftStat = {
+    val meta = readMeta(spark, s"$path/_ivf_meta.json")
+    val dc = meta.drift.getOrElse(sys.error(
+      s"IvfIndex at $path carries no drift counters (saved without " +
+        "assignments, or by a pre-stats build) — re-save with " +
+        "assignments to enable drift tracking"))
+    require(dc.trainN > 0,
+      s"IvfIndex at $path: drift counters exist but trainN=0 — the " +
+        "train-time corpus had no measurable vectors; retrain")
+    DriftStat(dc.trainN, dc.trainDistSum / dc.trainN,
+      dc.appendN,
+      if (dc.appendN > 0) Some(dc.appendDistSum / dc.appendN) else None,
+      dc.appendN.toDouble / (dc.trainN + dc.appendN))
   }
 
   /** The highest batch id folded in via `append(..., batchMarker)`;
@@ -234,13 +330,15 @@ object IvfIndex {
   // four fixed fields, no nesting — a JSON library dependency is not
   // warranted for this
   private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(
-      s"""{"version":${m.version},"idCol":"${m.idCol}","vecCol":"${m.vecCol}","hasAssignments":${m.hasAssignments}}"""
-        .getBytes("UTF-8"))
-    finally out.close()
+    // drift sums are serialized with toString (Scala prints doubles
+    // round-trip-exact since 2.13), so counters survive the meta
+    // rewrite cycle bit-for-bit
+    val driftFields = m.drift.map { d =>
+      s""","trainN":${d.trainN},"trainDistSum":${d.trainDistSum}""" +
+        s""","appendN":${d.appendN},"appendDistSum":${d.appendDistSum}"""
+    }.getOrElse("")
+    IndexFiles.writeTextFile(spark, path,
+      s"""{"version":${m.version},"idCol":"${m.idCol}","vecCol":"${m.vecCol}","hasAssignments":${m.hasAssignments}$driftFields}""")
   }
 
   private def readMeta(spark: SparkSession, path: String): Meta =
@@ -259,19 +357,30 @@ object IvfIndex {
     finally in.close()
   }
 
-  /** None on ANY missing/malformed field — a truncated meta is an
-    * incomplete index, distinguished from a parsed-but-newer version.
+  /** None on ANY missing/malformed REQUIRED field — a truncated meta
+    * is an incomplete index, distinguished from a parsed-but-newer
+    * version. The drift counters are OPTIONAL (additive, same format
+    * version): absent on metas written by a pre-stats build or saved
+    * without assignments — [[driftStat]] reports that explicitly. A
+    * PARTIALLY-present counter set is treated as absent rather than
+    * half-read (all four fields or none).
     */
   private def parseMeta(text: String): Option[Meta] = {
     def str(k: String): Option[String] =
       s""""$k":"([^"]*)"""".r.findFirstMatchIn(text).map(_.group(1))
     def raw(k: String): Option[String] =
       s""""$k":([^,}]*)""".r.findFirstMatchIn(text).map(_.group(1))
+    val drift = for {
+      trainN <- raw("trainN").flatMap(_.toLongOption)
+      trainDistSum <- raw("trainDistSum").flatMap(_.toDoubleOption)
+      appendN <- raw("appendN").flatMap(_.toLongOption)
+      appendDistSum <- raw("appendDistSum").flatMap(_.toDoubleOption)
+    } yield DriftCounters(trainN, trainDistSum, appendN, appendDistSum)
     for {
       version <- raw("version").flatMap(_.toIntOption)
       idCol <- str("idCol")
       vecCol <- str("vecCol")
       hasAssignments <- raw("hasAssignments").flatMap(_.toBooleanOption)
-    } yield Meta(version, idCol, vecCol, hasAssignments)
+    } yield Meta(version, idCol, vecCol, hasAssignments, drift)
   }
 }

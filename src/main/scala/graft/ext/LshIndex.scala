@@ -276,16 +276,32 @@ object LshIndex {
                            meta: Meta, batchMarker: Option[Long],
                            writer: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // size the writes to the BATCH, not to the session's partition
+    // count: un-coalesced, every fold-in writes shuffle.partitions
+    // (32) files per frame no matter how small the batch — measured
+    // (IndexMaintProbe): the dominant term of the small-file debris
+    // compactFrames exists to clean. The count reads the caller's
+    // cached frame; a micro-batch lands as ONE file per frame, a
+    // genuinely huge manual append still splits
+    val parts = math.max(1L,
+      (banded.count() + RowsPerAppendFile - 1) / RowsPerAppendFile).toInt
     fs.delete(new Path(s"$path/_lsh_meta.json"), false)
-    base.select(col("id"), col(meta.payload))
+    base.select(col("id"), col(meta.payload)).coalesce(parts)
       .write.mode(SaveMode.Append).parquet(s"$path/base.parquet")
-    banded.write.mode(SaveMode.Append).parquet(s"$path/banded.parquet")
+    banded.coalesce(parts)
+      .write.mode(SaveMode.Append).parquet(s"$path/banded.parquet")
     banded.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("bucket_n"))
+      .agg(count(lit(1)).as("bucket_n")).coalesce(parts)
       .write.mode(SaveMode.Append).parquet(s"$path/buckets.parquet")
     batchMarker.foreach(id => IndexFiles.writeMarker(spark, path, id, writer))
     writeMeta(spark, s"$path/_lsh_meta.json", meta)
   }
+
+  /** Append-write sizing: ~4 M banded rows (~100-200 MB parquet) per
+    * file — micro-batches fold in as one file per frame, bulk appends
+    * still parallelize.
+    */
+  private val RowsPerAppendFile = 4000000L
 
   /** What [[compactFrames]] did — footer-verified numbers for the two
     * row-preserving rewrites (base, banded — [[graft.ops.Compaction.Report]]

@@ -189,15 +189,27 @@ object SrpIndex {
                            meta: Meta, batchMarker: Option[Long],
                            writer: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // batch-sized writes, not partition-count-sized — the LshIndex
+    // appendFrames discipline (see its comment; measured there)
+    val parts = math.max(1L,
+      (banded.count() + RowsPerAppendFile - 1) / RowsPerAppendFile).toInt
     fs.delete(new Path(s"$path/_srp_meta.json"), false)
-    base.write.mode(SaveMode.Append).parquet(s"$path/base.parquet")
-    banded.write.mode(SaveMode.Append).parquet(s"$path/banded.parquet")
+    base.coalesce(parts)
+      .write.mode(SaveMode.Append).parquet(s"$path/base.parquet")
+    banded.coalesce(parts)
+      .write.mode(SaveMode.Append).parquet(s"$path/banded.parquet")
     banded.groupBy(col("band_idx"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
+      .agg(count(lit(1)).as("bucket_n")).coalesce(parts)
       .write.mode(SaveMode.Append).parquet(s"$path/buckets.parquet")
     batchMarker.foreach(id => IndexFiles.writeMarker(spark, path, id, writer))
     writeMeta(spark, path, meta)
   }
+
+  /** Append-write sizing — the [[LshIndex]] constant's twin: SRP
+    * banded rows are (long, int, long), so ~4 M rows per file keeps
+    * the same ~100 MB-file shape.
+    */
+  private val RowsPerAppendFile = 4000000L
 
   /** The highest batch id folded in via `append(..., batchMarker)`;
     * −1 if no marked append ever completed.

@@ -226,4 +226,66 @@ class IvfIndexSpec extends SparkSpec {
       e.getMessage should include("format version 99")
     } finally delete(root)
   }
+
+  // ---- drift statistic --------------------------------------------
+
+  /** Constructed drift fixture: corpus hugs axis e0, a second cluster
+    * hugs e1 (the two centroids), and the DRIFTED batch sits on e2 —
+    * orthogonal to every centroid, so its assignment distance is ~1
+    * regardless of which centroid wins. Deterministic by construction.
+    */
+  private def axisVecs(ids: Range, axis: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      val v = Array.fill(4)(0.0)
+      v(axis) = 1.0
+      v((axis + 1) % 4) = 0.001 * (i % 7) // tiny per-id wobble
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("driftStat: save writes the train baseline, appends fold in O(batch)") {
+    val root = tmp()
+    try {
+      val corpus = axisVecs(0 until 20, 0).union(axisVecs(20 until 40, 1))
+      val centroids = axisVecs(0 until 1, 0).union(axisVecs(1 until 2, 1))
+        .withColumn("vec_id", col("vec_id") * 1) // ids 0, 1
+      IvfIndex.save(spark, s"$root/idx", centroids,
+        Some(Similarity.assignToCentroids(corpus, centroids)))
+      val s0 = IvfIndex.driftStat(spark, s"$root/idx")
+      s0.trainN shouldBe 40L
+      s0.appendedN shouldBe 0L
+      s0.appendedMeanDist shouldBe None
+      s0.appendedFraction shouldBe 0.0
+      s0.trainMeanDist should be < 0.01 // corpus hugs its centroids
+      // an IN-DISTRIBUTION append: ratio stays ~1
+      IvfIndex.append(spark, s"$root/idx", axisVecs(100 until 120, 0))
+      val s1 = IvfIndex.driftStat(spark, s"$root/idx")
+      s1.appendedN shouldBe 20L
+      s1.appendedFraction shouldBe 20.0 / 60.0
+      s1.ratio.get should be < 3.0 // same tiny-wobble population
+      // a DRIFTED append (orthogonal cluster): the ratio explodes while
+      // the train baseline stays fixed — the silent-recall-decay signal
+      IvfIndex.append(spark, s"$root/idx", axisVecs(200 until 220, 2))
+      val s2 = IvfIndex.driftStat(spark, s"$root/idx")
+      s2.trainMeanDist shouldBe s0.trainMeanDist // baseline never moves
+      s2.appendedN shouldBe 40L
+      s2.ratio.get should be > 50.0 // e2 sits at distance ~1 from both
+      // counters survive the meta rewrite cycle exactly: re-reading
+      // agrees with what the appends folded in
+      IvfIndex.driftStat(spark, s"$root/idx") shouldBe s2
+    } finally delete(root)
+  }
+
+  test("driftStat is explicit when the index carries no counters") {
+    val root = tmp()
+    try {
+      val (centroids, _) = freshIndex()
+      IvfIndex.save(spark, s"$root/idx", centroids, None)
+      val e = intercept[RuntimeException] {
+        IvfIndex.driftStat(spark, s"$root/idx")
+      }
+      e.getMessage should include("no drift counters")
+    } finally delete(root)
+  }
 }
