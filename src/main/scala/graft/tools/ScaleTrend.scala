@@ -204,7 +204,8 @@ object ScaleTrend {
     val needLi = Seq("q1_agg", "q5_join", "q88_sketch").exists(shapeFilter)
     val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
       "lshidx_build", "lshinc", "lshfull").exists(shapeFilter)
-    val needVecs = Seq("ivf", "ivfsearch", "brute").exists(shapeFilter)
+    val needVecs = Seq("ivf", "ivfsearch", "brute",
+      "srpidx_build", "srpinc", "srpfull").exists(shapeFilter)
 
     val liBig = s"$out/lineitem_x$rep"
     if (needLi) ensure(liBig) {
@@ -351,6 +352,49 @@ object ScaleTrend {
       graft.ext.Dedup.lshNearDupPairs(spark.read.parquet(path), "text",
           "doc_id", LshShingleWidth, LshNumHashes, LshNumBands,
           threshold = 0.0, maxBucketSize = cap)
+        .filter(col("id_b") >= incSplit(n)).count()
+
+    // incremental SRP (corpus-growth embedding dedup) — the lshinc
+    // rows' embedding twin over the clustered vecs fixture, same
+    // split/pct env knob and the same capped-run posture: the
+    // clustered geometry is DEGENERATE for sign buckets by
+    // construction (a whole 125 k-vector cluster shares one sign
+    // pattern per band at 8 M), so any sane cap drops the cluster
+    // buckets and the row prices exactly what a capped production run
+    // pays — the three corpus-frame scans, the stored-counts union
+    // capping, and the guard anti-joins. Threshold −1 for the same
+    // reason lshinc uses 0: every surviving candidate passes verify,
+    // so srpinc's out-rows must MATCH srpfull's batch-restriction.
+    val srpBandsN = 4
+    val srpPlanesN = 8
+    def srpIndexFixturePath(n: Long, pct: Int): String =
+      s"$out/srpidx_${n}_p${pct}_$VecGenVersion"
+    def srpIndexFixture(n: Long, vecsPath: String): String = {
+      val path = srpIndexFixturePath(n, incBatchPct)
+      if (!graft.ext.SrpIndex.isCompatible(spark, path, "vec_id",
+          srpBandsN, srpPlanesN, VecDims))
+        graft.ext.SrpIndex.build(spark, path,
+          spark.read.parquet(vecsPath)
+            .filter(col("vec_id") < incSplit(n)),
+          "vec_id", "embedding", srpBandsN, srpPlanesN, VecDims)
+      path
+    }
+    def srpIdxBuildShape(vecsPath: String, n: Long): Long = {
+      graft.ext.SrpIndex.build(spark, srpIndexFixturePath(n, incBatchPct),
+        spark.read.parquet(vecsPath).filter(col("vec_id") < incSplit(n)),
+        "vec_id", "embedding", srpBandsN, srpPlanesN, VecDims)
+      incSplit(n)
+    }
+    def srpIncShape(vecsPath: String, n: Long): Long = {
+      val idx = graft.ext.SrpIndex.load(spark, srpIndexFixture(n, vecsPath))
+      graft.ext.SrpIndex.incrementalPairs(idx,
+        spark.read.parquet(vecsPath).filter(col("vec_id") >= incSplit(n)),
+        threshold = -1.0, maxBucketSize = cap)._1.count()
+    }
+    def srpFullShape(vecsPath: String, n: Long): Long =
+      graft.ext.Similarity.srpNearDupPairs(spark.read.parquet(vecsPath),
+          threshold = -1.0, srpBandsN, srpPlanesN, VecDims,
+          maxBucketSize = cap)
         .filter(col("id_b") >= incSplit(n)).count()
 
     def q91Shape(n: Long): Long = {
@@ -500,6 +544,12 @@ object ScaleTrend {
     run("ivfsearch", "big", docsBigN)(ivfSearchShape(vecsBig))
     run("brute", "small", docsSmallN)(bruteShape(vecsSmall))
     run("brute", "big", docsBigN)(bruteShape(vecsBig))
+    run("srpidx_build", "small", docsSmallN)(srpIdxBuildShape(vecsSmall, docsSmallN))
+    run("srpidx_build", "big", docsBigN)(srpIdxBuildShape(vecsBig, docsBigN))
+    run("srpinc", "small", docsSmallN)(srpIncShape(vecsSmall, docsSmallN))
+    run("srpinc", "big", docsBigN)(srpIncShape(vecsBig, docsBigN))
+    run("srpfull", "small", docsSmallN)(srpFullShape(vecsSmall, docsSmallN))
+    run("srpfull", "big", docsBigN)(srpFullShape(vecsBig, docsBigN))
     // recall floor at BOTH scales, from the timed runs' stashed result
     // sets — the scaling claim is (sublinear wall, recall held), not
     // wall alone; a line prints only when that shape AND brute ran

@@ -223,9 +223,9 @@ object SpillProbe {
         shufWrite.get - w0, tasks.get - t0c)
     }
 
-    def runInc(): (Double, Long, Int, Long, Long, Long, Long) = {
-      val idxPath = ScaleTrend.lshIndexFixture(spark, docsN, out, 1)
-      val split = ScaleTrend.incSplitFor(docsN, 1)
+    def runInc(pct: Int): (Double, Long, Int, Long, Long, Long, Long) = {
+      val idxPath = ScaleTrend.lshIndexFixture(spark, docsN, out, pct)
+      val split = ScaleTrend.incSplitFor(docsN, pct)
       val batch = docs.filter(org.apache.spark.sql.functions.col("doc_id") >= split)
       org.apache.spark.sql.graftbridge.Bridge
         .waitListenerBusEmpty(spark.sparkContext)
@@ -259,15 +259,23 @@ object SpillProbe {
           case "fusedoff"     => ("off", "fused")
           case "fusedhash"    => ("default", "fusedhash")
           case "fusedhashoff" => ("off", "fusedhash")
-          case "inc"          => ("default", "inc")
-          case "incoff"       => ("off", "inc")
+          // incP<pct>[off] sizes the batch fraction (default 1%):
+          // the r14 crossover seam — one 10%-batch row under the
+          // shipped HashSets verify closes the mixed-protocol gap in
+          // the rebuild-vs-incremental runbook row
+          case "inc"          => ("default", "inc1")
+          case "incoff"       => ("off", "inc1")
+          case s if s.startsWith("incP") && s.endsWith("off") =>
+            ("off", "inc" + s.stripPrefix("incP").stripSuffix("off"))
+          case s if s.startsWith("incP") =>
+            ("default", "inc" + s.stripPrefix("incP"))
           case other          => (other, "lazy")
         }
         applyVariant(confV)
         (1 to 2).foreach { i =>
           val (sec, rows, skews0, dm, dd, dw, dt) =
             if (path == "lazy") run()
-            else if (path == "inc") runInc()
+            else if (path.startsWith("inc")) runInc(path.stripPrefix("inc").toInt)
             else runEntry(path == "staged",
               if (path == "fusedhash") graft.ext.Dedup.VerifyOn.HashSets
               else graft.ext.Dedup.VerifyOn.Shingles)
