@@ -104,6 +104,8 @@ object IvfIndex {
       // would tell a retrying caller their batch is already in
       fs.delete(new Path(s"$path/_ivf_meta.json"), false)
       IndexFiles.deleteMarker(spark, path)
+      // a killed compactAssignments' leftover — rebuild owns recovery
+      fs.delete(new Path(s"$path/assignments.parquet.tmp"), true)
       centroids
         .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
         .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
@@ -308,6 +310,42 @@ object IvfIndex {
     */
   def appendedThrough(spark: SparkSession, path: String): Long =
     IndexFiles.appendedThrough(spark, path)
+
+  /** Bound the per-append small-file growth of the assignments frame
+    * — the [[LshIndex.compactFrames]] discipline applied to this
+    * index's one appendable artifact: every [[append]] writes a fresh
+    * small file set into `assignments.parquet`, and after many
+    * fold-ins listing + footer reads tax every [[search]]. The
+    * rewrite is footer-verified row-parity
+    * ([[graft.ops.Compaction.compactTo]]), swapped inside the
+    * meta-deleted-first window; centroids (small, rewritten only by
+    * [[save]]) and the marker/drift counters are untouched.
+    * QUIESCE FIRST: run between serve/append cycles, not against a
+    * live reader.
+    */
+  def compactAssignments(spark: SparkSession, path: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024)
+      : graft.ops.Compaction.Report = {
+    val meta = readMeta(spark, s"$path/_ivf_meta.json")
+    require(meta.version == FormatVersion,
+      s"IvfIndex at $path has format version ${meta.version}; " +
+        s"this build compacts $FormatVersion")
+    require(meta.hasAssignments,
+      s"IvfIndex at $path was saved without assignments — nothing to compact")
+    IndexFiles.withWriterLease(spark, path, "IvfIndex.compactAssignments") {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = s"$path/assignments.parquet.tmp"
+      fs.delete(new Path(tmp), true) // clear a killed compaction's leftover
+      val report = graft.ops.Compaction.compactTo(spark,
+        s"$path/assignments.parquet", tmp, targetFileBytes)
+      fs.delete(new Path(s"$path/_ivf_meta.json"), false)
+      fs.delete(new Path(s"$path/assignments.parquet"), true)
+      require(fs.rename(new Path(tmp), new Path(s"$path/assignments.parquet")),
+        s"IvfIndex.compactAssignments: rename failed at $path")
+      writeMeta(spark, s"$path/_ivf_meta.json", meta)
+      report
+    }
+  }
 
   /** Search a loaded index: [[Similarity.ivfKnnPreassigned]] when
     * assignments were saved, otherwise assign `corpus` on the fly

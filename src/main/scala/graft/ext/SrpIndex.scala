@@ -107,6 +107,37 @@ object SrpIndex {
       meta.idCol, meta.numBands, meta.planesPerBand, meta.dims)
   }
 
+  /** The cache-or-build face — [[LshIndex.loadOrBuild]]'s contract
+    * verbatim: load the index at `path` if complete AND its meta
+    * matches the requested params exactly, otherwise (re)build from
+    * `df` and load the fresh copy. A param mismatch is a REBUILD
+    * (banding params are the index's identity), a corrupt/truncated
+    * meta is a cache miss, an index written by a NEWER format version
+    * still throws (clobbering a newer build's artifact would be data
+    * loss, not cache maintenance).
+    */
+  def loadOrBuild(spark: SparkSession, path: String, df: => DataFrame,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  numBands: Int = 4, planesPerBand: Int = 8,
+                  dims: Int = 64): Index = {
+    val metaPath = new Path(s"$path/_srp_meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val want = Meta(FormatVersion, idCol, numBands, planesPerBand, dims)
+    val found =
+      if (!fs.exists(metaPath)) None
+      else parseMeta(IndexFiles.readTextFile(spark, metaPath.toString,
+        "unreachable: existence checked"))
+    found.foreach { m =>
+      require(m.version <= FormatVersion,
+        s"SrpIndex at $path has format version ${m.version}, newer than " +
+          s"this build's $FormatVersion — refusing to overwrite a newer " +
+          "build's index; delete it explicitly to rebuild")
+    }
+    if (!found.contains(want))
+      build(spark, path, df, idCol, vecCol, numBands, planesPerBand, dims)
+    load(spark, path)
+  }
+
   /** True iff a COMPLETE index of THIS format with EXACTLY these
     * params exists at `path` — the cache-hit predicate without the
     * load (measurement fixtures must not pay a load outside their

@@ -227,6 +227,34 @@ class IvfIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("compactAssignments bounds the appended file growth; search identical") {
+    val root = tmp()
+    try {
+      val (centroids, assigned) = freshIndex()
+      IvfIndex.save(spark, s"$root/idx", centroids, Some(assigned))
+      (0 until 4).foreach { i =>
+        IvfIndex.append(spark, s"$root/idx",
+          emb.filter(col("vec_id") % 4 === i)
+            .withColumn("vec_id", col("vec_id") + 10000 * (i + 1)))
+      }
+      def files(): Int = new java.io.File(s"$root/idx/assignments.parquet")
+        .listFiles().count(f => f.isFile && !f.getName.startsWith(".")
+          && !f.getName.startsWith("_"))
+      val before = rows(IvfIndex.search(IvfIndex.load(spark, s"$root/idx"),
+        emb.filter(col("vec_id") < 3), k = 5, nprobe = 2))
+      val filesBefore = files()
+      filesBefore should be > 4 // growth actually happened
+      val report = IvfIndex.compactAssignments(spark, s"$root/idx")
+      report.filesAfter should be < filesBefore
+      files() shouldBe report.filesAfter
+      // row-parity enforced by the Report; search equality pinned here
+      rows(IvfIndex.search(IvfIndex.load(spark, s"$root/idx"),
+        emb.filter(col("vec_id") < 3), k = 5, nprobe = 2)) shouldBe before
+      // drift counters and marker untouched by layout maintenance
+      IvfIndex.driftStat(spark, s"$root/idx").appendedN should be > 0L
+    } finally delete(root)
+  }
+
   // ---- drift statistic --------------------------------------------
 
   /** Constructed drift fixture: corpus hugs axis e0, a second cluster

@@ -163,6 +163,24 @@ class SrpIndexSpec extends SparkSpec {
     } finally { delete(rootS); delete(rootB) }
   }
 
+  test("loadOrBuild: cache hit on matching params, rebuild on a param change") {
+    val root = tmp()
+    try {
+      SrpIndex.loadOrBuild(spark, s"$root/idx", corpus, "vec_id", "embedding",
+        Bands, Planes, Dims)
+      // matching params → cache hit: the by-name df must not be touched
+      val hit = SrpIndex.loadOrBuild(spark, s"$root/idx",
+        sys.error("cache hit expected: df must not be evaluated"),
+        "vec_id", "embedding", Bands, Planes, Dims)
+      hit.numBands shouldBe Bands
+      // banding is part of the index's identity: a param change rebuilds
+      val rebuilt = SrpIndex.loadOrBuild(spark, s"$root/idx", corpus,
+        "vec_id", "embedding", Bands + 1, Planes, Dims)
+      rebuilt.numBands shouldBe Bands + 1
+      SrpIndex.load(spark, s"$root/idx").numBands shouldBe Bands + 1
+    } finally delete(root)
+  }
+
   test("compactFrames bounds file counts; reads identical pre/post") {
     val root = tmp()
     try {
