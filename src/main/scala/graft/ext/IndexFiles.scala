@@ -121,6 +121,38 @@ private[graft] object IndexFiles {
     fsFor(spark, p).delete(p, false)
   }
 
+  /** The streaming fold-in's identity + replay resolution — ONE
+    * definition for every index family's `foreachBatch` body
+    * ([[LshIndex.streamingDedupBatch]], [[SrpIndex.streamingDedupBatch]],
+    * [[IvfIndex.streamingAppendBatch]]), because this is exactly the
+    * logic a divergent copy would silently break: the writer identity
+    * is the streaming query id (stable across restarts WITH the same
+    * checkpoint — it is recorded in the checkpoint's metadata file —
+    * and fresh with a fresh one; [[ManualWriter]] when no streaming
+    * thread), a marker from a DIFFERENT writer is a hard error (its
+    * batch numbering is unrelated — comparing against it would
+    * misclassify every batch), and a batch is a replay iff OUR marker
+    * already covers its id.
+    *
+    * @return (writerId, alreadyFolded)
+    */
+  def resolveReplay(spark: SparkSession, dir: String, label: String,
+                    batchId: Long): (String, Boolean) = {
+    val writerId = Option(spark.sparkContext
+        .getLocalProperty("sql.streaming.queryId"))
+      .getOrElse(ManualWriter)
+    val marker = readMarker(spark, dir)
+    marker.foreach { case (_, w) =>
+      require(w == writerId,
+        s"$label at $dir was folded into by writer '$w' but this " +
+          s"stream is '$writerId' — their batch numberings are " +
+          "unrelated, so resuming would misclassify batches; rebuild " +
+          "the index, or restart from the original checkpoint " +
+          "(index and checkpoint must be created/deleted together)")
+    }
+    (writerId, marker.exists(_._1 >= batchId))
+  }
+
   /** Small-sidecar text IO shared by the index metas (hand-rolled flat
     * JSON, no library dependency): overwrite-create on write; on read,
     * a MISSING file is the caller's "incomplete index" message (the

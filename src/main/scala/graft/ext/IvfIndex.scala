@@ -237,7 +237,15 @@ object IvfIndex {
     * killed append leaves an index that refuses to load; rebuild it.
     */
   def append(spark: SparkSession, path: String, newVectors: DataFrame,
-             batchMarker: Option[Long] = None): Unit = {
+             batchMarker: Option[Long] = None): Unit =
+    appendAs(spark, path, newVectors, batchMarker, IndexFiles.ManualWriter)
+
+  /** [[append]] under an explicit writer identity — the streaming
+    * fold-in passes its query id so its marker stays identity-scoped.
+    */
+  private def appendAs(spark: SparkSession, path: String,
+                       newVectors: DataFrame, batchMarker: Option[Long],
+                       writer: String): Unit = {
     val meta0 = readMeta(spark, s"$path/_ivf_meta.json")
     require(meta0.version == FormatVersion,
       s"IvfIndex at $path has format version ${meta0.version}; " +
@@ -247,8 +255,7 @@ object IvfIndex {
         "nothing to fold into; rebuild with save(..., assignments = Some(...))")
     // identity pre-flight BEFORE the transaction: a mismatch must be a
     // clean refusal, not a mid-transaction abort that leaves no meta
-    batchMarker.foreach(_ =>
-      IndexFiles.requireWriter(spark, path, IndexFiles.ManualWriter))
+    batchMarker.foreach(_ => IndexFiles.requireWriter(spark, path, writer))
     val centroids = spark.read.parquet(s"$path/centroids.parquet")
     // localCheckpoint: the frame feeds both the parquet append and the
     // drift counters — one assignment scan, not two
@@ -271,7 +278,7 @@ object IvfIndex {
         assigned.select(col(meta0.idCol), col(meta0.vecCol), col("centroid_id"))
           .write.mode(SaveMode.Append).parquet(s"$path/assignments.parquet")
         batchMarker.foreach(id =>
-          IndexFiles.writeMarker(spark, path, id, IndexFiles.ManualWriter))
+          IndexFiles.writeMarker(spark, path, id, writer))
         writeMeta(spark, s"$path/_ivf_meta.json", meta0.copy(drift = drift))
       }
     } finally assigned.unpersist()
@@ -310,6 +317,47 @@ object IvfIndex {
     */
   def appendedThrough(spark: SparkSession, path: String): Long =
     IndexFiles.appendedThrough(spark, path)
+
+  /** Streaming corpus-growth ingestion for the IVF index — the
+    * `foreachBatch` body completing the index family's streaming
+    * symmetry ([[LshIndex.streamingDedupBatch]] /
+    * [[SrpIndex.streamingDedupBatch]] dedup their batches; arriving
+    * vectors have nothing to dedup, so this face FOLDS each
+    * micro-batch in ([[append]]: assign against frozen centroids,
+    * O(batch)) and hands the post-fold [[DriftStat]] to `onStat` —
+    * the retrain dial read live, per micro-batch, so a drifting
+    * stream is detected while it arrives rather than at the next
+    * offline audit.
+    *
+    * Exactly-once via the shared identity-scoped marker
+    * ([[IndexFiles.resolveReplay]]): a replayed micro-batch (engine
+    * restart after a crash between the fold-in and the checkpoint
+    * commit) is SKIPPED — the fold-in is this body's only effect, and
+    * the marker proves it already happened; a different stream
+    * identity (fresh/changed checkpoint) is a hard error. `onStat`
+    * still fires on replays (same values — the index is unchanged),
+    * so a stats sink sees every batch id exactly as the original run
+    * did.
+    *
+    * Usage:
+    * {{{
+    *   vecStream.writeStream
+    *     .foreachBatch(IvfIndex.streamingAppendBatch(spark, path)(
+    *       (stat, id) => require(stat.ratio.forall(_ < 2.0),
+    *         s"drift at batch $id: retrain")))
+    *     .option("checkpointLocation", ckpt)
+    *     .trigger(Trigger.AvailableNow()).start()
+    * }}}
+    */
+  def streamingAppendBatch(spark: SparkSession, path: String)(
+      onStat: (DriftStat, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val (writerId, alreadyFolded) =
+        IndexFiles.resolveReplay(spark, path, "IvfIndex", batchId)
+      if (!alreadyFolded)
+        appendAs(spark, path, batch, Some(batchId), writerId)
+      onStat(driftStat(spark, path), batchId)
+    }
 
   /** Bound the per-append small-file growth of the assignments frame
     * — the [[LshIndex.compactFrames]] discipline applied to this

@@ -45,6 +45,30 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object LshIncremental {
 
+  /** Pre-append corpus view for a REPLAYED micro-batch — the other
+    * half of the streaming fold-ins' exactly-once contract (one
+    * definition with [[IndexFiles.resolveReplay]]): the index already
+    * contains the batch (the marker guarantees it was folded exactly
+    * once), so the view the ORIGINAL run saw is reconstructed by
+    * anti-joining the batch's ids out of base/banded and appending the
+    * batch's own counts as NEGATIVE delta rows (the counts frame is
+    * append-only deltas summed by readers — no join, no rewrite,
+    * exact). Without the subtraction the batch would pair against
+    * itself through both the index and the batch side, emitting
+    * duplicated and cap-distorted rows.
+    */
+  def subtractBatch(base: DataFrame, banded: DataFrame, buckets: DataFrame,
+                    bBase: DataFrame, bBanded: DataFrame,
+                    keys: Seq[String])
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ids = broadcast(bBase.select(col("id")))
+    (base.join(ids, Seq("id"), "left_anti"),
+      banded.join(ids, Seq("id"), "left_anti"),
+      buckets.unionByName(
+        bBanded.groupBy(keys.map(col): _*)
+          .agg((-count(lit(1))).as("bucket_n"))))
+  }
+
   def candidates(corpusBanded: DataFrame, corpusBuckets: DataFrame,
                  newBanded: DataFrame, keys: Seq[String],
                  maxBucketSize: Int)

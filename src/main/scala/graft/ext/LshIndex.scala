@@ -486,47 +486,22 @@ object LshIndex {
       // would pair this batch against a stale corpus
       val index = load(spark, path)
       val meta = readMeta(spark, s"$path/_lsh_meta.json")
-      // writer identity = the streaming query id (stable across
-      // restarts WITH the same checkpoint — it is recorded in the
-      // checkpoint's metadata file — and fresh with a fresh one);
-      // direct-driven callers (no streaming thread) are "manual"
-      val writerId = Option(spark.sparkContext
-          .getLocalProperty("sql.streaming.queryId"))
-        .getOrElse(IndexFiles.ManualWriter)
-      val marker = IndexFiles.readMarker(spark, path)
-      // the replay check is only sound against OUR OWN marker: a fresh
-      // checkpoint restarts batch ids at 0 while a dead stream's
-      // marker holds its high id — comparing across identities would
-      // silently misclassify every new batch as a replay (never folded
-      // in, cross-batch pairs lost, counts distorted by subtractions
-      // for docs not in the index). Hard error instead.
-      marker.foreach { case (_, w) =>
-        require(w == writerId,
-          s"LshIndex at $path was folded into by writer '$w' but this " +
-            s"stream is '$writerId' — their batch numberings are " +
-            "unrelated, so resuming would misclassify batches; rebuild " +
-            "the index, or restart from the original checkpoint " +
-            "(index and checkpoint must be created/deleted together)")
-      }
-      val alreadyFolded = marker.exists(_._1 >= batchId)
+      // identity + replay resolution and the replay subtraction view
+      // are the SHARED definitions (IndexFiles.resolveReplay /
+      // LshIncremental.subtractBatch — see their scaladoc for the
+      // misclassification and exactly-once arguments)
+      val (writerId, alreadyFolded) =
+        IndexFiles.resolveReplay(spark, path, "LshIndex", batchId)
       val (bBase, bBanded) = Dedup.bandedFrame(batch, textCol, index.idCol,
         index.shingleWidth, index.numHashes, index.numBands, index.verifyOn)
       try {
-        val keyCols = Seq(col("band_idx"), col("band_hash"))
         val corpusView =
           if (!alreadyFolded) index
           else {
-            val ids = broadcast(bBase.select(col("id")))
-            // the counts frame is delta rows (summed by readers), so
-            // the batch's contribution subtracts as a NEGATIVE delta —
-            // no join, no rewrite, exact by the marker's
-            // appended-exactly-once guarantee
-            index.copy(
-              base = index.base.join(ids, Seq("id"), "left_anti"),
-              banded = index.banded.join(ids, Seq("id"), "left_anti"),
-              buckets = index.buckets.unionByName(
-                bBanded.groupBy(keyCols: _*)
-                  .agg((-count(lit(1))).as("bucket_n"))))
+            val (b, bd, bk) = LshIncremental.subtractBatch(
+              index.base, index.banded, index.buckets, bBase, bBanded,
+              Seq("band_idx", "band_hash"))
+            index.copy(base = b, banded = bd, buckets = bk)
           }
         val (pairsLazy, caches, census) =
           Dedup.lshNearDupPairsIncrementalFromFrames(

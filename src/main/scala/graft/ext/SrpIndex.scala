@@ -315,32 +315,20 @@ object SrpIndex {
     (batch: DataFrame, batchId: Long) => {
       val index = load(spark, path)
       val meta = readMeta(spark, path)
-      val writerId = Option(spark.sparkContext
-          .getLocalProperty("sql.streaming.queryId"))
-        .getOrElse(IndexFiles.ManualWriter)
-      val marker = IndexFiles.readMarker(spark, path)
-      marker.foreach { case (_, w) =>
-        require(w == writerId,
-          s"SrpIndex at $path was folded into by writer '$w' but this " +
-            s"stream is '$writerId' — their batch numberings are " +
-            "unrelated, so resuming would misclassify batches; rebuild " +
-            "the index, or restart from the original checkpoint")
-      }
-      val alreadyFolded = marker.exists(_._1 >= batchId)
+      // shared identity/replay + subtraction definitions — see
+      // IndexFiles.resolveReplay / LshIncremental.subtractBatch
+      val (writerId, alreadyFolded) =
+        IndexFiles.resolveReplay(spark, path, "SrpIndex", batchId)
       val (bBase, bBanded) = Similarity.srpFrames(batch, index.idCol, vecCol,
         index.numBands, index.planesPerBand, index.dims)
       try {
-        val keyCols = Seq(col("band_idx"), col("bucket"))
         val corpusView =
           if (!alreadyFolded) index
           else {
-            val ids = broadcast(bBase.select(col("id")))
-            index.copy(
-              base = index.base.join(ids, Seq("id"), "left_anti"),
-              banded = index.banded.join(ids, Seq("id"), "left_anti"),
-              buckets = index.buckets.unionByName(
-                bBanded.groupBy(keyCols: _*)
-                  .agg((-count(lit(1))).as("bucket_n"))))
+            val (b, bd, bk) = LshIncremental.subtractBatch(
+              index.base, index.banded, index.buckets, bBase, bBanded,
+              Seq("band_idx", "bucket"))
+            index.copy(base = b, banded = bd, buckets = bk)
           }
         val (pairsLazy, caches, census) =
           Similarity.srpNearDupPairsIncrementalFromFrames(

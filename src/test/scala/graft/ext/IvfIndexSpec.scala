@@ -305,6 +305,37 @@ class IvfIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("streamingAppendBatch folds exactly once; replay skips, stats fire every batch") {
+    val root = tmp()
+    try {
+      val corpus = axisVecs(0 until 20, 0).union(axisVecs(20 until 40, 1))
+      val centroids = axisVecs(0 until 1, 0).union(axisVecs(1 until 2, 1))
+      IvfIndex.save(spark, s"$root/idx", centroids,
+        Some(Similarity.assignToCentroids(corpus, centroids)))
+      val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val body = IvfIndex.streamingAppendBatch(spark, s"$root/idx")(
+        (stat, id) => stats += ((id, stat.appendedN)))
+      body(axisVecs(100 until 110, 0), 0L)
+      body(axisVecs(200 until 212, 1), 1L)
+      IvfIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      stats.toSeq shouldBe Seq((0L, 10L), (1L, 22L))
+      val rowsAfter = IvfIndex.load(spark, s"$root/idx")
+        .assignments.get.count()
+      // crash-replay of batch 1: the fold-in is skipped (marker proves
+      // it already happened), but the stats sink still sees the batch
+      body(axisVecs(200 until 212, 1), 1L)
+      IvfIndex.load(spark, s"$root/idx").assignments.get.count() shouldBe rowsAfter
+      stats.toSeq shouldBe Seq((0L, 10L), (1L, 22L), (1L, 22L))
+      // a different stream identity against this marker is a hard error
+      val sc = spark.sparkContext
+      sc.setLocalProperty("sql.streaming.queryId", "stream-X")
+      try intercept[IllegalArgumentException] {
+        body(axisVecs(300 until 310, 0), 0L)
+      }.getMessage should include("misclassify")
+      finally sc.setLocalProperty("sql.streaming.queryId", null)
+    } finally delete(root)
+  }
+
   test("driftStat is explicit when the index carries no counters") {
     val root = tmp()
     try {
