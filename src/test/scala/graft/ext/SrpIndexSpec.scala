@@ -181,6 +181,56 @@ class SrpIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("incremental plan: corpus banded/buckets scans are shuffle-free, batch side broadcasts") {
+    // The same pin as LshIndexSpec's — kept on BOTH faces even though
+    // the candidate machinery is one shared definition, because this
+    // test also guards the SRP-side frame plumbing (a dropped persist
+    // or a reordered column in srpFrames would surface here first).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.SparkPlan
+    val root = tmp()
+    try {
+      val index = buildIndex(root)
+      withConfs(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val (bBase, bBanded) = Similarity.srpFrames(batch, "vec_id",
+          "embedding", Bands, Planes, Dims)
+        try {
+          val (pairs, caches, _) =
+            Similarity.srpNearDupPairsIncrementalFromFrames(
+              index.base, index.banded, index.buckets, bBase, bBanded,
+              Thr, LshSkew.DefaultMaxBucketSize)
+          try {
+            val plan = pairs.queryExecution.executedPlan
+            def scansUnder(p: SparkPlan, what: String): Int = p.collect {
+              case sc: FileSourceScanExec
+                  if sc.relation.location.rootPaths.exists(_.toString.contains(what)) => ()
+            }.size
+            // buckets frame ABSENT: the counts semi-join ran eagerly in
+            // the census (zero drops on this fixture)
+            scansUnder(plan, "banded.parquet") should be >= 1
+            scansUnder(plan, "buckets.parquet") shouldBe 0
+            val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+            withClue("expected exactly the candidate join as BroadcastHashJoin: ") {
+              bhj.size shouldBe 1
+            }
+            val streamed = bhj.head.children(
+              if (bhj.head.buildSide.toString.contains("Right")) 0 else 1)
+            scansUnder(streamed, "banded.parquet") shouldBe 1
+            withClue("shuffle between the corpus banded scan and the candidate join: ") {
+              streamed.collect { case e: ShuffleExchangeExec => e } shouldBe empty
+            }
+            scansUnder(plan, "base.parquet") should be >= 1
+            plan.collect { case e: BroadcastExchangeExec => e }.size shouldBe 1
+          } finally caches.foreach(_.unpersist())
+        } finally { bBase.unpersist(); bBanded.unpersist() }
+      }
+    } finally delete(root)
+  }
+
   test("compactFrames bounds file counts; reads identical pre/post") {
     val root = tmp()
     try {
