@@ -43,6 +43,19 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object IndexFiles {
 
+  /** What a three-frame `compactFrames` did ([[LshIndex.compactFrames]]
+    * / [[SrpIndex.compactFrames]]) — footer-verified numbers for the
+    * two row-preserving rewrites (base, banded —
+    * [[graft.ops.Compaction.Report]] enforces row parity), plus the
+    * counts frame's file/row shrink (its ROWS change by design:
+    * deltas aggregate to one per bucket, so parity there is
+    * per-bucket-total equality, spec-pinned).
+    */
+  final case class FramesReport(base: graft.ops.Compaction.Report,
+                                banded: graft.ops.Compaction.Report,
+                                bucketFilesBefore: Int, bucketFilesAfter: Int,
+                                bucketRowsBefore: Long, bucketRowsAfter: Long)
+
   /** Identity recorded by batch-API callers (no streaming query). */
   val ManualWriter = "manual"
 

@@ -303,17 +303,6 @@ object LshIndex {
     */
   private val RowsPerAppendFile = 4000000L
 
-  /** What [[compactFrames]] did — footer-verified numbers for the two
-    * row-preserving rewrites (base, banded — [[graft.ops.Compaction.Report]]
-    * enforces row parity), plus the counts frame's file/row shrink
-    * (its ROWS change by design: deltas aggregate to one per bucket,
-    * so parity there is per-bucket-total equality, spec-pinned).
-    */
-  final case class FramesReport(base: graft.ops.Compaction.Report,
-                                banded: graft.ops.Compaction.Report,
-                                bucketFilesBefore: Int, bucketFilesAfter: Int,
-                                bucketRowsBefore: Long, bucketRowsAfter: Long)
-
   /** Bound the per-append SMALL-FILE growth of all three frames — the
     * physical-maintenance face for long-running streams. Every
     * [[append]]/streaming fold-in writes one new small parquet file
@@ -339,7 +328,8 @@ object LshIndex {
     * which batches are folded in.
     */
   def compactFrames(spark: SparkSession, path: String,
-                    targetFileBytes: Long = 128L * 1024 * 1024): FramesReport = {
+                    targetFileBytes: Long = 128L * 1024 * 1024)
+      : IndexFiles.FramesReport = {
     val meta = readMeta(spark, s"$path/_lsh_meta.json")
     // same asymmetric version guard as compactBuckets: rewriting a
     // NEWER layout's frames with this build's reader — then re-stamping
@@ -373,7 +363,8 @@ object LshIndex {
           s"LshIndex.compactFrames: rename failed for $f at $path")
       }
       writeMeta(spark, s"$path/_lsh_meta.json", meta)
-      FramesReport(baseR, bandedR, bFiles, bFilesAfter, bRows, bRowsAfter)
+      IndexFiles.FramesReport(baseR, bandedR, bFiles, bFilesAfter,
+        bRows, bRowsAfter)
     }
   }
 

@@ -256,7 +256,7 @@ object SrpIndex {
     */
   def compactFrames(spark: SparkSession, path: String,
                     targetFileBytes: Long = 128L * 1024 * 1024)
-      : LshIndex.FramesReport = {
+      : IndexFiles.FramesReport = {
     val meta = readMeta(spark, path)
     require(meta.version == FormatVersion,
       s"SrpIndex at $path has format version ${meta.version}; " +
@@ -287,7 +287,7 @@ object SrpIndex {
           s"SrpIndex.compactFrames: rename failed for $f at $path")
       }
       writeMeta(spark, path, meta)
-      LshIndex.FramesReport(baseR, bandedR, bFiles, bFilesAfter,
+      IndexFiles.FramesReport(baseR, bandedR, bFiles, bFilesAfter,
         bRows, bRowsAfter)
     }
   }
