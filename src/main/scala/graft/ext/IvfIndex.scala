@@ -273,9 +273,16 @@ object IvfIndex {
           appendDistSum = dc.appendDistSum + b.trainDistSum)
       }
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // batch-sized write, not partition-count-sized — the LshIndex
+      // appendFrames discipline (un-coalesced, every fold-in wrote 32
+      // files regardless of batch size; measured via IndexMaintProbe).
+      // ~2 M (id, 64-float vector, centroid) rows ≈ 100 MB-class files
+      val parts = math.max(1L, (assigned.count() + RowsPerAppendFile - 1)
+        / RowsPerAppendFile).toInt
       IndexFiles.withWriterLease(spark, path, "IvfIndex.append") {
         fs.delete(new Path(s"$path/_ivf_meta.json"), false)
         assigned.select(col(meta0.idCol), col(meta0.vecCol), col("centroid_id"))
+          .coalesce(parts)
           .write.mode(SaveMode.Append).parquet(s"$path/assignments.parquet")
         batchMarker.foreach(id =>
           IndexFiles.writeMarker(spark, path, id, writer))
@@ -309,6 +316,12 @@ object IvfIndex {
       if (dc.appendN > 0) Some(dc.appendDistSum / dc.appendN) else None,
       dc.appendN.toDouble / (dc.trainN + dc.appendN))
   }
+
+  /** Append-write sizing: assignment rows carry the full vector, so
+    * ~2 M rows keeps the ~100 MB-file shape of the other indexes'
+    * append writes.
+    */
+  private val RowsPerAppendFile = 2000000L
 
   /** The highest batch id folded in via `append(..., batchMarker)`;
     * −1 if no marked append ever completed. [[IndexFiles]] marker

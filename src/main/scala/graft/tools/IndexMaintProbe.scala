@@ -22,15 +22,25 @@ import org.apache.spark.sql.functions._
   * micro-batch cost. File counts come from `Compaction.census`
   * (footer-verified, the same population `spark.read` lists).
   *
-  * Usage: `IndexMaintProbe [n] [appends] [batchSize]` — defaults
-  * 8000000, 100, 8000 (100 × 0.1% batches).
+  * Usage: `IndexMaintProbe [family] [n] [appends] [batchSize]` —
+  * family `lsh` (default) or `ivf` (the [[graft.ext.IvfIndex]]
+  * symmetric run: probe = timed load + 20-query
+  * `ivfKnnPreassigned` search, appends fold vectors in against
+  * frozen centroids, maintenance = `compactAssignments`); numeric
+  * defaults 8000000, 100, 8000 (100 × 0.1% batches). A legacy
+  * numeric first arg reads as `n` with family `lsh`.
   */
 object IndexMaintProbe {
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(8000000L)
-    val appends = args.drop(1).headOption.map(_.toInt).getOrElse(100)
-    val batchSize = args.drop(2).headOption.map(_.toLong).getOrElse(8000L)
+    val (family, rest) = args.headOption match {
+      case Some(f) if f.toLongOption.isEmpty => (f, args.drop(1))
+      case _ => ("lsh", args)
+    }
+    require(family == "lsh" || family == "ivf", s"unknown family: $family")
+    val n = rest.headOption.map(_.toLong).getOrElse(8000000L)
+    val appends = rest.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val batchSize = rest.drop(2).headOption.map(_.toLong).getOrElse(8000L)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -40,14 +50,11 @@ object IndexMaintProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docsPath = ScaleTrend.docsFixture(spark, n, out)
-    val docs = spark.read.parquet(docsPath)
     val corpusEnd = n - appends * batchSize - batchSize
     require(corpusEnd > 0, s"n=$n too small for $appends x $batchSize appends")
-    val probeBatch = docs.filter(col("doc_id") >= n - batchSize)
     // fresh path per run: the probe MUTATES the index (appends +
     // compaction), so a cached fixture would not be a fresh build
-    val idxPath = s"$out/maintidx_${n}_a${appends}_b${batchSize}"
+    val idxPath = s"$out/maintidx_${family}_${n}_a${appends}_b${batchSize}"
     val fs = new org.apache.hadoop.fs.Path(idxPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(idxPath), true)
@@ -58,45 +65,81 @@ object IndexMaintProbe {
       ((System.nanoTime() - t0) / 1e9, r)
     }
 
-    def files(): String =
-      Seq("base.parquet", "banded.parquet", "buckets.parquet").map { f =>
+    def filesOf(frames: Seq[String]): String =
+      frames.map { f =>
         val (nf, _, _, _) = graft.ops.Compaction.census(spark, s"$idxPath/$f")
         s"$f=$nf"
       }.mkString(" ")
 
-    def probe(): Double = {
-      val index = graft.ext.LshIndex.load(spark, idxPath)
-      val (sec, _) = timed(
-        graft.ext.LshIndex.incrementalPairs(index, probeBatch, "text",
-          threshold = 0.9)._1.count())
-      sec
-    }
+    println(s"family=$family n=$n appends=$appends batchSize=$batchSize " +
+      s"corpusEnd=$corpusEnd")
 
-    println(s"n=$n appends=$appends batchSize=$batchSize corpusEnd=$corpusEnd")
-    val (buildSec, _) = timed(graft.ext.LshIndex.build(spark, idxPath,
-      docs.filter(col("doc_id") < corpusEnd), "text", "doc_id",
-      ScaleTrend.LshShingleWidth, ScaleTrend.LshNumHashes,
-      ScaleTrend.LshNumBands))
-    println(f"build $buildSec%.1f s; files: ${files()}")
+    // per-family wiring: build, probe (the steady-state serving op),
+    // one marked append, the maintenance op, and the frames censused
+    val (build, probe, appendAt, compact, frames): (
+        () => Unit, () => Double, Int => Unit, () => String, Seq[String]) =
+      family match {
+        case "lsh" =>
+          val docs = spark.read.parquet(ScaleTrend.docsFixture(spark, n, out))
+          val probeBatch = docs.filter(col("doc_id") >= n - batchSize)
+          (() => graft.ext.LshIndex.build(spark, idxPath,
+              docs.filter(col("doc_id") < corpusEnd), "text", "doc_id",
+              ScaleTrend.LshShingleWidth, ScaleTrend.LshNumHashes,
+              ScaleTrend.LshNumBands),
+            () => timed(graft.ext.LshIndex.incrementalPairs(
+              graft.ext.LshIndex.load(spark, idxPath), probeBatch, "text",
+              threshold = 0.9)._1.count())._1,
+            (k: Int) => {
+              val lo = corpusEnd + k * batchSize
+              graft.ext.LshIndex.append(spark, idxPath,
+                docs.filter(col("doc_id") >= lo && col("doc_id") < lo + batchSize),
+                "text", batchMarker = Some(k.toLong))
+            },
+            () => {
+              val r = graft.ext.LshIndex.compactFrames(spark, idxPath)
+              s"bucketRows ${r.bucketRowsBefore} -> ${r.bucketRowsAfter}"
+            },
+            Seq("base.parquet", "banded.parquet", "buckets.parquet"))
+        case "ivf" =>
+          val vecs = spark.read.parquet(ScaleTrend.vecsFixture(spark, n, out))
+          val queries = vecs.filter(col("vec_id") < 20)
+          (() => {
+              val corpus = vecs.filter(col("vec_id") < corpusEnd)
+              val centroids = graft.ext.Similarity.kmeansTrain(corpus,
+                corpus.filter(col("vec_id") < ScaleTrend.VecCenters.toLong),
+                iters = 3, dims = ScaleTrend.VecDims)
+              graft.ext.IvfIndex.save(spark, idxPath, centroids,
+                Some(graft.ext.Similarity.assignToCentroids(corpus, centroids)))
+            },
+            () => timed(graft.ext.IvfIndex.search(
+              graft.ext.IvfIndex.load(spark, idxPath), queries,
+              k = 10, nprobe = 4).count())._1,
+            (k: Int) => {
+              val lo = corpusEnd + k * batchSize
+              graft.ext.IvfIndex.append(spark, idxPath,
+                vecs.filter(col("vec_id") >= lo && col("vec_id") < lo + batchSize),
+                batchMarker = Some(k.toLong))
+            },
+            () => {
+              val r = graft.ext.IvfIndex.compactAssignments(spark, idxPath)
+              s"rows ${r.rowsBefore} (parity-checked)"
+            },
+            Seq("assignments.parquet"))
+      }
+
+    val (buildSec, _) = timed(build())
+    println(f"build $buildSec%.1f s; files: ${filesOf(frames)}")
     println(f"probe after build: cold ${probe()}%.2f s, warm ${probe()}%.2f s")
 
-    val appendSecs = (0 until appends).map { k =>
-      val lo = corpusEnd + k * batchSize
-      val (sec, _) = timed(graft.ext.LshIndex.append(spark, idxPath,
-        docs.filter(col("doc_id") >= lo && col("doc_id") < lo + batchSize),
-        "text", batchMarker = Some(k.toLong)))
-      sec
-    }
+    val appendSecs = (0 until appends).map(k => timed(appendAt(k))._1)
     println(f"appends: first10 ${appendSecs.take(10).sum / 10}%.2f s/ea, " +
       f"last10 ${appendSecs.takeRight(10).sum / 10}%.2f s/ea, " +
       f"total ${appendSecs.sum}%.1f s")
-    println(s"files after $appends appends: ${files()}")
+    println(s"files after $appends appends: ${filesOf(frames)}")
     println(f"probe after appends: cold ${probe()}%.2f s, warm ${probe()}%.2f s")
 
-    val (compactSec, report) =
-      timed(graft.ext.LshIndex.compactFrames(spark, idxPath))
-    println(f"compactFrames $compactSec%.1f s; files: ${files()}; " +
-      s"bucketRows ${report.bucketRowsBefore} -> ${report.bucketRowsAfter}")
+    val (compactSec, note) = timed(compact())
+    println(f"compact $compactSec%.1f s; files: ${filesOf(frames)}; $note")
     println(f"probe after compact: cold ${probe()}%.2f s, warm ${probe()}%.2f s")
     spark.stop()
   }
