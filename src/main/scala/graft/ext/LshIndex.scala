@@ -103,6 +103,9 @@ object LshIndex {
       fs.delete(new Path(s"$path/_lsh_meta.json"), false)
       Frames.foreach(f => fs.delete(new Path(s"$path/$f.tmp"), true))
       IndexFiles.deleteMarker(spark, path)
+      // a rebuilt corpus has no removals — a stale tombstone frame
+      // would silently hide freshly-indexed documents that share ids
+      fs.delete(new Path(s"$path/$Tombstones"), true)
       base.select(col("id"), col(payloadCol(verifyOn)))
         .write.mode(SaveMode.Overwrite).parquet(s"$path/base.parquet")
       banded.write.mode(SaveMode.Overwrite).parquet(s"$path/banded.parquet")
@@ -123,18 +126,96 @@ object LshIndex {
 
   /** Load a built index. Fails with an explicit message on a missing /
     * incomplete index or a format-version mismatch.
+    *
+    * Tombstone semantics ([[remove]]): when a tombstone frame exists,
+    * the returned base/banded frames carry a broadcast anti-join
+    * against it — removed documents are invisible to every reader
+    * (incremental pairs, the streaming fold-in, append≡rebuild
+    * comparisons) while staying map-side (no corpus shuffle; the
+    * tombstone set is broadcast — it is ids only and [[compactFrames]]
+    * purges it physically, so it stays small by maintenance contract).
+    * The counts frame needs no join: [[remove]] already appended the
+    * removed documents' buckets as negative deltas.
     */
   def load(spark: SparkSession, path: String): Index = {
     val meta = readMeta(spark, s"$path/_lsh_meta.json")
     require(meta.version == FormatVersion,
       s"LshIndex at $path has format version ${meta.version}; " +
         s"this build reads $FormatVersion")
-    Index(
-      spark.read.parquet(s"$path/base.parquet"),
-      spark.read.parquet(s"$path/banded.parquet"),
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (base, banded) = {
+      val b = spark.read.parquet(s"$path/base.parquet")
+      val bd = spark.read.parquet(s"$path/banded.parquet")
+      if (!fs.exists(new Path(s"$path/$Tombstones"))) (b, bd)
+      else {
+        val tomb = broadcast(spark.read.parquet(s"$path/$Tombstones"))
+        (b.join(tomb, Seq("id"), "left_anti"),
+          bd.join(tomb, Seq("id"), "left_anti"))
+      }
+    }
+    Index(base, banded,
       spark.read.parquet(s"$path/buckets.parquet"),
       meta.idCol, meta.shingleWidth, meta.numHashes, meta.numBands,
       payloadVerifyOn(meta.payload))
+  }
+
+  private val Tombstones = "tombstones.parquet"
+
+  /** Take documents DOWN (the 100 TB compliance face — takedowns /
+    * right-to-be-forgotten must not force a corpus re-index): append
+    * the ids to the tombstone frame and their band buckets' NEGATIVE
+    * count deltas, both O(removed) by the delta-counts layout — one
+    * map-side semi-filtered scan of the banded frame computes the
+    * deltas, nothing corpus-sized is rewritten. After remove,
+    * [[load]] + every reader behave as if the documents had never
+    * been indexed (spec-pinned ≡ rebuild-without; oracle-gated by
+    * q112 including cap interaction — a bucket the removed documents
+    * pushed over the cap can drop back under it, resurrecting its
+    * surviving pairs). [[compactFrames]] later purges the tombstoned
+    * rows physically and drops the tombstone frame.
+    *
+    * Idempotent: already-tombstoned and never-indexed ids contribute
+    * no deltas and no duplicate tombstone rows — a retried remove
+    * cannot double-subtract the counts.
+    *
+    * Caller contract: a removed id must NOT be re-[[append]]ed before
+    * a [[compactFrames]] purge — the tombstone anti-join would
+    * suppress the re-added rows (enforced contract-by-documentation,
+    * same class as the unique-ids contract).
+    *
+    * `ids`: any frame whose FIRST column is the document id.
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val meta = readMeta(spark, s"$path/_lsh_meta.json")
+    require(meta.version == FormatVersion,
+      s"LshIndex at $path has format version ${meta.version}; " +
+        s"this build removes from $FormatVersion")
+    IndexFiles.withWriterLease(spark, path, "LshIndex.remove") {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tombPath = new Path(s"$path/$Tombstones")
+      // fresh ids only: drop already-tombstoned ids (idempotence) and
+      // keep a stable single-column shape. The distinct is cheap —
+      // takedown sets are ids only.
+      val requested = ids.select(col(ids.columns.head).as("id")).distinct()
+      val fresh = (if (fs.exists(tombPath))
+          requested.join(spark.read.parquet(tombPath.toString),
+            Seq("id"), "left_anti")
+        else requested)
+        .localCheckpoint(true) // the deltas AND the tombstone write read it
+      try {
+        // negative deltas from the CURRENT banded rows of the fresh
+        // ids — map-side (tombstone side broadcast), O(removed) output
+        val deltas = spark.read.parquet(s"$path/banded.parquet")
+          .join(broadcast(fresh), Seq("id"), "left_semi")
+          .groupBy(col("band_idx"), col("band_hash"))
+          .agg((-count(lit(1))).as("bucket_n"))
+        fs.delete(new Path(s"$path/_lsh_meta.json"), false)
+        fresh.coalesce(1).write.mode(SaveMode.Append).parquet(tombPath.toString)
+        deltas.coalesce(1).write.mode(SaveMode.Append)
+          .parquet(s"$path/buckets.parquet")
+        writeMeta(spark, s"$path/_lsh_meta.json", meta)
+      } finally fresh.unpersist()
+    }
   }
 
   /** The cache-or-build face (same contract as
@@ -340,10 +421,40 @@ object LshIndex {
     IndexFiles.withWriterLease(spark, path, "LshIndex.compactFrames") {
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       Frames.foreach(f => fs.delete(new Path(s"$path/$f.tmp"), true))
-      val baseR = graft.ops.Compaction.compactTo(spark,
-        s"$path/base.parquet", s"$path/base.parquet.tmp", targetFileBytes)
-      val bandedR = graft.ops.Compaction.compactTo(spark,
-        s"$path/banded.parquet", s"$path/banded.parquet.tmp", targetFileBytes)
+      val tombPath = s"$path/$Tombstones"
+      val hasTombs = fs.exists(new Path(tombPath))
+      // with tombstones, compaction is also the physical PURGE: the
+      // rewrite drops the tombstoned rows and the verified parity is
+      // "survivors in == rows out" (the Report's rowsBefore carries
+      // the SURVIVING pre-rewrite count in that mode); the tombstone
+      // frame itself is dropped in the swap window below
+      def rewrite(frame: String): graft.ops.Compaction.Report =
+        if (!hasTombs)
+          graft.ops.Compaction.compactTo(spark, s"$path/$frame",
+            s"$path/$frame.tmp", targetFileBytes)
+        else {
+          val (f0, g0, r0, b0) =
+            graft.ops.Compaction.census(spark, s"$path/$frame")
+          val tomb = broadcast(spark.read.parquet(tombPath))
+          val df = spark.read.parquet(s"$path/$frame")
+          val removed = df.join(tomb, Seq("id"), "left_semi").count()
+          val survivors = r0 - removed
+          val keptBytes = if (r0 == 0) 0L else b0 * survivors / r0
+          val nOut = math.max(1L,
+            (keptBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          df.join(tomb, Seq("id"), "left_anti").coalesce(nOut)
+            .write.mode(SaveMode.Overwrite).parquet(s"$path/$frame.tmp")
+          val (f1, g1, r1, b1) =
+            graft.ops.Compaction.census(spark, s"$path/$frame.tmp")
+          // Report's embedded parity require becomes the purge check
+          graft.ops.Compaction.Report(s"$path/$frame", s"$path/$frame.tmp",
+            f0, f1, g0, g1, survivors, r1, b0, b1)
+        }
+      val baseR = rewrite("base.parquet")
+      val bandedR = rewrite("banded.parquet")
+      // the removal deltas fold into the aggregation like any others —
+      // bucket totals are already post-removal, the purge changes
+      // nothing on the counts side
       val (bFiles, _, bRows, bBytes) =
         graft.ops.Compaction.census(spark, s"$path/buckets.parquet")
       val nOut = math.max(1L,
@@ -362,6 +473,7 @@ object LshIndex {
         require(fs.rename(new Path(s"$path/$f.tmp"), new Path(s"$path/$f")),
           s"LshIndex.compactFrames: rename failed for $f at $path")
       }
+      if (hasTombs) fs.delete(new Path(tombPath), true)
       writeMeta(spark, s"$path/_lsh_meta.json", meta)
       IndexFiles.FramesReport(baseR, bandedR, bFiles, bFilesAfter,
         bRows, bRowsAfter)

@@ -79,6 +79,7 @@ object SrpIndex {
       fs.delete(new Path(s"$path/_srp_meta.json"), false)
       Frames.foreach(f => fs.delete(new Path(s"$path/$f.tmp"), true))
       IndexFiles.deleteMarker(spark, path)
+      fs.delete(new Path(s"$path/$Tombstones"), true)
       base.write.mode(SaveMode.Overwrite).parquet(s"$path/base.parquet")
       banded.write.mode(SaveMode.Overwrite).parquet(s"$path/banded.parquet")
       banded.groupBy(col("band_idx"), col("bucket"))
@@ -100,11 +101,57 @@ object SrpIndex {
     require(meta.version == FormatVersion,
       s"SrpIndex at $path has format version ${meta.version}; " +
         s"this build reads $FormatVersion")
-    Index(
-      spark.read.parquet(s"$path/base.parquet"),
-      spark.read.parquet(s"$path/banded.parquet"),
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (base, banded) = {
+      val b = spark.read.parquet(s"$path/base.parquet")
+      val bd = spark.read.parquet(s"$path/banded.parquet")
+      if (!fs.exists(new Path(s"$path/$Tombstones"))) (b, bd)
+      else {
+        // removed vectors invisible map-side — LshIndex.load's exact
+        // tombstone semantics (see its scaladoc)
+        val tomb = broadcast(spark.read.parquet(s"$path/$Tombstones"))
+        (b.join(tomb, Seq("id"), "left_anti"),
+          bd.join(tomb, Seq("id"), "left_anti"))
+      }
+    }
+    Index(base, banded,
       spark.read.parquet(s"$path/buckets.parquet"),
       meta.idCol, meta.numBands, meta.planesPerBand, meta.dims)
+  }
+
+  private val Tombstones = "tombstones.parquet"
+
+  /** Take vectors DOWN — [[LshIndex.remove]]'s exact contract for the
+    * embedding index: tombstone append + negative count deltas, both
+    * O(removed); idempotent; purged physically by [[compactFrames]];
+    * a removed id must not be re-appended before a purge.
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val meta = readMeta(spark, path)
+    require(meta.version == FormatVersion,
+      s"SrpIndex at $path has format version ${meta.version}; " +
+        s"this build removes from $FormatVersion")
+    IndexFiles.withWriterLease(spark, path, "SrpIndex.remove") {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tombPath = new Path(s"$path/$Tombstones")
+      val requested = ids.select(col(ids.columns.head).as("id")).distinct()
+      val fresh = (if (fs.exists(tombPath))
+          requested.join(spark.read.parquet(tombPath.toString),
+            Seq("id"), "left_anti")
+        else requested)
+        .localCheckpoint(true)
+      try {
+        val deltas = spark.read.parquet(s"$path/banded.parquet")
+          .join(broadcast(fresh), Seq("id"), "left_semi")
+          .groupBy(col("band_idx"), col("bucket"))
+          .agg((-count(lit(1))).as("bucket_n"))
+        fs.delete(new Path(s"$path/_srp_meta.json"), false)
+        fresh.coalesce(1).write.mode(SaveMode.Append).parquet(tombPath.toString)
+        deltas.coalesce(1).write.mode(SaveMode.Append)
+          .parquet(s"$path/buckets.parquet")
+        writeMeta(spark, path, meta)
+      } finally fresh.unpersist()
+    }
   }
 
   /** The cache-or-build face — [[LshIndex.loadOrBuild]]'s contract
@@ -264,10 +311,33 @@ object SrpIndex {
     IndexFiles.withWriterLease(spark, path, "SrpIndex.compactFrames") {
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       Frames.foreach(f => fs.delete(new Path(s"$path/$f.tmp"), true))
-      val baseR = graft.ops.Compaction.compactTo(spark,
-        s"$path/base.parquet", s"$path/base.parquet.tmp", targetFileBytes)
-      val bandedR = graft.ops.Compaction.compactTo(spark,
-        s"$path/banded.parquet", s"$path/banded.parquet.tmp", targetFileBytes)
+      val tombPath = s"$path/$Tombstones"
+      val hasTombs = fs.exists(new Path(tombPath))
+      // tombstone purge semantics = LshIndex.compactFrames' (rowsBefore
+      // carries the SURVIVING count in purge mode)
+      def rewrite(frame: String): graft.ops.Compaction.Report =
+        if (!hasTombs)
+          graft.ops.Compaction.compactTo(spark, s"$path/$frame",
+            s"$path/$frame.tmp", targetFileBytes)
+        else {
+          val (f0, g0, r0, b0) =
+            graft.ops.Compaction.census(spark, s"$path/$frame")
+          val tomb = broadcast(spark.read.parquet(tombPath))
+          val df = spark.read.parquet(s"$path/$frame")
+          val removed = df.join(tomb, Seq("id"), "left_semi").count()
+          val survivors = r0 - removed
+          val keptBytes = if (r0 == 0) 0L else b0 * survivors / r0
+          val nOut = math.max(1L,
+            (keptBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          df.join(tomb, Seq("id"), "left_anti").coalesce(nOut)
+            .write.mode(SaveMode.Overwrite).parquet(s"$path/$frame.tmp")
+          val (f1, g1, r1, b1) =
+            graft.ops.Compaction.census(spark, s"$path/$frame.tmp")
+          graft.ops.Compaction.Report(s"$path/$frame", s"$path/$frame.tmp",
+            f0, f1, g0, g1, survivors, r1, b0, b1)
+        }
+      val baseR = rewrite("base.parquet")
+      val bandedR = rewrite("banded.parquet")
       val (bFiles, _, bRows, bBytes) =
         graft.ops.Compaction.census(spark, s"$path/buckets.parquet")
       val nOut = math.max(1L,
@@ -286,6 +356,7 @@ object SrpIndex {
         require(fs.rename(new Path(s"$path/$f.tmp"), new Path(s"$path/$f")),
           s"SrpIndex.compactFrames: rename failed for $f at $path")
       }
+      if (hasTombs) fs.delete(new Path(tombPath), true)
       writeMeta(spark, path, meta)
       IndexFiles.FramesReport(baseR, bandedR, bFiles, bFilesAfter,
         bRows, bRowsAfter)

@@ -482,6 +482,48 @@ object ExtensionQueries {
     q30Sql.replace(anchor, "WHERE a.doc_id < b.doc_id AND b.doc_id >= 250)")
   }
 
+  /** ✚ takedown-safe dedup — q109's incremental pipeline against an
+    * index that had documents REMOVED ([[graft.ext.LshIndex.remove]]:
+    * tombstones + negative count deltas, O(removed), no corpus
+    * rewrite — the compliance face a 100 TB corpus needs when
+    * takedowns arrive between batches): build over doc_id < 250,
+    * remove 100–149, dedup the batch (250–999) against the survivor
+    * view. The oracle replays the FULL q30 pipeline over the corpus
+    * WITHOUT the removed slice, restricted to batch-touching pairs —
+    * so the hash passes only if tombstone-masked reads and the
+    * delta-corrected bucket totals are bit-identical to a rebuild
+    * that never saw the removed documents (812 pairs differ from
+    * q109's at sf0.01 — the removal is load-bearing, not vacuous).
+    */
+  def q112RemoveLsh(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q112_").toString
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 1000)
+    graft.ext.LshIndex.build(spark, s"$root/idx",
+      docs.filter(col("doc_id") < 250), "text", "doc_id",
+      shingleWidth = 1, numHashes = 24, numBands = 3)
+    graft.ext.LshIndex.remove(spark, s"$root/idx",
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+        .select("doc_id"))
+    val index = graft.ext.LshIndex.load(spark, s"$root/idx")
+    val (pairs, census) = graft.ext.LshIndex.incrementalPairs(
+      index, docs.filter(col("doc_id") >= 250), "text", threshold = 0.9)
+    require(!census.anyDropped,
+      "q112: gate fixture must not hit the bucket cap")
+    SourceQueries.materializeThenDelete(
+      pairs.orderBy(col("id_a"), col("id_b")), root)
+  }
+
+  // DERIVED from q109Sql (itself derived from q30Sql): the removed
+  // slice is excluded at the documents source — a rebuild that never
+  // saw those documents, which is exactly remove's contract.
+  lazy val q112Sql: String = {
+    val anchor = "FROM documents WHERE doc_id < 1000"
+    require(q109Sql.contains(anchor),
+      "q112Sql: q30Sql's source clause moved — re-anchor the derived oracle")
+    q109Sql.replace(anchor,
+      "FROM documents WHERE doc_id < 1000 AND NOT (doc_id >= 100 AND doc_id < 150)")
+  }
+
   /** ✚ incremental SRP embedding near-dup — q69's pipeline run through
     * a persisted [[graft.ext.SrpIndex]] (the embedding twin of q109):
     * build the index over the corpus slice (vec_id < 150), load it

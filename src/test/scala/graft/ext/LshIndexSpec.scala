@@ -360,6 +360,94 @@ class LshIndexSpec extends SparkSpec {
 
   private val Frames = Seq("base.parquet", "banded.parquet", "buckets.parquet")
 
+  test("remove makes documents invisible: reads equal a rebuild without them") {
+    val rootA = tmp()
+    val rootB = tmp()
+    try {
+      LshIndex.build(spark, s"$rootA/idx", union, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      LshIndex.remove(spark, s"$rootA/idx",
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 50).select("doc_id"))
+      LshIndex.build(spark, s"$rootB/idx",
+        union.filter(col("doc_id") < 40 || col("doc_id") >= 50),
+        "text", "doc_id", shingleWidth = 1, numHashes = 8, numBands = 2)
+      val a = LshIndex.load(spark, s"$rootA/idx")
+      val b = LshIndex.load(spark, s"$rootB/idx")
+      def dump(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      dump(a.base) shouldBe dump(b.base)
+      dump(a.banded) shouldBe dump(b.banded)
+      def totals(df: DataFrame): Seq[String] = dump(
+        df.groupBy(col("band_idx"), col("band_hash"))
+          .agg(sum(col("bucket_n")).as("bucket_n"))
+          .filter(col("bucket_n") =!= 0))
+      totals(a.buckets) shouldBe totals(b.buckets)
+      // and the removed index serves the NEXT batch identically —
+      // under an ACTIVE cap, so the corrected union totals are what
+      // decide bucket survival (a bucket the removed docs pushed over
+      // the cap can drop back under and resurrect surviving pairs)
+      val next = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+      val (pa, ca) = LshIndex.incrementalPairs(a, next, "text",
+        threshold = 0.5, maxBucketSize = 5)
+      val (pb, cb) = LshIndex.incrementalPairs(b, next, "text",
+        threshold = 0.5, maxBucketSize = 5)
+      ca shouldBe cb
+      val expected = rows(pb)
+      expected should not be empty
+      rows(pa) shouldBe expected
+    } finally { delete(rootA); delete(rootB) }
+  }
+
+  test("remove is idempotent; never-indexed ids are a no-op") {
+    val root = tmp()
+    try {
+      LshIndex.build(spark, s"$root/idx", union, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val victims = docs.filter(col("doc_id") >= 40 && col("doc_id") < 50)
+        .select("doc_id")
+      LshIndex.remove(spark, s"$root/idx", victims)
+      def totals(): Seq[String] =
+        LshIndex.load(spark, s"$root/idx").buckets
+          .groupBy(col("band_idx"), col("band_hash"))
+          .agg(sum(col("bucket_n")).as("bucket_n"))
+          .collect().map(_.toString).sorted.toSeq
+      val t1 = totals()
+      // retried remove: already-tombstoned ids contribute no deltas —
+      // a double-subtraction would distort every cap decision
+      LshIndex.remove(spark, s"$root/idx", victims)
+      totals() shouldBe t1
+      // never-indexed ids: no deltas, no phantom tombstone effects
+      import spark.implicits._
+      LshIndex.remove(spark, s"$root/idx", Seq(99999L).toDF("doc_id"))
+      totals() shouldBe t1
+    } finally delete(root)
+  }
+
+  test("compactFrames purges tombstones physically; reads unchanged") {
+    val root = tmp()
+    try {
+      LshIndex.build(spark, s"$root/idx", union, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      LshIndex.remove(spark, s"$root/idx",
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 50).select("doc_id"))
+      val next = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+      val before = LshIndex.incrementalPairs(
+        LshIndex.load(spark, s"$root/idx"), next, "text",
+        threshold = 0.5, maxBucketSize = 5)
+      val report = LshIndex.compactFrames(spark, s"$root/idx")
+      // purge parity: survivors in == rows out (Report enforces it);
+      // the tombstone frame is gone and the physical rows with it
+      new java.io.File(s"$root/idx/tombstones.parquet").exists() shouldBe false
+      val idx = LshIndex.load(spark, s"$root/idx")
+      idx.base.filter(col("id") >= 40 && col("id") < 50).count() shouldBe 0L
+      report.base.rowsAfter shouldBe idx.base.count()
+      val after = LshIndex.incrementalPairs(idx, next, "text",
+        threshold = 0.5, maxBucketSize = 5)
+      after._2 shouldBe before._2
+      rows(after._1) shouldBe rows(before._1)
+    } finally delete(root)
+  }
+
   test("loadOrBuild: cache hit on matching params, rebuild on a param change") {
     val root = tmp()
     try {

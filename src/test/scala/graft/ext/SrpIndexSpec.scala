@@ -231,6 +231,40 @@ class SrpIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("remove makes vectors invisible; compactFrames purges; reads equal a rebuild-without") {
+    val rootA = tmp()
+    val rootB = tmp()
+    try {
+      SrpIndex.build(spark, s"$rootA/idx", union, "vec_id", "embedding",
+        Bands, Planes, Dims)
+      SrpIndex.remove(spark, s"$rootA/idx",
+        vecs.filter(col("vec_id") >= 130 && col("vec_id") < 160)
+          .select("vec_id"))
+      SrpIndex.build(spark, s"$rootB/idx",
+        union.filter(col("vec_id") < 130 || col("vec_id") >= 160),
+        "vec_id", "embedding", Bands, Planes, Dims)
+      val next = vecs.filter(col("vec_id") >= 200 && col("vec_id") < 230)
+      def serve(root: String) = SrpIndex.incrementalPairs(
+        SrpIndex.load(spark, s"$root/idx"), next,
+        threshold = Thr, maxBucketSize = 8)
+      val (pa, ca) = serve(rootA)
+      val (pb, cb) = serve(rootB)
+      ca shouldBe cb
+      val expected = rows(pb)
+      expected should not be empty
+      rows(pa) shouldBe expected
+      // purge: tombstones gone, physical rows gone, reads unchanged
+      SrpIndex.compactFrames(spark, s"$rootA/idx")
+      new java.io.File(s"$rootA/idx/tombstones.parquet").exists() shouldBe false
+      val idx = SrpIndex.load(spark, s"$rootA/idx")
+      idx.base.filter(col("id") >= 130 && col("id") < 160).count() shouldBe 0L
+      val (pc, cc) = SrpIndex.incrementalPairs(idx, next,
+        threshold = Thr, maxBucketSize = 8)
+      cc shouldBe ca
+      rows(pc) shouldBe expected
+    } finally { delete(rootA); delete(rootB) }
+  }
+
   test("compactFrames bounds file counts; reads identical pre/post") {
     val root = tmp()
     try {
