@@ -104,8 +104,10 @@ object IvfIndex {
       // would tell a retrying caller their batch is already in
       fs.delete(new Path(s"$path/_ivf_meta.json"), false)
       IndexFiles.deleteMarker(spark, path)
-      // a killed compactAssignments' leftover — rebuild owns recovery
+      // a killed compactAssignments' leftover — rebuild owns recovery —
+      // and a stale tombstone frame, which would hide freshly-saved ids
       fs.delete(new Path(s"$path/assignments.parquet.tmp"), true)
+      fs.delete(new Path(s"$path/$Tombstones"), true)
       centroids
         .select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
         .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids.parquet")
@@ -159,12 +161,60 @@ object IvfIndex {
     require(meta.version == FormatVersion,
       s"IvfIndex at $path has format version ${meta.version}; " +
         s"this build reads $FormatVersion")
-    Index(
-      spark.read.parquet(s"$path/centroids.parquet"),
-      if (meta.hasAssignments)
-        Some(spark.read.parquet(s"$path/assignments.parquet"))
-      else None,
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val assignments =
+      if (!meta.hasAssignments) None
+      else {
+        val a = spark.read.parquet(s"$path/assignments.parquet")
+        // removed vectors invisible map-side (LshIndex.load's tombstone
+        // semantics): a taken-down vector must never come back as a
+        // neighbor; compactAssignments purges physically
+        if (!fs.exists(new Path(s"$path/$Tombstones"))) Some(a)
+        else Some(a.join(
+          broadcast(spark.read.parquet(s"$path/$Tombstones")
+            .withColumnRenamed("id", meta.idCol)),
+          Seq(meta.idCol), "left_anti"))
+      }
+    Index(spark.read.parquet(s"$path/centroids.parquet"), assignments,
       meta.idCol, meta.vecCol)
+  }
+
+  private val Tombstones = "tombstones.parquet"
+
+  /** Take vectors DOWN — the index family's takedown contract
+    * ([[LshIndex.remove]]) for the IVF index: append the ids to the
+    * tombstone frame (O(removed)); [[load]] anti-joins them out of
+    * the served assignments, so [[search]] can never return a removed
+    * id; [[compactAssignments]] purges the rows physically and drops
+    * the frame. Idempotent. The drift counters are NOT rewound:
+    * they describe the population the centroids were trained/appended
+    * against, which removal does not change — serving visibility and
+    * drift history are different ledgers. A removed id must not be
+    * re-[[append]]ed before a purge (the anti-join would suppress it).
+    *
+    * `ids`: any frame whose FIRST column is the vector id.
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val meta = readMeta(spark, s"$path/_ivf_meta.json")
+    require(meta.version == FormatVersion,
+      s"IvfIndex at $path has format version ${meta.version}; " +
+        s"this build removes from $FormatVersion")
+    require(meta.hasAssignments,
+      s"IvfIndex at $path was saved without assignments — there is " +
+        "nothing persisted to remove from; rebuild the corpus instead")
+    IndexFiles.withWriterLease(spark, path, "IvfIndex.remove") {
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tombPath = new Path(s"$path/$Tombstones")
+      val requested = ids.select(col(ids.columns.head).as("id")).distinct()
+      val fresh =
+        if (fs.exists(tombPath))
+          requested.join(spark.read.parquet(tombPath.toString),
+            Seq("id"), "left_anti")
+        else requested
+      fs.delete(new Path(s"$path/_ivf_meta.json"), false)
+      fresh.coalesce(1).write.mode(SaveMode.Append).parquet(tombPath.toString)
+      writeMeta(spark, s"$path/_ivf_meta.json", meta)
+    }
   }
 
   /** The cache-or-build face: load the index at `path` if complete,
@@ -397,12 +447,37 @@ object IvfIndex {
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = s"$path/assignments.parquet.tmp"
       fs.delete(new Path(tmp), true) // clear a killed compaction's leftover
-      val report = graft.ops.Compaction.compactTo(spark,
-        s"$path/assignments.parquet", tmp, targetFileBytes)
+      val tombPath = s"$path/$Tombstones"
+      val hasTombs = fs.exists(new Path(tombPath))
+      val report =
+        if (!hasTombs)
+          graft.ops.Compaction.compactTo(spark,
+            s"$path/assignments.parquet", tmp, targetFileBytes)
+        else {
+          // purge mode (LshIndex.compactFrames' semantics): rowsBefore
+          // carries the SURVIVING count, the Report's parity require
+          // becomes the purge check
+          val src = s"$path/assignments.parquet"
+          val (f0, g0, r0, b0) = graft.ops.Compaction.census(spark, src)
+          val tomb = broadcast(spark.read.parquet(tombPath)
+            .withColumnRenamed("id", meta.idCol))
+          val df = spark.read.parquet(src)
+          val removed = df.join(tomb, Seq(meta.idCol), "left_semi").count()
+          val survivors = r0 - removed
+          val keptBytes = if (r0 == 0) 0L else b0 * survivors / r0
+          val nOut = math.max(1L,
+            (keptBytes + targetFileBytes - 1) / targetFileBytes).toInt
+          df.join(tomb, Seq(meta.idCol), "left_anti").coalesce(nOut)
+            .write.mode(SaveMode.Overwrite).parquet(tmp)
+          val (f1, g1, r1, b1) = graft.ops.Compaction.census(spark, tmp)
+          graft.ops.Compaction.Report(src, tmp, f0, f1, g0, g1,
+            survivors, r1, b0, b1)
+        }
       fs.delete(new Path(s"$path/_ivf_meta.json"), false)
       fs.delete(new Path(s"$path/assignments.parquet"), true)
       require(fs.rename(new Path(tmp), new Path(s"$path/assignments.parquet")),
         s"IvfIndex.compactAssignments: rename failed at $path")
+      if (hasTombs) fs.delete(new Path(tombPath), true)
       writeMeta(spark, s"$path/_ivf_meta.json", meta)
       report
     }

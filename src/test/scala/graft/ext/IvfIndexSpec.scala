@@ -255,6 +255,39 @@ class IvfIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("remove: a taken-down vector never comes back as a neighbor; purge physical") {
+    val root = tmp()
+    try {
+      val (centroids, assigned) = freshIndex()
+      IvfIndex.save(spark, s"$root/idx", centroids, Some(assigned))
+      val q = emb.filter(col("vec_id") < 3)
+      val before = IvfIndex.search(IvfIndex.load(spark, s"$root/idx"),
+        q, k = 5, nprobe = 2)
+      // remove the top neighbors of query 0: they must vanish from
+      // results, displaced by the next-best survivors
+      val victims = before.filter(col("query_id") === 0 && col("rank") <= 2)
+        .select(col("neighbor_id").as("vec_id"))
+      val victimIds = victims.collect().map(_.getLong(0)).toSet
+      IvfIndex.remove(spark, s"$root/idx", victims)
+      val after = IvfIndex.search(IvfIndex.load(spark, s"$root/idx"),
+        q, k = 5, nprobe = 2)
+      after.select("neighbor_id").collect().map(_.getLong(0))
+        .toSet.intersect(victimIds) shouldBe Set.empty
+      after.filter(col("query_id") === 0).count() shouldBe 5L // backfilled
+      // idempotent retry, then physical purge: tombstones gone, rows
+      // gone, search unchanged
+      IvfIndex.remove(spark, s"$root/idx", victims)
+      val afterRows = rows(after)
+      val report = IvfIndex.compactAssignments(spark, s"$root/idx")
+      new java.io.File(s"$root/idx/tombstones.parquet").exists() shouldBe false
+      val idx = IvfIndex.load(spark, s"$root/idx")
+      idx.assignments.get.filter(col("vec_id").isin(victimIds.toSeq: _*))
+        .count() shouldBe 0L
+      report.rowsAfter shouldBe idx.assignments.get.count()
+      rows(IvfIndex.search(idx, q, k = 5, nprobe = 2)) shouldBe afterRows
+    } finally delete(root)
+  }
+
   // ---- drift statistic --------------------------------------------
 
   /** Constructed drift fixture: corpus hugs axis e0, a second cluster
