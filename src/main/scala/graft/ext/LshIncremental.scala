@@ -49,23 +49,37 @@ private[graft] object LshIncremental {
     * half of the streaming fold-ins' exactly-once contract (one
     * definition with [[IndexFiles.resolveReplay]]): the index already
     * contains the batch (the marker guarantees it was folded exactly
-    * once), so the view the ORIGINAL run saw is reconstructed by
-    * anti-joining the batch's ids out of base/banded and appending the
-    * batch's own counts as NEGATIVE delta rows (the counts frame is
-    * append-only deltas summed by readers — no join, no rewrite,
+    * once), so the pre-fold view is reconstructed by anti-joining the
+    * batch's ids out of base/banded and appending the batch's
+    * CURRENTLY-VISIBLE counts as NEGATIVE delta rows (the counts
+    * frame is append-only deltas summed by readers — no rewrite,
     * exact). Without the subtraction the batch would pair against
     * itself through both the index and the batch side, emitting
     * duplicated and cap-distorted rows.
+    *
+    * The subtracted counts are computed from the INDEX's view of the
+    * batch ids (`banded` semi-joined with them), NOT from the batch's
+    * own re-banded rows — the two differ exactly when documents were
+    * REMOVED between the fold-in and the replay: the tombstone-
+    * filtered `banded` no longer carries them, so subtracting their
+    * raw counts would double-count the removal's negative deltas and
+    * distort every cap decision. With the visible-view subtraction,
+    * a replay after an intervening remove reproduces the batch's
+    * pairs under the CURRENT corpus (removed documents excluded —
+    * the compliance-correct output, since a takedown must scrub
+    * replayed emissions too), and exactly the original emission when
+    * nothing was removed. Spec-pinned (LshIndexSpec
+    * replay-after-remove test).
     */
   def subtractBatch(base: DataFrame, banded: DataFrame, buckets: DataFrame,
-                    bBase: DataFrame, bBanded: DataFrame,
-                    keys: Seq[String])
+                    bBase: DataFrame, keys: Seq[String])
       : (DataFrame, DataFrame, DataFrame) = {
     val ids = broadcast(bBase.select(col("id")))
     (base.join(ids, Seq("id"), "left_anti"),
       banded.join(ids, Seq("id"), "left_anti"),
       buckets.unionByName(
-        bBanded.groupBy(keys.map(col): _*)
+        banded.join(ids, Seq("id"), "left_semi")
+          .groupBy(keys.map(col): _*)
           .agg((-count(lit(1))).as("bucket_n"))))
   }
 

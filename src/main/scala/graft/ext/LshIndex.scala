@@ -602,7 +602,7 @@ object LshIndex {
           if (!alreadyFolded) index
           else {
             val (b, bd, bk) = LshIncremental.subtractBatch(
-              index.base, index.banded, index.buckets, bBase, bBanded,
+              index.base, index.banded, index.buckets, bBase,
               Seq("band_idx", "band_hash"))
             index.copy(base = b, banded = bd, buckets = bk)
           }

@@ -397,7 +397,7 @@ object SrpIndex {
           if (!alreadyFolded) index
           else {
             val (b, bd, bk) = LshIncremental.subtractBatch(
-              index.base, index.banded, index.buckets, bBase, bBanded,
+              index.base, index.banded, index.buckets, bBase,
               Seq("band_idx", "bucket"))
             index.copy(base = b, banded = bd, buckets = bk)
           }

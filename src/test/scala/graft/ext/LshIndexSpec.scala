@@ -271,6 +271,42 @@ class LshIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("a replay AFTER an intervening remove emits the current-truth view exactly") {
+    val rootS = tmp()
+    val rootR = tmp()
+    try {
+      // stream folds the batch in, then a takedown removes one corpus
+      // document, then the batch is REPLAYED (crash-restart after the
+      // remove): the emission must equal an incremental run of the
+      // batch against (corpus minus the removed doc) — removed docs
+      // scrubbed from the replayed output, counts not double-
+      // subtracted (the visible-view subtraction in subtractBatch)
+      LshIndex.build(spark, s"$rootS/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val emissions = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val body = LshIndex.streamingDedupBatch(spark, s"$rootS/idx", "text",
+        threshold = 0.5)((pairs, _) => emissions += rows(pairs))
+      body(batch, 0L)
+      // remove a corpus doc that participates in batch-touching pairs
+      val victim = emissions.head.head // "[id_a,id_b,...]" — id_a is corpus-side
+      val victimId = victim.drop(1).takeWhile(_ != ',').toLong
+      import spark.implicits._
+      LshIndex.remove(spark, s"$rootS/idx", Seq(victimId).toDF("doc_id"))
+      body(batch, 0L) // crash-replay, post-remove
+      emissions.size shouldBe 2
+      // reference: fresh index over corpus minus the victim
+      LshIndex.build(spark, s"$rootR/idx",
+        corpus.filter(col("doc_id") =!= victimId), "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val (ref, _) = LshIndex.incrementalPairs(
+        LshIndex.load(spark, s"$rootR/idx"), batch, "text", threshold = 0.5)
+      val expected = rows(ref)
+      expected should not be empty
+      emissions(1) shouldBe expected
+      emissions(1) should not be emissions.head // the scrub is load-bearing
+    } finally { delete(rootS); delete(rootR) }
+  }
+
   test("rebuild clears the streaming replay marker") {
     val root = tmp()
     try {
