@@ -141,6 +141,21 @@ object IndexMaintProbe {
     val (compactSec, note) = timed(compact())
     println(f"compact $compactSec%.1f s; files: ${filesOf(frames)}; $note")
     println(f"probe after compact: cold ${probe()}%.2f s, warm ${probe()}%.2f s")
+
+    // takedown price (lsh family): remove batchSize corpus docs — one
+    // map-side semi-filtered banded scan for the negative deltas, two
+    // tiny appends — then the serving probe over the survivor view
+    if (family == "lsh") {
+      val docs = spark.read.parquet(ScaleTrend.docsFixture(spark, n, out))
+      val victims = docs
+        .filter(col("doc_id") >= corpusEnd - batchSize
+          && col("doc_id") < corpusEnd)
+        .select("doc_id")
+      val (removeSec, _) =
+        timed(graft.ext.LshIndex.remove(spark, idxPath, victims))
+      println(f"remove($batchSize docs) $removeSec%.2f s")
+      println(f"probe after remove: cold ${probe()}%.2f s, warm ${probe()}%.2f s")
+    }
     spark.stop()
   }
 }
