@@ -72,6 +72,17 @@ private[graft] object IndexFiles {
     * append ever completed. A one-line legacy marker (pre-identity
     * layout) reads as [[ManualWriter]]. A corrupt marker is an
     * incomplete index — loud error, rebuild.
+    *
+    * MIGRATION NOTE (documented, deliberate): an index whose marker
+    * was written by a pre-identity build reads as `manual`, so a
+    * stream resuming it — even the original stream with its original
+    * checkpoint — fails the identity check loudly and must rebuild
+    * the index once. Adopting the resuming stream's identity lazily
+    * was considered and REJECTED: the marker cannot distinguish the
+    * legitimate original stream from a different stream with a fresh
+    * checkpoint, and guessing wrong silently misclassifies batches —
+    * the exact failure the identity exists to prevent. One loud
+    * rebuild at upgrade beats a silent corruption path forever.
     */
   def readMarker(spark: SparkSession, dir: String): Option[(Long, String)] = {
     val p = markerPath(dir)
@@ -195,39 +206,101 @@ private[graft] object IndexFiles {
     * protocol already handles a failed mutation (no meta → refuses to
     * load → rebuild), and a lock surviving the failure would only
     * delay that recovery by `staleMs`.
+    *
+    * The holder HEARTBEATS: a daemon thread rewrites the lock's
+    * timestamp every `staleMs / 3` while `body` runs, so a LIVE
+    * long-running mutation (a corpus-scale compaction takes hours at
+    * 100 TB) can never age past the takeover threshold — age-based
+    * takeover fires only when the writer is genuinely dead and its
+    * heartbeats have stopped. (Best-effort, like the lease itself: a
+    * writer frozen longer than `staleMs` — not crashed, not
+    * heartbeating — can still be taken over; filesystems without
+    * atomic create-exclusive narrow to the same window.)
     */
   def withWriterLease[T](spark: SparkSession, dir: String, op: String,
                          staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
     val p = lockPath(dir)
     val fs = fsFor(spark, p)
-    def tryAcquire(): Boolean =
+    def touch(exclusive: Boolean): Boolean =
       try {
-        val out = fs.create(p, false) // create-exclusive: fails if present
+        val out = fs.create(p, !exclusive)
         try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (!tryAcquire()) {
+    if (!touch(exclusive = true)) {
+      // Read discipline matters here: the holder's heartbeat rewrites
+      // the file non-atomically (truncate, then write), so a lock that
+      // EXISTS but reads empty/garbage means a writer is rewriting it
+      // RIGHT NOW — that is the strongest possible liveness signal,
+      // never grounds for takeover. Only a VANISHED lock (open throws)
+      // is a raced release, retried as a fresh acquire.
       val ageMs =
         try {
           val in = fs.open(p)
           val text =
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
             finally in.close()
-          text.toLongOption.map(System.currentTimeMillis() - _)
-        } catch { case _: java.io.IOException => None } // raced: lock released
-      val stale = ageMs.forall(_ > staleMs) // unreadable/vanished ⇒ retry
-      require(stale,
+          Some(text.toLongOption.map(System.currentTimeMillis() - _)
+            .getOrElse(0L)) // mid-heartbeat ⇒ age 0: live
+        } catch { case _: java.io.IOException => None } // vanished: released
+      val stale = ageMs.exists(_ > staleMs)
+      val vanished = ageMs.isEmpty
+      require(stale || vanished,
         s"$op at $dir: another writer holds _writer_lock " +
           s"(age ${ageMs.getOrElse(-1L)} ms < stale threshold $staleMs ms) — " +
           "index mutation is single-writer; wait for it to finish, or " +
           "delete the lock if you know the writer is dead")
-      fs.delete(p, false)
-      require(tryAcquire(),
+      if (stale) fs.delete(p, false)
+      require(touch(exclusive = true),
         s"$op at $dir: lost the takeover race for _writer_lock to another " +
           "writer — retry once the winner finishes")
     }
+    val beat = new java.util.concurrent.ScheduledThreadPoolExecutor(1, r => {
+      val t = new Thread(r, s"lease-heartbeat-$op")
+      t.setDaemon(true)
+      t
+    })
+    beat.scheduleAtFixedRate(() => touch(exclusive = false),
+      math.max(1L, staleMs / 3), math.max(1L, staleMs / 3),
+      java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
-    finally fs.delete(p, false)
+    finally {
+      beat.shutdownNow()
+      fs.delete(p, false)
+    }
+  }
+
+  /** The tombstone-purge rewrite shared by the three indexes'
+    * compaction faces ([[LshIndex.compactFrames]],
+    * [[SrpIndex.compactFrames]], [[IvfIndex.compactAssignments]]) —
+    * ONE definition for the block a divergent copy would silently
+    * break: census the source, anti-join the broadcast tombstones
+    * out, size the output files to the SURVIVING bytes (double
+    * arithmetic — `bytes × survivors` overflows a Long at the 100 TB
+    * design point), and return a footer-verified
+    * [[graft.ops.Compaction.Report]] whose `rowsBefore` carries the
+    * SURVIVING pre-rewrite count, so its embedded parity require
+    * becomes the purge check (survivors in == rows out).
+    */
+  def purgeRewrite(spark: SparkSession, srcDir: String, tmpDir: String,
+                   tombDir: String, idColName: String,
+                   targetFileBytes: Long): graft.ops.Compaction.Report = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val (f0, g0, r0, b0) = graft.ops.Compaction.census(spark, srcDir)
+    val tomb = broadcast(spark.read.parquet(tombDir)
+      .withColumnRenamed("id", idColName))
+    val df = spark.read.parquet(srcDir)
+    val removed = df.join(tomb, Seq(idColName), "left_semi").count()
+    val survivors = r0 - removed
+    val keptBytes =
+      if (r0 == 0) 0L else (b0.toDouble * survivors / r0).toLong
+    val nOut = math.max(1L,
+      (keptBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    df.join(tomb, Seq(idColName), "left_anti").coalesce(nOut)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmpDir)
+    val (f1, g1, r1, b1) = graft.ops.Compaction.census(spark, tmpDir)
+    graft.ops.Compaction.Report(srcDir, tmpDir, f0, f1, g0, g1,
+      survivors, r1, b0, b1)
   }
 }

@@ -39,6 +39,19 @@ object IvfIndex {
     */
   val FormatVersion = 1
 
+  /** Stamped by [[remove]], stamped back by [[compactAssignments]]'
+    * purge — [[LshIndex.TombstoneVersion]]'s exact contract: the
+    * tombstone layout changes read semantics (served assignments),
+    * so a pre-tombstone build must refuse the index loudly, not
+    * return removed vectors as neighbors.
+    */
+  val TombstoneVersion = FormatVersion + 1
+
+  private def requireReadable(meta: Meta, path: String): Unit =
+    require(meta.version == FormatVersion || meta.version == TombstoneVersion,
+      s"IvfIndex at $path has format version ${meta.version}; this build " +
+        s"reads $FormatVersion (and $TombstoneVersion = tombstoned)")
+
   final case class Index(centroids: DataFrame,
                          assignments: Option[DataFrame],
                          idCol: String, vecCol: String)
@@ -158,9 +171,7 @@ object IvfIndex {
     */
   def load(spark: SparkSession, path: String): Index = {
     val meta = readMeta(spark, s"$path/_ivf_meta.json")
-    require(meta.version == FormatVersion,
-      s"IvfIndex at $path has format version ${meta.version}; " +
-        s"this build reads $FormatVersion")
+    requireReadable(meta, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val assignments =
       if (!meta.hasAssignments) None
@@ -196,9 +207,7 @@ object IvfIndex {
     */
   def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val meta = readMeta(spark, s"$path/_ivf_meta.json")
-    require(meta.version == FormatVersion,
-      s"IvfIndex at $path has format version ${meta.version}; " +
-        s"this build removes from $FormatVersion")
+    requireReadable(meta, path)
     require(meta.hasAssignments,
       s"IvfIndex at $path was saved without assignments — there is " +
         "nothing persisted to remove from; rebuild the corpus instead")
@@ -213,7 +222,8 @@ object IvfIndex {
         else requested
       fs.delete(new Path(s"$path/_ivf_meta.json"), false)
       fresh.coalesce(1).write.mode(SaveMode.Append).parquet(tombPath.toString)
-      writeMeta(spark, s"$path/_ivf_meta.json", meta)
+      writeMeta(spark, s"$path/_ivf_meta.json",
+        meta.copy(version = TombstoneVersion))
     }
   }
 
@@ -242,7 +252,11 @@ object IvfIndex {
         // retrain + Overwrite), not a permanent error; only a meta
         // that parses can assert a version worth protecting.
         case None => None
-        case Some(meta) =>
+        case Some(meta0) =>
+          // a tombstoned index is the same cache entry (removals are
+          // state, not identity) — load serves the survivor view
+          val meta = if (meta0.version == TombstoneVersion)
+            meta0.copy(version = FormatVersion) else meta0
           require(meta.version <= FormatVersion,
             s"IvfIndex at $path has format version ${meta.version}, newer " +
               s"than this build's $FormatVersion — refusing to overwrite a " +
@@ -297,9 +311,7 @@ object IvfIndex {
                        newVectors: DataFrame, batchMarker: Option[Long],
                        writer: String): Unit = {
     val meta0 = readMeta(spark, s"$path/_ivf_meta.json")
-    require(meta0.version == FormatVersion,
-      s"IvfIndex at $path has format version ${meta0.version}; " +
-        s"this build writes $FormatVersion")
+    requireReadable(meta0, path)
     require(meta0.hasAssignments,
       s"IvfIndex at $path was saved without assignments — append has " +
         "nothing to fold into; rebuild with save(..., assignments = Some(...))")
@@ -352,19 +364,30 @@ object IvfIndex {
     * index saved with assignments by a stats-aware build (the
     * counters live in the meta; an older meta has none).
     */
-  def driftStat(spark: SparkSession, path: String): DriftStat = {
-    val meta = readMeta(spark, s"$path/_ivf_meta.json")
-    val dc = meta.drift.getOrElse(sys.error(
+  def driftStat(spark: SparkSession, path: String): DriftStat =
+    driftStatOption(spark, path).getOrElse(sys.error(
       s"IvfIndex at $path carries no drift counters (saved without " +
         "assignments, or by a pre-stats build) — re-save with " +
         "assignments to enable drift tracking"))
+
+  /** [[driftStat]] that reports counter ABSENCE as None instead of
+    * throwing — what automated paths (the streaming face) consume, so
+    * an index saved by a pre-stats build degrades to "no stat", never
+    * to a post-mutation crash loop.
+    */
+  def driftStatOption(spark: SparkSession, path: String): Option[DriftStat] = {
+    val meta = readMeta(spark, s"$path/_ivf_meta.json")
+    val dc = meta.drift match {
+      case None => return None
+      case Some(d) => d
+    }
     require(dc.trainN > 0,
       s"IvfIndex at $path: drift counters exist but trainN=0 — the " +
         "train-time corpus had no measurable vectors; retrain")
-    DriftStat(dc.trainN, dc.trainDistSum / dc.trainN,
+    Some(DriftStat(dc.trainN, dc.trainDistSum / dc.trainN,
       dc.appendN,
       if (dc.appendN > 0) Some(dc.appendDistSum / dc.appendN) else None,
-      dc.appendN.toDouble / (dc.trainN + dc.appendN))
+      dc.appendN.toDouble / (dc.trainN + dc.appendN)))
   }
 
   /** Append-write sizing: assignment rows carry the full vector, so
@@ -406,20 +429,22 @@ object IvfIndex {
     * {{{
     *   vecStream.writeStream
     *     .foreachBatch(IvfIndex.streamingAppendBatch(spark, path)(
-    *       (stat, id) => require(stat.ratio.forall(_ < 2.0),
+    *       (stat, id) => require(stat.flatMap(_.ratio).forall(_ < 2.0),
     *         s"drift at batch $id: retrain")))
     *     .option("checkpointLocation", ckpt)
     *     .trigger(Trigger.AvailableNow()).start()
     * }}}
     */
   def streamingAppendBatch(spark: SparkSession, path: String)(
-      onStat: (DriftStat, Long) => Unit): (DataFrame, Long) => Unit =
+      onStat: (Option[DriftStat], Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val (writerId, alreadyFolded) =
         IndexFiles.resolveReplay(spark, path, "IvfIndex", batchId)
       if (!alreadyFolded)
         appendAs(spark, path, batch, Some(batchId), writerId)
-      onStat(driftStat(spark, path), batchId)
+      // Option, NOT the throwing face: a pre-stats index must degrade
+      // to "no stat", never crash-loop a stream AFTER its fold-in
+      onStat(driftStatOption(spark, path), batchId)
     }
 
   /** Bound the per-append small-file growth of the assignments frame
@@ -438,9 +463,7 @@ object IvfIndex {
                          targetFileBytes: Long = 128L * 1024 * 1024)
       : graft.ops.Compaction.Report = {
     val meta = readMeta(spark, s"$path/_ivf_meta.json")
-    require(meta.version == FormatVersion,
-      s"IvfIndex at $path has format version ${meta.version}; " +
-        s"this build compacts $FormatVersion")
+    requireReadable(meta, path)
     require(meta.hasAssignments,
       s"IvfIndex at $path was saved without assignments — nothing to compact")
     IndexFiles.withWriterLease(spark, path, "IvfIndex.compactAssignments") {
@@ -453,32 +476,15 @@ object IvfIndex {
         if (!hasTombs)
           graft.ops.Compaction.compactTo(spark,
             s"$path/assignments.parquet", tmp, targetFileBytes)
-        else {
-          // purge mode (LshIndex.compactFrames' semantics): rowsBefore
-          // carries the SURVIVING count, the Report's parity require
-          // becomes the purge check
-          val src = s"$path/assignments.parquet"
-          val (f0, g0, r0, b0) = graft.ops.Compaction.census(spark, src)
-          val tomb = broadcast(spark.read.parquet(tombPath)
-            .withColumnRenamed("id", meta.idCol))
-          val df = spark.read.parquet(src)
-          val removed = df.join(tomb, Seq(meta.idCol), "left_semi").count()
-          val survivors = r0 - removed
-          val keptBytes = if (r0 == 0) 0L else b0 * survivors / r0
-          val nOut = math.max(1L,
-            (keptBytes + targetFileBytes - 1) / targetFileBytes).toInt
-          df.join(tomb, Seq(meta.idCol), "left_anti").coalesce(nOut)
-            .write.mode(SaveMode.Overwrite).parquet(tmp)
-          val (f1, g1, r1, b1) = graft.ops.Compaction.census(spark, tmp)
-          graft.ops.Compaction.Report(src, tmp, f0, f1, g0, g1,
-            survivors, r1, b0, b1)
-        }
+        else IndexFiles.purgeRewrite(spark, s"$path/assignments.parquet",
+          tmp, tombPath, meta.idCol, targetFileBytes)
       fs.delete(new Path(s"$path/_ivf_meta.json"), false)
       fs.delete(new Path(s"$path/assignments.parquet"), true)
       require(fs.rename(new Path(tmp), new Path(s"$path/assignments.parquet")),
         s"IvfIndex.compactAssignments: rename failed at $path")
       if (hasTombs) fs.delete(new Path(tombPath), true)
-      writeMeta(spark, s"$path/_ivf_meta.json", meta)
+      writeMeta(spark, s"$path/_ivf_meta.json",
+        meta.copy(version = FormatVersion))
       report
     }
   }

@@ -53,6 +53,22 @@ object LshIndex {
     */
   val FormatVersion = 2
 
+  /** Stamped into the meta by [[remove]] (and stamped back to
+    * [[FormatVersion]] when [[compactFrames]] purges): a tombstoned
+    * index has DIFFERENT read semantics — a reader that does not
+    * apply the tombstone anti-join would silently serve removed
+    * documents, the exact takedown violation [[remove]] exists to
+    * prevent — so the version changes WITH the layout, and a
+    * pre-tombstone build refuses the index loudly instead of
+    * misreading it. v3 ≡ "v2 + tombstones.parquet".
+    */
+  val TombstoneVersion = FormatVersion + 1
+
+  private def requireReadable(meta: Meta, path: String): Unit =
+    require(meta.version == FormatVersion || meta.version == TombstoneVersion,
+      s"LshIndex at $path has format version ${meta.version}; this build " +
+        s"reads $FormatVersion (and $TombstoneVersion = tombstoned)")
+
   final case class Index(base: DataFrame, banded: DataFrame,
                          buckets: DataFrame,
                          idCol: String, shingleWidth: Int,
@@ -139,9 +155,7 @@ object LshIndex {
     */
   def load(spark: SparkSession, path: String): Index = {
     val meta = readMeta(spark, s"$path/_lsh_meta.json")
-    require(meta.version == FormatVersion,
-      s"LshIndex at $path has format version ${meta.version}; " +
-        s"this build reads $FormatVersion")
+    requireReadable(meta, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (base, banded) = {
       val b = spark.read.parquet(s"$path/base.parquet")
@@ -187,9 +201,7 @@ object LshIndex {
     */
   def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val meta = readMeta(spark, s"$path/_lsh_meta.json")
-    require(meta.version == FormatVersion,
-      s"LshIndex at $path has format version ${meta.version}; " +
-        s"this build removes from $FormatVersion")
+    requireReadable(meta, path)
     IndexFiles.withWriterLease(spark, path, "LshIndex.remove") {
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tombPath = new Path(s"$path/$Tombstones")
@@ -213,7 +225,10 @@ object LshIndex {
         fresh.coalesce(1).write.mode(SaveMode.Append).parquet(tombPath.toString)
         deltas.coalesce(1).write.mode(SaveMode.Append)
           .parquet(s"$path/buckets.parquet")
-        writeMeta(spark, s"$path/_lsh_meta.json", meta)
+        // version stamps WITH the layout: a pre-tombstone build must
+        // refuse this index, not silently serve the removed documents
+        writeMeta(spark, s"$path/_lsh_meta.json",
+          meta.copy(version = TombstoneVersion))
       } finally fresh.unpersist()
     }
   }
@@ -242,7 +257,12 @@ object LshIndex {
       Dedup.payloadColumn(verifyOn))
     val found =
       if (!fs.exists(metaPath)) None
+      // a TOMBSTONED index with matching params is the same cache
+      // entry (removals are state, not identity) — normalize for the
+      // comparison; load serves the survivor view
       else parseMeta(readMetaText(spark, metaPath.toString))
+        .map(m => if (m.version == TombstoneVersion)
+          m.copy(version = FormatVersion) else m)
     found.foreach { m =>
       require(m.version <= FormatVersion,
         s"LshIndex at $path has format version ${m.version}, newer than " +
@@ -270,9 +290,11 @@ object LshIndex {
     val metaPath = new Path(s"$path/_lsh_meta.json")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(metaPath) &&
-      parseMeta(readMetaText(spark, metaPath.toString)).contains(
-        Meta(FormatVersion, idCol, shingleWidth, numHashes, numBands,
-          Dedup.payloadColumn(verifyOn)))
+      parseMeta(readMetaText(spark, metaPath.toString))
+        .map(m => if (m.version == TombstoneVersion)
+          m.copy(version = FormatVersion) else m)
+        .contains(Meta(FormatVersion, idCol, shingleWidth, numHashes,
+          numBands, Dedup.payloadColumn(verifyOn)))
   }
 
   /** Near-dup pairs involving ≥ 1 document of `newDf`, against the
@@ -321,9 +343,7 @@ object LshIndex {
   def append(spark: SparkSession, path: String, df: DataFrame,
              textCol: String, batchMarker: Option[Long] = None): Unit = {
     val meta = readMeta(spark, s"$path/_lsh_meta.json")
-    require(meta.version == FormatVersion,
-      s"LshIndex at $path has format version ${meta.version}; " +
-        s"this build writes $FormatVersion")
+    requireReadable(meta, path)
     // identity pre-flight BEFORE the transaction: a mismatch must be a
     // clean refusal, not a mid-transaction abort that leaves no meta
     batchMarker.foreach(_ =>
@@ -415,9 +435,7 @@ object LshIndex {
     // same asymmetric version guard as compactBuckets: rewriting a
     // NEWER layout's frames with this build's reader — then re-stamping
     // the newer meta over the result — would be silent corruption
-    require(meta.version == FormatVersion,
-      s"LshIndex at $path has format version ${meta.version}; " +
-        s"this build compacts $FormatVersion")
+    requireReadable(meta, path)
     IndexFiles.withWriterLease(spark, path, "LshIndex.compactFrames") {
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       Frames.foreach(f => fs.delete(new Path(s"$path/$f.tmp"), true))
@@ -432,24 +450,8 @@ object LshIndex {
         if (!hasTombs)
           graft.ops.Compaction.compactTo(spark, s"$path/$frame",
             s"$path/$frame.tmp", targetFileBytes)
-        else {
-          val (f0, g0, r0, b0) =
-            graft.ops.Compaction.census(spark, s"$path/$frame")
-          val tomb = broadcast(spark.read.parquet(tombPath))
-          val df = spark.read.parquet(s"$path/$frame")
-          val removed = df.join(tomb, Seq("id"), "left_semi").count()
-          val survivors = r0 - removed
-          val keptBytes = if (r0 == 0) 0L else b0 * survivors / r0
-          val nOut = math.max(1L,
-            (keptBytes + targetFileBytes - 1) / targetFileBytes).toInt
-          df.join(tomb, Seq("id"), "left_anti").coalesce(nOut)
-            .write.mode(SaveMode.Overwrite).parquet(s"$path/$frame.tmp")
-          val (f1, g1, r1, b1) =
-            graft.ops.Compaction.census(spark, s"$path/$frame.tmp")
-          // Report's embedded parity require becomes the purge check
-          graft.ops.Compaction.Report(s"$path/$frame", s"$path/$frame.tmp",
-            f0, f1, g0, g1, survivors, r1, b0, b1)
-        }
+        else IndexFiles.purgeRewrite(spark, s"$path/$frame",
+          s"$path/$frame.tmp", tombPath, "id", targetFileBytes)
       val baseR = rewrite("base.parquet")
       val bandedR = rewrite("banded.parquet")
       // the removal deltas fold into the aggregation like any others —
@@ -474,7 +476,9 @@ object LshIndex {
           s"LshIndex.compactFrames: rename failed for $f at $path")
       }
       if (hasTombs) fs.delete(new Path(tombPath), true)
-      writeMeta(spark, s"$path/_lsh_meta.json", meta)
+      // the purge restores the plain layout — stamp the version back
+      writeMeta(spark, s"$path/_lsh_meta.json",
+        meta.copy(version = FormatVersion))
       IndexFiles.FramesReport(baseR, bandedR, bFiles, bFilesAfter,
         bRows, bRowsAfter)
     }
@@ -501,9 +505,7 @@ object LshIndex {
     // same asymmetric version guard as append/loadOrBuild: rewriting a
     // NEWER layout's counts with this build's semantics — and then
     // re-stamping the newer meta over it — would be silent corruption
-    require(meta.version == FormatVersion,
-      s"LshIndex at $path has format version ${meta.version}; " +
-        s"this build compacts $FormatVersion")
+    requireReadable(meta, path)
     IndexFiles.withWriterLease(spark, path, "LshIndex.compactBuckets") {
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = s"$path/buckets.parquet.tmp"

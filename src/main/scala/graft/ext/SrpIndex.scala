@@ -48,6 +48,18 @@ object SrpIndex {
     */
   val FormatVersion = 1
 
+  /** Stamped by [[remove]], stamped back by [[compactFrames]]' purge —
+    * [[LshIndex.TombstoneVersion]]'s exact contract: the tombstone
+    * layout changes read semantics, so a pre-tombstone build must
+    * refuse the index loudly, not serve removed vectors.
+    */
+  val TombstoneVersion = FormatVersion + 1
+
+  private def requireReadable(meta: Meta, path: String): Unit =
+    require(meta.version == FormatVersion || meta.version == TombstoneVersion,
+      s"SrpIndex at $path has format version ${meta.version}; this build " +
+        s"reads $FormatVersion (and $TombstoneVersion = tombstoned)")
+
   final case class Index(base: DataFrame, banded: DataFrame,
                          buckets: DataFrame,
                          idCol: String, numBands: Int, planesPerBand: Int,
@@ -98,9 +110,7 @@ object SrpIndex {
     */
   def load(spark: SparkSession, path: String): Index = {
     val meta = readMeta(spark, path)
-    require(meta.version == FormatVersion,
-      s"SrpIndex at $path has format version ${meta.version}; " +
-        s"this build reads $FormatVersion")
+    requireReadable(meta, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (base, banded) = {
       val b = spark.read.parquet(s"$path/base.parquet")
@@ -128,9 +138,7 @@ object SrpIndex {
     */
   def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
     val meta = readMeta(spark, path)
-    require(meta.version == FormatVersion,
-      s"SrpIndex at $path has format version ${meta.version}; " +
-        s"this build removes from $FormatVersion")
+    requireReadable(meta, path)
     IndexFiles.withWriterLease(spark, path, "SrpIndex.remove") {
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tombPath = new Path(s"$path/$Tombstones")
@@ -149,7 +157,7 @@ object SrpIndex {
         fresh.coalesce(1).write.mode(SaveMode.Append).parquet(tombPath.toString)
         deltas.coalesce(1).write.mode(SaveMode.Append)
           .parquet(s"$path/buckets.parquet")
-        writeMeta(spark, path, meta)
+        writeMeta(spark, path, meta.copy(version = TombstoneVersion))
       } finally fresh.unpersist()
     }
   }
@@ -172,8 +180,12 @@ object SrpIndex {
     val want = Meta(FormatVersion, idCol, numBands, planesPerBand, dims)
     val found =
       if (!fs.exists(metaPath)) None
+      // a tombstoned index with matching params is the same cache
+      // entry (removals are state, not identity)
       else parseMeta(IndexFiles.readTextFile(spark, metaPath.toString,
         "unreachable: existence checked"))
+        .map(m => if (m.version == TombstoneVersion)
+          m.copy(version = FormatVersion) else m)
     found.foreach { m =>
       require(m.version <= FormatVersion,
         s"SrpIndex at $path has format version ${m.version}, newer than " +
@@ -198,6 +210,8 @@ object SrpIndex {
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(metaPath) && parseMeta(IndexFiles.readTextFile(spark,
         metaPath.toString, "unreachable: existence checked"))
+      .map(m => if (m.version == TombstoneVersion)
+        m.copy(version = FormatVersion) else m)
       .contains(Meta(FormatVersion, idCol, numBands, planesPerBand, dims))
   }
 
@@ -242,9 +256,7 @@ object SrpIndex {
              vecCol: String = "embedding",
              batchMarker: Option[Long] = None): Unit = {
     val meta = readMeta(spark, path)
-    require(meta.version == FormatVersion,
-      s"SrpIndex at $path has format version ${meta.version}; " +
-        s"this build writes $FormatVersion")
+    requireReadable(meta, path)
     batchMarker.foreach(_ =>
       IndexFiles.requireWriter(spark, path, IndexFiles.ManualWriter))
     val (base, banded) = Similarity.srpFrames(df, meta.idCol, vecCol,
@@ -305,9 +317,7 @@ object SrpIndex {
                     targetFileBytes: Long = 128L * 1024 * 1024)
       : IndexFiles.FramesReport = {
     val meta = readMeta(spark, path)
-    require(meta.version == FormatVersion,
-      s"SrpIndex at $path has format version ${meta.version}; " +
-        s"this build compacts $FormatVersion")
+    requireReadable(meta, path)
     IndexFiles.withWriterLease(spark, path, "SrpIndex.compactFrames") {
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       Frames.foreach(f => fs.delete(new Path(s"$path/$f.tmp"), true))
@@ -319,23 +329,8 @@ object SrpIndex {
         if (!hasTombs)
           graft.ops.Compaction.compactTo(spark, s"$path/$frame",
             s"$path/$frame.tmp", targetFileBytes)
-        else {
-          val (f0, g0, r0, b0) =
-            graft.ops.Compaction.census(spark, s"$path/$frame")
-          val tomb = broadcast(spark.read.parquet(tombPath))
-          val df = spark.read.parquet(s"$path/$frame")
-          val removed = df.join(tomb, Seq("id"), "left_semi").count()
-          val survivors = r0 - removed
-          val keptBytes = if (r0 == 0) 0L else b0 * survivors / r0
-          val nOut = math.max(1L,
-            (keptBytes + targetFileBytes - 1) / targetFileBytes).toInt
-          df.join(tomb, Seq("id"), "left_anti").coalesce(nOut)
-            .write.mode(SaveMode.Overwrite).parquet(s"$path/$frame.tmp")
-          val (f1, g1, r1, b1) =
-            graft.ops.Compaction.census(spark, s"$path/$frame.tmp")
-          graft.ops.Compaction.Report(s"$path/$frame", s"$path/$frame.tmp",
-            f0, f1, g0, g1, survivors, r1, b0, b1)
-        }
+        else IndexFiles.purgeRewrite(spark, s"$path/$frame",
+          s"$path/$frame.tmp", tombPath, "id", targetFileBytes)
       val baseR = rewrite("base.parquet")
       val bandedR = rewrite("banded.parquet")
       val (bFiles, _, bRows, bBytes) =
@@ -357,7 +352,7 @@ object SrpIndex {
           s"SrpIndex.compactFrames: rename failed for $f at $path")
       }
       if (hasTombs) fs.delete(new Path(tombPath), true)
-      writeMeta(spark, path, meta)
+      writeMeta(spark, path, meta.copy(version = FormatVersion))
       IndexFiles.FramesReport(baseR, bandedR, bFiles, bFilesAfter,
         bRows, bRowsAfter)
     }

@@ -83,6 +83,36 @@ class IndexGuardSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("the lease HEARTBEATS: a live long-running writer cannot be aged out") {
+    val root = tmp()
+    try {
+      val dir = s"$root/idx"
+      def lockTs(): Long = {
+        // the heartbeat rewrite is non-atomic — retry through the
+        // empty window, exactly as the product's age check treats it
+        var v: Option[Long] = None
+        while (v.isEmpty) {
+          val src = scala.io.Source.fromFile(s"$dir/_writer_lock")
+          try v = src.mkString.trim.toLongOption finally src.close()
+          if (v.isEmpty) Thread.sleep(10)
+        }
+        v.get
+      }
+      // staleMs = 900 ms → heartbeat every 300 ms; a body outliving
+      // the stale threshold must keep its lock timestamp fresh, or a
+      // concurrent writer's age-based takeover would steal the lease
+      // from a LIVE compaction and re-enable the dual-writer race
+      IndexFiles.withWriterLease(spark, dir, "test", staleMs = 900) {
+        val t0 = lockTs()
+        Thread.sleep(1200)
+        val t1 = lockTs()
+        (t1 - t0) should be >= 300L // refreshed at least once
+        (System.currentTimeMillis() - t1) should be < 900L // never stale
+      }
+      lockExists(dir) shouldBe false // released on completion
+    } finally delete(root)
+  }
+
   test("marker is monotonic: an out-of-order manual id never regresses it") {
     val root = tmp()
     try {

@@ -347,7 +347,7 @@ class IvfIndexSpec extends SparkSpec {
         Some(Similarity.assignToCentroids(corpus, centroids)))
       val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       val body = IvfIndex.streamingAppendBatch(spark, s"$root/idx")(
-        (stat, id) => stats += ((id, stat.appendedN)))
+        (stat, id) => stats += ((id, stat.get.appendedN)))
       body(axisVecs(100 until 110, 0), 0L)
       body(axisVecs(200 until 212, 1), 1L)
       IvfIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L

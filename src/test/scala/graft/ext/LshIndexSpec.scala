@@ -459,6 +459,39 @@ class LshIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("tombstones stamp the format version: old readers refuse, purge restores") {
+    val root = tmp()
+    try {
+      import spark.implicits._
+      LshIndex.build(spark, s"$root/idx", union, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      def metaVersion(): Int = {
+        val src = scala.io.Source.fromFile(s"$root/idx/_lsh_meta.json")
+        try """"version":(\d+)""".r.findFirstMatchIn(src.mkString).get
+          .group(1).toInt
+        finally src.close()
+      }
+      metaVersion() shouldBe LshIndex.FormatVersion
+      LshIndex.remove(spark, s"$root/idx", Seq(41L).toDF("doc_id"))
+      // the layout changed read semantics — the version must change
+      // WITH it, so a pre-tombstone build fails its version require
+      // instead of silently serving the removed documents
+      metaVersion() shouldBe LshIndex.TombstoneVersion
+      // this build reads, appends to, and caches the tombstoned index
+      LshIndex.load(spark, s"$root/idx").numHashes shouldBe 8
+      LshIndex.append(spark, s"$root/idx",
+        docs.filter(col("doc_id") >= 60 && col("doc_id") < 62), "text")
+      metaVersion() shouldBe LshIndex.TombstoneVersion // append preserves
+      val hit = LshIndex.loadOrBuild(spark, s"$root/idx",
+        sys.error("cache hit expected: removals are state, not identity"),
+        "text", "doc_id", shingleWidth = 1, numHashes = 8, numBands = 2)
+      hit.numHashes shouldBe 8
+      // the purge restores the plain layout — and the plain version
+      LshIndex.compactFrames(spark, s"$root/idx")
+      metaVersion() shouldBe LshIndex.FormatVersion
+    } finally delete(root)
+  }
+
   test("compactFrames purges tombstones physically; reads unchanged") {
     val root = tmp()
     try {
