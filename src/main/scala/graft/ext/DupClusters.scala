@@ -221,4 +221,98 @@ object DupClusters {
       .groupBy(col("label").as("rep"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") >= minSize)
+
+  /** Corpus-growth connected components — the cluster-election half of
+    * the incremental dedup story ([[graft.ext.LshIndex.incrementalPairs]]
+    * makes the PAIRS O(batch); without this, electing representatives
+    * still re-ran CC over the corpus-wide pair graph per batch):
+    * update a prior labeling with a batch of new nodes and the
+    * batch-touching edges, in O(batch + touched components) — the
+    * corpus-sized labeling is scanned once map-side and NEVER
+    * shuffled.
+    *
+    * Algorithm — exact CC on the QUOTIENT graph: the prior labeling's
+    * components are precisely the connected components of the old
+    * edge set, so contracting every new edge's endpoints to their
+    * prior labels (identity for new nodes) yields a graph whose CC
+    * solution, composed with the prior labeling, IS the CC solution
+    * of the full union graph. The quotient has O(batch edges) edges
+    * and only TOUCHED component labels + new nodes as vertices, so
+    * [[componentsStar]] over it costs O(batch); the final remap joins
+    * the corpus labeling against the (size-guarded broadcast) quotient
+    * roots map-side. Canonical min-id labels compose exactly: a merged
+    * component's min member id = min over its parts' min ids, which
+    * is the quotient CC's min over label-vertices.
+    *
+    * Spec-pinned ≡ a full recompute over the union graph
+    * (DupClustersSpec), and oracle-gated end-to-end by q113 — whose
+    * oracle IS q47's full-recompute SQL, the q107 ≡ q62 pattern.
+    *
+    * Caller contract: `prevLabels` is a COMPLETE labeling of the old
+    * node set (the [[components]]/[[componentsStar]] output, labels =
+    * canonical min member ids); `newNodes` are disjoint from it; every
+    * `newEdges` endpoint is in `prevLabels` ∪ `newNodes` (edges
+    * between two OLD nodes are fine — that is the merge case).
+    *
+    * @return (id, label) over prevLabels ∪ newNodes — same shape as
+    *         [[components]], so the result can seed the NEXT batch.
+    */
+  def incrementalComponents(prevLabels: DataFrame, newNodes: DataFrame,
+                            newEdges: DataFrame, maxIter: Int = 50,
+                            mode: CheckpointMode = CheckpointMode.Local)
+      : DataFrame = {
+    val spark = prevLabels.sparkSession
+    // contract each edge's endpoints to their prior labels. The ONE
+    // corpus-sized operation in the whole face is extracting the
+    // touched ids' labels: the corpus labeling streams map-side
+    // against the broadcast touched-id set (size-guarded hint, the
+    // incremental-LSH discipline); everything after is tiny-vs-tiny
+    val edges = newEdges.select(col("s"), col("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count() // sizes the hints; materializes the cache
+    def hinted(df: DataFrame): DataFrame =
+      if (nEdges <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
+    val touched = edges.select(col("s").as("id"))
+      .union(edges.select(col("t").as("id"))).distinct()
+    val touchedLabels = prevLabels.join(hinted(touched), Seq("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val contracted = edges
+      .join(touchedLabels.select(col("id").as("s"), col("label").as("ls")),
+        Seq("s"), "left")
+      .join(touchedLabels.select(col("id").as("t"), col("label").as("lt")),
+        Seq("t"), "left")
+      .select(coalesce(col("ls"), col("s")).as("s"),
+              coalesce(col("lt"), col("t")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val quotientNodes = contracted.select(col("s").as("id"))
+        .union(contracted.select(col("t").as("id")))
+        .union(newNodes.select(col("id"))).distinct()
+      // exact CC over the quotient — O(batch) vertices/edges, budget-
+      // safe for any merge-chain shape (the q91 lesson)
+      val roots = componentsStar(contracted, quotientNodes, maxIter, mode)
+        .filter(col("id") =!= col("label")) // identity rows remap nothing
+      // the roots frame is already materialized (componentsStar
+      // checkpoints its output), so sizing its own hint is a cheap
+      // count — and unlike nEdges it also covers a huge newNodes set
+      val rootMap =
+        if (roots.count() <= LshSkew.MaxBroadcastKeys) broadcast(roots)
+        else roots
+      // remap: corpus labeling scanned once, map-side left join against
+      // the touched-roots map; untouched components coalesce through
+      val remappedOld = prevLabels
+        .join(rootMap.select(col("id").as("label"), col("label").as("newl")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("newl"), col("label")).as("label"))
+      val remappedNew = newNodes.select(col("id"))
+        .join(rootMap.select(col("id"), col("label").as("newl")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("newl"), col("id")).as("label"))
+      remappedOld.unionByName(remappedNew).localCheckpoint(true)
+    } finally {
+      contracted.unpersist()
+      touchedLabels.unpersist()
+      edges.unpersist()
+    }
+  }
 }

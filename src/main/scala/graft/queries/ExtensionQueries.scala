@@ -705,6 +705,54 @@ object ExtensionQueries {
       |SELECT rep, count(*) AS n_members FROM comp
       |GROUP BY rep HAVING count(*) >= 2 ORDER BY rep""".stripMargin
 
+  /** ✚ incremental dup-cluster election — the capstone of the
+    * corpus-growth dedup story: q47's cluster summary produced WITHOUT
+    * ever re-running CC over the corpus-wide pair graph. Prior labels
+    * come from the corpus slice (doc_id < 200), the batch (200–299)
+    * pairs come from the INCREMENTAL LSH path
+    * ([[graft.ext.LshIndex.incrementalPairs]] — O(batch)), and
+    * [[graft.ext.DupClusters.incrementalComponents]] folds them in on
+    * the QUOTIENT graph (O(batch) vertices/edges; the corpus labeling
+    * streams once map-side for the remap and never shuffles). THE
+    * ORACLE IS q47's full-recompute SQL over doc_id < 300 — the hash
+    * passes only if quotient fold-in ≡ full CC over the union pair
+    * graph, which holds because the prior labeling's components are
+    * exactly the old edge set's components and the incremental pair
+    * set is exactly the union run's batch-touching pairs (q109's
+    * proven contract). Labels compose canonically (min member id).
+    */
+  def q113IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q113_").toString
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
+    val corpus = docs.filter(col("doc_id") < 200)
+    val batch = docs.filter(col("doc_id") >= 200)
+    val prior = DupClusters.componentsStar(
+      Dedup.lshNearDupPairs(corpus, "text", "doc_id",
+          shingleWidth = 1, numHashes = 24, numBands = 3, threshold = 0.9)
+        .select(col("id_a").as("s"), col("id_b").as("t")),
+      corpus.select(col("doc_id").as("id")))
+    graft.ext.LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+      shingleWidth = 1, numHashes = 24, numBands = 3)
+    val (pairs, census) = graft.ext.LshIndex.incrementalPairs(
+      graft.ext.LshIndex.load(spark, s"$root/idx"), batch, "text",
+      threshold = 0.9)
+    require(!census.anyDropped,
+      "q113: gate fixture must not hit the bucket cap")
+    val labels = DupClusters.incrementalComponents(prior,
+      batch.select(col("doc_id").as("id")),
+      pairs.select(col("id_a").as("s"), col("id_b").as("t")))
+    SourceQueries.materializeThenDelete(
+      labels.groupBy(col("label").as("rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("rep")),
+      root)
+  }
+
+  // the full-recompute q47 oracle IS this gate's oracle — that
+  // equality is the whole point (see scaladoc above)
+  lazy val q113Sql: String = q47Sql
+
   /** ✚ BPE-style vocabulary induction, first iteration: the most
     * frequent adjacent token pairs corpus-wide (explode bigrams →
     * count → top-20 with lexicographic tiebreak). Partial aggregation

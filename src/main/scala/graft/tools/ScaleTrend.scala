@@ -203,7 +203,8 @@ object ScaleTrend {
     // `ivf,brute`) never pays for the families it skips
     val needLi = Seq("q1_agg", "q5_join", "q88_sketch").exists(shapeFilter)
     val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
-      "lshidx_build", "lshinc", "lshfull").exists(shapeFilter)
+      "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull")
+      .exists(shapeFilter)
     val needVecs = Seq("ivf", "ivfsearch", "brute",
       "srpidx_build", "srpinc", "srpfull").exists(shapeFilter)
 
@@ -397,6 +398,52 @@ object ScaleTrend {
           maxBucketSize = cap)
         .filter(col("id_b") >= incSplit(n)).count()
 
+    // incremental dup-cluster election (q113's operator) vs the full
+    // CC it replaces, over the SAME threshold-0/cap-200 pair graphs as
+    // the lshinc/lshfull rows: `ccfull` re-runs componentsStar over
+    // the corpus-wide pair graph (what every batch used to pay),
+    // `ccinc` folds the batch's incremental pairs into a CACHED prior
+    // labeling on the quotient graph (prior labels are a build-once
+    // fixture, like the index — the one-time cost every later batch
+    // amortizes)
+    def ccLabelsFixture(docsPath: String, n: Long): String = {
+      val path = s"$out/cclabels_${n}_p${incBatchPct}_$GenVersion"
+      ensure(path) {
+        val corpus = spark.read.parquet(docsPath)
+          .filter(col("doc_id") < incSplit(n))
+        val pairs = graft.ext.Dedup.lshNearDupPairs(corpus, "text", "doc_id",
+          LshShingleWidth, LshNumHashes, LshNumBands,
+          threshold = 0.0, maxBucketSize = cap)
+        graft.ext.DupClusters.componentsStar(
+            pairs.select(col("id_a").as("s"), col("id_b").as("t")),
+            corpus.select(col("doc_id").as("id")), maxIter = 60)
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    }
+    def ccIncShape(docsPath: String, n: Long): Long = {
+      val prior = spark.read.parquet(ccLabelsFixture(docsPath, n))
+      val idx = graft.ext.LshIndex.load(spark,
+        lshIndexFixture(spark, n, out, incBatchPct))
+      val batch = spark.read.parquet(docsPath)
+        .filter(col("doc_id") >= incSplit(n))
+      val (pairs, _) = graft.ext.LshIndex.incrementalPairs(idx, batch,
+        "text", threshold = 0.0, maxBucketSize = cap)
+      graft.ext.DupClusters.incrementalComponents(prior,
+        batch.select(col("doc_id").as("id")),
+        pairs.select(col("id_a").as("s"), col("id_b").as("t")),
+        maxIter = 60).count()
+    }
+    def ccFullShape(docsPath: String, n: Long): Long = {
+      val docs = spark.read.parquet(docsPath)
+      val pairs = graft.ext.Dedup.lshNearDupPairs(docs, "text", "doc_id",
+        LshShingleWidth, LshNumHashes, LshNumBands,
+        threshold = 0.0, maxBucketSize = cap)
+      graft.ext.DupClusters.componentsStar(
+        pairs.select(col("id_a").as("s"), col("id_b").as("t")),
+        docs.select(col("doc_id").as("id")), maxIter = 60).count()
+    }
+
     def q91Shape(n: Long): Long = {
       val (nodes, edges) = chain(spark, n)
       graft.ext.DupClusters.componentsStar(edges, nodes, maxIter = 60).count()
@@ -532,6 +579,10 @@ object ScaleTrend {
     run("lshinc", "big", docsBigN)(lshIncShape(docsBig, docsBigN))
     run("lshfull", "small", docsSmallN)(lshFullShape(docsSmall, docsSmallN))
     run("lshfull", "big", docsBigN)(lshFullShape(docsBig, docsBigN))
+    run("ccinc", "small", docsSmallN)(ccIncShape(docsSmall, docsSmallN))
+    run("ccinc", "big", docsBigN)(ccIncShape(docsBig, docsBigN))
+    run("ccfull", "small", docsSmallN)(ccFullShape(docsSmall, docsSmallN))
+    run("ccfull", "big", docsBigN)(ccFullShape(docsBig, docsBigN))
     run("q91_star", "small", docsSmallN)(q91Shape(docsSmallN))
     run("q91_star", "big", docsBigN)(q91Shape(docsBigN))
     run("q94_vocab", "small", docsSmallN)(q94Shape(docsSmall))

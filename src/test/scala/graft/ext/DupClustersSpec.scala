@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Connected-components label propagation: chains, singletons,
   * multi-component graphs, transitivity (A~B~C without A~C).
@@ -155,5 +156,68 @@ class DupClustersSpec extends SparkSpec {
       labels shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
       rddCheckpointDirs(dir).size shouldBe 1
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  // ---- incremental components -------------------------------------
+
+  test("incrementalComponents equals a full recompute over the union graph") {
+    import spark.implicits._
+    // old graph: {1,2,3} and {10,11} and singleton {20}; new nodes
+    // 30,31; new edges merge {10,11} with {1,2,3} via (3,10), attach
+    // 30 to {10,11}, and pair (31 alone stays singleton via no edge)
+    val oldEdges = Seq((1L,2L),(2L,3L),(10L,11L)).toDF("s","t")
+    val oldNodes = Seq(1L,2L,3L,10L,11L,20L).toDF("id")
+    val prev = DupClusters.componentsStar(oldEdges, oldNodes)
+    val newNodes = Seq(30L,31L).toDF("id")
+    val newEdges = Seq((3L,10L),(11L,30L)).toDF("s","t")
+    val inc = DupClusters.incrementalComponents(prev, newNodes, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = DupClusters.componentsStar(
+        oldEdges.union(newEdges),
+        oldNodes.union(newNodes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    inc shouldBe full
+    // the merge actually happened: the swallowed component's members
+    // carry the merged min label, the singletons keep themselves
+    inc(11L) shouldBe 1L
+    inc(30L) shouldBe 1L
+    inc(20L) shouldBe 20L
+    inc(31L) shouldBe 31L
+  }
+
+  test("incrementalComponents on the real near-dup graph: batch pairs fold in exactly") {
+    // the q113 dataflow at spec scale: prior labels over the corpus
+    // pair graph, batch-touching pairs from the INCREMENTAL LSH path,
+    // quotient fold-in == full CC over the union pair graph
+    val docs = graft.Tables(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 40)
+    val batch = docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+    val union = docs.filter(col("doc_id") < 60)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshNearDupPairs(df, "text", "doc_id",
+          shingleWidth = 1, numHashes = 8, numBands = 2, threshold = 0.5)
+        .select(col("id_a").as("s"), col("id_b").as("t"))
+    val prev = DupClusters.componentsStar(pairsOf(corpus),
+      corpus.select(col("doc_id").as("id")))
+    val root = java.nio.file.Files.createTempDirectory("graft_incc_").toString
+    try {
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val (bp, census) = LshIndex.incrementalPairs(
+        LshIndex.load(spark, s"$root/idx"), batch, "text", threshold = 0.5)
+      census.anyDropped shouldBe false
+      val inc = DupClusters.incrementalComponents(prev,
+          batch.select(col("doc_id").as("id")),
+          bp.select(col("id_a").as("s"), col("id_b").as("t")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = DupClusters.componentsStar(pairsOf(union),
+          union.select(col("doc_id").as("id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      full should not be empty
+      inc shouldBe full
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(root)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
   }
 }
