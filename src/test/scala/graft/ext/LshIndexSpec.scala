@@ -459,6 +459,30 @@ class LshIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("compactBuckets on a tombstoned index: totals stay post-removal-correct") {
+    val root = tmp()
+    try {
+      LshIndex.build(spark, s"$root/idx", union, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      LshIndex.remove(spark, s"$root/idx",
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 50).select("doc_id"))
+      val next = docs.filter(col("doc_id") >= 60 && col("doc_id") < 70)
+      val before = LshIndex.incrementalPairs(
+        LshIndex.load(spark, s"$root/idx"), next, "text",
+        threshold = 0.5, maxBucketSize = 5)
+      // counts-only maintenance: the removal's negative deltas fold
+      // into the aggregation (a fully-removed bucket drops out via the
+      // > 0 filter), tombstones and version stamp stay untouched
+      LshIndex.compactBuckets(spark, s"$root/idx")
+      new java.io.File(s"$root/idx/tombstones.parquet").exists() shouldBe true
+      val after = LshIndex.incrementalPairs(
+        LshIndex.load(spark, s"$root/idx"), next, "text",
+        threshold = 0.5, maxBucketSize = 5)
+      after._2 shouldBe before._2
+      rows(after._1) shouldBe rows(before._1)
+    } finally delete(root)
+  }
+
   test("tombstones stamp the format version: old readers refuse, purge restores") {
     val root = tmp()
     try {
