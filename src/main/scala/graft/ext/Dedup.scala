@@ -455,6 +455,31 @@ object Dedup {
       caches.toSeq, census)
   }
 
+  /** Verified near-dup pairs WITHIN a subset of already-indexed ids,
+    * served purely from the persisted index frames (no text, no
+    * re-shingling — the payload column carries the verify sets). The
+    * candidate plan is [[LshIncremental.candidatesAmong]] (see its
+    * scaladoc for the exactness and map-side scale arguments); the
+    * verify stage is the ONE shared [[verifyPairs]] definition, its
+    * joins un-hinted for the same AQE reason as the incremental path.
+    * Output equals the full [[lshNearDupPairs]] over the corpus the
+    * frames describe, restricted to subset×subset pairs (same
+    * threshold and cap).
+    */
+  private[graft] def lshNearDupPairsAmongFrames(
+      corpusBase: DataFrame, corpusBanded: DataFrame, corpusBuckets: DataFrame,
+      ids: DataFrame, threshold: Double, maxBucketSize: Int,
+      verifyOn: VerifyOn): (DataFrame, LshSkew.CapCensus) = {
+    val (candidates, caches, census) = LshIncremental.candidatesAmong(
+      corpusBanded, corpusBuckets, ids,
+      Seq("band_idx", "band_hash"), maxBucketSize)
+    val pairs =
+      try verifyPairs(candidates, corpusBase, threshold, verifyOn)
+        .localCheckpoint(true)
+      finally caches.foreach(_.unpersist())
+    (pairs, census)
+  }
+
   /** Rejoin-and-verify shared by the fused and staged pair paths — ONE
     * definition, so the staged path's identical-output contract is
     * structural rather than copy-kept. The verify payload column is

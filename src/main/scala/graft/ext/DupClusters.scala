@@ -222,6 +222,100 @@ object DupClusters {
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") >= minSize)
 
+  /** The REMOVAL face of the incremental cluster story — the takedown
+    * twin of [[incrementalComponents]] ([[graft.ext.LshIndex.remove]]
+    * removes documents from the INDEX; this removes them from a
+    * persisted LABELING): drop the removed ids and re-elect labels for
+    * the components they touched, in O(touched components) — the
+    * corpus-sized labeling is scanned map-side (two passes, zero
+    * shuffles) and NEVER shuffled. Without this, a removed document
+    * could stay a cluster's canonical min-id representative forever —
+    * every later batch keeps electing a representative that no longer
+    * exists (a compliance problem, not just staleness), and the only
+    * alternative is a full corpus re-election per takedown.
+    *
+    * Why re-ELECTION and not just re-labeling: removal can SPLIT a
+    * component (A–B–C with B removed and A~C only through B), so the
+    * touched components' structure must be recomputed from their
+    * SURVIVING edges. `survivorEdges` supplies them: it receives the
+    * touched components' surviving member ids and must return the
+    * (s, t) near-dup pairs among them under the CURRENT corpus — in
+    * the LSH pipeline that is [[graft.ext.LshIndex.pairsAmong]]
+    * against the post-remove index (tombstone-masked, O(touched), no
+    * text re-shingled). Exact CC then runs on that subset-sized graph
+    * ([[componentsStar]] — budget-safe for any shape).
+    *
+    * Exactness: the old labeling's components are the old edge set's
+    * components, and edges never cross components — so removing
+    * vertices leaves every UNTOUCHED component (no removed member)
+    * bit-identical, its min-id label still a live member, while each
+    * touched component's survivors form an induced subgraph fully
+    * re-solved here. The composition therefore equals a full CC over
+    * the survivor graph — oracle-proven end-to-end by the q114 gate
+    * (remove, then fold a batch in: hash-equals the full recompute
+    * over (corpus ∖ removed) ∪ batch; reference contract anchor: the
+    * dedup metadata-consistency semantics of `df_helpers.py:287-336` —
+    * keys must stay valid under mutation). Caveat shared with every
+    * maintenance face: under an ACTIVE bucket cap, a removal can drop
+    * a bucket back under the cap and resurrect pairs in components it
+    * did not touch; those are outside `survivorEdges`' view, so
+    * cap-regime exactness covers the touched components only (the
+    * full-re-election answer is a corpus [[componentsStar]] rebuild).
+    *
+    * Idempotent: already-removed and never-labeled ids touch nothing.
+    *
+    * @param prevLabels     complete (id, label) labeling, labels =
+    *                       canonical min member ids
+    * @param removedIds     frame whose FIRST column is the removed id
+    * @param survivorEdges  touched surviving ids (id) ⇒ (s, t) pairs
+    *                       among them under the current corpus
+    * @return (id, label) over prevLabels ∖ removedIds — same shape as
+    *         [[components]], so the result can seed the next batch's
+    *         [[incrementalComponents]]
+    */
+  def removeFromLabeling(prevLabels: DataFrame, removedIds: DataFrame,
+                         survivorEdges: DataFrame => DataFrame,
+                         maxIter: Int = 50,
+                         mode: CheckpointMode = CheckpointMode.Local)
+      : DataFrame = {
+    val rem = removedIds
+      .select(col(removedIds.columns.head).as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nRem = rem.count() // sizes the hint; materializes the cache
+    def hintedR(df: DataFrame): DataFrame =
+      if (nRem <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
+    // labels of components that lost ≥ 1 member — takedown-sized (≤
+    // one per removed id). The extraction is the first of the two
+    // map-side labeling scans.
+    val touchedLabels = prevLabels.join(hintedR(rem), Seq("id"), "left_semi")
+      .select(col("label")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTouched = touchedLabels.count()
+    def hintedT(df: DataFrame): DataFrame =
+      if (nTouched <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
+    val touchedMembers = prevLabels
+      .join(hintedR(rem), Seq("id"), "left_anti")
+      .join(hintedT(touchedLabels), Seq("label"), "left_semi")
+      .select(col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val relabeled = componentsStar(
+        survivorEdges(touchedMembers).select(col("s"), col("t")),
+        touchedMembers, maxIter, mode)
+      // second map-side labeling scan: untouched survivors pass
+      // through label-unchanged (their min-id rep is still a member)
+      val untouched = prevLabels
+        .join(hintedR(rem), Seq("id"), "left_anti")
+        .join(hintedT(touchedLabels), Seq("label"), "left_anti")
+        .select(col("id"), col("label"))
+      untouched.unionByName(relabeled).localCheckpoint(true)
+    } finally {
+      touchedMembers.unpersist()
+      touchedLabels.unpersist()
+      rem.unpersist()
+    }
+  }
+
   /** Corpus-growth connected components — the cluster-election half of
     * the incremental dedup story ([[graft.ext.LshIndex.incrementalPairs]]
     * makes the PAIRS O(batch); without this, electing representatives
@@ -261,7 +355,29 @@ object DupClusters {
                             newEdges: DataFrame, maxIter: Int = 50,
                             mode: CheckpointMode = CheckpointMode.Local)
       : DataFrame = {
-    val spark = prevLabels.sparkSession
+    val (remapped, caches) = incrementalComponentsLazy(prevLabels, newNodes,
+      newEdges, maxIter, mode, LshSkew.MaxBroadcastKeys)
+    try remapped.localCheckpoint(true)
+    finally caches.foreach(_.unpersist())
+  }
+
+  /** Lazy core of [[incrementalComponents]] (the Dedup `*Lazy`
+    * pattern): the quotient CC runs eagerly (componentsStar
+    * checkpoints per round by construction), but the returned REMAP
+    * plan — the face's whole scale claim, "the corpus labeling never
+    * shuffles" — is un-materialized so DupClustersSpec can pin its
+    * executed shape in both regimes: under `maxBroadcastKeys` the
+    * roots ride an explicit broadcast and the labeling flows map-side
+    * (no exchange), above it the hint is withheld and Spark's shuffle
+    * fallback fires (a quotient too big to broadcast cannot be forced
+    * through the driver — correct, just no longer shuffle-free).
+    * Returned caches are owned by the caller (unpersist after the
+    * action).
+    */
+  private[graft] def incrementalComponentsLazy(
+      prevLabels: DataFrame, newNodes: DataFrame, newEdges: DataFrame,
+      maxIter: Int, mode: CheckpointMode, maxBroadcastKeys: Long)
+      : (DataFrame, Seq[DataFrame]) = {
     // contract each edge's endpoints to their prior labels. The ONE
     // corpus-sized operation in the whole face is extracting the
     // touched ids' labels: the corpus labeling streams map-side
@@ -271,7 +387,7 @@ object DupClusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count() // sizes the hints; materializes the cache
     def hinted(df: DataFrame): DataFrame =
-      if (nEdges <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
+      if (nEdges <= maxBroadcastKeys) broadcast(df) else df
     val touched = edges.select(col("s").as("id"))
       .union(edges.select(col("t").as("id"))).distinct()
     val touchedLabels = prevLabels.join(hinted(touched), Seq("id"))
@@ -284,35 +400,30 @@ object DupClusters {
       .select(coalesce(col("ls"), col("s")).as("s"),
               coalesce(col("lt"), col("t")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val quotientNodes = contracted.select(col("s").as("id"))
-        .union(contracted.select(col("t").as("id")))
-        .union(newNodes.select(col("id"))).distinct()
-      // exact CC over the quotient — O(batch) vertices/edges, budget-
-      // safe for any merge-chain shape (the q91 lesson)
-      val roots = componentsStar(contracted, quotientNodes, maxIter, mode)
-        .filter(col("id") =!= col("label")) // identity rows remap nothing
-      // the roots frame is already materialized (componentsStar
-      // checkpoints its output), so sizing its own hint is a cheap
-      // count — and unlike nEdges it also covers a huge newNodes set
-      val rootMap =
-        if (roots.count() <= LshSkew.MaxBroadcastKeys) broadcast(roots)
-        else roots
-      // remap: corpus labeling scanned once, map-side left join against
-      // the touched-roots map; untouched components coalesce through
-      val remappedOld = prevLabels
-        .join(rootMap.select(col("id").as("label"), col("label").as("newl")),
-          Seq("label"), "left")
-        .select(col("id"), coalesce(col("newl"), col("label")).as("label"))
-      val remappedNew = newNodes.select(col("id"))
-        .join(rootMap.select(col("id"), col("label").as("newl")),
-          Seq("id"), "left")
-        .select(col("id"), coalesce(col("newl"), col("id")).as("label"))
-      remappedOld.unionByName(remappedNew).localCheckpoint(true)
-    } finally {
-      contracted.unpersist()
-      touchedLabels.unpersist()
-      edges.unpersist()
-    }
+    val quotientNodes = contracted.select(col("s").as("id"))
+      .union(contracted.select(col("t").as("id")))
+      .union(newNodes.select(col("id"))).distinct()
+    // exact CC over the quotient — O(batch) vertices/edges, budget-
+    // safe for any merge-chain shape (the q91 lesson)
+    val roots = componentsStar(contracted, quotientNodes, maxIter, mode)
+      .filter(col("id") =!= col("label")) // identity rows remap nothing
+    // the roots frame is already materialized (componentsStar
+    // checkpoints its output), so sizing its own hint is a cheap
+    // count — and unlike nEdges it also covers a huge newNodes set
+    val rootMap =
+      if (roots.count() <= maxBroadcastKeys) broadcast(roots)
+      else roots
+    // remap: corpus labeling scanned once, map-side left join against
+    // the touched-roots map; untouched components coalesce through
+    val remappedOld = prevLabels
+      .join(rootMap.select(col("id").as("label"), col("label").as("newl")),
+        Seq("label"), "left")
+      .select(col("id"), coalesce(col("newl"), col("label")).as("label"))
+    val remappedNew = newNodes.select(col("id"))
+      .join(rootMap.select(col("id"), col("label").as("newl")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("newl"), col("id")).as("label"))
+    (remappedOld.unionByName(remappedNew),
+      Seq(contracted, touchedLabels, edges))
   }
 }

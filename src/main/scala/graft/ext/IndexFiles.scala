@@ -232,9 +232,15 @@ private[graft] object IndexFiles {
       // Read discipline matters here: the holder's heartbeat rewrites
       // the file non-atomically (truncate, then write), so a lock that
       // EXISTS but reads empty/garbage means a writer is rewriting it
-      // RIGHT NOW — that is the strongest possible liveness signal,
-      // never grounds for takeover. Only a VANISHED lock (open throws)
-      // is a raced release, retried as a fresh acquire.
+      // RIGHT NOW — but only while that writer is ALIVE. A writer
+      // killed inside the truncate-write window leaves an empty lock
+      // forever, so pinning unparsable to age 0 would brick the index
+      // (takeover can never fire). The file's MODIFICATION TIME
+      // disambiguates: a live rewrite just touched the file (age-by-
+      // mtime ≈ 0, no takeover), a killed writer's empty lock has a
+      // frozen mtime that ages past the threshold like any stale
+      // lock. Only a VANISHED lock (open/stat throws) is a raced
+      // release, retried as a fresh acquire.
       val ageMs =
         try {
           val in = fs.open(p)
@@ -242,7 +248,8 @@ private[graft] object IndexFiles {
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
             finally in.close()
           Some(text.toLongOption.map(System.currentTimeMillis() - _)
-            .getOrElse(0L)) // mid-heartbeat ⇒ age 0: live
+            .getOrElse(System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime))
         } catch { case _: java.io.IOException => None } // vanished: released
       val stale = ageMs.exists(_ > staleMs)
       val vanished = ageMs.isEmpty

@@ -324,16 +324,12 @@ object IvfIndex {
     val assigned = Similarity.assignToCentroids(
       newVectors, centroids, meta0.idCol, meta0.vecCol).localCheckpoint(true)
     try {
-      // fold the batch's distance counters into the running append-side
-      // totals (O(batch); the train-side baseline never moves) — only
-      // when the index has a baseline to compare against (saved with
-      // assignments by a stats-aware build)
-      val drift = meta0.drift.map { dc =>
-        val b = distCounters(spark, assigned, centroids,
-          meta0.idCol, meta0.vecCol)
-        dc.copy(appendN = dc.appendN + b.trainN,
-          appendDistSum = dc.appendDistSum + b.trainDistSum)
-      }
+      // the BATCH's distance counters are a pure function of the batch
+      // and the frozen centroids — computable outside the lease
+      val batchCounters =
+        if (meta0.drift.isEmpty) None
+        else Some(distCounters(spark, assigned, centroids,
+          meta0.idCol, meta0.vecCol))
       val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       // batch-sized write, not partition-count-sized — the LshIndex
       // appendFrames discipline (un-coalesced, every fold-in wrote 32
@@ -342,13 +338,30 @@ object IvfIndex {
       val parts = math.max(1L, (assigned.count() + RowsPerAppendFile - 1)
         / RowsPerAppendFile).toInt
       IndexFiles.withWriterLease(spark, path, "IvfIndex.append") {
+        // the drift read-modify-write commits INSIDE the lease against
+        // a FRESH meta read — folding into the pre-lease meta0 would
+        // lose a concurrent append's counter update (and re-stamp a
+        // concurrent remove()'s TombstoneVersion back to plain, the
+        // LshIndex.appendFrames argument). A params drift means a
+        // concurrent rebuild: this batch was assigned against dead
+        // centroids — loud refusal.
+        val fresh = readMeta(spark, s"$path/_ivf_meta.json")
+        require(
+          fresh.copy(version = meta0.version, drift = meta0.drift) == meta0,
+          s"IvfIndex at $path was rebuilt with different params while " +
+            s"this append was assigning its batch (assigned with $meta0, " +
+            s"index now $fresh) — re-run the append against the current index")
+        val drift = for { dc <- fresh.drift; b <- batchCounters } yield
+          dc.copy(appendN = dc.appendN + b.trainN,
+            appendDistSum = dc.appendDistSum + b.trainDistSum)
         fs.delete(new Path(s"$path/_ivf_meta.json"), false)
         assigned.select(col(meta0.idCol), col(meta0.vecCol), col("centroid_id"))
           .coalesce(parts)
           .write.mode(SaveMode.Append).parquet(s"$path/assignments.parquet")
         batchMarker.foreach(id =>
           IndexFiles.writeMarker(spark, path, id, writer))
-        writeMeta(spark, s"$path/_ivf_meta.json", meta0.copy(drift = drift))
+        writeMeta(spark, s"$path/_ivf_meta.json",
+          fresh.copy(drift = drift.orElse(fresh.drift)))
       }
     } finally assigned.unpersist()
   }
@@ -364,31 +377,36 @@ object IvfIndex {
     * index saved with assignments by a stats-aware build (the
     * counters live in the meta; an older meta has none).
     */
-  def driftStat(spark: SparkSession, path: String): DriftStat =
-    driftStatOption(spark, path).getOrElse(sys.error(
+  def driftStat(spark: SparkSession, path: String): DriftStat = {
+    val meta = readMeta(spark, s"$path/_ivf_meta.json")
+    val dc = meta.drift.getOrElse(sys.error(
       s"IvfIndex at $path carries no drift counters (saved without " +
         "assignments, or by a pre-stats build) — re-save with " +
         "assignments to enable drift tracking"))
-
-  /** [[driftStat]] that reports counter ABSENCE as None instead of
-    * throwing — what automated paths (the streaming face) consume, so
-    * an index saved by a pre-stats build degrades to "no stat", never
-    * to a post-mutation crash loop.
-    */
-  def driftStatOption(spark: SparkSession, path: String): Option[DriftStat] = {
-    val meta = readMeta(spark, s"$path/_ivf_meta.json")
-    val dc = meta.drift match {
-      case None => return None
-      case Some(d) => d
-    }
     require(dc.trainN > 0,
       s"IvfIndex at $path: drift counters exist but trainN=0 — the " +
         "train-time corpus had no measurable vectors; retrain")
-    Some(DriftStat(dc.trainN, dc.trainDistSum / dc.trainN,
+    mkDriftStat(dc)
+  }
+
+  /** [[driftStat]] that reports an UNUSABLE baseline as None instead
+    * of throwing — what automated paths (the streaming face) consume,
+    * so an index saved by a pre-stats build (no counters) OR trained
+    * on a corpus with no measurable vectors (counters present,
+    * trainN=0 — every train cosine was null) degrades to "no stat",
+    * never to a post-mutation crash loop. The diagnosing throws live
+    * only in the interactive [[driftStat]] face.
+    */
+  def driftStatOption(spark: SparkSession, path: String): Option[DriftStat] = {
+    val meta = readMeta(spark, s"$path/_ivf_meta.json")
+    meta.drift.filter(_.trainN > 0).map(mkDriftStat)
+  }
+
+  private def mkDriftStat(dc: DriftCounters): DriftStat =
+    DriftStat(dc.trainN, dc.trainDistSum / dc.trainN,
       dc.appendN,
       if (dc.appendN > 0) Some(dc.appendDistSum / dc.appendN) else None,
-      dc.appendN.toDouble / (dc.trainN + dc.appendN)))
-  }
+      dc.appendN.toDouble / (dc.trainN + dc.appendN))
 
   /** Append-write sizing: assignment rows carry the full vector, so
     * ~2 M rows keeps the ~100 MB-file shape of the other indexes'

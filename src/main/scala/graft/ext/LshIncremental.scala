@@ -74,13 +74,88 @@ private[graft] object LshIncremental {
   def subtractBatch(base: DataFrame, banded: DataFrame, buckets: DataFrame,
                     bBase: DataFrame, keys: Seq[String])
       : (DataFrame, DataFrame, DataFrame) = {
-    val ids = broadcast(bBase.select(col("id")))
+    // same size-guarded hint as candidates(): a replayed manual/micro
+    // batch is normally tiny, but a genuinely huge one must not be
+    // forced through the driver (bBase is caller-cached, so the
+    // sizing count is cheap)
+    val idsRaw = bBase.select(col("id"))
+    val ids =
+      if (bBase.count() <= LshSkew.MaxBroadcastKeys) broadcast(idsRaw)
+      else idsRaw
     (base.join(ids, Seq("id"), "left_anti"),
       banded.join(ids, Seq("id"), "left_anti"),
       buckets.unionByName(
         banded.join(ids, Seq("id"), "left_semi")
           .groupBy(keys.map(col): _*)
           .agg((-count(lit(1))).as("bucket_n"))))
+  }
+
+  /** Candidate id pairs WITHIN a subset of already-indexed ids —
+    * the takedown-maintenance twin of [[candidates]] (which pairs a
+    * NEW batch against the corpus; this re-pairs ids the corpus
+    * already contains, for [[DupClusters.removeFromLabeling]]'s
+    * touched-component re-election). Returns exactly the full
+    * self-join run's candidates restricted to subset×subset pairs:
+    * a full-run pair (x, y) with x, y ∈ subset survives iff they
+    * share a bucket whose CORPUS total is under the cap, and both
+    * bucket membership (banded, semi-filtered) and totals (stored
+    * counts, delta rows summed — the subset's own rows are already
+    * inside them) come straight from the index frames. No text, no
+    * re-shingling, no corpus-side shuffle: the subset id set and the
+    * touched bucket keys ride size-guarded broadcast hints, so the
+    * corpus banded and counts frames are each scanned once map-side;
+    * everything after is subset-sized.
+    */
+  def candidatesAmong(corpusBanded: DataFrame, corpusBuckets: DataFrame,
+                      ids: DataFrame, keys: Seq[String],
+                      maxBucketSize: Int)
+      : (DataFrame, Seq[DataFrame], LshSkew.CapCensus) = {
+    val keyCols = keys.map(col)
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val nIds = ids.count()
+    def hinted(df: DataFrame): DataFrame =
+      if (nIds <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
+    val subBanded = corpusBanded.join(hinted(ids), Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches += subBanded
+    val (census, capped) =
+      if (maxBucketSize == Int.MaxValue)
+        (LshSkew.CapCensus.none(maxBucketSize), subBanded)
+      else {
+        // totals only for buckets the subset touches (a bucket with no
+        // subset row cannot produce a subset pair, dropped or not) —
+        // the stored counts already include the subset's own rows
+        val touchedKeys = subBanded.select(keyCols: _*).distinct()
+        val totals = corpusBuckets
+          .join(hinted(touchedKeys), keys, "left_semi")
+          .groupBy(keyCols: _*)
+          .agg(sum(col("bucket_n")).as("total"))
+        val dropped = totals.filter(col("total") > maxBucketSize)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val censusRow = dropped
+          .agg(count(lit(1)), coalesce(sum(col("total")), lit(0L))).head()
+        val census = LshSkew.CapCensus(
+          censusRow.getLong(0), censusRow.getLong(1), maxBucketSize)
+        if (!census.anyDropped) {
+          dropped.unpersist()
+          (census, subBanded)
+        } else {
+          caches += dropped
+          val guardKeys = dropped.select(keyCols: _*)
+          val guard =
+            if (census.droppedBuckets <= LshSkew.MaxBroadcastKeys)
+              broadcast(guardKeys)
+            else guardKeys
+          (census, subBanded.join(guard, keys, "left_anti"))
+        }
+      }
+    val a = capped.select(keyCols :+ col("id").as("id_a"): _*)
+    val b = capped.select(keyCols :+ col("id").as("id_b"): _*)
+    val candidates = a.join(b, keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    (candidates, caches.toSeq, census)
   }
 
   def candidates(corpusBanded: DataFrame, corpusBuckets: DataFrame,

@@ -316,6 +316,32 @@ object LshIndex {
       index.shingleWidth, index.numHashes, index.numBands,
       threshold, maxBucketSize, index.verifyOn)
 
+  /** Verified near-dup pairs WITHIN a subset of already-indexed ids,
+    * served purely from the index frames — no text, no re-shingling
+    * (the base payload carries the verify sets). Equals the full
+    * [[Dedup.lshNearDupPairs]] over the index's (survivor) corpus
+    * restricted to subset×subset pairs, same threshold and cap — on a
+    * tombstoned index the subset is implicitly intersected with the
+    * survivors ([[load]]'s anti-join) and bucket totals are the
+    * delta-corrected post-removal counts.
+    *
+    * The maintenance primitive behind
+    * [[DupClusters.removeFromLabeling]]: after a takedown, the
+    * touched components' surviving members are re-paired through this
+    * — O(subset) with the corpus frames scanned once map-side
+    * ([[LshIncremental.candidatesAmong]]).
+    *
+    * `ids`: any frame whose FIRST column is the document id.
+    */
+  def pairsAmong(index: Index, ids: DataFrame,
+                 threshold: Double = 0.9,
+                 maxBucketSize: Int = LshSkew.DefaultMaxBucketSize)
+      : (DataFrame, LshSkew.CapCensus) =
+    Dedup.lshNearDupPairsAmongFrames(
+      index.base, index.banded, index.buckets,
+      ids.select(col(ids.columns.head).as("id")).distinct(),
+      threshold, maxBucketSize, index.verifyOn)
+
   /** Fold a batch into the index: append its base/banded rows and its
     * bucket-count DELTAS, under the same banding params (read from the
     * meta — a mismatched append is structurally impossible). After
@@ -377,6 +403,20 @@ object LshIndex {
                            meta: Meta, batchMarker: Option[Long],
                            writer: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the caller read `meta` BEFORE acquiring the lease (banding needs
+    // the params up front) — re-read it INSIDE the transaction and
+    // write the FRESH copy back, because the version can have moved in
+    // between: a completed remove() stamped TombstoneVersion, and
+    // re-stamping the stale FormatVersion over it would re-enable
+    // pre-tombstone builds to read the index and serve removed
+    // documents. A params drift (a concurrent REBUILD with different
+    // banding) means this batch was banded against a dead index —
+    // loud refusal, the frames cannot be folded in.
+    val fresh = readMeta(spark, s"$path/_lsh_meta.json")
+    require(fresh.copy(version = meta.version) == meta,
+      s"LshIndex at $path was rebuilt with different params while this " +
+        s"append was banding its batch (banded with $meta, index now " +
+        s"$fresh) — re-run the append against the current index")
     // size the writes to the BATCH, not to the session's partition
     // count: un-coalesced, every fold-in writes shuffle.partitions
     // (32) files per frame no matter how small the batch — measured
@@ -395,7 +435,7 @@ object LshIndex {
       .agg(count(lit(1)).as("bucket_n")).coalesce(parts)
       .write.mode(SaveMode.Append).parquet(s"$path/buckets.parquet")
     batchMarker.foreach(id => IndexFiles.writeMarker(spark, path, id, writer))
-    writeMeta(spark, s"$path/_lsh_meta.json", meta)
+    writeMeta(spark, s"$path/_lsh_meta.json", fresh)
   }
 
   /** Append-write sizing: ~4 M banded rows (~100-200 MB parquet) per

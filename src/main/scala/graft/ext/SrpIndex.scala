@@ -279,6 +279,16 @@ object SrpIndex {
                            meta: Meta, batchMarker: Option[Long],
                            writer: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // re-read the meta INSIDE the transaction and write the fresh copy
+    // back — the LshIndex.appendFrames discipline (see its comment): a
+    // remove() completing between the caller's pre-lease read and this
+    // lease must not have its TombstoneVersion stamp overwritten, and
+    // a concurrent rebuild with different params is a loud refusal
+    val fresh = readMeta(spark, path)
+    require(fresh.copy(version = meta.version) == meta,
+      s"SrpIndex at $path was rebuilt with different params while this " +
+        s"append was projecting its batch (projected with $meta, index " +
+        s"now $fresh) — re-run the append against the current index")
     // batch-sized writes, not partition-count-sized — the LshIndex
     // appendFrames discipline (see its comment; measured there)
     val parts = math.max(1L,
@@ -292,7 +302,7 @@ object SrpIndex {
       .agg(count(lit(1)).as("bucket_n")).coalesce(parts)
       .write.mode(SaveMode.Append).parquet(s"$path/buckets.parquet")
     batchMarker.foreach(id => IndexFiles.writeMarker(spark, path, id, writer))
-    writeMeta(spark, path, meta)
+    writeMeta(spark, path, fresh)
   }
 
   /** Append-write sizing — the [[LshIndex]] constant's twin: SRP

@@ -456,18 +456,17 @@ object ExtensionQueries {
     * cost this operator exists to avoid.
     */
   def q109IncrementalLsh(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q109_").toString
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 1000)
-    graft.ext.LshIndex.build(spark, s"$root/idx",
-      docs.filter(col("doc_id") < 250), "text", "doc_id",
-      shingleWidth = 1, numHashes = 24, numBands = 3)
-    val index = graft.ext.LshIndex.load(spark, s"$root/idx")
+    // shared session fixture: q112/q113/q114 run the same build —
+    // read-only here, so no private copy needed (GateFixtures)
+    val index = graft.ext.LshIndex.load(spark,
+      GateFixtures.lshDocsIndex(spark, dir, 250))
     val (pairs, census) = graft.ext.LshIndex.incrementalPairs(
       index, docs.filter(col("doc_id") >= 250), "text", threshold = 0.9)
     require(!census.anyDropped,
       "q109: gate fixture must not hit the bucket cap")
-    SourceQueries.materializeThenDelete(
-      pairs.orderBy(col("id_a"), col("id_b")), root)
+    // incrementalPairs already materialized the pairs; nothing to delete
+    pairs.orderBy(col("id_a"), col("id_b"))
   }
 
   // DERIVED from q30Sql (one shared LSH oracle pipeline, like
@@ -496,21 +495,20 @@ object ExtensionQueries {
     * q109's at sf0.01 — the removal is load-bearing, not vacuous).
     */
   def q112RemoveLsh(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q112_").toString
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 1000)
-    graft.ext.LshIndex.build(spark, s"$root/idx",
-      docs.filter(col("doc_id") < 250), "text", "doc_id",
-      shingleWidth = 1, numHashes = 24, numBands = 3)
-    graft.ext.LshIndex.remove(spark, s"$root/idx",
+    // remove() mutates — take a private FS copy of the shared build
+    // (bit-identical, far cheaper than a rebuild; GateFixtures)
+    val idxPath = GateFixtures.lshDocsIndexCopy(spark, dir, 250)
+    graft.ext.LshIndex.remove(spark, idxPath,
       docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
         .select("doc_id"))
-    val index = graft.ext.LshIndex.load(spark, s"$root/idx")
+    val index = graft.ext.LshIndex.load(spark, idxPath)
     val (pairs, census) = graft.ext.LshIndex.incrementalPairs(
       index, docs.filter(col("doc_id") >= 250), "text", threshold = 0.9)
     require(!census.anyDropped,
       "q112: gate fixture must not hit the bucket cap")
     SourceQueries.materializeThenDelete(
-      pairs.orderBy(col("id_a"), col("id_b")), root)
+      pairs.orderBy(col("id_a"), col("id_b")), idxPath)
   }
 
   // DERIVED from q109Sql (itself derived from q30Sql): the removed
@@ -722,7 +720,6 @@ object ExtensionQueries {
     * proven contract). Labels compose canonically (min member id).
     */
   def q113IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_q113_").toString
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
     val corpus = docs.filter(col("doc_id") < 200)
     val batch = docs.filter(col("doc_id") >= 200)
@@ -731,14 +728,71 @@ object ExtensionQueries {
           shingleWidth = 1, numHashes = 24, numBands = 3, threshold = 0.9)
         .select(col("id_a").as("s"), col("id_b").as("t")),
       corpus.select(col("doc_id").as("id")))
-    graft.ext.LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
-      shingleWidth = 1, numHashes = 24, numBands = 3)
+    // shared session fixture (read-only here; q114 copies it)
     val (pairs, census) = graft.ext.LshIndex.incrementalPairs(
-      graft.ext.LshIndex.load(spark, s"$root/idx"), batch, "text",
-      threshold = 0.9)
+      graft.ext.LshIndex.load(spark,
+        GateFixtures.lshDocsIndex(spark, dir, 200)),
+      batch, "text", threshold = 0.9)
     require(!census.anyDropped,
       "q113: gate fixture must not hit the bucket cap")
     val labels = DupClusters.incrementalComponents(prior,
+      batch.select(col("doc_id").as("id")),
+      pairs.select(col("id_a").as("s"), col("id_b").as("t")))
+    labels.groupBy(col("label").as("rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("rep"))
+      .localCheckpoint(true)
+  }
+
+  // the full-recompute q47 oracle IS this gate's oracle — that
+  // equality is the whole point (see scaladoc above)
+  lazy val q113Sql: String = q47Sql
+
+  /** ✚ takedown × labeling — the last composition seam of the
+    * incremental dedup story (q112 removes documents from the INDEX,
+    * q113 folds batches into the LABELING; without this, a removed
+    * document could stay a cluster's canonical representative
+    * forever — a compliance problem, not just staleness): prior
+    * labeling over the corpus (doc_id < 200), takedown of 100–149
+    * from BOTH the index ([[graft.ext.LshIndex.remove]]) and the
+    * labeling ([[graft.ext.DupClusters.removeFromLabeling]] — touched
+    * components re-paired through [[graft.ext.LshIndex.pairsAmong]]'s
+    * survivor view, O(touched), no text re-shingled, splits and gone
+    * reps re-elected exactly), then the batch (200–299) folds in via
+    * the incremental path. THE ORACLE IS q47's full-recompute SQL
+    * over (corpus ∖ removed) ∪ batch — the hash passes only if
+    * remove-then-fold ≡ a full pipeline that never saw the removed
+    * documents, proving the q112 × q113 composition end-to-end.
+    * Reference contract anchor: the dedup metadata-consistency
+    * semantics of `df_helpers.py:287-336` (keys stay valid under
+    * mutation).
+    */
+  def q114RemoveClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
+    val corpus = docs.filter(col("doc_id") < 200)
+    val batch = docs.filter(col("doc_id") >= 200)
+    val removed = docs
+      .filter(col("doc_id") >= 100 && col("doc_id") < 150).select("doc_id")
+    val prior = DupClusters.componentsStar(
+      Dedup.lshNearDupPairs(corpus, "text", "doc_id",
+          shingleWidth = 1, numHashes = 24, numBands = 3, threshold = 0.9)
+        .select(col("id_a").as("s"), col("id_b").as("t")),
+      corpus.select(col("doc_id").as("id")))
+    val idxPath = GateFixtures.lshDocsIndexCopy(spark, dir, 200)
+    graft.ext.LshIndex.remove(spark, idxPath, removed)
+    val index = graft.ext.LshIndex.load(spark, idxPath)
+    val pruned = DupClusters.removeFromLabeling(prior, removed, ids => {
+      val (p, c) = graft.ext.LshIndex.pairsAmong(index, ids, threshold = 0.9)
+      require(!c.anyDropped,
+        "q114: gate fixture must not hit the bucket cap (re-pair)")
+      p.select(col("id_a").as("s"), col("id_b").as("t"))
+    })
+    val (pairs, census) = graft.ext.LshIndex.incrementalPairs(
+      index, batch, "text", threshold = 0.9)
+    require(!census.anyDropped,
+      "q114: gate fixture must not hit the bucket cap (batch)")
+    val labels = DupClusters.incrementalComponents(pruned,
       batch.select(col("doc_id").as("id")),
       pairs.select(col("id_a").as("s"), col("id_b").as("t")))
     SourceQueries.materializeThenDelete(
@@ -746,12 +800,21 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_members"))
         .filter(col("n_members") >= 2)
         .orderBy(col("rep")),
-      root)
+      idxPath)
   }
 
-  // the full-recompute q47 oracle IS this gate's oracle — that
-  // equality is the whole point (see scaladoc above)
-  lazy val q113Sql: String = q47Sql
+  // DERIVED from q47Sql (the q112 ← q109 pattern): the removed slice
+  // is excluded at the documents source — a full pipeline that never
+  // saw those documents, which is exactly the composed contract.
+  // lazy + guarded so a q47Sql edit that breaks the anchor fails
+  // loudly instead of silently shipping q47's unrestricted oracle.
+  lazy val q114Sql: String = {
+    val anchor = "FROM documents WHERE doc_id < 300"
+    require(q47Sql.contains(anchor),
+      "q114Sql: q47Sql's source clause moved — re-anchor the derived oracle")
+    q47Sql.replace(anchor,
+      "FROM documents WHERE doc_id < 300 AND NOT (doc_id >= 100 AND doc_id < 150)")
+  }
 
   /** ✚ BPE-style vocabulary induction, first iteration: the most
     * frequent adjacent token pairs corpus-wide (explode bigrams →

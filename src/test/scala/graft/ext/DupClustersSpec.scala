@@ -185,6 +185,144 @@ class DupClustersSpec extends SparkSpec {
     inc(31L) shouldBe 31L
   }
 
+  test("remap plan: corpus labeling never shuffles under the guard; fallback fires above it") {
+    // q113's scale contract, pinned executably (the LshIndexSpec:161
+    // discipline): the remap's whole claim is that the corpus-sized
+    // prevLabels frame flows map-side against a BROADCAST roots map.
+    // AQE off + auto-broadcast -1 so only the explicit size-guarded
+    // hints can produce a broadcast — then below the guard the remap
+    // must carry ONLY BroadcastHashJoins and zero shuffles, and above
+    // it (threshold forced to 0) the silent degradation to a shuffle
+    // join must actually fire: correct, just no longer shuffle-free.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import spark.implicits._
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "t")
+    val oldNodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val prev = DupClusters.componentsStar(oldEdges, oldNodes)
+    val newNodes = Seq(30L).toDF("id")
+    val newEdges = Seq((3L, 10L), (11L, 30L)).toDF("s", "t")
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      def planOf(maxKeys: Long) = {
+        val (remap, caches) = DupClusters.incrementalComponentsLazy(
+          prev, newNodes, newEdges, 50, CheckpointMode.Local, maxKeys)
+        try {
+          val rows = remap.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          (remap.queryExecution.executedPlan, rows)
+        } finally caches.foreach(_.unpersist())
+      }
+      val (below, rowsBelow) = planOf(LshSkew.MaxBroadcastKeys)
+      withClue("below the guard the remap must be exchange-free: ") {
+        below.collect { case e: ShuffleExchangeExec => e } shouldBe empty
+      }
+      // exactly the two remap joins (old labeling + new nodes)
+      below.collect { case j: BroadcastHashJoinExec => j }.size shouldBe 2
+      val (above, rowsAbove) = planOf(0L)
+      withClue("above the guard the shuffle fallback must fire: ") {
+        above.collect { case e: ShuffleExchangeExec => e } should not be empty
+      }
+      above.collect { case j: BroadcastHashJoinExec => j } shouldBe empty
+      // both regimes compute the same labeling — the guard only moves
+      // the plan, never the answer
+      rowsAbove shouldBe rowsBelow
+      rowsBelow(11L) shouldBe 1L // the merge is in the checked output
+    }
+  }
+
+  // ---- removal face -------------------------------------------------
+
+  test("removeFromLabeling: splits, re-elects gone reps, dissolves, passes untouched through") {
+    import spark.implicits._
+    // components: {1,2,3,4} chain (2 is a cut vertex), {10,11,12} star
+    // centered on its min-id rep 10, {20,21} (20 is the rep), {30}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (20L, 21L)).toDF("s", "t")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("id")
+    val prev = DupClusters.componentsStar(edges, nodes)
+    // 2 SPLITS its chain, 10 (the rep AND hub) dissolves its star into
+    // singletons, 20 is a removed rep with one survivor, 99 was never
+    // labeled (idempotence: must touch nothing)
+    val removed = Seq(2L, 10L, 20L, 99L).toDF("id")
+    def induced(ids: org.apache.spark.sql.DataFrame) = edges
+      .join(ids.select(col("id").as("s")), Seq("s"), "left_semi")
+      .join(ids.select(col("id").as("t")), Seq("t"), "left_semi")
+    val out = DupClusters.removeFromLabeling(prev, removed, induced)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ground truth: full CC over the survivor-induced graph
+    val survivors = nodes.join(removed, Seq("id"), "left_anti")
+    val full = DupClusters.componentsStar(induced(survivors), survivors)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    out shouldBe full
+    out.keySet should contain noneOf (2L, 10L, 20L, 99L)
+    out(1L) shouldBe 1L
+    out(3L) shouldBe 3L // the split's right half re-elected
+    out(4L) shouldBe 3L
+    out(11L) shouldBe 11L // dissolved into singletons
+    out(12L) shouldBe 12L
+    out(21L) shouldBe 21L // survivor of a removed rep
+    out(30L) shouldBe 30L // untouched passthrough
+  }
+
+  test("removeFromLabeling via the index survivor view; batch folds in after (q114 dataflow)") {
+    // the full takedown × labeling composition at spec scale:
+    // labeling over the corpus pair graph → remove a slice from the
+    // INDEX and the LABELING (survivor edges re-paired through
+    // LshIndex.pairsAmong — no text) → fold a batch in → must equal
+    // the full recompute over (corpus ∖ removed) ∪ batch
+    val docs = graft.Tables(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 60)
+    val batch = docs.filter(col("doc_id") >= 60 && col("doc_id") < 80)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshNearDupPairs(df, "text", "doc_id",
+          shingleWidth = 1, numHashes = 8, numBands = 2, threshold = 0.5)
+        .select(col("id_a").as("s"), col("id_b").as("t"))
+    val prev = DupClusters.componentsStar(pairsOf(corpus),
+      corpus.select(col("doc_id").as("id")))
+    val root = java.nio.file.Files.createTempDirectory("graft_remlab_").toString
+    try {
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      val removed = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select("doc_id")
+      LshIndex.remove(spark, s"$root/idx", removed)
+      val idx = LshIndex.load(spark, s"$root/idx")
+      val pruned = DupClusters.removeFromLabeling(prev, removed, ids => {
+        val (p, c) = LshIndex.pairsAmong(idx, ids, threshold = 0.5)
+        c.anyDropped shouldBe false
+        p.select(col("id_a").as("s"), col("id_b").as("t"))
+      })
+      // the pruned labeling alone equals a full survivor recompute
+      val survCorpus = docs.filter(col("doc_id") < 60)
+        .join(removed, Seq("doc_id"), "left_anti")
+      val prunedMap = pruned.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val survFull = DupClusters.componentsStar(pairsOf(survCorpus),
+          survCorpus.select(col("doc_id").as("id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      prunedMap shouldBe survFull
+      // and the NEXT batch folds into the pruned labeling exactly
+      val (bp, census) = LshIndex.incrementalPairs(idx, batch, "text",
+        threshold = 0.5)
+      census.anyDropped shouldBe false
+      val inc = DupClusters.incrementalComponents(pruned,
+          batch.select(col("doc_id").as("id")),
+          bp.select(col("id_a").as("s"), col("id_b").as("t")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val union = survCorpus.select("doc_id", "text")
+        .unionByName(batch.select("doc_id", "text"))
+      val full = DupClusters.componentsStar(pairsOf(union),
+          union.select(col("doc_id").as("id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      full should not be empty
+      inc shouldBe full
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(root)
+      pp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pp, true)
+    }
+  }
+
   test("incrementalComponents on the real near-dup graph: batch pairs fold in exactly") {
     // the q113 dataflow at spec scale: prior labels over the corpus
     // pair graph, batch-touching pairs from the INCREMENTAL LSH path,

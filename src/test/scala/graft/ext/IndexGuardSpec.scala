@@ -201,4 +201,30 @@ class IndexGuardSpec extends SparkSpec {
         docs.filter(col("doc_id") >= 60 && col("doc_id") < 70), "text")
     } finally delete(root)
   }
+
+  test("an EMPTY lock (writer killed mid-heartbeat) ages by mtime, not forever") {
+    val root = tmp()
+    try {
+      buildLsh(root)
+      // the heartbeat rewrites the lock non-atomically (truncate, then
+      // write): a writer KILLED inside that window leaves an empty
+      // lock. Unparsable contents must age by the file's mtime — a
+      // frozen age-0 reading would brick the index forever (the
+      // takeover could never fire).
+      val p = new org.apache.hadoop.fs.Path(s"$root/idx/_writer_lock")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(p, true).close()
+      // fresh mtime: the writer may be ALIVE mid-rewrite — still blocks
+      intercept[IllegalArgumentException] {
+        LshIndex.append(spark, s"$root/idx", batch, "text")
+      }.getMessage should include("_writer_lock")
+      // mtime past the stale threshold: the takeover fires and the
+      // mutation completes (lock released after)
+      fs.setTimes(p,
+        System.currentTimeMillis() - IndexFiles.DefaultLeaseStaleMs - 60000L, -1L)
+      LshIndex.append(spark, s"$root/idx", batch, "text")
+      lockExists(s"$root/idx") shouldBe false
+      LshIndex.load(spark, s"$root/idx").base.count() should be > 0L
+    } finally delete(root)
+  }
 }

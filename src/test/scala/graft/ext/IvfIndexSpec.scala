@@ -380,4 +380,25 @@ class IvfIndexSpec extends SparkSpec {
       e.getMessage should include("no drift counters")
     } finally delete(root)
   }
+
+  test("driftStatOption degrades to None on a trainN=0 baseline; driftStat throws") {
+    val root = tmp()
+    try {
+      import spark.implicits._
+      // all-zero train vectors: every train cosine is null, so the
+      // counters are PRESENT but trainN=0. The automated face
+      // (consumed by streamingAppendBatch after every fold-in) must
+      // degrade to "no stat", never crash-loop the stream; the
+      // interactive face keeps the diagnosing throw.
+      val zeros = (0 until 4).map(i => (i.toLong, Seq.fill(4)(0.0)))
+        .toDF("vec_id", "embedding")
+      val centroids = axisVecs(0 until 2, 0)
+      IvfIndex.save(spark, s"$root/idx", centroids,
+        Some(Similarity.assignToCentroids(zeros, centroids)))
+      IvfIndex.driftStatOption(spark, s"$root/idx") shouldBe None
+      intercept[IllegalArgumentException] {
+        IvfIndex.driftStat(spark, s"$root/idx")
+      }.getMessage should include("trainN=0")
+    } finally delete(root)
+  }
 }

@@ -101,6 +101,47 @@ class LshIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("pairsAmong equals the full run restricted to subset×subset, incl. tombstoned + capped") {
+    val root = tmp()
+    try {
+      buildIndex(root)
+      val subset = docs.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+        .select("doc_id")
+      def fullAmong(df: DataFrame, cap: Int): Seq[String] = rows(
+        Dedup.lshNearDupPairs(df, "text", "doc_id",
+            shingleWidth = 1, numHashes = 8, numBands = 2, threshold = 0.5,
+            maxBucketSize = cap)
+          .filter(col("id_a") >= 10 && col("id_a") < 30 &&
+            col("id_b") >= 10 && col("id_b") < 30))
+      val idx = LshIndex.load(spark, s"$root/idx")
+      val (p0, c0) = LshIndex.pairsAmong(idx, subset, threshold = 0.5)
+      c0.anyDropped shouldBe false
+      val expect0 = fullAmong(corpus, LshSkew.DefaultMaxBucketSize)
+      expect0 should not be empty // a vacuous equality gates nothing
+      rows(p0) shouldBe expect0
+      // under an ACTIVE cap: the subset's pairs must reproduce the
+      // full run's CORPUS-total cap decisions (stored counts carry
+      // them — the subset's own rows are already inside)
+      val cap = 5
+      val (p1, c1) = LshIndex.pairsAmong(idx, subset, threshold = 0.5,
+        maxBucketSize = cap)
+      c1.anyDropped shouldBe true // otherwise the cap case gates nothing
+      rows(p1) shouldBe fullAmong(corpus, cap)
+      // on a TOMBSTONED index the subset intersects the survivors and
+      // totals are the delta-corrected post-removal counts: equality
+      // holds against a corpus that never saw the removed docs
+      LshIndex.remove(spark, s"$root/idx",
+        docs.filter(col("doc_id") >= 15 && col("doc_id") < 20).select("doc_id"))
+      val survIdx = LshIndex.load(spark, s"$root/idx")
+      val (p2, c2) = LshIndex.pairsAmong(survIdx, subset, threshold = 0.5)
+      c2.anyDropped shouldBe false
+      val survCorpus = corpus.filter(col("doc_id") < 15 || col("doc_id") >= 20)
+      val expect2 = fullAmong(survCorpus, LshSkew.DefaultMaxBucketSize)
+      rows(p2) shouldBe expect2
+      expect2 should not be expect0 // the removal is load-bearing
+    } finally delete(root)
+  }
+
   test("append is indistinguishable from a rebuild over the union") {
     val rootA = tmp()
     val rootB = tmp()
@@ -268,6 +309,37 @@ class LshIndexSpec extends SparkSpec {
       // duplicated/cap-distorted rows here
       emissions(1) shouldBe emissions.head
       LshIndex.load(spark, s"$root/idx").banded.count() shouldBe rowsAfterFirst
+    } finally delete(root)
+  }
+
+  test("a remove landing mid-micro-batch keeps its tombstone stamp after the fold-in") {
+    val root = tmp()
+    try {
+      buildIndex(root)
+      def metaText(): String = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/idx/_lsh_meta.json")
+        val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      // the foreachBatch body reads the meta at batch start; a takedown
+      // lands while the batch is mid-flight (inside onPairs — after
+      // that read, before the fold-in lease). The fold-in must re-read
+      // the meta inside its transaction: writing the STALE pre-remove
+      // meta back would re-stamp FormatVersion over TombstoneVersion
+      // while tombstones.parquet still exists, re-enabling pre-tombstone
+      // builds to serve the removed documents.
+      val body = LshIndex.streamingDedupBatch(spark, s"$root/idx", "text",
+        threshold = 0.5)((_, _) =>
+          LshIndex.remove(spark, s"$root/idx",
+            docs.filter(col("doc_id") < 5).select("doc_id")))
+      body(batch, 0L)
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 0L // folded in
+      metaText() should include(s""""version":${LshIndex.TombstoneVersion}""")
+      // and the takedown holds through the survivor view
+      val idx = LshIndex.load(spark, s"$root/idx")
+      idx.base.filter(col("id") < 5).count() shouldBe 0L
+      idx.base.filter(col("id") >= Split).count() should be > 0L // batch landed
     } finally delete(root)
   }
 

@@ -163,6 +163,32 @@ class SrpIndexSpec extends SparkSpec {
     } finally { delete(rootS); delete(rootB) }
   }
 
+  test("a remove landing mid-micro-batch keeps its tombstone stamp after the fold-in") {
+    val root = tmp()
+    try {
+      buildIndex(root)
+      def metaText(): String = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/idx/_srp_meta.json")
+        val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      // LshIndexSpec's race, embedding side: a takedown completing
+      // between the body's meta read and its fold-in lease must not
+      // have its TombstoneVersion stamp overwritten by the append
+      val body = SrpIndex.streamingDedupBatch(spark, s"$root/idx",
+        threshold = Thr)((_, _) =>
+          SrpIndex.remove(spark, s"$root/idx",
+            vecs.filter(col("vec_id") < 5).select("vec_id")))
+      body(batch, 0L)
+      SrpIndex.appendedThrough(spark, s"$root/idx") shouldBe 0L // folded in
+      metaText() should include(s""""version":${SrpIndex.TombstoneVersion}""")
+      val idx = SrpIndex.load(spark, s"$root/idx")
+      idx.base.filter(col("id") < 5).count() shouldBe 0L
+      idx.base.filter(col("id") >= Split).count() should be > 0L // batch landed
+    } finally delete(root)
+  }
+
   test("loadOrBuild: cache hit on matching params, rebuild on a param change") {
     val root = tmp()
     try {

@@ -103,6 +103,158 @@ class StreamIncLshRestartSpec extends SparkSpec {
     } finally { delete(root); delete(rootRef) }
   }
 
+  test("full lifecycle: stream → kill → remove → purge-compaction → resume SAME checkpoint → stream more") {
+    // The production SEQUENCE, driven end-to-end through the real
+    // engine in two sessions — pinning the interactions no single-op
+    // spec covers: the append marker SURVIVES compactFrames' purge
+    // restamp, the stream resumes after the compaction changed the
+    // file set under the checkpoint, a takedown landing between
+    // sessions scrubs the replayed batch's emission, and the final
+    // index state equals a build that never saw the removed documents
+    // but saw every streamed batch.
+    val root = tmp()
+    val rootRef = tmp()
+    try {
+      val removedIds = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select("doc_id")
+      val survCorpus = docs.filter(
+        col("doc_id") < 40 && !(col("doc_id") >= 10 && col("doc_id") < 20))
+      val phase2 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 80)
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      batch.select(col("doc_id"), col("text"))
+        .repartition(2).write.parquet(s"$root/batches")
+      runStream(spark, root) // batches 0, 1
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      // the takedown must be load-bearing: the phase-1 emission pairs
+      // with the to-be-removed docs, so the scrub below gates something
+      val phase1Pairs = spark.read.parquet(s"$root/pairs")
+      phase1Pairs.filter(col("id_a") >= 10 && col("id_a") < 20)
+        .count() should be > 0L
+      // kill after batch 1's fold-in, before its commit (the replayed
+      // window), THEN a takedown and a purge-compaction land while the
+      // stream is down — the operational window maintenance runs in
+      delete(s"$root/ckpt/commits/1")
+      LshIndex.remove(spark, s"$root/idx", removedIds)
+      LshIndex.compactFrames(spark, s"$root/idx")
+      // the purge restamped the meta and dropped the tombstones but
+      // must NOT have touched the replay marker
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      // phase-2 files arrive; the SAME checkpoint resumes in a new
+      // session over the compacted index
+      phase2.select(col("doc_id"), col("text"))
+        .repartition(2).write.mode("append").parquet(s"$root/batches")
+      val spark2 = spark.newSession()
+      runStream(spark2, root) // replays 1, then folds 2, 3
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 3L
+      // the replayed batch's dir was rewritten under CURRENT truth:
+      // the takedown scrubbed its emission (replay-after-remove
+      // semantics, here through the real checkpoint machinery)
+      spark.read.parquet(s"$root/pairs/batch=1")
+        .filter(col("id_a") >= 10 && col("id_a") < 20)
+        .count() shouldBe 0L
+      // phase-2 emissions ≡ one-shot incremental of the phase-2 docs
+      // against (survivor corpus ∪ phase-1) — the q109/q110 equality
+      // held across kill + remove + compaction
+      LshIndex.build(spark, s"$rootRef/idx", survCorpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      LshIndex.append(spark, s"$rootRef/idx", batch, "text")
+      val (expP2, _) = LshIndex.incrementalPairs(
+        LshIndex.load(spark, s"$rootRef/idx"), phase2, "text", threshold = 0.5)
+      val gotP2 = spark.read.parquet(s"$root/pairs/batch=2")
+        .unionByName(spark.read.parquet(s"$root/pairs/batch=3"))
+      rows(expP2) should not be empty
+      rows(gotP2) shouldBe rows(expP2)
+      // final index frames ≡ a lifecycle that never saw the removed
+      // docs but saw every streamed batch
+      LshIndex.append(spark, s"$rootRef/idx", phase2, "text")
+      val a = LshIndex.load(spark, s"$root/idx")
+      val b = LshIndex.load(spark, s"$rootRef/idx")
+      def dump(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      dump(a.base) shouldBe dump(b.base)
+      dump(a.banded) shouldBe dump(b.banded)
+      def totals(df: DataFrame): Seq[String] = dump(
+        df.groupBy(col("band_idx"), col("band_hash"))
+          .agg(sum(col("bucket_n")).as("bucket_n")))
+      totals(a.buckets) shouldBe totals(b.buckets)
+    } finally { delete(root); delete(rootRef) }
+  }
+
+  test("full lifecycle, embedding side: SRP stream → kill → remove → purge → resume → stream more") {
+    // the LSH lifecycle above, through SrpIndex's streaming face —
+    // the two faces share IndexFiles/LshIncremental machinery but
+    // each has its own append/compact/remove transactions, so the
+    // sequence is pinned on both
+    val root = tmp()
+    val rootRef = tmp()
+    try {
+      val vecs = Tables(spark, sf, "embeddings")
+      val corpusV = vecs.filter(col("vec_id") < 120)
+      val phase1 = vecs.filter(col("vec_id") >= 120 && col("vec_id") < 200)
+      val phase2 = vecs.filter(col("vec_id") >= 200 && col("vec_id") < 280)
+      val removedIds = vecs.filter(col("vec_id") >= 10 && col("vec_id") < 40)
+        .select("vec_id")
+      val survCorpus = corpusV.filter(
+        !(col("vec_id") >= 10 && col("vec_id") < 40))
+      val (bands, planes, dims, thr) = (2, 4, 64, 0.3)
+      graft.ext.SrpIndex.build(spark, s"$root/idx", corpusV,
+        "vec_id", "embedding", bands, planes, dims)
+      phase1.select(col("vec_id"), col("embedding"))
+        .repartition(2).write.parquet(s"$root/batches")
+      def runSrp(session: SparkSession): Unit = {
+        val schema = session.read.parquet(s"$root/batches").schema
+        val q = session.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/batches")
+          .writeStream
+          .foreachBatch(graft.ext.SrpIndex.streamingDedupBatch(
+            session, s"$root/idx", threshold = thr)(
+            (pairs, id) =>
+              pairs.write.mode("overwrite").parquet(s"$root/pairs/batch=$id")))
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runSrp(spark) // batches 0, 1
+      graft.ext.SrpIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      spark.read.parquet(s"$root/pairs")
+        .filter(col("id_a") >= 10 && col("id_a") < 40)
+        .count() should be > 0L // the takedown will be load-bearing
+      delete(s"$root/ckpt/commits/1")
+      graft.ext.SrpIndex.remove(spark, s"$root/idx", removedIds)
+      graft.ext.SrpIndex.compactFrames(spark, s"$root/idx")
+      graft.ext.SrpIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      phase2.select(col("vec_id"), col("embedding"))
+        .repartition(2).write.mode("append").parquet(s"$root/batches")
+      runSrp(spark.newSession()) // replays 1, folds 2, 3
+      graft.ext.SrpIndex.appendedThrough(spark, s"$root/idx") shouldBe 3L
+      spark.read.parquet(s"$root/pairs/batch=1")
+        .filter(col("id_a") >= 10 && col("id_a") < 40)
+        .count() shouldBe 0L
+      graft.ext.SrpIndex.build(spark, s"$rootRef/idx", survCorpus,
+        "vec_id", "embedding", bands, planes, dims)
+      graft.ext.SrpIndex.append(spark, s"$rootRef/idx", phase1)
+      val (expP2, _) = graft.ext.SrpIndex.incrementalPairs(
+        graft.ext.SrpIndex.load(spark, s"$rootRef/idx"), phase2,
+        threshold = thr)
+      val gotP2 = spark.read.parquet(s"$root/pairs/batch=2")
+        .unionByName(spark.read.parquet(s"$root/pairs/batch=3"))
+      rows(expP2) should not be empty
+      rows(gotP2) shouldBe rows(expP2)
+      graft.ext.SrpIndex.append(spark, s"$rootRef/idx", phase2)
+      val a = graft.ext.SrpIndex.load(spark, s"$root/idx")
+      val b = graft.ext.SrpIndex.load(spark, s"$rootRef/idx")
+      def dump(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      dump(a.base) shouldBe dump(b.base)
+      dump(a.banded) shouldBe dump(b.banded)
+      def totals(df: DataFrame): Seq[String] = dump(
+        df.groupBy(col("band_idx"), col("bucket"))
+          .agg(sum(col("bucket_n")).as("bucket_n")))
+      totals(a.buckets) shouldBe totals(b.buckets)
+    } finally { delete(root); delete(rootRef) }
+  }
+
   test("a fresh checkpoint against a stream-folded index fails loudly") {
     val root = tmp()
     try {
