@@ -69,6 +69,68 @@ object LshSkew {
     def none(maxBucketSize: Int): CapCensus = CapCensus(0L, 0L, maxBucketSize)
   }
 
+  /** Per-batch census TREND accumulator for the streaming fold-ins'
+    * `onCensus` hook ([[LshIndex.streamingDedupBatch]] /
+    * [[SrpIndex.streamingDedupBatch]]) — the live "re-band or raise
+    * the cap" dial. [[IvfIndex]] got `driftStat` because frozen
+    * centroids silently lose recall under drift; SRP planes are
+    * data-independent (bucketing quality does not decay), but drift
+    * still has a live failure signal on this path: an arriving
+    * distribution that CONCENTRATES piles its vectors into fewer
+    * sign buckets, union totals climb, and once a bucket crosses the
+    * cap the census starts dropping it — silently costing recall on
+    * exactly the drifted mass (its pairs stop being emitted). One
+    * degenerate batch is noise; what demands operator action is
+    * SUSTAINED growth, and that distinction is what this accumulator
+    * answers ([[sustainedDrops]]): measured drifted-corpus trajectory
+    * in BASELINE.md §"SRP census trend", runbook rule in SURVEY §9.
+    *
+    * Thread-safety: `record` runs on the stream's foreachBatch
+    * thread, readers on the driver — synchronized, state is tiny
+    * (a bounded window of (batchId, census) rows).
+    */
+  final class CensusTrend(window: Int = 64) {
+    require(window > 0, "CensusTrend: window must be positive")
+    private val recent =
+      scala.collection.mutable.ArrayDeque.empty[(Long, CapCensus)]
+    private var batches = 0L
+    private var droppedBatches = 0L
+
+    /** The hook to pass as `onCensus`. */
+    def onCensus: (CapCensus, Long) => Unit =
+      (census, batchId) => record(census, batchId)
+
+    def record(census: CapCensus, batchId: Long): Unit = synchronized {
+      recent.append((batchId, census))
+      while (recent.size > window) recent.removeHead()
+      batches += 1
+      if (census.anyDropped) droppedBatches += 1
+    }
+
+    /** Last `k` recorded censuses, oldest first (≤ k if fewer seen). */
+    def lastK(k: Int): Seq[(Long, CapCensus)] = synchronized {
+      recent.takeRight(k).toSeq
+    }
+
+    /** True iff the last `k` batches ALL dropped buckets AND their
+      * dropped-row mass is non-decreasing — the sustained-growth
+      * signature of a concentrating distribution, as opposed to a
+      * one-off degenerate batch (which drops once and recedes).
+      * False until `k` batches have been recorded.
+      */
+    def sustainedDrops(k: Int): Boolean = synchronized {
+      val tail = recent.takeRight(k)
+      tail.size == k && tail.forall(_._2.anyDropped) &&
+        tail.iterator.map(_._2.droppedRows).sliding(2)
+          .forall(w => w.size < 2 || w(1) >= w(0))
+    }
+
+    /** (batches seen, batches that dropped ≥ 1 bucket) — lifetime
+      * counters, not windowed.
+      */
+    def totals: (Long, Long) = synchronized((batches, droppedBatches))
+  }
+
   /** Rows of `banded` whose (keyCols) bucket has ≤ `maxBucketSize`
     * members, the cached guard frames the CALLER must unpersist
     * after its action — same discipline as the lazy pair generators'

@@ -141,4 +141,29 @@ class LshSkewSpec extends SparkSpec {
     capped.filter($"id_a" < 900).count() shouldBe 0L
     capped.filter($"id_a" === 900L).count() shouldBe 1L
   }
+
+  test("CensusTrend: sustained growth fires, a one-off degenerate batch does not") {
+    def c(rows: Long) = LshSkew.CapCensus(if (rows > 0) 1L else 0L, rows, 100)
+    val t = new LshSkew.CensusTrend(window = 8)
+    t.sustainedDrops(1) shouldBe false // nothing recorded yet
+    // healthy stream with ONE degenerate batch in the middle
+    Seq(0L, 0L, 500L, 0L, 0L).zipWithIndex.foreach { case (r, i) =>
+      t.record(c(r), i.toLong)
+    }
+    t.sustainedDrops(3) shouldBe false // receded — no operator action
+    t.totals shouldBe ((5L, 1L))
+    // concentrating distribution: drops every batch, mass non-decreasing
+    Seq(600L, 600L, 900L).zipWithIndex.foreach { case (r, i) =>
+      t.record(c(r), (5 + i).toLong)
+    }
+    t.sustainedDrops(3) shouldBe true // the re-band/raise-cap signal
+    t.sustainedDrops(4) shouldBe false // the 4th-back batch was clean
+    t.lastK(2).map(_._2.droppedRows) shouldBe Seq(600L, 900L)
+    // a receding batch clears the signal even while still dropping
+    t.record(c(100L), 8L)
+    t.sustainedDrops(3) shouldBe false // dropping, but mass receding
+    // the window bounds state: only the last 8 rows are retained
+    (9 to 30).foreach(i => t.record(c(0L), i.toLong))
+    t.lastK(100).size shouldBe 8
+  }
 }
