@@ -222,6 +222,55 @@ object DupClusters {
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") >= minSize)
 
+  /** Small-graph fast-path bound shared by the two incremental faces
+    * ([[incrementalComponents]], [[removeFromLabeling]]): their CC
+    * inputs are batch-/takedown-sized BY CONSTRUCTION (that is the
+    * whole point of the incremental contracts), and running O(log n)
+    * distributed rounds over a few thousand edges prices pure job-
+    * scheduling overhead — measured at the q113/q114 gates, each
+    * distributed quotient CC costs ~2.5–3 s of rounds for microsecond
+    * union-find work. Under this many edges the edge list is
+    * COLLECTED (two longs per edge — 16 MB at the bound, the same
+    * driver-size class as [[LshSkew.MaxBroadcastKeys]] broadcasts)
+    * and solved exactly driver-side; above it, or for non-long id
+    * types, the distributed [[componentsStar]] path runs unchanged.
+    * [[componentsStar]] itself deliberately has NO such fast path —
+    * it is the large-graph algorithm, and its gates (q91's
+    * adversarial chains) must keep exercising the distributed rounds.
+    */
+  private[graft] val LocalCcMaxEdges: Long = 1000000L
+
+  /** Exact driver-side CC over a collected edge list: union-find with
+    * min-id roots (every union parents the larger root under the
+    * smaller, so a component's final root IS its minimum member id —
+    * the same canonical labels the distributed paths elect). Returns
+    * labels for edge ENDPOINTS only, identity rows omitted — exactly
+    * the `roots.filter(id =!= label)` shape the remap joins consume.
+    */
+  private def unionFindRoots(pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent(c); parent(c) = r; c = next
+      }
+      r
+    }
+    pairs.foreach { case (s, t) =>
+      val rs = find(s); val rt = find(t)
+      if (rs != rt) parent(math.max(rs, rt)) = math.min(rs, rt)
+    }
+    val endpoints = scala.collection.mutable.LinkedHashSet.empty[Long]
+    pairs.foreach { case (s, t) => endpoints += s; endpoints += t }
+    endpoints.iterator.map(x => (x, find(x))).filter(p => p._1 != p._2).toSeq
+  }
+
+  private def allLongIds(df: DataFrame): Boolean =
+    df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+
   /** The REMOVAL face of the incremental cluster story — the takedown
     * twin of [[incrementalComponents]] ([[graft.ext.LshIndex.remove]]
     * removes documents from the INDEX; this removes them from a
@@ -276,7 +325,8 @@ object DupClusters {
   def removeFromLabeling(prevLabels: DataFrame, removedIds: DataFrame,
                          survivorEdges: DataFrame => DataFrame,
                          maxIter: Int = 50,
-                         mode: CheckpointMode = CheckpointMode.Local)
+                         mode: CheckpointMode = CheckpointMode.Local,
+                         localCcMaxEdges: Long = LocalCcMaxEdges)
       : DataFrame = {
     val rem = removedIds
       .select(col(removedIds.columns.head).as("id")).distinct()
@@ -298,10 +348,21 @@ object DupClusters {
       .join(hintedT(touchedLabels), Seq("label"), "left_semi")
       .select(col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = survivorEdges(touchedMembers).select(col("s"), col("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val relabeled = componentsStar(
-        survivorEdges(touchedMembers).select(col("s"), col("t")),
-        touchedMembers, maxIter, mode)
+      val sparkS = prevLabels.sparkSession
+      import sparkS.implicits._
+      // takedown-sized edge set ⇒ driver union-find (LocalCcMaxEdges
+      // scaladoc); the distributed path is the same-output fallback
+      val relabeled =
+        if (edges.count() <= localCcMaxEdges && allLongIds(edges)) {
+          val roots = unionFindRoots(
+            edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+          touchedMembers
+            .join(broadcast(roots.toDF("id", "newl")), Seq("id"), "left")
+            .select(col("id"), coalesce(col("newl"), col("id")).as("label"))
+        } else componentsStar(edges, touchedMembers, maxIter, mode)
       // second map-side labeling scan: untouched survivors pass
       // through label-unchanged (their min-id rep is still a member)
       val untouched = prevLabels
@@ -310,6 +371,7 @@ object DupClusters {
         .select(col("id"), col("label"))
       untouched.unionByName(relabeled).localCheckpoint(true)
     } finally {
+      edges.unpersist()
       touchedMembers.unpersist()
       touchedLabels.unpersist()
       rem.unpersist()
@@ -371,8 +433,14 @@ object DupClusters {
     * (no exchange), above it the hint is withheld and Spark's shuffle
     * fallback fires (a quotient too big to broadcast cannot be forced
     * through the driver — correct, just no longer shuffle-free).
-    * Returned caches are owned by the caller (unpersist after the
-    * action).
+    * `maxBroadcastKeys` also bounds the driver union-find fast path
+    * (min with [[LocalCcMaxEdges]] — an edge list small enough to
+    * collect is the same driver-size class as a broadcastable one),
+    * so passing 0 forces BOTH the distributed quotient CC and the
+    * shuffle remap: the spec's full-fallback regime, and the
+    * regime-equality assertion doubles as the local ≡ distributed CC
+    * pin. Returned caches are owned by the caller (unpersist after
+    * the action).
     */
   private[graft] def incrementalComponentsLazy(
       prevLabels: DataFrame, newNodes: DataFrame, newEdges: DataFrame,
@@ -400,13 +468,26 @@ object DupClusters {
       .select(coalesce(col("ls"), col("s")).as("s"),
               coalesce(col("lt"), col("t")).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val quotientNodes = contracted.select(col("s").as("id"))
-      .union(contracted.select(col("t").as("id")))
-      .union(newNodes.select(col("id"))).distinct()
-    // exact CC over the quotient — O(batch) vertices/edges, budget-
-    // safe for any merge-chain shape (the q91 lesson)
-    val roots = componentsStar(contracted, quotientNodes, maxIter, mode)
-      .filter(col("id") =!= col("label")) // identity rows remap nothing
+    // exact CC over the quotient — O(batch) vertices/edges. Batch-
+    // sized edge set ⇒ driver union-find (LocalCcMaxEdges scaladoc:
+    // new singletons need no CC, and only edge endpoints can remap,
+    // so the collected work is the contracted edge list alone);
+    // larger, or non-long ids ⇒ the distributed componentsStar path,
+    // budget-safe for any merge-chain shape (the q91 lesson)
+    val sparkS = prevLabels.sparkSession
+    val roots =
+      if (nEdges <= math.min(LocalCcMaxEdges, maxBroadcastKeys) &&
+          allLongIds(contracted)) {
+        import sparkS.implicits._
+        unionFindRoots(contracted.collect().map(r =>
+          (r.getLong(0), r.getLong(1)))).toDF("id", "label")
+      } else {
+        val quotientNodes = contracted.select(col("s").as("id"))
+          .union(contracted.select(col("t").as("id")))
+          .union(newNodes.select(col("id"))).distinct()
+        componentsStar(contracted, quotientNodes, maxIter, mode)
+          .filter(col("id") =!= col("label")) // identity rows remap nothing
+      }
     // the roots frame is already materialized (componentsStar
     // checkpoints its output), so sizing its own hint is a cheap
     // count — and unlike nEdges it also covers a huge newNodes set

@@ -721,14 +721,11 @@ object ExtensionQueries {
     */
   def q113IncrementalClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
-    val corpus = docs.filter(col("doc_id") < 200)
     val batch = docs.filter(col("doc_id") >= 200)
-    val prior = DupClusters.componentsStar(
-      Dedup.lshNearDupPairs(corpus, "text", "doc_id",
-          shingleWidth = 1, numHashes = 24, numBands = 3, threshold = 0.9)
-        .select(col("id_a").as("s"), col("id_b").as("t")),
-      corpus.select(col("doc_id").as("id")))
-    // shared session fixture (read-only here; q114 copies it)
+    // shared session fixtures (read-only here; q114 copies/prunes):
+    // the prior labeling is PERSISTED state by the operator's own
+    // contract, so loading it is the production shape, not a shortcut
+    val prior = GateFixtures.priorLabels(spark, dir, 200)
     val (pairs, census) = graft.ext.LshIndex.incrementalPairs(
       graft.ext.LshIndex.load(spark,
         GateFixtures.lshDocsIndex(spark, dir, 200)),
@@ -770,15 +767,12 @@ object ExtensionQueries {
     */
   def q114RemoveClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
-    val corpus = docs.filter(col("doc_id") < 200)
     val batch = docs.filter(col("doc_id") >= 200)
     val removed = docs
       .filter(col("doc_id") >= 100 && col("doc_id") < 150).select("doc_id")
-    val prior = DupClusters.componentsStar(
-      Dedup.lshNearDupPairs(corpus, "text", "doc_id",
-          shingleWidth = 1, numHashes = 24, numBands = 3, threshold = 0.9)
-        .select(col("id_a").as("s"), col("id_b").as("t")),
-      corpus.select(col("doc_id").as("id")))
+    // q113's identical persisted prior labeling (GateFixtures) — the
+    // takedown prunes it rather than recomputing it
+    val prior = GateFixtures.priorLabels(spark, dir, 200)
     val idxPath = GateFixtures.lshDocsIndexCopy(spark, dir, 200)
     graft.ext.LshIndex.remove(spark, idxPath, removed)
     val index = graft.ext.LshIndex.load(spark, idxPath)

@@ -51,6 +51,34 @@ private[queries] object GateFixtures {
       p
     })
 
+  /** Shared PRIOR LABELING over `documents`(doc_id < maxDocId) —
+    * near-dup pairs (canonical banding, threshold 0.9) fed through
+    * `DupClusters.componentsStar`, persisted to parquet once per
+    * session. q113 and q114 both seed their incremental fold-ins
+    * from this identical labeling; recomputing it per gate was pure
+    * duplicate CC work, and loading persisted labels is exactly the
+    * operator's production contract (the labeling IS the state
+    * batches fold into — `incrementalComponents` scaladoc).
+    */
+  def priorLabels(spark: SparkSession, dir: String, maxDocId: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val key = s"labels_${Integer.toHexString(dir.hashCode)}_$maxDocId"
+    val p = built.computeIfAbsent(key, _ => {
+      val path = s"$root/$key"
+      val corpus = graft.Tables(spark, dir, "documents")
+        .filter(col("doc_id") < maxDocId)
+      graft.ext.DupClusters.componentsStar(
+          graft.ext.Dedup.lshNearDupPairs(corpus, "text", "doc_id",
+              shingleWidth = 1, numHashes = 24, numBands = 3,
+              threshold = 0.9)
+            .select(col("id_a").as("s"), col("id_b").as("t")),
+          corpus.select(col("doc_id").as("id")))
+        .write.parquet(path)
+      path
+    })
+    spark.read.parquet(p)
+  }
+
   /** Private MUTABLE copy of the shared index — an FS copy of the
     * built frames, bit-identical to a fresh build (the q107 parquet
     * round-trip argument). The caller owns and deletes it.

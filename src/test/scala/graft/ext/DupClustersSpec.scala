@@ -255,6 +255,13 @@ class DupClustersSpec extends SparkSpec {
     val full = DupClusters.componentsStar(induced(survivors), survivors)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     out shouldBe full
+    // both re-election regimes agree: the default driver union-find
+    // fast path above, the distributed componentsStar fallback forced
+    // here (localCcMaxEdges = 0) — the guard moves the plan, never
+    // the answer
+    DupClusters.removeFromLabeling(prev, removed, induced,
+        localCcMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap shouldBe full
     out.keySet should contain noneOf (2L, 10L, 20L, 99L)
     out(1L) shouldBe 1L
     out(3L) shouldBe 3L // the split's right half re-elected
