@@ -247,7 +247,7 @@ object DupClusters {
     * labels for edge ENDPOINTS only, identity rows omitted — exactly
     * the `roots.filter(id =!= label)` shape the remap joins consume.
     */
-  private def unionFindRoots(pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
+  private[ext] def unionFindRoots(pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -267,7 +267,7 @@ object DupClusters {
     endpoints.iterator.map(x => (x, find(x))).filter(p => p._1 != p._2).toSeq
   }
 
-  private def allLongIds(df: DataFrame): Boolean =
+  private[ext] def allLongIds(df: DataFrame): Boolean =
     df.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
 
@@ -328,6 +328,38 @@ object DupClusters {
                          mode: CheckpointMode = CheckpointMode.Local,
                          localCcMaxEdges: Long = LocalCcMaxEdges)
       : DataFrame = {
+    val core = touchedRelabel(prevLabels, removedIds, survivorEdges,
+      maxIter, mode, localCcMaxEdges)
+    try {
+      // second map-side labeling scan: untouched survivors pass
+      // through label-unchanged (their min-id rep is still a member)
+      val untouched = prevLabels
+        .join(core.hintedRem(core.rem), Seq("id"), "left_anti")
+        .join(core.hintedTouched(core.touchedLabels), Seq("label"),
+          "left_anti")
+        .select(col("id"), col("label"))
+      untouched.unionByName(core.relabeled).localCheckpoint(true)
+    } finally core.caches.foreach(_.unpersist())
+  }
+
+  /** The removal face's shared core ([[removeFromLabeling]] returns
+    * the pruned labeling; [[LabelStore.remove]] persists the SAME
+    * relabeling as delta overrides): removed-id extraction, the
+    * touched-component scan, the survivor re-pair, and the exact
+    * subset CC. `relabeled` covers ALL surviving members of touched
+    * components with their re-elected labels; `caches` are owned by
+    * the caller (unpersist after the action).
+    */
+  private[ext] final case class TouchedRelabel(
+      rem: DataFrame, touchedLabels: DataFrame, relabeled: DataFrame,
+      hintedRem: DataFrame => DataFrame,
+      hintedTouched: DataFrame => DataFrame, caches: Seq[DataFrame])
+
+  private[ext] def touchedRelabel(prevLabels: DataFrame,
+                                  removedIds: DataFrame,
+                                  survivorEdges: DataFrame => DataFrame,
+                                  maxIter: Int, mode: CheckpointMode,
+                                  localCcMaxEdges: Long): TouchedRelabel = {
     val rem = removedIds
       .select(col(removedIds.columns.head).as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -350,32 +382,20 @@ object DupClusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = survivorEdges(touchedMembers).select(col("s"), col("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val sparkS = prevLabels.sparkSession
-      import sparkS.implicits._
-      // takedown-sized edge set ⇒ driver union-find (LocalCcMaxEdges
-      // scaladoc); the distributed path is the same-output fallback
-      val relabeled =
-        if (edges.count() <= localCcMaxEdges && allLongIds(edges)) {
-          val roots = unionFindRoots(
-            edges.collect().map(r => (r.getLong(0), r.getLong(1))))
-          touchedMembers
-            .join(broadcast(roots.toDF("id", "newl")), Seq("id"), "left")
-            .select(col("id"), coalesce(col("newl"), col("id")).as("label"))
-        } else componentsStar(edges, touchedMembers, maxIter, mode)
-      // second map-side labeling scan: untouched survivors pass
-      // through label-unchanged (their min-id rep is still a member)
-      val untouched = prevLabels
-        .join(hintedR(rem), Seq("id"), "left_anti")
-        .join(hintedT(touchedLabels), Seq("label"), "left_anti")
-        .select(col("id"), col("label"))
-      untouched.unionByName(relabeled).localCheckpoint(true)
-    } finally {
-      edges.unpersist()
-      touchedMembers.unpersist()
-      touchedLabels.unpersist()
-      rem.unpersist()
-    }
+    val sparkS = prevLabels.sparkSession
+    import sparkS.implicits._
+    // takedown-sized edge set ⇒ driver union-find (LocalCcMaxEdges
+    // scaladoc); the distributed path is the same-output fallback
+    val relabeled =
+      if (edges.count() <= localCcMaxEdges && allLongIds(edges)) {
+        val roots = unionFindRoots(
+          edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+        touchedMembers
+          .join(broadcast(roots.toDF("id", "newl")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("newl"), col("id")).as("label"))
+      } else componentsStar(edges, touchedMembers, maxIter, mode)
+    TouchedRelabel(rem, touchedLabels, relabeled, hintedR, hintedT,
+      Seq(edges, touchedMembers, touchedLabels, rem))
   }
 
   /** Corpus-growth connected components — the cluster-election half of
@@ -446,11 +466,44 @@ object DupClusters {
       prevLabels: DataFrame, newNodes: DataFrame, newEdges: DataFrame,
       maxIter: Int, mode: CheckpointMode, maxBroadcastKeys: Long)
       : (DataFrame, Seq[DataFrame]) = {
-    // contract each edge's endpoints to their prior labels. The ONE
-    // corpus-sized operation in the whole face is extracting the
-    // touched ids' labels: the corpus labeling streams map-side
-    // against the broadcast touched-id set (size-guarded hint, the
-    // incremental-LSH discipline); everything after is tiny-vs-tiny
+    val (roots, caches) = quotientRoots(prevLabels, newNodes, newEdges,
+      maxIter, mode, maxBroadcastKeys)
+    // the roots frame is already materialized (componentsStar
+    // checkpoints its output), so sizing its own hint is a cheap
+    // count — and unlike nEdges it also covers a huge newNodes set
+    val rootMap =
+      if (roots.count() <= maxBroadcastKeys) broadcast(roots)
+      else roots
+    // remap: corpus labeling scanned once, map-side left join against
+    // the touched-roots map; untouched components coalesce through
+    val remappedOld = prevLabels
+      .join(rootMap.select(col("id").as("label"), col("label").as("newl")),
+        Seq("label"), "left")
+      .select(col("id"), coalesce(col("newl"), col("label")).as("label"))
+    val remappedNew = newNodes.select(col("id"))
+      .join(rootMap.select(col("id"), col("label").as("newl")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("newl"), col("id")).as("label"))
+    (remappedOld.unionByName(remappedNew), caches)
+  }
+
+  /** The incremental faces' shared quotient solver
+    * ([[incrementalComponentsLazy]] remaps a labeling in place;
+    * [[LabelStore.foldBatch]] persists the same roots as delta rows):
+    * contract each new edge's endpoints to their prior labels — the
+    * ONE corpus-sized operation is extracting the touched ids' labels,
+    * with the corpus labeling streaming map-side against the
+    * (size-guard-hinted) touched-id set — then solve exact CC over the
+    * O(batch) quotient. Returns the NON-IDENTITY root entries
+    * `(id, label)` (quotient vertex → final min-id root; vertices that
+    * keep their label are omitted, which is exactly what the remap
+    * joins consume) plus the caches the caller owns.
+    */
+  private[ext] def quotientRoots(prevLabels: DataFrame,
+                                 newNodes: DataFrame, newEdges: DataFrame,
+                                 maxIter: Int, mode: CheckpointMode,
+                                 maxBroadcastKeys: Long)
+      : (DataFrame, Seq[DataFrame]) = {
     val edges = newEdges.select(col("s"), col("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count() // sizes the hints; materializes the cache
@@ -488,23 +541,6 @@ object DupClusters {
         componentsStar(contracted, quotientNodes, maxIter, mode)
           .filter(col("id") =!= col("label")) // identity rows remap nothing
       }
-    // the roots frame is already materialized (componentsStar
-    // checkpoints its output), so sizing its own hint is a cheap
-    // count — and unlike nEdges it also covers a huge newNodes set
-    val rootMap =
-      if (roots.count() <= maxBroadcastKeys) broadcast(roots)
-      else roots
-    // remap: corpus labeling scanned once, map-side left join against
-    // the touched-roots map; untouched components coalesce through
-    val remappedOld = prevLabels
-      .join(rootMap.select(col("id").as("label"), col("label").as("newl")),
-        Seq("label"), "left")
-      .select(col("id"), coalesce(col("newl"), col("label")).as("label"))
-    val remappedNew = newNodes.select(col("id"))
-      .join(rootMap.select(col("id"), col("label").as("newl")),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("newl"), col("id")).as("label"))
-    (remappedOld.unionByName(remappedNew),
-      Seq(contracted, touchedLabels, edges))
+    (roots, Seq(contracted, touchedLabels, edges))
   }
 }
