@@ -810,6 +810,63 @@ object ExtensionQueries {
       "FROM documents WHERE doc_id < 300 AND NOT (doc_id >= 100 AND doc_id < 150)")
   }
 
+  /** ✚ takedown through the PERSISTED labeling — q114's composition
+    * replayed through [[graft.ext.LabelStore]]'s full mutation
+    * lifecycle instead of in-memory frames: create the store from the
+    * prior labeling, [[graft.ext.LabelStore.remove]] the takedown
+    * slice (tombstones + re-elected overrides, O(removed + touched)
+    * delta rows — same shared [[graft.ext.DupClusters.touchedRelabel]]
+    * core as q114), then [[graft.ext.LabelStore.compact]] MID-SEQUENCE
+    * (the maintenance op must be labeling-invariant — the delta log
+    * folds into the base and mutation continues against the compacted
+    * store), then fold the batch in ([[graft.ext.LabelStore
+    * .foldBatch]]) and read the composed result. THE ORACLE IS
+    * q114's (q47's full recompute over (corpus ∖ removed) ∪ batch) —
+    * the hash passes only if the store's delta-log persistence
+    * (tombstone → override → compact → base-append → remap, composed
+    * at read) is exactly the frame-level remove-then-fold, proving
+    * the store's claim that every mutation is O(batch) rows while
+    * reads stay corpus-exact.
+    */
+  def q116RemoveLabelStore(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q116_").toString
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 200)
+    val removed = docs
+      .filter(col("doc_id") >= 100 && col("doc_id") < 150).select("doc_id")
+    val storePath = s"$root/store"
+    graft.ext.LabelStore.create(spark, storePath,
+      GateFixtures.priorLabels(spark, dir, 200))
+    val idxPath = GateFixtures.lshDocsIndexCopy(spark, dir, 200)
+    graft.ext.LshIndex.remove(spark, idxPath, removed)
+    val index = graft.ext.LshIndex.load(spark, idxPath)
+    graft.ext.LabelStore.remove(spark, storePath, removed, ids => {
+      val (p, c) = graft.ext.LshIndex.pairsAmong(index, ids, threshold = 0.9)
+      require(!c.anyDropped,
+        "q116: gate fixture must not hit the bucket cap (re-pair)")
+      p.select(col("id_a").as("s"), col("id_b").as("t"))
+    })
+    graft.ext.LabelStore.compact(spark, storePath)
+    val (pairs, census) = graft.ext.LshIndex.incrementalPairs(
+      index, batch, "text", threshold = 0.9)
+    require(!census.anyDropped,
+      "q116: gate fixture must not hit the bucket cap (batch)")
+    graft.ext.LabelStore.foldBatch(spark, storePath,
+      batch.select(col("doc_id").as("id")),
+      pairs.select(col("id_a").as("s"), col("id_b").as("t")))
+    SourceQueries.materializeThenDelete(
+      graft.ext.LabelStore.load(spark, storePath)
+        .groupBy(col("label").as("rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("rep")),
+      root, idxPath)
+  }
+
+  // q114's derived oracle IS this gate's oracle — store-persisted
+  // remove-then-fold must equal the frame-level path (scaladoc)
+  lazy val q116Sql: String = q114Sql
+
   /** ✚ BPE-style vocabulary induction, first iteration: the most
     * frequent adjacent token pairs corpus-wide (explode bigrams →
     * count → top-20 with lexicographic tiebreak). Partial aggregation

@@ -512,6 +512,65 @@ object PipelineQueries {
   // equality is the whole point (see scaladoc above)
   lazy val q110Sql: String = ExtensionQueries.q109Sql
 
+  /** ✚ STREAMING cluster election — the capstone q110 (streaming
+    * pairs) and q113 (batch label fold-in) compose into: a live
+    * Structured Streaming query maintains the PERSISTED labeling
+    * ([[graft.ext.LabelStore]]) micro-batch by micro-batch via
+    * [[graft.ext.LabelStore.streamingLabelBatch]] — index fold-in
+    * first (exactly-once under the index's marker), then the same
+    * incremental pairs fold into the label store under the store's
+    * own marker, so after every micro-batch the store holds the exact
+    * labeling of everything streamed so far and no corpus CC ever
+    * re-runs. THE ORACLE IS q47's one-shot full-recompute SQL: the
+    * hash passes only if stream-maintained store state ≡ full CC over
+    * the union pair graph — which composes q110's proof (stream pairs
+    * ≡ batch incremental pairs) with q113's (quotient fold-in ≡ full
+    * CC) THROUGH the store's delta-log persistence (base rows +
+    * remaps + collision overrides composed at read). State lives in
+    * two on-disk artifacts (index + store), not the state store —
+    * restart = resume both from their markers (pinned cross-JVM in
+    * StreamIncLshRestartSpec).
+    */
+  def q115StreamLabels(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_q115_").toString
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
+    // shared session fixtures: the stream MUTATES the index (fold-in),
+    // so it takes a private copy; the store is created fresh from the
+    // shared prior labeling (its production seed contract)
+    val idxPath = GateFixtures.lshDocsIndexCopy(spark, dir, 200)
+    val storePath = s"$root/store"
+    graft.ext.LabelStore.create(spark, storePath,
+      GateFixtures.priorLabels(spark, dir, 200))
+    val batchDir = s"$root/batches"
+    docs.filter(col("doc_id") >= 200).select(col("doc_id"), col("text"))
+      .repartition(2).write.parquet(batchDir)
+    val q = spark.readStream
+      .schema(spark.read.parquet(batchDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(batchDir)
+      .writeStream
+      .foreachBatch(graft.ext.LabelStore.streamingLabelBatch(
+        spark, idxPath, storePath, "text", "doc_id", threshold = 0.9,
+        onCensus = (census, _) => require(!census.anyDropped,
+          "q115: gate fixture must not hit the bucket cap"))(
+        (_, _) => ()))
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    SourceQueries.materializeThenDelete(
+      graft.ext.LabelStore.load(spark, storePath)
+        .groupBy(col("label").as("rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("rep")),
+      root, idxPath)
+  }
+
+  // q113's oracle (q47's full recompute) IS this gate's oracle — the
+  // equality through the store's persistence is the point (scaladoc)
+  lazy val q115Sql: String = ExtensionQueries.q113Sql
+
   def q104AppendWindow(spark: SparkSession, dir: String): DataFrame =
     EventStream.withShufflePartitions(spark, 8) {
       val agg = EventStream.hourlyByType(EventStream.readEvents(spark, dir))
