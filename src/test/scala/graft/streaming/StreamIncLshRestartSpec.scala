@@ -255,6 +255,127 @@ class StreamIncLshRestartSpec extends SparkSpec {
     } finally { delete(root); delete(rootRef) }
   }
 
+  /** Corpus labeling with the same params the streams use — the
+    * store's production seed (and the from-scratch reference).
+    */
+  private def ccOf(d: DataFrame): DataFrame =
+    graft.ext.DupClusters.componentsStar(
+      graft.ext.Dedup.lshNearDupPairs(d, "text", "doc_id",
+          shingleWidth = 1, numHashes = 8, numBands = 2, threshold = 0.5)
+        .select(col("id_a").as("s"), col("id_b").as("t")),
+      d.select(col("doc_id").as("id")))
+
+  private def dumpSorted(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("full lifecycle, label store: stream → kill → takedown (index + store) → compact both → resume → stream more") {
+    // The composed streaming face (q115's operator) across the same
+    // production sequence as the index lifecycle above — pinning what
+    // no single-artifact test covers: the STORE's marker survives
+    // LabelStore.compact, the resumed stream replays batch 1 with no
+    // double fold on EITHER artifact, a takedown landing between
+    // sessions flows through LabelStore.remove's re-election, and the
+    // final persisted labeling equals a from-scratch CC that never saw
+    // the removed docs but saw every streamed batch (the q114/q116
+    // contract, held across a driver death + compactions).
+    val root = tmp()
+    try {
+      val removedIds = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+        .select("doc_id")
+      val phase2 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 80)
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      graft.ext.LabelStore.create(spark, s"$root/store", ccOf(corpus))
+      batch.select(col("doc_id"), col("text"))
+        .repartition(2).write.parquet(s"$root/batches")
+      def runLabels(session: SparkSession): Unit = {
+        val schema = session.read.parquet(s"$root/batches").schema
+        val q = session.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/batches")
+          .writeStream
+          .foreachBatch(graft.ext.LabelStore.streamingLabelBatch(
+            session, s"$root/idx", s"$root/store", "text", "doc_id",
+            threshold = 0.5)((_, _) => ()))
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runLabels(spark) // batches 0, 1
+      graft.ext.LabelStore.appendedThrough(spark, s"$root/store") shouldBe 1L
+      // the takedown must be load-bearing for the LABELING: removed
+      // docs must currently sit in multi-member clusters
+      graft.ext.LabelStore.load(spark, s"$root/store")
+        .groupBy(col("label")).agg(count(lit(1)).as("n"),
+          sum(when(col("id") >= 10 && col("id") < 20, 1L)
+            .otherwise(0L)).as("nRem"))
+        .filter(col("n") >= 2 && col("nRem") >= 1)
+        .count() should be > 0L
+      // kill in the replay window; takedown + compaction of BOTH
+      // artifacts land while the stream is down
+      delete(s"$root/ckpt/commits/1")
+      LshIndex.remove(spark, s"$root/idx", removedIds)
+      val idxView = LshIndex.load(spark, s"$root/idx")
+      graft.ext.LabelStore.remove(spark, s"$root/store", removedIds, ids => {
+        val (p, _) = LshIndex.pairsAmong(idxView, ids, threshold = 0.5)
+        p.select(col("id_a").as("s"), col("id_b").as("t"))
+      })
+      LshIndex.compactFrames(spark, s"$root/idx")
+      graft.ext.LabelStore.compact(spark, s"$root/store")
+      // both markers survive their compactions
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      graft.ext.LabelStore.appendedThrough(spark, s"$root/store") shouldBe 1L
+      phase2.select(col("doc_id"), col("text"))
+        .repartition(2).write.mode("append").parquet(s"$root/batches")
+      runLabels(spark.newSession()) // replays 1, folds 2, 3
+      graft.ext.LabelStore.appendedThrough(spark, s"$root/store") shouldBe 3L
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 3L
+      val survUnion = docs.filter(col("doc_id") < 80 &&
+        !(col("doc_id") >= 10 && col("doc_id") < 20))
+      dumpSorted(graft.ext.LabelStore.load(spark, s"$root/store")) shouldBe
+        dumpSorted(ccOf(survUnion))
+    } finally delete(root)
+  }
+
+  test("crash between index fold-in and store fold-in: the replay folds the store exactly once") {
+    // The one window the composed face's exactly-once argument hinges
+    // on (streamingLabelBatch scaladoc): the index fold lands, the
+    // store fold does not, the batch replays. The index must classify
+    // the batch as already-folded and reproduce its EXACT pairs by
+    // subtraction; the store, whose marker does not yet cover it,
+    // folds those pairs once. Driven manually (ManualWriter identity,
+    // same resolveReplay path the stream takes).
+    val root = tmp()
+    try {
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      graft.ext.LabelStore.create(spark, s"$root/store", ccOf(corpus))
+      val body = graft.ext.LabelStore.streamingLabelBatch(
+        spark, s"$root/idx", s"$root/store", "text", "doc_id",
+        threshold = 0.5)((_, _) => ())
+      val b0 = docs.filter(col("doc_id") >= 40 && col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+      val b1 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      body(b0, 0L)
+      // crash window: batch 1's INDEX fold lands, the store fold never
+      // runs (the foreachBatch died between the two)
+      LshIndex.streamingDedupBatch(spark, s"$root/idx", "text",
+        threshold = 0.5)((_, _) => ())(b1, 1L)
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      graft.ext.LabelStore.appendedThrough(spark, s"$root/store") shouldBe 0L
+      // the replay completes the composition: store folds exactly once
+      body(b1, 1L)
+      graft.ext.LabelStore.appendedThrough(spark, s"$root/store") shouldBe 1L
+      val after = dumpSorted(graft.ext.LabelStore.load(spark, s"$root/store"))
+      after shouldBe dumpSorted(ccOf(docs.filter(col("doc_id") < 60)))
+      // a batch BOTH markers cover replays as a pure no-op
+      body(b1, 1L)
+      LshIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      graft.ext.LabelStore.appendedThrough(spark, s"$root/store") shouldBe 1L
+      dumpSorted(graft.ext.LabelStore.load(spark, s"$root/store")) shouldBe after
+    } finally delete(root)
+  }
+
   test("a fresh checkpoint against a stream-folded index fails loudly") {
     val root = tmp()
     try {
