@@ -76,6 +76,56 @@ class StreamIvfIngestSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("full lifecycle: stream → kill → remove → purge-compaction → resume SAME checkpoint → stream more") {
+    // family symmetry with the LSH/SRP/label-store lifecycle pins:
+    // the marker survives compactAssignments' purge restamp, the
+    // stream resumes after the file set changed under the checkpoint,
+    // and the final assignments equal a lifecycle that never saw the
+    // removed vectors but saw every streamed arrival.
+    val root = tmp()
+    try {
+      val corpus = emb.filter(col("vec_id") < 100)
+      val centroids = emb.filter(col("vec_id") < 4)
+      val removedIds = emb.filter(col("vec_id") >= 10 && col("vec_id") < 40)
+        .select("vec_id")
+      val phase1 = emb.filter(col("vec_id") >= 100 && col("vec_id") < 160)
+      val phase2 = emb.filter(col("vec_id") >= 160 && col("vec_id") < 220)
+      IvfIndex.save(spark, s"$root/idx", centroids,
+        Some(Similarity.assignToCentroids(corpus, centroids)))
+      phase1.select(col("vec_id"), col("embedding"))
+        .repartition(2).write.parquet(s"$root/arrivals")
+      runStream(spark, root) // batches 0, 1
+      IvfIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      // kill in the replay window; takedown + purge land while down
+      delete(s"$root/ckpt/commits/1")
+      IvfIndex.remove(spark, s"$root/idx", removedIds)
+      IvfIndex.compactAssignments(spark, s"$root/idx")
+      // the purge restamped the meta and dropped the tombstones but
+      // must NOT have touched the replay marker or the drift ledger
+      IvfIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      IvfIndex.driftStat(spark, s"$root/idx").appendedN shouldBe 60L
+      phase2.select(col("vec_id"), col("embedding"))
+        .repartition(2).write.mode("append").parquet(s"$root/arrivals")
+      runStream(spark.newSession(), root) // replays 1 (skip), folds 2, 3
+      IvfIndex.appendedThrough(spark, s"$root/idx") shouldBe 3L
+      IvfIndex.driftStat(spark, s"$root/idx").appendedN shouldBe 120L
+      // final assignments ≡ assigning (corpus ∖ removed) ∪ arrivals
+      // against the same frozen centroids — assignment is per-vector
+      // deterministic, so frame equality is exact
+      val survivor = corpus
+        .filter(!(col("vec_id") >= 10 && col("vec_id") < 40))
+        .unionByName(phase1).unionByName(phase2)
+      val expected = Similarity.assignToCentroids(survivor, centroids)
+        .select("vec_id", "centroid_id")
+      val got = IvfIndex.load(spark, s"$root/idx").assignments.get
+        .select("vec_id", "centroid_id")
+      got.count() shouldBe 190L
+      def dump(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      dump(got) shouldBe dump(expected)
+    } finally delete(root)
+  }
+
   test("a fresh checkpoint against a stream-folded index fails loudly") {
     val root = tmp()
     try {
