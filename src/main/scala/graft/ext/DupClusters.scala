@@ -310,6 +310,10 @@ object DupClusters {
     * did not touch; those are outside `survivorEdges`' view, so
     * cap-regime exactness covers the touched components only (the
     * full-re-election answer is a corpus [[componentsStar]] rebuild).
+    * The caveat is EXECUTABLE since r15: `LshIndex.remove` /
+    * `SrpIndex.remove` return a [[LshSkew.RemovalReport]] whose
+    * `anyUncapped` flags exactly this regime — gate the repair on it
+    * (q114/q116 do).
     *
     * Idempotent: already-removed and never-labeled ids touch nothing.
     *

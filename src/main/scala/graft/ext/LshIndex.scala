@@ -197,9 +197,22 @@ object LshIndex {
     * suppress the re-added rows (enforced contract-by-documentation,
     * same class as the unique-ids contract).
     *
+    * Returns a [[LshSkew.RemovalReport]]: `uncappedBuckets` counts
+    * buckets this takedown moved from over-`maxBucketSize` to under
+    * it — the cap-regime hazard for LABELING repair
+    * ([[DupClusters.removeFromLabeling]] scaladoc): an un-capped
+    * bucket starts serving pairs in components the removal did not
+    * touch, outside the touched-component repair's view.
+    * `report.anyUncapped` ⇒ rebuild the labeling with
+    * [[DupClusters.componentsStar]] instead of repairing it. Pass the
+    * `maxBucketSize` your pair reads use (index reads are unaffected
+    * — the report is advisory for the labeling seam).
+    *
     * `ids`: any frame whose FIRST column is the document id.
     */
-  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+  def remove(spark: SparkSession, path: String, ids: DataFrame,
+             maxBucketSize: Int = LshSkew.DefaultMaxBucketSize)
+      : LshSkew.RemovalReport = {
     val meta = readMeta(spark, s"$path/_lsh_meta.json")
     requireReadable(meta, path)
     IndexFiles.withWriterLease(spark, path, "LshIndex.remove") {
@@ -221,14 +234,23 @@ object LshIndex {
           .join(broadcast(fresh), Seq("id"), "left_semi")
           .groupBy(col("band_idx"), col("band_hash"))
           .agg((-count(lit(1))).as("bucket_n"))
-        fs.delete(new Path(s"$path/_lsh_meta.json"), false)
-        fresh.coalesce(1).write.mode(SaveMode.Append).parquet(tombPath.toString)
-        deltas.coalesce(1).write.mode(SaveMode.Append)
-          .parquet(s"$path/buckets.parquet")
-        // version stamps WITH the layout: a pre-tombstone build must
-        // refuse this index, not silently serve the removed documents
-        writeMeta(spark, s"$path/_lsh_meta.json",
-          meta.copy(version = TombstoneVersion))
+          .localCheckpoint(true) // the report AND the counts write read it
+        try {
+          // the un-cap report reads CURRENT totals — before the append
+          val uncapped = LshSkew.uncapCensus(
+            spark.read.parquet(s"$path/buckets.parquet"), deltas,
+            Seq("band_idx", "band_hash"), maxBucketSize, deltas.count())
+          fs.delete(new Path(s"$path/_lsh_meta.json"), false)
+          fresh.coalesce(1).write.mode(SaveMode.Append)
+            .parquet(tombPath.toString)
+          deltas.coalesce(1).write.mode(SaveMode.Append)
+            .parquet(s"$path/buckets.parquet")
+          // version stamps WITH the layout: a pre-tombstone build must
+          // refuse this index, not silently serve the removed documents
+          writeMeta(spark, s"$path/_lsh_meta.json",
+            meta.copy(version = TombstoneVersion))
+          LshSkew.RemovalReport(fresh.count(), uncapped)
+        } finally deltas.unpersist()
       } finally fresh.unpersist()
     }
   }

@@ -69,6 +69,48 @@ object LshSkew {
     def none(maxBucketSize: Int): CapCensus = CapCensus(0L, 0L, maxBucketSize)
   }
 
+  /** What a takedown did to the cap REGIME — returned by
+    * [[LshIndex.remove]]/[[SrpIndex.remove]] so the documented
+    * repair caveat is an executable post-condition, not a comment: a
+    * bucket whose population crosses from over-cap to under-cap
+    * (`pre > cap && post <= cap`) starts SERVING pairs the capped
+    * index never produced, in components the removal did not touch —
+    * outside [[DupClusters.removeFromLabeling]]'s touched-component
+    * repair view. `anyUncapped` ⇒ the labeling repair is incomplete
+    * for that corpus; a full `componentsStar` rebuild is the complete
+    * answer (SURVEY §9). Zero for every corpus that never saturated
+    * the cap (the measured healthy-corpus case).
+    */
+  final case class RemovalReport(removed: Long, uncappedBuckets: Long) {
+    def anyUncapped: Boolean = uncappedBuckets > 0
+  }
+
+  /** Count buckets the pending negative `deltas` would move from
+    * over-cap to under-cap, against the CURRENT totals in `counts`
+    * (call BEFORE appending the deltas). Touched keys only: the
+    * counts frame is semi-joined map-side against the takedown-sized
+    * delta keys (size-guarded broadcast), so the report costs one
+    * counts-frame scan, no shuffle of the big side.
+    */
+  private[ext] def uncapCensus(counts: DataFrame, deltas: DataFrame,
+                               keyCols: Seq[String], maxBucketSize: Int,
+                               nDeltaRows: Long): Long = {
+    if (maxBucketSize == NoCap) 0L
+    else {
+      def hinted(df: DataFrame): DataFrame =
+        if (nDeltaRows <= MaxBroadcastKeys) broadcast(df) else df
+      val keys = keyCols.map(col)
+      val neg = deltas.select(keys :+ col("bucket_n").as("delta"): _*)
+      counts
+        .join(hinted(neg.select(keys: _*)), keyCols, "left_semi")
+        .groupBy(keys: _*).agg(sum(col("bucket_n")).as("pre"))
+        .join(hinted(neg), keyCols)
+        .filter(col("pre") > maxBucketSize &&
+          (col("pre") + col("delta")) <= maxBucketSize)
+        .count()
+    }
+  }
+
   /** Per-batch census TREND accumulator for the streaming fold-ins'
     * `onCensus` hook ([[LshIndex.streamingDedupBatch]] /
     * [[SrpIndex.streamingDedupBatch]]) — the live "re-band or raise

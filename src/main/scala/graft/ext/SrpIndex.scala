@@ -134,9 +134,13 @@ object SrpIndex {
   /** Take vectors DOWN — [[LshIndex.remove]]'s exact contract for the
     * embedding index: tombstone append + negative count deltas, both
     * O(removed); idempotent; purged physically by [[compactFrames]];
-    * a removed id must not be re-appended before a purge.
+    * a removed id must not be re-appended before a purge. Returns the
+    * same [[LshSkew.RemovalReport]] (un-capped buckets ⇒ labeling
+    * repair incomplete — see LshIndex.remove's scaladoc).
     */
-  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+  def remove(spark: SparkSession, path: String, ids: DataFrame,
+             maxBucketSize: Int = LshSkew.DefaultMaxBucketSize)
+      : LshSkew.RemovalReport = {
     val meta = readMeta(spark, path)
     requireReadable(meta, path)
     IndexFiles.withWriterLease(spark, path, "SrpIndex.remove") {
@@ -153,11 +157,19 @@ object SrpIndex {
           .join(broadcast(fresh), Seq("id"), "left_semi")
           .groupBy(col("band_idx"), col("bucket"))
           .agg((-count(lit(1))).as("bucket_n"))
-        fs.delete(new Path(s"$path/_srp_meta.json"), false)
-        fresh.coalesce(1).write.mode(SaveMode.Append).parquet(tombPath.toString)
-        deltas.coalesce(1).write.mode(SaveMode.Append)
-          .parquet(s"$path/buckets.parquet")
-        writeMeta(spark, path, meta.copy(version = TombstoneVersion))
+          .localCheckpoint(true)
+        try {
+          val uncapped = LshSkew.uncapCensus(
+            spark.read.parquet(s"$path/buckets.parquet"), deltas,
+            Seq("band_idx", "bucket"), maxBucketSize, deltas.count())
+          fs.delete(new Path(s"$path/_srp_meta.json"), false)
+          fresh.coalesce(1).write.mode(SaveMode.Append)
+            .parquet(tombPath.toString)
+          deltas.coalesce(1).write.mode(SaveMode.Append)
+            .parquet(s"$path/buckets.parquet")
+          writeMeta(spark, path, meta.copy(version = TombstoneVersion))
+          LshSkew.RemovalReport(fresh.count(), uncapped)
+        } finally deltas.unpersist()
       } finally fresh.unpersist()
     }
   }

@@ -774,7 +774,10 @@ object ExtensionQueries {
     // takedown prunes it rather than recomputing it
     val prior = GateFixtures.priorLabels(spark, dir, 200)
     val idxPath = GateFixtures.lshDocsIndexCopy(spark, dir, 200)
-    graft.ext.LshIndex.remove(spark, idxPath, removed)
+    val report = graft.ext.LshIndex.remove(spark, idxPath, removed)
+    require(!report.anyUncapped,
+      "q114: takedown un-capped a bucket — touched-component labeling " +
+        "repair would be incomplete (rebuild regime)")
     val index = graft.ext.LshIndex.load(spark, idxPath)
     val pruned = DupClusters.removeFromLabeling(prior, removed, ids => {
       val (p, c) = graft.ext.LshIndex.pairsAmong(index, ids, threshold = 0.9)
@@ -838,7 +841,10 @@ object ExtensionQueries {
     graft.ext.LabelStore.create(spark, storePath,
       GateFixtures.priorLabels(spark, dir, 200))
     val idxPath = GateFixtures.lshDocsIndexCopy(spark, dir, 200)
-    graft.ext.LshIndex.remove(spark, idxPath, removed)
+    val report = graft.ext.LshIndex.remove(spark, idxPath, removed)
+    require(!report.anyUncapped,
+      "q116: takedown un-capped a bucket — touched-component labeling " +
+        "repair would be incomplete (rebuild regime)")
     val index = graft.ext.LshIndex.load(spark, idxPath)
     graft.ext.LabelStore.remove(spark, storePath, removed, ids => {
       val (p, c) = graft.ext.LshIndex.pairsAmong(index, ids, threshold = 0.9)

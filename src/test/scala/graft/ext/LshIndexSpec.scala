@@ -531,6 +531,43 @@ class LshIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("remove reports the buckets it un-caps — the labeling-repair regime guard") {
+    // the documented cap-regime caveat (removeFromLabeling scaladoc)
+    // made executable: a takedown that drops a degenerate bucket back
+    // under the cap resurrects pairs in components it never touched,
+    // so the repair must detect it. 8 identical docs land in one
+    // bucket per band (2 bands); cap 5.
+    import spark.implicits._
+    val root = tmp()
+    try {
+      val same = (0L until 8L).map(i => (i, "all the same words here"))
+      val distinctDocs = (100L until 105L).map(i => (i, s"unique text number $i of its own"))
+      LshIndex.build(spark, s"$root/idx", (same ++ distinctDocs)
+        .toDF("doc_id", "text"), "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      // pre 8 → post 7: still over the cap — nothing un-capped
+      val r1 = LshIndex.remove(spark, s"$root/idx",
+        Seq(0L).toDF("doc_id"), maxBucketSize = 5)
+      r1.removed shouldBe 1L
+      r1.anyUncapped shouldBe false
+      // pre 7 → post 4: crosses the cap in BOTH bands
+      val r2 = LshIndex.remove(spark, s"$root/idx",
+        (1L until 4L).toDF("doc_id"), maxBucketSize = 5)
+      r2.removed shouldBe 3L
+      r2.uncappedBuckets shouldBe 2L
+      // retried remove: no fresh ids, no deltas, no phantom un-caps
+      val r3 = LshIndex.remove(spark, s"$root/idx",
+        (0L until 4L).toDF("doc_id"), maxBucketSize = 5)
+      r3.removed shouldBe 0L
+      r3.anyUncapped shouldBe false
+      // a takedown of never-degenerate docs reports zero
+      val r4 = LshIndex.remove(spark, s"$root/idx",
+        Seq(100L).toDF("doc_id"), maxBucketSize = 5)
+      r4.removed shouldBe 1L
+      r4.anyUncapped shouldBe false
+    } finally delete(root)
+  }
+
   test("compactBuckets on a tombstoned index: totals stay post-removal-correct") {
     val root = tmp()
     try {
