@@ -23,10 +23,17 @@ import org.apache.spark.sql.functions._
   * (footer-verified, the same population `spark.read` lists).
   *
   * Usage: `IndexMaintProbe [family] [n] [appends] [batchSize]` —
-  * family `lsh` (default) or `ivf` (the [[graft.ext.IvfIndex]]
+  * family `lsh` (default), `ivf` (the [[graft.ext.IvfIndex]]
   * symmetric run: probe = timed load + 20-query
   * `ivfKnnPreassigned` search, appends fold vectors in against
-  * frozen centroids, maintenance = `compactAssignments`); numeric
+  * frozen centroids, maintenance = `compactAssignments`), or
+  * `labelstore` (the [[graft.ext.LabelStore]] run over the cached
+  * cclabels fixture: probe = timed `load().count()` — the one-scan
+  * broadcast-remap read; appends fold `batchSize` new nodes with a
+  * 10% merge-edge / 10% new-new-edge mix — base rows + remap deltas;
+  * maintenance = `compact`; the remove leg prices the
+  * tombstone+override delta write with empty survivor edges — the
+  * re-pair price itself is the lsh family's remove row); numeric
   * defaults 8000000, 100, 8000 (100 × 0.1% batches). A legacy
   * numeric first arg reads as `n` with family `lsh`.
   */
@@ -37,7 +44,8 @@ object IndexMaintProbe {
       case Some(f) if f.toLongOption.isEmpty => (f, args.drop(1))
       case _ => ("lsh", args)
     }
-    require(family == "lsh" || family == "ivf", s"unknown family: $family")
+    require(family == "lsh" || family == "ivf" || family == "labelstore",
+      s"unknown family: $family")
     val n = rest.headOption.map(_.toLong).getOrElse(8000000L)
     val appends = rest.drop(1).headOption.map(_.toInt).getOrElse(100)
     val batchSize = rest.drop(2).headOption.map(_.toLong).getOrElse(8000L)
@@ -67,8 +75,13 @@ object IndexMaintProbe {
 
     def filesOf(frames: Seq[String]): String =
       frames.map { f =>
-        val (nf, _, _, _) = graft.ops.Compaction.census(spark, s"$idxPath/$f")
-        s"$f=$nf"
+        // the delta log does not exist until the first mutation
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$idxPath/$f")))
+          s"$f=absent"
+        else {
+          val (nf, _, _, _) = graft.ops.Compaction.census(spark, s"$idxPath/$f")
+          s"$f=$nf"
+        }
       }.mkString(" ")
 
     println(s"family=$family n=$n appends=$appends batchSize=$batchSize " +
@@ -125,6 +138,48 @@ object IndexMaintProbe {
               s"rows ${r.rowsBefore} (parity-checked)"
             },
             Seq("assignments.parquet"))
+        case "labelstore" =>
+          // the store's seed is the ScaleTrend cc labeling fixture
+          // (build-once, like the index fixtures) — never rebuild it
+          val labelsPath = s"$out/cclabels_${n}_p1_g1"
+          require(fs.exists(new org.apache.hadoop.fs.Path(labelsPath)),
+            s"labels fixture $labelsPath missing — run the ScaleTrend " +
+              "ccinc shape at this n first")
+          val split = ScaleTrend.incSplitFor(n, 1)
+          (() => graft.ext.LabelStore.create(spark, idxPath,
+              spark.read.parquet(labelsPath)),
+            // steady-state read: one base scan + driver delta fold +
+            // broadcast remap — the number the MaxDeltaRows bound and
+            // the compaction cadence protect
+            () => timed(graft.ext.LabelStore.load(spark, idxPath).count())._1,
+            (k: Int) => {
+              val lo = n + k * batchSize
+              val nodes = spark.range(lo, lo + batchSize).toDF("id")
+              // 10% merge into existing components, 10% new-new edges,
+              // 80% singletons — a fold that writes base rows AND
+              // remap deltas every batch
+              val ids = spark.range(lo, lo + batchSize)
+              // a merge node BRIDGES two existing ids (usually in
+              // different components) — that is what writes remap
+              // deltas; an edge to a single existing id only labels
+              // the new node's base row
+              val mergeE = ids.filter(col("id") % 10 === 0)
+                .select(col("id").as("s"),
+                  (col("id") * 37 % split).as("t"))
+                .unionByName(ids.filter(col("id") % 10 === 0)
+                  .select(col("id").as("s"),
+                    (col("id") * 53 % split).as("t")))
+              val newE = ids.filter(col("id") % 10 === 1)
+                .select(col("id").as("s"), (col("id") - 1).as("t"))
+              graft.ext.LabelStore.foldBatch(spark, idxPath, nodes,
+                mergeE.unionByName(newE), batchMarker = Some(k.toLong))
+            },
+            () => {
+              graft.ext.LabelStore.compact(spark, idxPath)
+              s"opSeq ${graft.ext.LabelStore.opSeq(spark, idxPath)} " +
+                "(parity-checked)"
+            },
+            Seq("labels.parquet", "deltas.parquet"))
       }
 
     val (buildSec, _) = timed(build())
@@ -154,6 +209,19 @@ object IndexMaintProbe {
       val (removeSec, _) =
         timed(graft.ext.LshIndex.remove(spark, idxPath, victims))
       println(f"remove($batchSize docs) $removeSec%.2f s")
+      println(f"probe after remove: cold ${probe()}%.2f s, warm ${probe()}%.2f s")
+    }
+    if (family == "labelstore") {
+      // takedown delta-write price: tombstones + re-elected overrides
+      // for the touched components (empty survivor edges — the
+      // re-pair itself is the lsh family's remove row)
+      val split = ScaleTrend.incSplitFor(n, 1)
+      val victims = spark.range(split - batchSize, split).toDF("id")
+      val emptyEdges = (_: org.apache.spark.sql.DataFrame) =>
+        spark.range(0).select(col("id").as("s"), col("id").as("t"))
+      val (removeSec, _) = timed(
+        graft.ext.LabelStore.remove(spark, idxPath, victims, emptyEdges))
+      println(f"remove($batchSize ids) $removeSec%.2f s")
       println(f"probe after remove: cold ${probe()}%.2f s, warm ${probe()}%.2f s")
     }
     spark.stop()
