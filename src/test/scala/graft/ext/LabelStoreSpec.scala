@@ -185,6 +185,45 @@ class LabelStoreSpec extends SparkSpec {
     }.getMessage should include("different writers")
   }
 
+  test("read plan: one base scan, zero shuffles, delta maps ride explicit broadcasts") {
+    // the class-doc scale claim pinned as a plan shape (the
+    // LshIndexSpec discipline): reads are corpus-sized because the
+    // ANSWER is corpus-sized, but the labeling itself must never
+    // re-shuffle between compactions. AQE off + auto-broadcast -1 so
+    // only the code's explicit hints can produce a broadcast.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val p = s"${tmp()}/store"
+    var nodes = (0L until 20L).toSet
+    var edges = Seq((1L, 2L), (3L, 4L), (5L, 6L))
+    LabelStore.create(spark, p, truth(nodes, edges).toSeq.toDF("id", "label"))
+    // leave all three delta kinds live: a fold that merges two old
+    // components (remap), a remove (tombstones + overrides)
+    LabelStore.foldBatch(spark, p, Seq(50L).toDF("id"),
+      Seq((50L, 2L), (50L, 4L)).toDF("s", "t"))
+    nodes += 50L; edges = edges ++ Seq((50L, 2L), (50L, 4L))
+    LabelStore.remove(spark, p, Seq(5L).toDF("id"), survivorsFrom(edges))
+    nodes -= 5L
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = LabelStore.load(spark, p)
+      val plan = df.queryExecution.executedPlan
+      plan.collect {
+        case s: FileSourceScanExec
+            if s.relation.location.rootPaths.exists(
+              _.toString.contains("labels.parquet")) => ()
+      }.size shouldBe 1
+      withClue("the labeling must not shuffle between compactions: ") {
+        plan.collect { case e: ShuffleExchangeExec => e } shouldBe empty
+      }
+      // tombstones + overrides + remap — all three ride broadcasts
+      plan.collect { case e: BroadcastExchangeExec => e }.size shouldBe 3
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        truth(nodes, edges)
+    }
+  }
+
   test("randomized op sequences match the from-scratch recompute") {
     val rnd = new scala.util.Random(20260814L)
     val p = s"${tmp()}/store"
