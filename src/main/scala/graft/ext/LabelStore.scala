@@ -46,11 +46,13 @@ import org.apache.spark.storage.StorageLevel
   * [[load]] folds the delta log DRIVER-side (it is capped at
   * [[MaxDeltaRows]] — past that the store refuses and directs to
   * [[compact]]) into three broadcastable maps, then reads the base in
-  * ONE pass: anti-join tombstones, left-join overrides, left-join the
-  * composed remap, `coalesce(override, remap, stored)`. Zero
-  * shuffles; the corpus is scanned exactly once per read. At 100 TB
-  * this is the shape that matters: reads are corpus-sized because the
-  * ANSWER is corpus-sized, but every mutation between compactions is
+  * ONE pass and at most TWO broadcast joins: tombstones and overrides
+  * share the id key so they ride one combined broadcast (the
+  * anti-join is a flag filter), then the composed remap joins on the
+  * stored label, `coalesce(override, remap, stored)`. Zero shuffles;
+  * the corpus is scanned exactly once per read. At 100 TB this is the
+  * shape that matters: reads are corpus-sized because the ANSWER is
+  * corpus-sized, but every mutation between compactions is
   * batch-sized.
   *
   * == Why stored labels compose under one total remap ==
@@ -229,18 +231,25 @@ object LabelStore {
                           st: State): DataFrame = {
     import spark.implicits._
     val base = spark.read.parquet(s"$path/labels.parquet")
-    val alive =
-      if (st.tomb.isEmpty) base
-      else base.join(broadcast(st.tomb.toSeq.toDF("id")),
-        Seq("id"), "left_anti")
-    val withOver =
-      if (st.over.isEmpty) alive.withColumn("olabel", lit(null).cast("long"))
-      else alive.join(broadcast(st.over.toSeq.toDF("id", "olabel")),
-        Seq("id"), "left")
+    // tombstones and overrides share the id key — ONE combined
+    // broadcast serves both (the anti-join is the null-safe filter on
+    // the tomb flag), so the corpus pays at most two join probes per
+    // row between compactions: id-ops, then the label remap
+    val withIdOps =
+      if (st.tomb.isEmpty && st.over.isEmpty)
+        base.withColumn("olabel", lit(null).cast("long"))
+      else {
+        val idOps =
+          st.tomb.toSeq.map(id => (id, None: Option[Long], true)) ++
+            st.over.toSeq.map { case (id, l) => (id, Some(l), false) }
+        base.join(broadcast(idOps.toDF("id", "olabel", "tomb")),
+            Seq("id"), "left")
+          .filter(col("tomb").isNull || !col("tomb"))
+      }
     val withRemap =
       if (st.remap.isEmpty)
-        withOver.withColumn("rlabel", lit(null).cast("long"))
-      else withOver.join(broadcast(st.remap.toSeq.toDF("label", "rlabel")),
+        withIdOps.withColumn("rlabel", lit(null).cast("long"))
+      else withIdOps.join(broadcast(st.remap.toSeq.toDF("label", "rlabel")),
         Seq("label"), "left")
     withRemap.select(col("id"),
       coalesce(col("olabel"), col("rlabel"), col("label")).as("label"))
@@ -522,11 +531,45 @@ object LabelStore {
                           onCensus: (LshSkew.CapCensus, Long) => Unit =
                             (_, _) => ())(
       onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    streamingLabelBatchWith(spark, storePath, idCol,
+      LshIndex.streamingDedupBatch(spark, indexPath, textCol, threshold,
+        maxBucketSize, appendBatches = true, onCensus))(onPairs)
+
+  /** [[streamingLabelBatch]]'s embedding twin: the SRP index's
+    * streaming fold-in produces the micro-batch's near-dup pairs,
+    * then the same pairs fold into this store — live cluster labels
+    * over a growing VECTOR corpus, same exactly-once composition,
+    * same markers, same recovery windows (the store machinery is
+    * index-family-agnostic: it consumes ids and pairs).
+    */
+  def streamingLabelBatchSrp(spark: SparkSession, indexPath: String,
+                             storePath: String,
+                             vecCol: String = "embedding",
+                             idCol: String = "vec_id",
+                             threshold: Double = 0.9,
+                             maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
+                             onCensus: (LshSkew.CapCensus, Long) => Unit =
+                               (_, _) => ())(
+      onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    streamingLabelBatchWith(spark, storePath, idCol,
+      SrpIndex.streamingDedupBatch(spark, indexPath, vecCol, threshold,
+        maxBucketSize, appendBatches = true, onCensus))(onPairs)
+
+  /** The shared composition core of the streaming faces: run the
+    * index family's `foreachBatch` body (which must emit the batch's
+    * pairs and fold the batch into ITS index under ITS marker), then
+    * fold the captured pairs into this store under the store's own
+    * marker. One definition — a divergent copy per index family is
+    * exactly the replay bug surface the scaladoc above describes.
+    */
+  private def streamingLabelBatchWith(spark: SparkSession,
+                                      storePath: String, idCol: String,
+                                      indexFold: ((DataFrame, Long) => Unit)
+                                        => ((DataFrame, Long) => Unit))(
+      onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       var captured: DataFrame = null
-      LshIndex.streamingDedupBatch(spark, indexPath, textCol, threshold,
-        maxBucketSize, appendBatches = true, onCensus)(
-        (pairs, _) => captured = pairs)(batch, batchId)
+      indexFold((pairs, _) => captured = pairs)(batch, batchId)
       val (writerId, alreadyFolded) =
         IndexFiles.resolveReplay(spark, storePath, "LabelStore", batchId)
       if (!alreadyFolded)

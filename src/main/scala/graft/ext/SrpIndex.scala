@@ -257,6 +257,42 @@ object SrpIndex {
     }
   }
 
+  /** Verified near-dup pairs WITHIN a subset of already-indexed ids,
+    * served purely from the index frames — [[LshIndex.pairsAmong]]'s
+    * exact contract for the embedding index (no vectors re-projected:
+    * the base payload carries them; same shared
+    * [[LshIncremental.candidatesAmong]] machinery, cosine verify).
+    * Equals the full [[Similarity.srpNearDupPairs]] over the index's
+    * (survivor) corpus restricted to subset×subset, same threshold
+    * and cap. The maintenance primitive behind
+    * [[DupClusters.removeFromLabeling]] / [[LabelStore.remove]] on
+    * the embedding side — after a takedown, touched components'
+    * surviving members re-pair through this, O(subset).
+    *
+    * `ids`: any frame whose FIRST column is the vector id.
+    */
+  def pairsAmong(index: Index, ids: DataFrame,
+                 threshold: Double = 0.9,
+                 maxBucketSize: Int = LshSkew.DefaultMaxBucketSize)
+      : (DataFrame, LshSkew.CapCensus) = {
+    val idsN = ids.select(col(ids.columns.head).as("id")).distinct()
+    val (candidates, caches, census) = LshIncremental.candidatesAmong(
+      index.banded, index.buckets, idsN, Seq("band_idx", "bucket"),
+      maxBucketSize)
+    val pairs =
+      try candidates
+        .join(index.base.select(col("id").as("id_a"), col("v").as("v_a")),
+          "id_a")
+        .join(index.base.select(col("id").as("id_b"), col("v").as("v_b")),
+          "id_b")
+        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+        .localCheckpoint(true)
+      finally caches.foreach(_.unpersist())
+    (pairs, census)
+  }
+
   /** Fold a batch into the index: append its base/banded rows and its
     * bucket-count DELTAS under the meta's params. After append,
     * [[load]] + [[incrementalPairs]] behave as if the index had been

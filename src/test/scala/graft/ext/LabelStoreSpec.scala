@@ -217,8 +217,9 @@ class LabelStoreSpec extends SparkSpec {
       withClue("the labeling must not shuffle between compactions: ") {
         plan.collect { case e: ShuffleExchangeExec => e } shouldBe empty
       }
-      // tombstones + overrides + remap — all three ride broadcasts
-      plan.collect { case e: BroadcastExchangeExec => e }.size shouldBe 3
+      // tombstones + overrides share one id-keyed broadcast; the
+      // remap is the second — at most two probes per corpus row
+      plan.collect { case e: BroadcastExchangeExec => e }.size shouldBe 2
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
         truth(nodes, edges)
     }

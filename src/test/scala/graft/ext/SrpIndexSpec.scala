@@ -80,6 +80,44 @@ class SrpIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("pairsAmong equals the full run restricted to subset×subset, incl. tombstoned + capped") {
+    // LshIndexSpec's three-regime contract, embedding side: healthy,
+    // under an ACTIVE cap (stored corpus totals decide), and on a
+    // tombstoned index (subset implicitly intersected with survivors)
+    val root = tmp()
+    try {
+      buildIndex(root)
+      val subset = vecs.filter(col("vec_id") >= 10 && col("vec_id") < 60)
+        .select("vec_id")
+      def fullAmong(df: DataFrame, cap: Int): Seq[String] = rows(
+        Similarity.srpNearDupPairs(df, Thr, Bands, Planes, Dims,
+            maxBucketSize = cap)
+          .filter(col("id_a") >= 10 && col("id_a") < 60 &&
+            col("id_b") >= 10 && col("id_b") < 60))
+      val idx = SrpIndex.load(spark, s"$root/idx")
+      val (p0, c0) = SrpIndex.pairsAmong(idx, subset, threshold = Thr)
+      c0.anyDropped shouldBe false
+      val expect0 = fullAmong(corpus, LshSkew.DefaultMaxBucketSize)
+      expect0 should not be empty
+      rows(p0) shouldBe expect0
+      val cap = 8
+      val (p1, c1) = SrpIndex.pairsAmong(idx, subset, threshold = Thr,
+        maxBucketSize = cap)
+      c1.anyDropped shouldBe true
+      rows(p1) shouldBe fullAmong(corpus, cap)
+      SrpIndex.remove(spark, s"$root/idx",
+        vecs.filter(col("vec_id") >= 20 && col("vec_id") < 35)
+          .select("vec_id"))
+      val survIdx = SrpIndex.load(spark, s"$root/idx")
+      val (p2, c2) = SrpIndex.pairsAmong(survIdx, subset, threshold = Thr)
+      c2.anyDropped shouldBe false
+      val survCorpus = corpus.filter(col("vec_id") < 20 || col("vec_id") >= 35)
+      val expect2 = fullAmong(survCorpus, LshSkew.DefaultMaxBucketSize)
+      rows(p2) shouldBe expect2
+      expect2 should not be expect0 // the removal is load-bearing
+    } finally delete(root)
+  }
+
   test("append is indistinguishable from a rebuild over the union") {
     val rootA = tmp()
     val rootB = tmp()
