@@ -227,6 +227,46 @@ class SrpIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("streaming label face: index + store folds compose exactly-once across the crash window") {
+    // streamingLabelBatchSrp through the same critical window the LSH
+    // face pins (StreamIncLshRestartSpec): index fold lands, store
+    // fold does not, the replay reconstructs the exact pairs and folds
+    // the store once; a batch both markers cover is a pure no-op.
+    val root = tmp()
+    try {
+      buildIndex(root)
+      def ccOf(d: DataFrame): DataFrame =
+        DupClusters.componentsStar(
+          Similarity.srpNearDupPairs(d, Thr, Bands, Planes, Dims)
+            .select(col("id_a").as("s"), col("id_b").as("t")),
+          d.select(col("vec_id").as("id")))
+      def dump(df: DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      LabelStore.create(spark, s"$root/store", ccOf(corpus))
+      val body = LabelStore.streamingLabelBatchSrp(spark, s"$root/idx",
+        s"$root/store", threshold = Thr)((_, _) => ())
+      val b0 = vecs.filter(col("vec_id") >= Split && col("vec_id") < 160)
+        .select(col("vec_id"), col("embedding"))
+      val b1 = vecs.filter(col("vec_id") >= 160 && col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      body(b0, 0L)
+      LabelStore.appendedThrough(spark, s"$root/store") shouldBe 0L
+      // crash window: batch 1's INDEX fold lands, the store fold dies
+      SrpIndex.streamingDedupBatch(spark, s"$root/idx",
+        threshold = Thr)((_, _) => ())(b1, 1L)
+      SrpIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      LabelStore.appendedThrough(spark, s"$root/store") shouldBe 0L
+      body(b1, 1L) // the replay completes the composition
+      LabelStore.appendedThrough(spark, s"$root/store") shouldBe 1L
+      val after = dump(LabelStore.load(spark, s"$root/store"))
+      after shouldBe dump(ccOf(union))
+      body(b1, 1L) // both markers cover: pure no-op
+      SrpIndex.appendedThrough(spark, s"$root/idx") shouldBe 1L
+      LabelStore.appendedThrough(spark, s"$root/store") shouldBe 1L
+      dump(LabelStore.load(spark, s"$root/store")) shouldBe after
+    } finally delete(root)
+  }
+
   test("loadOrBuild: cache hit on matching params, rebuild on a param change") {
     val root = tmp()
     try {
