@@ -873,6 +873,100 @@ object ExtensionQueries {
   // remove-then-fold must equal the frame-level path (scaladoc)
   lazy val q116Sql: String = q114Sql
 
+  /** ✚ EMBEDDING takedown × labeling — q116's composition on the
+    * vector corpus, completing the family symmetry: SRP index over
+    * embeddings (vec_id < 200, q69's banding), persisted labeling
+    * seeded from the corpus near-dup clusters, takedown of 50–99 from
+    * BOTH artifacts ([[graft.ext.SrpIndex.remove]] with its un-cap
+    * report asserted; [[graft.ext.LabelStore.remove]] re-pairing the
+    * touched survivors through [[graft.ext.SrpIndex.pairsAmong]] —
+    * the r15 primitive, here ORACLE-gated, vectors never
+    * re-projected), then the batch (200–299) folds in via
+    * [[graft.ext.SrpIndex.incrementalPairs]] while the tombstones are
+    * still live (q116 compacts first — the two gates cover both
+    * fold-against-tombstones regimes). THE ORACLE derives from q69Sql
+    * (the exact DuckDB SRP pipeline) with the removed slice excluded
+    * at the source, composed with q47Sql's recursive-CTE CC tail —
+    * a full pipeline over (corpus ∖ removed) ∪ batch that never saw
+    * the removed vectors.
+    */
+  def q117RemoveSrpClusters(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q117_").toString
+    val vecs = Tables(spark, dir, "embeddings").filter(col("vec_id") < 300)
+    val corpus = vecs.filter(col("vec_id") < 200)
+    val batch = vecs.filter(col("vec_id") >= 200)
+    val removed = vecs
+      .filter(col("vec_id") >= 50 && col("vec_id") < 100).select("vec_id")
+    val idxPath = s"$root/idx"
+    graft.ext.SrpIndex.build(spark, idxPath, corpus, "vec_id", "embedding",
+      numBands = 2, planesPerBand = 6, dims = 64)
+    val storePath = s"$root/store"
+    graft.ext.LabelStore.create(spark, storePath,
+      DupClusters.componentsStar(
+        graft.ext.Similarity.srpNearDupPairs(corpus, threshold = 0.35,
+            numBands = 2, planesPerBand = 6, dims = 64)
+          .select(col("id_a").as("s"), col("id_b").as("t")),
+        corpus.select(col("vec_id").as("id"))))
+    val report = graft.ext.SrpIndex.remove(spark, idxPath, removed)
+    require(!report.anyUncapped,
+      "q117: takedown un-capped a bucket — touched-component labeling " +
+        "repair would be incomplete (rebuild regime)")
+    val index = graft.ext.SrpIndex.load(spark, idxPath)
+    graft.ext.LabelStore.remove(spark, storePath, removed, ids => {
+      val (p, c) = graft.ext.SrpIndex.pairsAmong(index, ids, threshold = 0.35)
+      require(!c.anyDropped,
+        "q117: gate fixture must not hit the bucket cap (re-pair)")
+      p.select(col("id_a").as("s"), col("id_b").as("t"))
+    })
+    val (pairs, census) = graft.ext.SrpIndex.incrementalPairs(
+      index, batch, "embedding", threshold = 0.35)
+    require(!census.anyDropped,
+      "q117: gate fixture must not hit the bucket cap (batch)")
+    graft.ext.LabelStore.foldBatch(spark, storePath,
+      batch.select(col("vec_id").as("id")),
+      pairs.select(col("id_a").as("s"), col("id_b").as("t")))
+    SourceQueries.materializeThenDelete(
+      graft.ext.LabelStore.load(spark, storePath)
+        .groupBy(col("label").as("rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("rep")),
+      root)
+  }
+
+  // DERIVED: q69Sql's pair pipeline (source-restricted to exclude the
+  // removed slice) + q47Sql's recursive-CTE CC tail. Anchored +
+  // guarded like every derived oracle — a moved anchor fails loudly.
+  lazy val q117Sql: String = {
+    val srcAnchor = "FROM embeddings WHERE vec_id < 300"
+    val headAnchor = "WITH planes AS ("
+    val selAnchor = "SELECT c.id_a, c.id_b,"
+    require(q69Sql.contains(srcAnchor) && q69Sql.contains(headAnchor),
+      "q117Sql: q69Sql's source/head moved — re-anchor the derived oracle")
+    val i = q69Sql.indexOf(selAnchor)
+    require(i > 0,
+      "q117Sql: q69Sql's final select moved — re-anchor the derived oracle")
+    val prefix = q69Sql.substring(0, i)
+      .replace(headAnchor, "WITH RECURSIVE planes AS (")
+      .replace(srcAnchor,
+        srcAnchor + " AND NOT (vec_id >= 50 AND vec_id < 100)")
+    prefix.reverse.dropWhile(_.isWhitespace).reverse + ",\n" +
+      """pairs AS (
+        |  SELECT c.id_a AS s, c.id_b AS t
+        |  FROM cand c
+        |  JOIN v va ON va.vec_id = c.id_a
+        |  JOIN v vb ON vb.vec_id = c.id_b
+        |  WHERE list_cosine_similarity(va.e, vb.e) >= 0.35),
+        |edges AS (SELECT s, t FROM pairs UNION ALL SELECT t, s FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT vec_id, vec_id FROM v
+        |  UNION
+        |  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node),
+        |comp AS (SELECT node, min(label) AS rep FROM reach GROUP BY node)
+        |SELECT rep, count(*) AS n_members FROM comp
+        |GROUP BY rep HAVING count(*) >= 2 ORDER BY rep""".stripMargin
+  }
+
   /** ✚ BPE-style vocabulary induction, first iteration: the most
     * frequent adjacent token pairs corpus-wide (explode bigrams →
     * count → top-20 with lexicographic tiebreak). Partial aggregation
