@@ -529,9 +529,10 @@ object LabelStore {
                           idCol: String, threshold: Double = 0.9,
                           maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
                           onCensus: (LshSkew.CapCensus, Long) => Unit =
-                            (_, _) => ())(
+                            (_, _) => (),
+                          compactEveryOps: Int = 0)(
       onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    streamingLabelBatchWith(spark, storePath, idCol,
+    streamingLabelBatchWith(spark, storePath, idCol, compactEveryOps,
       LshIndex.streamingDedupBatch(spark, indexPath, textCol, threshold,
         maxBucketSize, appendBatches = true, onCensus))(onPairs)
 
@@ -549,9 +550,10 @@ object LabelStore {
                              threshold: Double = 0.9,
                              maxBucketSize: Int = LshSkew.DefaultMaxBucketSize,
                              onCensus: (LshSkew.CapCensus, Long) => Unit =
-                               (_, _) => ())(
+                               (_, _) => (),
+                             compactEveryOps: Int = 0)(
       onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
-    streamingLabelBatchWith(spark, storePath, idCol,
+    streamingLabelBatchWith(spark, storePath, idCol, compactEveryOps,
       SrpIndex.streamingDedupBatch(spark, indexPath, vecCol, threshold,
         maxBucketSize, appendBatches = true, onCensus))(onPairs)
 
@@ -561,9 +563,22 @@ object LabelStore {
     * fold the captured pairs into this store under the store's own
     * marker. One definition — a divergent copy per index family is
     * exactly the replay bug surface the scaladoc above describes.
+    *
+    * `compactEveryOps` > 0 is the runbook's compaction cadence made
+    * executable: after every `compactEveryOps`-th fold the store
+    * auto-[[compact]]s, keeping the delta log far from [[MaxDeltaRows]]
+    * (which would otherwise crash-loop the stream once crossed) and
+    * the read path at its compacted price. Safe mid-stream BY the
+    * spec-pinned invariants: compact is labeling-invariant and leaves
+    * the marker untouched, so a crash straddling it replays exactly
+    * as without it. The INDEX's compactFrames is deliberately NOT
+    * auto-run here — it rewrites corpus-sized frames and belongs in a
+    * quiesced maintenance window (SURVEY §9); the store's compact is
+    * delta-log-sized.
     */
   private def streamingLabelBatchWith(spark: SparkSession,
                                       storePath: String, idCol: String,
+                                      compactEveryOps: Int,
                                       indexFold: ((DataFrame, Long) => Unit)
                                         => ((DataFrame, Long) => Unit))(
       onPairs: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
@@ -572,12 +587,16 @@ object LabelStore {
       indexFold((pairs, _) => captured = pairs)(batch, batchId)
       val (writerId, alreadyFolded) =
         IndexFiles.resolveReplay(spark, storePath, "LabelStore", batchId)
-      if (!alreadyFolded)
+      if (!alreadyFolded) {
         foldBatchAs(spark, storePath,
           batch.select(col(idCol).cast("long").as("id")),
           captured.select(col("id_a").as("s"), col("id_b").as("t")),
           maxIter = 50, mode = CheckpointMode.Local,
           batchMarker = Some(batchId), writer = writerId)
+        if (compactEveryOps > 0 &&
+            opSeq(spark, storePath) % compactEveryOps == 0)
+          compact(spark, storePath)
+      }
       onPairs(captured, batchId)
     }
 }

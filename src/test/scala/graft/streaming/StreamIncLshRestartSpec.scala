@@ -376,6 +376,45 @@ class StreamIncLshRestartSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("auto-compaction cadence on the streaming label face keeps the log empty and the labeling exact") {
+    // compactEveryOps = the runbook cadence rule, executable: every
+    // second fold triggers a store compact; the labeling stays exact,
+    // the marker survives each compaction, and a replay of a compacted
+    // batch is still a no-op (the marker, not the log, is the replay
+    // authority).
+    val root = tmp()
+    try {
+      LshIndex.build(spark, s"$root/idx", corpus, "text", "doc_id",
+        shingleWidth = 1, numHashes = 8, numBands = 2)
+      graft.ext.LabelStore.create(spark, s"$root/store", ccOf(corpus))
+      val body = graft.ext.LabelStore.streamingLabelBatch(
+        spark, s"$root/idx", s"$root/store", "text", "doc_id",
+        threshold = 0.5, compactEveryOps = 2)((_, _) => ())
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def logExists: Boolean =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/store/deltas.parquet"))
+      val slices = Seq((40L, 50L), (50L, 60L), (60L, 70L), (70L, 80L))
+      slices.zipWithIndex.foreach { case ((lo, hi), i) =>
+        body(docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(col("doc_id"), col("text")), i.toLong)
+        graft.ext.LabelStore.appendedThrough(spark, s"$root/store") shouldBe
+          i.toLong
+        // ops 2 and 4 just compacted; odd ops may carry deltas
+        if ((i + 1) % 2 == 0) logExists shouldBe false
+      }
+      dumpSorted(graft.ext.LabelStore.load(spark, s"$root/store")) shouldBe
+        dumpSorted(ccOf(docs.filter(col("doc_id") < 80)))
+      // a replayed batch whose deltas were compacted away is STILL a
+      // no-op — the marker is the authority, not the log
+      val before = dumpSorted(graft.ext.LabelStore.load(spark, s"$root/store"))
+      body(docs.filter(col("doc_id") >= 70 && col("doc_id") < 80)
+        .select(col("doc_id"), col("text")), 3L)
+      dumpSorted(graft.ext.LabelStore.load(spark, s"$root/store")) shouldBe before
+      graft.ext.LabelStore.appendedThrough(spark, s"$root/store") shouldBe 3L
+    } finally delete(root)
+  }
+
   test("a fresh checkpoint against a stream-folded index fails loudly") {
     val root = tmp()
     try {
