@@ -364,42 +364,52 @@ object DupClusters {
                                   survivorEdges: DataFrame => DataFrame,
                                   maxIter: Int, mode: CheckpointMode,
                                   localCcMaxEdges: Long): TouchedRelabel = {
-    val rem = removedIds
-      .select(col(removedIds.columns.head).as("id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nRem = rem.count() // sizes the hint; materializes the cache
-    def hintedR(df: DataFrame): DataFrame =
-      if (nRem <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
-    // labels of components that lost ≥ 1 member — takedown-sized (≤
-    // one per removed id). The extraction is the first of the two
-    // map-side labeling scans.
-    val touchedLabels = prevLabels.join(hintedR(rem), Seq("id"), "left_semi")
-      .select(col("label")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nTouched = touchedLabels.count()
-    def hintedT(df: DataFrame): DataFrame =
-      if (nTouched <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
-    val touchedMembers = prevLabels
-      .join(hintedR(rem), Seq("id"), "left_anti")
-      .join(hintedT(touchedLabels), Seq("label"), "left_semi")
-      .select(col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = survivorEdges(touchedMembers).select(col("s"), col("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sparkS = prevLabels.sparkSession
-    import sparkS.implicits._
-    // takedown-sized edge set ⇒ driver union-find (LocalCcMaxEdges
-    // scaladoc); the distributed path is the same-output fallback
-    val relabeled =
-      if (edges.count() <= localCcMaxEdges && allLongIds(edges)) {
-        val roots = unionFindRoots(
-          edges.collect().map(r => (r.getLong(0), r.getLong(1))))
-        touchedMembers
-          .join(broadcast(roots.toDF("id", "newl")), Seq("id"), "left")
-          .select(col("id"), coalesce(col("newl"), col("id")).as("label"))
-      } else componentsStar(edges, touchedMembers, maxIter, mode)
-    TouchedRelabel(rem, touchedLabels, relabeled, hintedR, hintedT,
-      Seq(edges, touchedMembers, touchedLabels, rem))
+    // the caller owns the caches ONLY once this returns; on any throw
+    // before that (survivorEdges callback, componentsStar budget) the
+    // partial persists are released here — the pre-factor try/finally
+    // window, kept closed
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = {
+      val c = df.persist(StorageLevel.MEMORY_AND_DISK); caches += c; c
+    }
+    try {
+      val rem = cached(removedIds
+        .select(col(removedIds.columns.head).as("id")).distinct())
+      val nRem = rem.count() // sizes the hint; materializes the cache
+      def hintedR(df: DataFrame): DataFrame =
+        if (nRem <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
+      // labels of components that lost ≥ 1 member — takedown-sized (≤
+      // one per removed id). The extraction is the first of the two
+      // map-side labeling scans.
+      val touchedLabels = cached(
+        prevLabels.join(hintedR(rem), Seq("id"), "left_semi")
+          .select(col("label")).distinct())
+      val nTouched = touchedLabels.count()
+      def hintedT(df: DataFrame): DataFrame =
+        if (nTouched <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
+      val touchedMembers = cached(prevLabels
+        .join(hintedR(rem), Seq("id"), "left_anti")
+        .join(hintedT(touchedLabels), Seq("label"), "left_semi")
+        .select(col("id")))
+      val edges = cached(
+        survivorEdges(touchedMembers).select(col("s"), col("t")))
+      val sparkS = prevLabels.sparkSession
+      import sparkS.implicits._
+      // takedown-sized edge set ⇒ driver union-find (LocalCcMaxEdges
+      // scaladoc); the distributed path is the same-output fallback
+      val relabeled =
+        if (edges.count() <= localCcMaxEdges && allLongIds(edges)) {
+          val roots = unionFindRoots(
+            edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+          touchedMembers
+            .join(broadcast(roots.toDF("id", "newl")), Seq("id"), "left")
+            .select(col("id"), coalesce(col("newl"), col("id")).as("label"))
+        } else componentsStar(edges, touchedMembers, maxIter, mode)
+      TouchedRelabel(rem, touchedLabels, relabeled, hintedR, hintedT,
+        caches.reverse.toSeq)
+    } catch {
+      case t: Throwable => caches.foreach(_.unpersist()); throw t
+    }
   }
 
   /** Corpus-growth connected components — the cluster-election half of
@@ -508,43 +518,49 @@ object DupClusters {
                                  maxIter: Int, mode: CheckpointMode,
                                  maxBroadcastKeys: Long)
       : (DataFrame, Seq[DataFrame]) = {
-    val edges = newEdges.select(col("s"), col("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = edges.count() // sizes the hints; materializes the cache
-    def hinted(df: DataFrame): DataFrame =
-      if (nEdges <= maxBroadcastKeys) broadcast(df) else df
-    val touched = edges.select(col("s").as("id"))
-      .union(edges.select(col("t").as("id"))).distinct()
-    val touchedLabels = prevLabels.join(hinted(touched), Seq("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val contracted = edges
-      .join(touchedLabels.select(col("id").as("s"), col("label").as("ls")),
-        Seq("s"), "left")
-      .join(touchedLabels.select(col("id").as("t"), col("label").as("lt")),
-        Seq("t"), "left")
-      .select(coalesce(col("ls"), col("s")).as("s"),
-              coalesce(col("lt"), col("t")).as("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // exact CC over the quotient — O(batch) vertices/edges. Batch-
-    // sized edge set ⇒ driver union-find (LocalCcMaxEdges scaladoc:
-    // new singletons need no CC, and only edge endpoints can remap,
-    // so the collected work is the contracted edge list alone);
-    // larger, or non-long ids ⇒ the distributed componentsStar path,
-    // budget-safe for any merge-chain shape (the q91 lesson)
-    val sparkS = prevLabels.sparkSession
-    val roots =
-      if (nEdges <= math.min(LocalCcMaxEdges, maxBroadcastKeys) &&
-          allLongIds(contracted)) {
-        import sparkS.implicits._
-        unionFindRoots(contracted.collect().map(r =>
-          (r.getLong(0), r.getLong(1)))).toDF("id", "label")
-      } else {
-        val quotientNodes = contracted.select(col("s").as("id"))
-          .union(contracted.select(col("t").as("id")))
-          .union(newNodes.select(col("id"))).distinct()
-        componentsStar(contracted, quotientNodes, maxIter, mode)
-          .filter(col("id") =!= col("label")) // identity rows remap nothing
-      }
-    (roots, Seq(contracted, touchedLabels, edges))
+    // same on-failure cache release discipline as [[touchedRelabel]]
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = {
+      val c = df.persist(StorageLevel.MEMORY_AND_DISK); caches += c; c
+    }
+    try {
+      val edges = cached(newEdges.select(col("s"), col("t")))
+      val nEdges = edges.count() // sizes the hints; materializes the cache
+      def hinted(df: DataFrame): DataFrame =
+        if (nEdges <= maxBroadcastKeys) broadcast(df) else df
+      val touched = edges.select(col("s").as("id"))
+        .union(edges.select(col("t").as("id"))).distinct()
+      val touchedLabels = cached(prevLabels.join(hinted(touched), Seq("id")))
+      val contracted = cached(edges
+        .join(touchedLabels.select(col("id").as("s"), col("label").as("ls")),
+          Seq("s"), "left")
+        .join(touchedLabels.select(col("id").as("t"), col("label").as("lt")),
+          Seq("t"), "left")
+        .select(coalesce(col("ls"), col("s")).as("s"),
+                coalesce(col("lt"), col("t")).as("t")))
+      // exact CC over the quotient — O(batch) vertices/edges. Batch-
+      // sized edge set ⇒ driver union-find (LocalCcMaxEdges scaladoc:
+      // new singletons need no CC, and only edge endpoints can remap,
+      // so the collected work is the contracted edge list alone);
+      // larger, or non-long ids ⇒ the distributed componentsStar path,
+      // budget-safe for any merge-chain shape (the q91 lesson)
+      val sparkS = prevLabels.sparkSession
+      val roots =
+        if (nEdges <= math.min(LocalCcMaxEdges, maxBroadcastKeys) &&
+            allLongIds(contracted)) {
+          import sparkS.implicits._
+          unionFindRoots(contracted.collect().map(r =>
+            (r.getLong(0), r.getLong(1)))).toDF("id", "label")
+        } else {
+          val quotientNodes = contracted.select(col("s").as("id"))
+            .union(contracted.select(col("t").as("id")))
+            .union(newNodes.select(col("id"))).distinct()
+          componentsStar(contracted, quotientNodes, maxIter, mode)
+            .filter(col("id") =!= col("label")) // identity rows remap nothing
+        }
+      (roots, caches.reverse.toSeq)
+    } catch {
+      case t: Throwable => caches.foreach(_.unpersist()); throw t
+    }
   }
 }

@@ -302,6 +302,16 @@ object LabelStore {
     batchMarker.foreach(_ => IndexFiles.requireWriter(spark, path, writer))
     val st = readState(spark, path)
     val prev = currentPlan(spark, path, st)
+    // integral ids only, REFUSED otherwise (the create/remove
+    // discipline): a blind cast("long") on e.g. string UUIDs yields
+    // null ids that would corrupt the persisted labeling silently
+    val idType = newNodes0.schema(newNodes0.columns.head).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"LabelStore.foldBatch at $path: id column must be an integral " +
+        s"type, got $idType — map ids to longs before folding")
     val newNodes = newNodes0
       .select(col(newNodes0.columns.head).cast("long").as("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -322,15 +332,11 @@ object LabelStore {
       }
       val (roots, caches) = DupClusters.quotientRoots(prev, newNodes,
         newEdges, maxIter, mode, LshSkew.MaxBroadcastKeys)
-      val rootsOld = {
-        def hintedN(df: DataFrame): DataFrame =
-          if (nNew <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
-        roots.join(hintedN(newNodes), Seq("id"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-      }
+      def hintedN(df: DataFrame): DataFrame =
+        if (nNew <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
+      val rootsOld = roots.join(hintedN(newNodes), Seq("id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        def hintedN(df: DataFrame): DataFrame =
-          if (nNew <= LshSkew.MaxBroadcastKeys) broadcast(df) else df
         // quotient vertices are prior LABELS ∪ new-node IDS (disjoint:
         // labels are old ids) — membership in newNodes splits them
         val rootsNew = roots.join(hintedN(newNodes), Seq("id"), "left_semi")
@@ -588,8 +594,10 @@ object LabelStore {
       val (writerId, alreadyFolded) =
         IndexFiles.resolveReplay(spark, storePath, "LabelStore", batchId)
       if (!alreadyFolded) {
+        // no pre-cast: foldBatchAs owns the integral-type refusal —
+        // casting here would mask a corrupting id column
         foldBatchAs(spark, storePath,
-          batch.select(col(idCol).cast("long").as("id")),
+          batch.select(col(idCol).as("id")),
           captured.select(col("id_a").as("s"), col("id_b").as("t")),
           maxIter = 50, mode = CheckpointMode.Local,
           batchMarker = Some(batchId), writer = writerId)

@@ -86,11 +86,15 @@ object LshSkew {
   }
 
   /** Count buckets the pending negative `deltas` would move from
-    * over-cap to under-cap, against the CURRENT totals in `counts`
-    * (call BEFORE appending the deltas). Touched keys only: the
-    * counts frame is semi-joined map-side against the takedown-sized
-    * delta keys (size-guarded broadcast), so the report costs one
-    * counts-frame scan, no shuffle of the big side.
+    * over-cap to PAIR-SERVING under-cap, against the CURRENT totals
+    * in `counts` (call BEFORE appending the deltas). A bucket
+    * emptied to fewer than 2 survivors serves no pairs, so it cannot
+    * resurrect anything — flagging it would force a pointless corpus
+    * rebuild; the precise hazard is `pre > cap && 2 <= post <= cap`.
+    * Touched keys only: the counts frame is semi-joined map-side
+    * against the takedown-sized delta keys (size-guarded broadcast),
+    * so the report costs one counts-frame scan, no shuffle of the
+    * big side.
     */
   private[ext] def uncapCensus(counts: DataFrame, deltas: DataFrame,
                                keyCols: Seq[String], maxBucketSize: Int,
@@ -106,7 +110,8 @@ object LshSkew {
         .groupBy(keys: _*).agg(sum(col("bucket_n")).as("pre"))
         .join(hinted(neg), keyCols)
         .filter(col("pre") > maxBucketSize &&
-          (col("pre") + col("delta")) <= maxBucketSize)
+          (col("pre") + col("delta")) <= maxBucketSize &&
+          (col("pre") + col("delta")) >= 2)
         .count()
     }
   }

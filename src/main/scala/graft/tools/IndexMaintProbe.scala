@@ -141,7 +141,7 @@ object IndexMaintProbe {
         case "labelstore" =>
           // the store's seed is the ScaleTrend cc labeling fixture
           // (build-once, like the index fixtures) — never rebuild it
-          val labelsPath = s"$out/cclabels_${n}_p1_g1"
+          val labelsPath = ScaleTrend.ccLabelsFixturePath(out, n, pct = 1)
           require(fs.exists(new org.apache.hadoop.fs.Path(labelsPath)),
             s"labels fixture $labelsPath missing — run the ScaleTrend " +
               "ccinc shape at this n first")

@@ -134,6 +134,14 @@ object ScaleTrend {
                                          pct: Int): String =
     s"$out/lshidx_${n}_p${pct}_$GenVersion"
 
+  /** One definition of the cc-labeling fixture path — consumed by the
+    * ccinc shape below AND IndexMaintProbe's labelstore family, so a
+    * GenVersion bump can never silently strand one of them.
+    */
+  private[tools] def ccLabelsFixturePath(out: String, n: Long,
+                                         pct: Int): String =
+    s"$out/cclabels_${n}_p${pct}_$GenVersion"
+
   private[tools] def buildLshIndexFixture(spark: SparkSession,
                                           docsPath: String, n: Long,
                                           out: String, pct: Int): String = {
@@ -407,7 +415,7 @@ object ScaleTrend {
     // fixture, like the index — the one-time cost every later batch
     // amortizes)
     def ccLabelsFixture(docsPath: String, n: Long): String = {
-      val path = s"$out/cclabels_${n}_p${incBatchPct}_$GenVersion"
+      val path = ccLabelsFixturePath(out, n, incBatchPct)
       ensure(path) {
         val corpus = spark.read.parquet(docsPath)
           .filter(col("doc_id") < incSplit(n))

@@ -565,6 +565,15 @@ class LshIndexSpec extends SparkSpec {
         Seq(100L).toDF("doc_id"), maxBucketSize = 5)
       r4.removed shouldBe 1L
       r4.anyUncapped shouldBe false
+      // a bucket emptied below 2 survivors serves no pairs — crossing
+      // the cap downward into a 0/1-member bucket must NOT read as
+      // un-capped (it cannot resurrect anything; flagging it would
+      // force a pointless corpus rebuild). Bucket is at 4 (ids 4–7);
+      // cap 2: pre 4 > 2, post 1 < 2 ⇒ zero.
+      val r5 = LshIndex.remove(spark, s"$root/idx",
+        (4L until 7L).toDF("doc_id"), maxBucketSize = 2)
+      r5.removed shouldBe 3L
+      r5.anyUncapped shouldBe false
     } finally delete(root)
   }
 
