@@ -99,6 +99,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new FunctionIdentifier("weighted_min_key"),
       new ExpressionInfo(classOf[WeightedMinKey].getName, "weighted_min_key"),
       (exprs: Seq[Expression]) => WeightedMinKey.build(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_code"),
+      new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
+      (exprs: Seq[Expression]) => ZOrderCode(exprs.head, exprs(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSql, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** `zorder_code(x, y)` → long: the Morton (Z-order) interleave of two
+  * non-negative 31-bit keys — x's bit i lands at output bit 2i, y's at
+  * 2i+1 — so sorting by the code clusters rows that are close in BOTH
+  * dimensions into the same parquet row groups. This is the
+  * multi-column clustering key behind
+  * [[graft.ops.Compaction.compactClustered]]: a single-column sort
+  * gives perfect min/max row-group pruning on that column and none on
+  * any other, while a Z-order sort trades a little pruning on each
+  * dimension for real pruning on BOTH — the standard lakehouse layout
+  * for tables filtered by two independent selective predicates
+  * (OPTIMIZE ... ZORDER BY in the Delta/Iceberg world; here it is just
+  * an expression, usable anywhere a `Column` is).
+  *
+  * Scale posture: the interleave is six shift/mask steps per side
+  * (magic-number bit spreading), codegen'd as a static call inside
+  * whole-stage codegen — clustering a 100 TB table adds a per-row cost
+  * of ~12 ALU ops to the rewrite's sort, nothing to the read path.
+  *
+  * Contract:
+  *  - inputs are longs in [0, 2^31): out-of-range values THROW
+  *    (IllegalArgumentException naming the value) rather than silently
+  *    fold distant keys into the same neighborhood — range-normalizing
+  *    a raw column (offset negatives, quantize doubles) is the
+  *    caller's explicit step, because the normalization IS the
+  *    clustering resolution decision;
+  *  - null if either input is null (standard binary-expression null
+  *    semantics; nulls sort first in the rewrite, i.e. one "null
+  *    neighborhood" at the front of the layout);
+  *  - the code of (x, y) is always in [0, 2^62) — non-negative, so
+  *    long ordering equals unsigned ordering and a DuckDB oracle can
+  *    replay it with plain BIGINT arithmetic (a 31-term bit
+  *    comprehension — see the q118 oracle).
+  */
+case class ZOrderCode(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_code"
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"zorder_code needs (bigint, bigint), got " +
+          s"(${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    ZOrderCode.interleave(x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (x, y) => s"graft.functions.ZOrderCode.interleave($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrderCode =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZOrderCode {
+
+  /** Exclusive upper bound per input dimension (31 bits). */
+  final val MaxKey: Long = 1L << 31
+
+  /** Spread the low 31 bits of `v` so bit i lands at bit 2i — the
+    * magic-number halving cascade (each step doubles the gap between
+    * populated bit fields). Static hot-loop target for both
+    * interpreted eval and codegen.
+    */
+  def spread(v: Long): Long = {
+    var x = v & 0x7fffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** The Morton code of (x, y): x at even bits, y at odd. Throws on
+    * out-of-range input — see the class contract.
+    */
+  def interleave(x: Long, y: Long): Long = {
+    if (x < 0 || x >= MaxKey || y < 0 || y >= MaxKey)
+      throw new IllegalArgumentException(
+        s"zorder_code: key out of range [0, $MaxKey): ($x, $y) — " +
+          "range-normalize the clustering columns first (offset " +
+          "negatives / quantize continuous values); the normalization " +
+          "is the clustering-resolution decision and must be explicit")
+    spread(x) | (spread(y) << 1)
+  }
+
+  /** Column face: `zorder(x, y)` with long casts applied (int columns
+    * pass through losslessly; the range contract still applies).
+    */
+  def zorder(x: Column, y: Column): Column =
+    GraftSql.column(ZOrderCode(
+      GraftSql.expression(x.cast("long")),
+      GraftSql.expression(y.cast("long"))))
+
+  /** Idempotent session registration (the non-extensions path). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder_code", exprs => ZOrderCode(exprs.head, exprs(1)), "built-in")
+
+  /** Range-normalize a non-negative long column with a known inclusive
+    * max into [0, 2^31) by uniform right-shift: keys keep their
+    * relative order and locality, just at reduced resolution. For a
+    * column whose max already fits, this is the identity.
+    */
+  def normalized(c: Column, maxValue: Long): Column = {
+    require(maxValue >= 0, s"normalized: negative maxValue $maxValue")
+    var shift = 0
+    var m = maxValue
+    while (m >= MaxKey) { m >>= 1; shift += 1 }
+    if (shift == 0) c.cast("long")
+    else org.apache.spark.sql.functions.shiftright(c.cast("long"), shift)
+      .cast("long")
+  }
+}

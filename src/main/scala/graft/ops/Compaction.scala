@@ -149,6 +149,136 @@ object Compaction {
       groupsAfter, rowsBefore, rowsAfter, bytesBefore, bytesAfter)
   }
 
+  /** [[compactTo]] with a CLUSTERING key: rewrite `srcPath` into
+    * `dstPath` range-partitioned AND sorted by `clusterCols`, so every
+    * output file covers a narrow, nearly-disjoint slice of the key
+    * space and parquet's per-row-group min/max statistics turn a
+    * selective pushed predicate on those columns into row groups
+    * SKIPPED instead of rows decoded-then-dropped. File/row-group
+    * sizing is [[compactTo]]'s; what this adds is WHERE each row
+    * lands.
+    *
+    * This is the scan-side half of layout maintenance: compactTo fixes
+    * how much each task reads, clustering fixes how much of the table a
+    * selective query must read at all. At 100 TB the difference is the
+    * whole game — a 0.1% range predicate on the cluster key reads
+    * ~0.1% of the row groups from a clustered table and 100% of them
+    * from an unclustered one (min/max stats of random layout span the
+    * full domain, so nothing ever prunes; measured at 8 M rows,
+    * BASELINE.md §"Scan clustering"). For TWO independent filter
+    * dimensions, pass one [[graft.functions.ZOrderCode.zorder]] column
+    * — the Morton code trades a little per-dimension pruning for real
+    * pruning on both.
+    *
+    * Mechanics: `repartitionByRange(numFiles, clusterCols)` (one
+    * range-sampling shuffle — global clustering NEEDS a shuffle;
+    * sampled boundaries balance output files even on skewed keys) +
+    * `sortWithinPartitions(clusterCols)` (tightens row-group ranges
+    * WITHIN each file — this is what makes the per-row-group stats,
+    * not just the per-file ones, selective). Clustering columns may be
+    * derived expressions (e.g. the Z-order code): they are appended
+    * under reserved names for the exchange/sort and dropped before the
+    * write, so the destination schema equals the source schema exactly.
+    * Row parity is footer-verified by the same [[Report]] contract.
+    */
+  def compactClustered(spark: SparkSession, srcPath: String, dstPath: String,
+                       clusterCols: Seq[org.apache.spark.sql.Column],
+                       targetFileBytes: Long = 512L * 1024 * 1024,
+                       targetRowGroupBytes: Long = 128L * 1024 * 1024): Report = {
+    require(clusterCols.nonEmpty,
+      "Compaction.compactClustered: no clustering columns — use compactTo " +
+        "for pure size maintenance")
+    require(targetFileBytes > 0 && targetRowGroupBytes > 0,
+      s"Compaction targets must be positive: file=$targetFileBytes " +
+        s"rowGroup=$targetRowGroupBytes")
+    val (filesBefore, groupsBefore, rowsBefore, bytesBefore) =
+      census(spark, srcPath)
+    require(filesBefore > 0,
+      s"Compaction.compactClustered: no parquet files under $srcPath")
+    val numFiles = math.max(1L,
+      (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
+    val src = spark.read.parquet(srcPath)
+    val keyNames = clusterCols.indices.map(i => s"__cluster_$i")
+    keyNames.foreach { n =>
+      require(!src.columns.contains(n),
+        s"Compaction.compactClustered: source already has a '$n' column")
+    }
+    val keyed = clusterCols.zip(keyNames).foldLeft(src) {
+      case (df, (c, n)) => df.withColumn(n, c)
+    }
+    val keys = keyNames.map(org.apache.spark.sql.functions.col)
+    keyed
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop(keyNames: _*)
+      .write.mode("overwrite")
+      .option("parquet.block.size", targetRowGroupBytes.toString)
+      .parquet(dstPath)
+    val (filesAfter, groupsAfter, rowsAfter, bytesAfter) =
+      census(spark, dstPath)
+    Report(srcPath, dstPath, filesBefore, filesAfter, groupsBefore,
+      groupsAfter, rowsBefore, rowsAfter, bytesBefore, bytesAfter)
+  }
+
+  /** Per-row-group [min, max] ranges of a long column across every
+    * parquet file under `dir`, footer-only (no data pages). The
+    * executable face of "is this table clustered on `column`?": the
+    * fraction of ranges a predicate interval overlaps IS the fraction
+    * of the table a pushed filter will read — [[prunableFraction]]
+    * computes it, specs assert it, and the SkippingProbe measures the
+    * wall-clock it predicts. Row groups with no statistics for the
+    * column (all-null pages, missing column) are returned as None —
+    * they can never be pruned by a range predicate, so
+    * [[prunableFraction]] counts them as always-read.
+    */
+  def columnRanges(spark: SparkSession, dir: String,
+                   column: String): Seq[Option[(Long, Long)]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root)
+      .filter(s => s.isFile && !shouldSkip(s.getPath.getName))
+      .sortBy(_.getPath.getName)
+    files.toSeq.flatMap { st =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getRowGroups.asScala.toSeq.map { bb =>
+          bb.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .flatMap { cc =>
+              val s = cc.getStatistics
+              if (s == null || !s.hasNonNullValue) None
+              else (s.genericGetMin, s.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.longValue(), mx.longValue()))
+                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                  Some((mn.longValue(), mx.longValue()))
+                case _ => None
+              }
+            }
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** Fraction of row groups a `[lo, hi]` range predicate on `column`
+    * can SKIP under `dir`, straight from the footers — 1.0 means the
+    * layout answers the predicate from a vanishing slice of the table,
+    * 0.0 means every row group must be read (the unclustered fate).
+    */
+  def prunableFraction(spark: SparkSession, dir: String, column: String,
+                       lo: Long, hi: Long): Double = {
+    val ranges = columnRanges(spark, dir, column)
+    require(ranges.nonEmpty, s"prunableFraction: no row groups under $dir")
+    val skipped = ranges.count {
+      case Some((mn, mx)) => mx < lo || mn > hi
+      case None           => false
+    }
+    skipped.toDouble / ranges.size
+  }
+
   /** Hive-partition leaves under `root`, as root-relative paths in
     * lexicographic order ("" if the root itself is a leaf). A leaf is
     * a directory holding visible files and no visible subdirectories;

@@ -328,4 +328,44 @@ object FunctionQueries {
       |  FROM events) t
       |WHERE rn <= 3
       |ORDER BY user_id, value DESC, event_id""".stripMargin
+
+  /** ✚ Z-order clustering key ([[graft.functions.ZOrderCode]]) over
+    * lineitem's two independent join/filter dimensions — the Morton
+    * code [[graft.ops.Compaction.compactClustered]] sorts by to get
+    * row-group pruning on BOTH columns at 100 TB. The gate hashes the
+    * code of every row (min/max plus a modular row sum per group, so a
+    * single wrong bit in any row's code breaks the hash) and the
+    * DuckDB oracle replays the interleave as the 31-term BIGINT
+    * bit comprehension the expression's spec pins in JVM arithmetic.
+    */
+  def q118ZOrderKey(spark: SparkSession, dir: String): DataFrame = {
+    val z = graft.functions.ZOrderCode.zorder(
+      col("l_orderkey"), col("l_partkey"))
+    Tables(spark, dir, "lineitem")
+      .withColumn("z", z)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           min(col("z")).as("min_code"),
+           max(col("z")).as("max_code"),
+           sum(col("z") % lit(1000003L)).as("sum_code_mod"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Morton spread in plain BIGINT arithmetic: bit i of `c` lands at
+    * bit 2i+`offset`. 31 terms per dimension, generated — the SQL
+    * face of [[graft.functions.ZOrderCode.spread]].
+    */
+  private def spreadSql(c: String, offset: Int): String =
+    (0 to 30).map(i => s"((($c >> $i) & 1) << ${2 * i + offset})")
+      .mkString(" + ")
+
+  val q118Sql: String = {
+    val code = s"(${spreadSql("l_orderkey", 0)}) + " +
+      s"(${spreadSql("l_partkey", 1)})"
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  min($code) AS min_code,
+       |  max($code) AS max_code,
+       |  CAST(sum(($code) % 1000003) AS BIGINT) AS sum_code_mod
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
 }

@@ -1,0 +1,109 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleave expression: bit-level correctness vs a
+  * naive per-bit reference, locality/ordering properties, range
+  * fail-fast, null handling, codegen path inside a real plan, and the
+  * DuckDB-oracle arithmetic identity (the q118 oracle replays the code
+  * as a 31-term BIGINT comprehension — pinned here in JVM arithmetic
+  * so the SQL replay has a tested contract to mirror).
+  */
+class ZOrderCodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Naive reference: place bit i of x at 2i, bit i of y at 2i+1. */
+  private def refInterleave(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 31) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("interleave matches the per-bit reference across the range") {
+    val probes = Seq(0L, 1L, 2L, 3L, 31L, 1024L, 65535L, 123456789L,
+      ZOrderCode.MaxKey - 1)
+    for (x <- probes; y <- probes)
+      ZOrderCode.interleave(x, y) shouldBe refInterleave(x, y)
+  }
+
+  test("codes are non-negative and within 62 bits") {
+    val m = ZOrderCode.MaxKey - 1
+    ZOrderCode.interleave(m, m) shouldBe (1L << 62) - 1
+    ZOrderCode.interleave(0, 0) shouldBe 0L
+    ZOrderCode.interleave(m, m) should be > 0L
+  }
+
+  test("quadrant ordering: codes cluster by high bits of both dims") {
+    // Any point in the low quadrant (both keys < 2^30) codes below any
+    // point in the high quadrant (both keys >= 2^30) — the recursive
+    // quadrant property that makes a Z-sort a 2-D clustering.
+    val lowMax = ZOrderCode.interleave((1L << 30) - 1, (1L << 30) - 1)
+    val highMin = ZOrderCode.interleave(1L << 30, 1L << 30)
+    lowMax should be < highMin
+  }
+
+  test("out-of-range keys throw with both values named") {
+    val e = the[IllegalArgumentException] thrownBy
+      ZOrderCode.interleave(-1, 5)
+    e.getMessage should include("(-1, 5)")
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderCode.interleave(0, ZOrderCode.MaxKey)
+  }
+
+  test("expression evaluates in a codegen'd plan; null propagates") {
+    ZOrderCode.register(spark)
+    val df = Seq((Some(3L), Some(5L)), (None, Some(1L)), (Some(7L), None))
+      .toDF("x", "y")
+      .withColumn("z", expr("zorder_code(x, y)"))
+    val rows = df.collect()
+    rows(0).getLong(2) shouldBe refInterleave(3, 5)
+    rows(1).isNullAt(2) shouldBe true
+    rows(2).isNullAt(2) shouldBe true
+  }
+
+  test("column face casts ints losslessly; literal folds at plan time") {
+    val viaInt = spark.range(1)
+      .select(ZOrderCode.zorder(lit(12345), lit(678)).as("z"))
+      .head().getLong(0)
+    viaInt shouldBe refInterleave(12345, 678)
+    ZOrderCode.register(spark)
+    val df = spark.range(1).selectExpr("zorder_code(3L, 5L) AS z")
+    df.queryExecution.optimizedPlan.toString should not include "zorder_code"
+    df.collect().head.getLong(0) shouldBe refInterleave(3, 5)
+  }
+
+  test("oracle arithmetic identity: sum-of-terms == interleave") {
+    // The DuckDB oracle computes
+    //   list_sum([((x>>i)&1)*2^(2i) + ((y>>i)&1)*2^(2i+1) for i in 0..30])
+    // — same closed form as refInterleave with | replaced by + (the
+    // terms occupy disjoint bits, so + == |). Pin that identity.
+    val probes = Seq((0L, 0L), (1L, 2L), (123456L, 654321L),
+      (ZOrderCode.MaxKey - 1, 42L))
+    probes.foreach { case (x, y) =>
+      val sum = (0 until 31).map { i =>
+        ((x >> i) & 1L) * (1L << (2 * i)) + ((y >> i) & 1L) * (1L << (2 * i + 1))
+      }.sum
+      sum shouldBe ZOrderCode.interleave(x, y)
+    }
+  }
+
+  test("normalized: identity when in range, shift preserves order") {
+    val vals = Seq(0L, 5L, ZOrderCode.MaxKey - 1, ZOrderCode.MaxKey,
+      3L * ZOrderCode.MaxKey)
+    val df = vals.toDF("v")
+    val id = df.select(ZOrderCode.normalized(col("v"), ZOrderCode.MaxKey - 1)
+      .as("n")).collect().map(_.getLong(0))
+    id shouldBe vals.toArray // identity when max fits
+    // maxValue = 2^33 - 1 needs two halvings to fit below 2^31
+    val shifted = df.select(ZOrderCode.normalized(col("v"),
+      4L * ZOrderCode.MaxKey - 1).as("n")).collect().map(_.getLong(0))
+    shifted shouldBe vals.map(_ >> 2).toArray
+    all(shifted) should be < ZOrderCode.MaxKey
+  }
+}

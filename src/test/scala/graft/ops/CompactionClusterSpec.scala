@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.ZOrderCode
+import org.apache.spark.sql.functions._
+
+/** Clustered compaction — the scan-side layout lever: sorted rewrites
+  * must (a) preserve rows/schema exactly, and (b) produce row-group
+  * min/max statistics that actually PRUNE, measured straight from the
+  * parquet footers via [[Compaction.prunableFraction]] (the same
+  * statistics the pushed-filter reader consults, so the assertion is
+  * on the real skipping mechanism, not a proxy). The unclustered
+  * control pins the other side: scrambled layout prunes ~nothing.
+  */
+class CompactionClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** 200 k rows with two independent 16-bit keys in SCRAMBLED row
+    * order (multiplicative hashes of the id), plus a payload fat
+    * enough to split files into many row groups at a small block size.
+    */
+  private def scrambled(n: Int = 200000) =
+    (0 until n).map { i =>
+      val x = (i.toLong * 48271) % 65536
+      val y = (i.toLong * 16807) % 65536
+      (i.toLong, x, y, "p" * 64 + i)
+    }.toDF("id", "x", "y", "payload")
+
+  test("single-column clustering: parity, schema, and real pruning") {
+    val root = tmp("graft_cluster_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    scrambled().repartition(8).write.parquet(src)
+
+    val report = Compaction.compactClustered(spark, src, dst,
+      clusterCols = Seq(col("x")),
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024)
+    report.rowsAfter shouldBe 200000L
+    report.rowGroupsAfter should be >= 8L // sizing still applies
+
+    // schema identical — no __cluster_* leakage
+    val back = spark.read.parquet(dst)
+    back.columns.toSeq shouldBe Seq("id", "x", "y", "payload")
+
+    // content identical (order-free): same multiset of rows
+    back.exceptAll(spark.read.parquet(src)).count() shouldBe 0L
+    spark.read.parquet(src).exceptAll(back).count() shouldBe 0L
+
+    // a ~1% range predicate on the cluster key skips ≥ 90% of row
+    // groups from the footers; the scrambled source skips ~none
+    Compaction.prunableFraction(spark, dst, "x", 1000, 1639) should be >= 0.9
+    Compaction.prunableFraction(spark, src, "x", 1000, 1639) should be <= 0.1
+  }
+
+  test("z-order clustering prunes on BOTH dimensions; 1-D sort does not") {
+    val root = tmp("graft_zorder_")
+    val src = s"$root/src"
+    val zdst = s"$root/zdst"
+    val xdst = s"$root/xdst"
+    scrambled().repartition(8).write.parquet(src)
+
+    Compaction.compactClustered(spark, src, zdst,
+      clusterCols = Seq(ZOrderCode.zorder(col("x"), col("y"))),
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024)
+    Compaction.compactClustered(spark, src, xdst,
+      clusterCols = Seq(col("x")),
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024)
+
+    // the x-sorted layout is perfect on x, blind on y
+    Compaction.prunableFraction(spark, xdst, "x", 1000, 1639) should be >= 0.9
+    Compaction.prunableFraction(spark, xdst, "y", 1000, 1639) should be <= 0.1
+    // the z-ordered layout prunes substantially on BOTH dimensions
+    // (each row group covers one compact z-interval ≈ one square-ish
+    // (x, y) neighborhood, so its min/max are tight in both)
+    Compaction.prunableFraction(spark, zdst, "x", 1000, 1639) should be >= 0.5
+    Compaction.prunableFraction(spark, zdst, "y", 1000, 1639) should be >= 0.5
+
+    // and the rewrite is still content-preserving
+    val back = spark.read.parquet(zdst)
+    back.exceptAll(spark.read.parquet(src)).count() shouldBe 0L
+    back.count() shouldBe 200000L
+  }
+
+  test("derived clustering expression never collides with user columns") {
+    val root = tmp("graft_cluster_collide_")
+    val src = s"$root/src"
+    Seq((1L, 2L)).toDF("id", "__cluster_0").write.parquet(src)
+    val e = the[IllegalArgumentException] thrownBy
+      Compaction.compactClustered(spark, src, s"$root/dst",
+        clusterCols = Seq(col("id")))
+    e.getMessage should include("__cluster_0")
+  }
+
+  test("empty clusterCols is rejected toward compactTo") {
+    val root = tmp("graft_cluster_empty_")
+    val src = s"$root/src"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(src)
+    val e = the[IllegalArgumentException] thrownBy
+      Compaction.compactClustered(spark, src, s"$root/dst", Nil)
+    e.getMessage should include("compactTo")
+  }
+}
