@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measurement behind the scan-clustering claims (BASELINE.md §"Scan
+  * clustering", `Compaction.compactClustered` scaladoc): rewrite the
+  * same table under three layouts and price a selective range
+  * predicate on each —
+  *
+  *   random   : compactTo (size-only maintenance; min/max stats of a
+  *              random layout span the full domain → nothing prunes)
+  *   sort-x   : compactClustered on x (perfect pruning on x, none on y)
+  *   zorder   : compactClustered on zorder_code(x, y) (real pruning on
+  *              BOTH dimensions — the lakehouse trade)
+  *
+  * For each layout it reports the FOOTER-predicted read fraction
+  * (1 − `Compaction.prunableFraction`) for an x-range, a y-range, and
+  * the conjunction, then the measured wall-clock of the same three
+  * aggregating scans — the probe exists to show the footer number IS
+  * the wall-clock number, i.e. `prunableFraction` is a trustworthy
+  * O(footers) dial for "is this table clustered for its workload?"
+  * without running the workload.
+  *
+  * Fixture: `rows` (default 8 M) rows of two independent uniform
+  * 31-bit keys + a ~64-byte payload, cached under
+  * SPARK_GRAFT_SCALE_DIR with the ScaleTrend version-token discipline.
+  * Layouts are rebuilt per run (the rewrite price is part of the
+  * report: clustering is a maintenance op, its cost must be on the
+  * same page as its benefit). File/row-group targets are scaled down
+  * (32 MB / 4 MB) so the probe's ~200 MB table carries the same
+  * files × row-groups granularity a 512 MB/128 MB production layout
+  * gives a 100 TB table.
+  *
+  * Usage: `SkippingProbe [rows] [selectivityPpm]` (defaults 8000000,
+  * 1000 ppm = 0.1%).
+  */
+object SkippingProbe {
+
+  private val GenVersion = "z2"
+
+  /** ~256 B of incompressible payload per row: small enough to build
+    * fast, big enough that row-group DECODE (not per-task fixed
+    * overhead) dominates the scan — the regime a 100 TB table is
+    * always in, and the one where skipped row groups are visible
+    * wall-clock, not just footer arithmetic.
+    */
+  private def fixture(spark: SparkSession, rows: Long, out: String): String = {
+    val path = s"$out/zprobe_src_${rows}_$GenVersion"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      spark.range(rows).select(
+          col("id"),
+          pmod(xxhash64(col("id"), lit(1)), lit(1L << 31)).as("x"),
+          pmod(xxhash64(col("id"), lit(2)), lit(1L << 31)).as("y"),
+          concat((1 to 4).map(i =>
+            sha2(concat(col("id").cast("string"), lit(s"#$i")), 256)): _*)
+            .as("payload"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The selective scan: decode the payload of every surviving row —
+    * so skipped row groups are exactly the work not done.
+    */
+  private def scan(spark: SparkSession, dir: String,
+                   pred: org.apache.spark.sql.Column): (Long, Double) = {
+    val (row, t) = timed {
+      spark.read.parquet(dir).filter(pred)
+        .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("bytes"))
+        .collect()(0)
+    }
+    (row.getLong(0), t)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(8000000L)
+    val ppm = args.drop(1).headOption.map(_.toLong).getOrElse(1000L)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", out + "/spark-tmp")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val src = fixture(spark, rows, out)
+    val domain = 1L << 31
+    val width = domain / 1000000L * ppm
+    val xLo = domain / 3; val yLo = domain / 5
+    val xPred = col("x").between(xLo, xLo + width - 1)
+    val yPred = col("y").between(yLo, yLo + width - 1)
+    println(s"fixture: $src rows=$rows predicate width=$width " +
+      s"(${ppm} ppm of the 31-bit domain per dimension)")
+
+    val fileB = 32L * 1024 * 1024
+    val groupB = 4L * 1024 * 1024
+    val work = java.nio.file.Files.createTempDirectory("zprobe_").toString
+
+    val layouts: Seq[(String, String => graft.ops.Compaction.Report)] = Seq(
+      "random" -> ((dst: String) =>
+        graft.ops.Compaction.compactTo(spark, src, dst, fileB, groupB)),
+      "sort-x" -> ((dst: String) =>
+        graft.ops.Compaction.compactClustered(spark, src, dst,
+          Seq(col("x")), fileB, groupB)),
+      "zorder" -> ((dst: String) =>
+        graft.ops.Compaction.compactClustered(spark, src, dst,
+          Seq(graft.functions.ZOrderCode.zorder(col("x"), col("y"))),
+          fileB, groupB))
+    )
+
+    // Build every layout first, then time the scans round-robin over
+    // three passes taking the per-cell minimum — an in-order sweep
+    // hands later layouts a JIT-warm scan path and the comparison
+    // reads as a warmup artifact (observed: the first layout's scans
+    // 2-4x slower than identical work later in the same JVM).
+    val built = layouts.map { case (name, build) =>
+      val dst = s"$work/$name"
+      val (rep, tBuild) = timed(build(dst))
+      (name, dst, rep, tBuild)
+    }
+    val preds = Seq("x" -> xPred, "y" -> yPred, "both" -> (xPred && yPred))
+    val best = collection.mutable.Map[(String, String), (Long, Double)]()
+    for (_ <- 1 to 3; (name, dst, _, _) <- built; (pn, p) <- preds) {
+      val (n, t) = scan(spark, dst, p)
+      val cur = best.get((name, pn))
+      if (cur.forall(_._2 > t)) best((name, pn)) = (n, t)
+    }
+    for ((name, dst, rep, tBuild) <- built) {
+      // footer-predicted read fraction per dimension (O(footers), no scan)
+      val readX = 1.0 - graft.ops.Compaction.prunableFraction(
+        spark, dst, "x", xLo, xLo + width - 1)
+      val readY = 1.0 - graft.ops.Compaction.prunableFraction(
+        spark, dst, "y", yLo, yLo + width - 1)
+      val (nx, tx) = best((name, "x")); val (ny, ty) = best((name, "y"))
+      val (nb, tb) = best((name, "both"))
+      println(f"$name%-7s rewrite=$tBuild%6.1fs files=${rep.filesAfter}%3d " +
+        f"rowGroups=${rep.rowGroupsAfter}%4d | footer read-frac " +
+        f"x=$readX%5.3f y=$readY%5.3f | scan x=$tx%5.2fs ($nx rows) " +
+        f"y=$ty%5.2fs ($ny rows) both=$tb%5.2fs ($nb rows)")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+    spark.stop()
+  }
+}
