@@ -340,12 +340,24 @@ object Compaction {
     * names (`lang=en/...`), and each leaf is rewritten beneath the
     * same relative path, so `spark.read.parquet(dstRoot)` recovers
     * exactly the source partitioning.
+    *
+    * `clusterCols` non-empty routes each leaf through
+    * [[compactClustered]] instead of [[compactTo]] — the production
+    * shape for a 100 TB partitioned table: partition directories
+    * answer the coarse predicate (date, lang), and WITHIN each leaf
+    * the clustering turns the fine selective predicate into skipped
+    * row groups. Clustering expressions must reference only columns
+    * that live in the leaf FILES (a Hive partition column exists only
+    * in the directory name at leaf level — clustering on it is
+    * meaningless and fails analysis loudly).
     */
   def compactTree(spark: SparkSession, srcRoot: String, dstRoot: String,
                   targetFileBytes: Long = 512L * 1024 * 1024,
                   targetRowGroupBytes: Long = 128L * 1024 * 1024,
                   shuffle: Boolean = false,
-                  parallelism: Int = 4): Seq[(String, Report)] = {
+                  parallelism: Int = 4,
+                  clusterCols: Seq[org.apache.spark.sql.Column] = Nil)
+                  : Seq[(String, Report)] = {
     require(parallelism > 0, s"parallelism must be positive: $parallelism")
     val leaves = leafDirs(spark, srcRoot)
     require(leaves.nonEmpty, s"Compaction.compactTree: no parquet files under $srcRoot")
@@ -357,8 +369,12 @@ object Compaction {
         scala.concurrent.Future {
           val src = if (rel.isEmpty) srcRoot else s"$srcRoot/$rel"
           val dst = if (rel.isEmpty) dstRoot else s"$dstRoot/$rel"
-          rel -> compactTo(spark, src, dst, targetFileBytes,
-            targetRowGroupBytes, shuffle)
+          rel -> (if (clusterCols.isEmpty)
+            compactTo(spark, src, dst, targetFileBytes,
+              targetRowGroupBytes, shuffle)
+          else
+            compactClustered(spark, src, dst, clusterCols,
+              targetFileBytes, targetRowGroupBytes))
         }
       }
       // settle EVERY future before surfacing any failure: Await.result

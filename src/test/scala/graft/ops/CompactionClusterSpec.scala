@@ -97,6 +97,38 @@ class CompactionClusterSpec extends SparkSpec {
     e.getMessage should include("__cluster_0")
   }
 
+  test("compactTree clusters within each Hive leaf; partitioning survives") {
+    val root = tmp("graft_tree_cluster_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    scrambled().withColumn("part", pmod(col("id"), lit(2L)))
+      .repartition(8).write.partitionBy("part").parquet(src)
+
+    val reports = Compaction.compactTree(spark, src, dst,
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024,
+      parallelism = 2,
+      clusterCols = Seq(col("x")))
+    reports.map(_._1).sorted shouldBe Seq("part=0", "part=1")
+    reports.map(_._2.rowsAfter).sum shouldBe 200000L
+
+    // partition recovery: the read reconstructs part from the dirs
+    // (directory-inferred partition values come back as int)
+    val back = spark.read.parquet(dst)
+    back.select(col("part").cast("long"), col("id"))
+      .groupBy(col("part")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(0L -> 100000L, 1L -> 100000L)
+
+    // every leaf is clustered: footer pruning holds per leaf
+    for (leaf <- Seq("part=0", "part=1")) {
+      Compaction.prunableFraction(
+        spark, s"$dst/$leaf", "x", 1000, 1639) should be >= 0.9
+      Compaction.prunableFraction(
+        spark, s"$src/$leaf", "x", 1000, 1639) should be <= 0.1
+    }
+  }
+
   test("empty clusterCols is rejected toward compactTo") {
     val root = tmp("graft_cluster_empty_")
     val src = s"$root/src"
