@@ -129,7 +129,8 @@ object Compaction {
   def compactTo(spark: SparkSession, srcPath: String, dstPath: String,
                 targetFileBytes: Long = 512L * 1024 * 1024,
                 targetRowGroupBytes: Long = 128L * 1024 * 1024,
-                shuffle: Boolean = false): Report = {
+                shuffle: Boolean = false,
+                bloomColumns: Map[String, Long] = Map.empty): Report = {
     require(targetFileBytes > 0 && targetRowGroupBytes > 0,
       s"Compaction targets must be positive: file=$targetFileBytes " +
         s"rowGroup=$targetRowGroupBytes")
@@ -142,6 +143,7 @@ object Compaction {
     val sized = if (shuffle) src.repartition(numFiles) else src.coalesce(numFiles)
     sized.write.mode("overwrite")
       .option("parquet.block.size", targetRowGroupBytes.toString)
+      .options(bloomOptions(bloomColumns))
       .parquet(dstPath)
     val (filesAfter, groupsAfter, rowsAfter, bytesAfter) =
       census(spark, dstPath)
@@ -184,7 +186,8 @@ object Compaction {
   def compactClustered(spark: SparkSession, srcPath: String, dstPath: String,
                        clusterCols: Seq[org.apache.spark.sql.Column],
                        targetFileBytes: Long = 512L * 1024 * 1024,
-                       targetRowGroupBytes: Long = 128L * 1024 * 1024): Report = {
+                       targetRowGroupBytes: Long = 128L * 1024 * 1024,
+                       bloomColumns: Map[String, Long] = Map.empty): Report = {
     require(clusterCols.nonEmpty,
       "Compaction.compactClustered: no clustering columns — use compactTo " +
         "for pure size maintenance")
@@ -213,11 +216,67 @@ object Compaction {
       .drop(keyNames: _*)
       .write.mode("overwrite")
       .option("parquet.block.size", targetRowGroupBytes.toString)
+      .options(bloomOptions(bloomColumns))
       .parquet(dstPath)
     val (filesAfter, groupsAfter, rowsAfter, bytesAfter) =
       census(spark, dstPath)
     Report(srcPath, dstPath, filesBefore, filesAfter, groupsBefore,
       groupsAfter, rowsBefore, rowsAfter, bytesBefore, bytesAfter)
+  }
+
+  /** Per-column parquet bloom-filter write options (the standard
+    * parquet-hadoop `#column`-suffixed keys, passed through Spark's
+    * DataFrameWriter options verbatim). Blooms answer the predicate
+    * family min/max stats cannot: EQUALITY on a column the layout is
+    * not sorted by — "is takedown-id X in this 100 TB corpus?" scans
+    * every row group under range stats (an unsorted id's per-group
+    * min/max spans the domain) but skips every group whose bloom says
+    * definitely-absent. The NDV is per ROW GROUP (sizes the filter's
+    * bit array for its false-positive rate): pass distinct-keys ÷
+    * expected row groups, not the table's total NDV — a table-sized
+    * NDV builds a maximally large bloom in every group for nothing.
+    * Spark pushes `IN` lists to parquet only up to
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10)
+    * values — beyond that it degrades to a range check that an
+    * unsorted layout cannot prune, so batch audit lookups in
+    * threshold-sized slices.
+    */
+  private def bloomOptions(bloomColumns: Map[String, Long]): Map[String, String] =
+    bloomColumns.flatMap { case (c, ndv) =>
+      require(ndv > 0,
+        s"Compaction: bloom expected NDV for '$c' must be positive: $ndv")
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+          s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
+    }
+
+  /** Columns that carry a bloom filter in EVERY row group under `dir`
+    * (sorted) — the footer-only audit face of [[bloomOptions]]: a
+    * column listed here prunes definitely-absent point lookups; a
+    * column missing from ONE group prunes nothing reliably, so
+    * all-groups is the only honest predicate.
+    */
+  def bloomFilteredColumns(spark: SparkSession, dir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root)
+      .filter(s => s.isFile && !shouldSkip(s.getPath.getName))
+    require(files.nonEmpty, s"bloomFilteredColumns: no parquet files under $dir")
+    import scala.jdk.CollectionConverters._
+    var common: Option[Set[String]] = None
+    files.foreach { st =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        reader.getRowGroups.asScala.foreach { bb =>
+          val here = bb.getColumns.asScala
+            .filter(_.getBloomFilterOffset >= 0)
+            .map(_.getPath.toDotString).toSet
+          common = Some(common.fold(here)(_ intersect here))
+        }
+      } finally reader.close()
+    }
+    common.getOrElse(Set.empty).toSeq.sorted
   }
 
   /** Per-row-group [min, max] ranges of a long column across every
@@ -356,7 +415,8 @@ object Compaction {
                   targetRowGroupBytes: Long = 128L * 1024 * 1024,
                   shuffle: Boolean = false,
                   parallelism: Int = 4,
-                  clusterCols: Seq[org.apache.spark.sql.Column] = Nil)
+                  clusterCols: Seq[org.apache.spark.sql.Column] = Nil,
+                  bloomColumns: Map[String, Long] = Map.empty)
                   : Seq[(String, Report)] = {
     require(parallelism > 0, s"parallelism must be positive: $parallelism")
     val leaves = leafDirs(spark, srcRoot)
@@ -371,10 +431,10 @@ object Compaction {
           val dst = if (rel.isEmpty) dstRoot else s"$dstRoot/$rel"
           rel -> (if (clusterCols.isEmpty)
             compactTo(spark, src, dst, targetFileBytes,
-              targetRowGroupBytes, shuffle)
+              targetRowGroupBytes, shuffle, bloomColumns)
           else
             compactClustered(spark, src, dst, clusterCols,
-              targetFileBytes, targetRowGroupBytes))
+              targetFileBytes, targetRowGroupBytes, bloomColumns))
         }
       }
       // settle EVERY future before surfacing any failure: Await.result

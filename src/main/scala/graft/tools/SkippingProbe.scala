@@ -102,7 +102,11 @@ object SkippingProbe {
 
     val fileB = 32L * 1024 * 1024
     val groupB = 4L * 1024 * 1024
+    // the four rewrites total ~4x the table — delete even on a crashed
+    // run (an OOM'd probe must not strand tens of GB under /tmp)
     val work = java.nio.file.Files.createTempDirectory("zprobe_").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))))
 
     val layouts: Seq[(String, String => graft.ops.Compaction.Report)] = Seq(
       "random" -> ((dst: String) =>
@@ -146,6 +150,47 @@ object SkippingProbe {
         f"x=$readX%5.3f y=$readY%5.3f | scan x=$tx%5.2fs ($nx rows) " +
         f"y=$ty%5.2fs ($ny rows) both=$tb%5.2fs ($nb rows)")
     }
+
+    // Point-lookup phase: equality on the UNSORTED x column — the
+    // takedown-audit predicate range stats can never prune (x is
+    // hash-scattered, so every group's x min/max spans the domain; id
+    // would be the wrong probe column — spark.range order survives the
+    // coalesce, so id min/max is tight and already prunes). A
+    // per-row-group bloom on x prunes definitely-absent groups AND
+    // narrows a present value to the groups that really hold it. NDV
+    // is per row group: rows / expected groups.
+    val rgRows = math.max(1L, rows / (built.head._3.rowGroupsAfter max 1L))
+    val bloomDst = s"$work/bloom"
+    val (bloomRep, tBloom) = timed(graft.ops.Compaction.compactTo(
+      spark, src, bloomDst, fileB, groupB,
+      bloomColumns = Map("x" -> rgRows)))
+    val plainDst = built.head._2 // the compactTo layout, no blooms
+    // a present x: read one off a known row; an absent x: probe
+    // candidates until one has no rows (each x is present w.p. ~1.5%)
+    val srcDf = spark.read.parquet(src)
+    val present = srcDf.filter(col("id") === rows / 3L)
+      .select(col("x")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .head()
+    val absent = (3L to 100L).map(_ * 1000003L + 7L)
+      .find(v => srcDf.filter(col("x") === v).limit(1).count() == 0L)
+      .getOrElse(sys.error("no absent x candidate found"))
+    val lookups = Seq(
+      "absent" -> (col("x") === absent),
+      "present" -> (col("x") === present))
+    val lbest = collection.mutable.Map[(String, String), (Long, Double)]()
+    for (_ <- 1 to 3; (ln, p) <- lookups;
+         (dn, dst) <- Seq("plain" -> plainDst, "bloom" -> bloomDst)) {
+      val (n, t) = scan(spark, dst, p)
+      val cur = lbest.get((dn, ln))
+      if (cur.forall(_._2 > t)) lbest((dn, ln)) = (n, t)
+    }
+    println(f"bloom   rewrite=$tBloom%6.1fs files=${bloomRep.filesAfter}%3d " +
+      f"rowGroups=${bloomRep.rowGroupsAfter}%4d ndv/group=$rgRows | " +
+      f"x-lookup absent plain=${lbest(("plain", "absent"))._2}%5.2fs " +
+      f"bloom=${lbest(("bloom", "absent"))._2}%5.2fs | " +
+      f"present plain=${lbest(("plain", "present"))._2}%5.2fs " +
+      f"bloom=${lbest(("bloom", "present"))._2}%5.2fs")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
     spark.stop()
   }

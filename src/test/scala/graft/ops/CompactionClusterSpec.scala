@@ -129,6 +129,41 @@ class CompactionClusterSpec extends SparkSpec {
     }
   }
 
+  test("bloom filters: written per row group, audited from footers, " +
+       "lookups stay correct") {
+    val root = tmp("graft_bloom_")
+    val src = s"$root/src"
+    scrambled().repartition(4).write.parquet(src)
+
+    // without the option: no column carries a bloom
+    Compaction.compactTo(spark, src, s"$root/plain",
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024)
+    Compaction.bloomFilteredColumns(spark, s"$root/plain") shouldBe empty
+
+    // with it: id blooms present in EVERY row group, other columns not;
+    // works through the clustered face too (bloom on the un-sorted
+    // column complements range stats on the sorted one)
+    Compaction.compactClustered(spark, src, s"$root/bloom",
+      clusterCols = Seq(col("x")),
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024,
+      bloomColumns = Map("id" -> 10000L))
+    Compaction.bloomFilteredColumns(spark, s"$root/bloom") shouldBe Seq("id")
+
+    // point lookups through the bloom layout: present and absent ids
+    val got = spark.read.parquet(s"$root/bloom")
+      .filter(col("id").isin(7L, 123456L, 199999L, 7777777L))
+      .select(col("id")).as[Long].collect().sorted
+    got shouldBe Array(7L, 123456L, 199999L)
+
+    // misuse guard: a non-positive NDV is a loud error, not a silent
+    // default-sized filter
+    an[IllegalArgumentException] should be thrownBy
+      Compaction.compactTo(spark, src, s"$root/bad",
+        bloomColumns = Map("id" -> 0L))
+  }
+
   test("empty clusterCols is rejected toward compactTo") {
     val root = tmp("graft_cluster_empty_")
     val src = s"$root/src"
