@@ -113,6 +113,24 @@ object ZOrderCode {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder_code", exprs => ZOrderCode(exprs.head, exprs(1)), "built-in")
 
+  /** Rescale a bounded column into [0, 2^bits) — the normalization
+    * step that makes two dimensions of DIFFERENT domain sizes
+    * interleave meaningfully. Morton codes compare bit-for-bit: a key
+    * spanning 18 bits interleaved with one spanning 11 bits is
+    * dominated by the wide key's high bits and the sort degenerates to
+    * a 1-D sort on it (observed: partkey pruned 0.0 next to orderkey
+    * until both were scaled — the q119 gate's loud-check caught it).
+    * Scale BOTH dimensions into the same bit-width before
+    * [[zorder]]; `bits` is the clustering resolution (20 bits ≈ 1 M
+    * distinguishable cells per dimension, far finer than any row-group
+    * count).
+    */
+  def scaled(c: Column, min: Long, max: Long, bits: Int = 20): Column = {
+    require(bits >= 1 && bits <= 31, s"scaled: bits out of [1, 31]: $bits")
+    require(max > min, s"scaled: empty domain [$min, $max]")
+    ((c.cast("long") - min) * (1L << bits) / (max - min + 1)).cast("long")
+  }
+
   /** Range-normalize a non-negative long column with a known inclusive
     * max into [0, 2^31) by uniform right-shift: keys keep their
     * relative order and locality, just at reduced resolution. For a

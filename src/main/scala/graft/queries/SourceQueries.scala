@@ -369,6 +369,95 @@ object SourceQueries {
       |FROM documents WHERE doc_id < 2000
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** ✚ CLUSTERED compaction round-trip, oracle-gated end to end: the
+    * lineitem slice is written deliberately scrambled (hash
+    * repartition), rewritten by `compactClustered` on
+    * `zorder_code(l_orderkey, l_partkey)` with a bloom filter on the
+    * un-clustered `l_suppkey`, and the gate re-aggregates the
+    * REWRITTEN table — so the hash only matches the oracle's replay
+    * over the original table if the clustered rewrite lost/duplicated
+    * nothing and leaked no derived key column. The LAYOUT claims ride
+    * in the hash as literals stamped only after loud in-gate checks:
+    * `pruned_both` requires `prunableFraction` > 0 on BOTH z-order
+    * dimensions for a mid-domain 2% window (footer stats, the real
+    * skipping mechanism), and `bloom_cols` requires every row group
+    * to carry the l_suppkey bloom (`bloomFilteredColumns`). A rewrite
+    * that silently stopped clustering or dropped the blooms fails the
+    * gate even though the DATA would still round-trip.
+    */
+  def q119ClusteredLayout(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_q119_").toString
+    val src = s"$root/scrambled"
+    val dst = s"$root/clustered"
+    // line_uid is the high-cardinality lookup key the bloom serves —
+    // the takedown-audit shape. It must be HIGH-card: parquet omits
+    // blooms on fully dictionary-encoded chunks (a low-card column
+    // like l_suppkey prunes via its dictionary already, and the
+    // footer audit below honestly reported [] until the bloom moved
+    // to a unique key).
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+              col("l_quantity"), col("l_returnflag"))
+      .withColumn("line_uid",
+        col("l_orderkey") * lit(1000000L) + col("l_partkey"))
+    li.repartition(8, col("l_suppkey")).write.parquet(src)
+    // z-order needs BOTH dimensions on one bit-width: orderkey's
+    // domain is ~100x partkey's, and un-scaled interleaving degenerates
+    // to a 1-D orderkey sort (this gate's own prune check caught it) —
+    // ZOrderCode.scaled is the documented normalization step
+    val kb = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+                    min(col("l_partkey")), max(col("l_partkey"))).collect()(0)
+    import graft.functions.ZOrderCode.{scaled, zorder}
+    graft.ops.Compaction.compactClustered(spark, src, dst,
+      clusterCols = Seq(zorder(
+        scaled(col("l_orderkey"), kb.getLong(0), kb.getLong(1)),
+        scaled(col("l_partkey"), kb.getLong(2), kb.getLong(3)))),
+      targetFileBytes = 2L * 1024 * 1024,
+      targetRowGroupBytes = 128L * 1024,
+      bloomColumns = Map("line_uid" -> 4096L))
+    // loud layout checks BEFORE the literals enter the hashed output:
+    // a 2% window in the middle of each key's observed domain must
+    // prune some row groups on BOTH dimensions (z-order's contract),
+    // and the bloom must be present in EVERY row group
+    val bounds = spark.read.parquet(dst)
+      .agg(min(col("l_orderkey")), max(col("l_orderkey")),
+           min(col("l_partkey")), max(col("l_partkey"))).collect()(0)
+    def window(lo: Long, hi: Long): (Long, Long) = {
+      val mid = lo + (hi - lo) / 2; val w = math.max(1L, (hi - lo) / 50)
+      (mid, mid + w)
+    }
+    val (oLo, oHi) = window(bounds.getLong(0), bounds.getLong(1))
+    val (pLo, pHi) = window(bounds.getLong(2), bounds.getLong(3))
+    val prunedO = graft.ops.Compaction.prunableFraction(
+      spark, dst, "l_orderkey", oLo, oHi)
+    val prunedP = graft.ops.Compaction.prunableFraction(
+      spark, dst, "l_partkey", pLo, pHi)
+    require(prunedO > 0 && prunedP > 0,
+      s"q119: clustered rewrite does not prune both z-order dimensions " +
+        s"(orderkey $prunedO, partkey $prunedP)")
+    val blooms = graft.ops.Compaction.bloomFilteredColumns(spark, dst)
+    require(blooms == Seq("line_uid"),
+      s"q119: expected an all-row-groups bloom on line_uid, footers say " +
+        s"[${blooms.mkString(", ")}]")
+    materializeThenDelete(
+      spark.read.parquet(dst)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity")).cast("long").as("qty"),
+             countDistinct(col("line_uid")).as("uids"))
+        .withColumn("pruned_both", lit(true))
+        .withColumn("bloom_cols", lit("line_uid"))
+        .orderBy(col("l_returnflag")), root)
+  }
+
+  val q119Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_quantity) AS BIGINT) AS qty,
+      |  count(DISTINCT l_orderkey * 1000000 + l_partkey) AS uids,
+      |  TRUE AS pruned_both, 'line_uid' AS bloom_cols
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val q85Sql: String =
     """WITH docs AS (
       |  SELECT source, lang, doc_id, strlen(text) AS n_bytes, n_chars

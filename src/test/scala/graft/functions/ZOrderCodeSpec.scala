@@ -93,6 +93,29 @@ class ZOrderCodeSpec extends SparkSpec {
     }
   }
 
+  test("scaled: mismatched domains land on one bit-width, order kept") {
+    // the q119 failure mode: an 18-bit key interleaved with an 11-bit
+    // key sorts as a 1-D sort on the wide key — scaled puts both on
+    // the same grid so the interleave balances
+    // same four RELATIVE positions (0, 1/2, 3/4, 1) in each domain
+    val wide = Seq(0L, 131072L, 196608L, 262143L)   // domain [0, 2^18)
+    val narrow = Seq(0L, 1024L, 1536L, 2047L)       // domain [0, 2^11)
+    val w = wide.toDF("v").select(
+      ZOrderCode.scaled(col("v"), 0L, 262143L, bits = 12).as("s"))
+      .collect().map(_.getLong(0))
+    val n = narrow.toDF("v").select(
+      ZOrderCode.scaled(col("v"), 0L, 2047L, bits = 12).as("s"))
+      .collect().map(_.getLong(0))
+    all(w ++ n) should (be >= 0L and be < 4096L)
+    w shouldBe w.sorted; n shouldBe n.sorted // monotone
+    // equal relative positions map near each other on the common grid
+    (1 to 3).foreach(i => math.abs(w(i) - n(i)) should be <= 2L)
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderCode.scaled(col("v"), 5L, 5L)
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderCode.scaled(col("v"), 0L, 10L, bits = 32)
+  }
+
   test("normalized: identity when in range, shift preserves order") {
     val vals = Seq(0L, 5L, ZOrderCode.MaxKey - 1, ZOrderCode.MaxKey,
       3L * ZOrderCode.MaxKey)
