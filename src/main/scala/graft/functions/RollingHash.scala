@@ -102,7 +102,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       new FunctionIdentifier("zorder_code"),
       new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
-      (exprs: Seq[Expression]) => ZOrderCode(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => ZOrderCode.build(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -67,6 +67,73 @@ case class ZOrderCode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** N-ary Morton interleave (3+ dimensions): dimension j of k
+  * contributes its bit i to output bit `i*k + j`, with `62/k` bits
+  * per dimension (k=3 → 20 bits ≈ 1 M cells/dim; k=4 → 15). The 2-D
+  * case stays on [[ZOrderCode]]'s magic-mask cascade (31 bits/dim and
+  * branch-free spreading); this is the general form for tables
+  * filtered by three or more independent selective predicates —
+  * pruning per dimension keeps weakening as k grows (each dim owns
+  * 1/k of the high bits), so past k≈4 prefer hierarchical sort on the
+  * dominant keys. Same contract as 2-D: per-dimension range throw
+  * (scale inputs with [[ZOrderCode.scaled]] — pass `bits = 62/k`),
+  * null if any input is null, codes non-negative.
+  */
+case class ZOrderCodeN(children: Seq[Expression]) extends Expression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_code"
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.size < 3 || children.size > 8)
+      TypeCheckResult.TypeCheckFailure(
+        s"zorder_code takes 2 (binary form) or 3-8 dimensions, got " +
+          s"${children.size}")
+    else if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"zorder_code needs all-bigint inputs, got " +
+          s"(${children.map(_.dataType).mkString(", ")})")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Long](children.size)
+    var j = 0
+    while (j < children.size) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      vals(j) = v.asInstanceOf[Long]
+      j += 1
+    }
+    ZOrderCode.interleaveN(vals)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evals = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zvals")
+    val fill = evals.zipWithIndex.map { case (e, i) =>
+      s"""${e.code}
+         |if (${e.isNull}) { ${ev.isNull} = true; }
+         |else { $arr[$i] = ${e.value}; }""".stripMargin
+    }.mkString("\n")
+    ev.copy(code =
+      code"""boolean ${ev.isNull} = false;
+            |long ${ev.value} = 0L;
+            |long[] $arr = new long[${children.size}];
+            |$fill
+            |if (!${ev.isNull}) {
+            |  ${ev.value} = graft.functions.ZOrderCode.interleaveN($arr);
+            |}""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderCodeN =
+    copy(children = newChildren)
+}
+
 object ZOrderCode {
 
   /** Exclusive upper bound per input dimension (31 bits). */
@@ -100,18 +167,70 @@ object ZOrderCode {
     spread(x) | (spread(y) << 1)
   }
 
-  /** Column face: `zorder(x, y)` with long casts applied (int columns
-    * pass through losslessly; the range contract still applies).
+  /** Exclusive per-dimension upper bound for a k-dim code: 62/k bits. */
+  def maxKeyN(dims: Int): Long = 1L << (62 / dims)
+
+  /** Place bit i of `v` (low `62/stride` bits) at output bit
+    * `i*stride` — the generic spreading loop behind [[interleaveN]].
     */
-  def zorder(x: Column, y: Column): Column =
-    GraftSql.column(ZOrderCode(
-      GraftSql.expression(x.cast("long")),
-      GraftSql.expression(y.cast("long"))))
+  def spreadEvery(v: Long, stride: Int): Long = {
+    val bits = 62 / stride
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      out |= ((v >> i) & 1L) << (i * stride)
+      i += 1
+    }
+    out
+  }
+
+  /** k-dim Morton code: dimension j's bit i lands at output bit
+    * `i*k + j`. Throws on out-of-range input, same contract as the
+    * 2-D [[interleave]]. Static hot-loop target for eval and codegen.
+    */
+  def interleaveN(values: Array[Long]): Long = {
+    val k = values.length
+    require(k >= 2 && k <= 8, s"zorder_code: 2-8 dimensions, got $k")
+    val max = maxKeyN(k)
+    var acc = 0L
+    var j = 0
+    while (j < k) {
+      val v = values(j)
+      if (v < 0 || v >= max)
+        throw new IllegalArgumentException(
+          s"zorder_code: dimension $j out of range [0, $max) for " +
+            s"$k dims: $v — scale inputs (ZOrderCode.scaled with " +
+            s"bits = ${62 / k}) first")
+      acc |= spreadEvery(v, k) << j
+      j += 1
+    }
+    acc
+  }
+
+  /** Column face: `zorder(x, y, ...)` with long casts applied (int
+    * columns pass through losslessly; the per-dimension range contract
+    * tightens with arity — 31 bits at 2 dims, 62/k at k).
+    */
+  def zorder(cols: Column*): Column = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"zorder: 2-8 dimensions, got ${cols.size}")
+    val exprs = cols.map(c => GraftSql.expression(c.cast("long")))
+    GraftSql.column(
+      if (exprs.size == 2) ZOrderCode(exprs(0), exprs(1))
+      else ZOrderCodeN(exprs))
+  }
+
+  /** Arity-dispatching builder shared by both registration paths: the
+    * binary magic-mask form at 2 args, the generic interleave at 3-8.
+    */
+  def build(exprs: Seq[Expression]): Expression =
+    if (exprs.size == 2) ZOrderCode(exprs.head, exprs(1))
+    else ZOrderCodeN(exprs)
 
   /** Idempotent session registration (the non-extensions path). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder_code", exprs => ZOrderCode(exprs.head, exprs(1)), "built-in")
+      "zorder_code", build, "built-in")
 
   /** Rescale a bounded column into [0, 2^bits) — the normalization
     * step that makes two dimensions of DIFFERENT domain sizes

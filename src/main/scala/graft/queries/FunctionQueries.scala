@@ -352,11 +352,13 @@ object FunctionQueries {
   }
 
   /** Morton spread in plain BIGINT arithmetic: bit i of `c` lands at
-    * bit 2i+`offset`. 31 terms per dimension, generated — the SQL
-    * face of [[graft.functions.ZOrderCode.spread]].
+    * bit i*stride+`offset`. Generated terms — the SQL face of
+    * [[graft.functions.ZOrderCode.spreadEvery]] (stride 2 replays the
+    * binary [[graft.functions.ZOrderCode.spread]]).
     */
-  private def spreadSql(c: String, offset: Int): String =
-    (0 to 30).map(i => s"((($c >> $i) & 1) << ${2 * i + offset})")
+  private def spreadSql(c: String, offset: Int, stride: Int = 2): String =
+    (0 until 62 / stride)
+      .map(i => s"((($c >> $i) & 1) << ${i * stride + offset})")
       .mkString(" + ")
 
   val q118Sql: String = {
@@ -367,5 +369,38 @@ object FunctionQueries {
        |  max($code) AS max_code,
        |  CAST(sum(($code) % 1000003) AS BIGINT) AS sum_code_mod
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** ✚ N-dimensional Z-order ([[graft.functions.ZOrderCodeN]]) —
+    * the 3-D Morton code of lineitem's three raw join keys (each
+    * < 2^20 at every SF, so the 62/3-bit contract holds un-scaled).
+    * Same hashing shape as q118 (min/max + modular row sum per
+    * group); the oracle replays the generic interleave as a
+    * generated 20-term-per-dimension BIGINT comprehension at
+    * stride 3 — a wrong bit placement in ANY row's code breaks the
+    * hash at both SFs.
+    */
+  def q120ZOrder3d(spark: SparkSession, dir: String): DataFrame = {
+    val z = graft.functions.ZOrderCode.zorder(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    Tables(spark, dir, "lineitem")
+      .withColumn("z", z)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+           min(col("z")).as("min_code"),
+           max(col("z")).as("max_code"),
+           sum(col("z") % lit(1000003L)).as("sum_code_mod"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q120Sql: String = {
+    val code = s"(${spreadSql("l_orderkey", 0, 3)}) + " +
+      s"(${spreadSql("l_partkey", 1, 3)}) + " +
+      s"(${spreadSql("l_suppkey", 2, 3)})"
+    s"""SELECT l_linestatus, count(*) AS n,
+       |  min($code) AS min_code,
+       |  max($code) AS max_code,
+       |  CAST(sum(($code) % 1000003) AS BIGINT) AS sum_code_mod
+       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
   }
 }

@@ -93,6 +93,62 @@ class ZOrderCodeSpec extends SparkSpec {
     }
   }
 
+  /** Naive k-dim reference: bit i of dim j lands at i*k + j. */
+  private def refInterleaveN(vs: Seq[Long]): Long = {
+    val k = vs.size
+    var z = 0L
+    for (j <- 0 until k; i <- 0 until 62 / k)
+      z |= ((vs(j) >> i) & 1L) << (i * k + j)
+    z
+  }
+
+  test("interleaveN matches the per-bit reference; 2-D form agrees") {
+    val m3 = ZOrderCode.maxKeyN(3) - 1 // 20 bits
+    val probes3 = Seq(
+      Seq(0L, 0L, 0L), Seq(1L, 2L, 4L), Seq(m3, m3, m3),
+      Seq(123456L, 654321L, 42L), Seq(m3, 0L, m3 / 2))
+    probes3.foreach { vs =>
+      ZOrderCode.interleaveN(vs.toArray) shouldBe refInterleaveN(vs)
+    }
+    // 4-D too (15 bits/dim)
+    val m4 = ZOrderCode.maxKeyN(4) - 1
+    ZOrderCode.interleaveN(Array(m4, 0L, m4, 7L)) shouldBe
+      refInterleaveN(Seq(m4, 0L, m4, 7L))
+    // the 2-D magic-mask form and the generic loop are the same code
+    Seq((0L, 0L), (123456789L, 42L),
+        (ZOrderCode.MaxKey - 1, ZOrderCode.MaxKey - 1)).foreach {
+      case (x, y) =>
+        ZOrderCode.interleaveN(Array(x, y)) shouldBe
+          ZOrderCode.interleave(x, y)
+    }
+  }
+
+  test("3-D: quadrant ordering, range throw names the dimension") {
+    val half = ZOrderCode.maxKeyN(3) / 2
+    val lowMax = ZOrderCode.interleaveN(Array(half - 1, half - 1, half - 1))
+    val highMin = ZOrderCode.interleaveN(Array(half, half, half))
+    lowMax should be < highMin
+    val e = the[IllegalArgumentException] thrownBy
+      ZOrderCode.interleaveN(Array(0L, ZOrderCode.maxKeyN(3), 0L))
+    e.getMessage should include("dimension 1")
+    e.getMessage should include("bits = 20")
+  }
+
+  test("N-ary expression: codegen'd plan, null propagation, SQL arity") {
+    ZOrderCode.register(spark)
+    val df = Seq((Some(3L), Some(5L), Some(9L)), (Some(1L), None, Some(2L)))
+      .toDF("x", "y", "w")
+      .withColumn("z3", expr("zorder_code(x, y, w)"))
+      .withColumn("z2", expr("zorder_code(x, y)")) // arity dispatch
+    val rows = df.collect()
+    rows(0).getLong(3) shouldBe refInterleaveN(Seq(3L, 5L, 9L))
+    rows(0).getLong(4) shouldBe refInterleave(3, 5)
+    rows(1).isNullAt(3) shouldBe true
+    // column face at 3 args
+    spark.range(1).select(ZOrderCode.zorder(lit(3L), lit(5L), lit(9L)))
+      .head().getLong(0) shouldBe refInterleaveN(Seq(3L, 5L, 9L))
+  }
+
   test("scaled: mismatched domains land on one bit-width, order kept") {
     // the q119 failure mode: an 18-bit key interleaved with an 11-bit
     // key sorts as a 1-D sort on the wide key — scaled puts both on
