@@ -113,7 +113,10 @@ case class ZOrderCodeN(children: Seq[Expression]) extends Expression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val evals = children.map(_.genCode(ctx))
-    val arr = ctx.freshName("zvals")
+    // one scratch array per generated class, not per row — this sits
+    // inside whole-stage codegen's per-row loop
+    val arr = ctx.addMutableState("long[]", "zvals",
+      v => s"$v = new long[${children.size}];")
     val fill = evals.zipWithIndex.map { case (e, i) =>
       s"""${e.code}
          |if (${e.isNull}) { ${ev.isNull} = true; }
@@ -122,7 +125,6 @@ case class ZOrderCodeN(children: Seq[Expression]) extends Expression {
     ev.copy(code =
       code"""boolean ${ev.isNull} = false;
             |long ${ev.value} = 0L;
-            |long[] $arr = new long[${children.size}];
             |$fill
             |if (!${ev.isNull}) {
             |  ${ev.value} = graft.functions.ZOrderCode.interleaveN($arr);
