@@ -328,14 +328,37 @@ object Compaction {
     * 0.0 means every row group must be read (the unclustered fate).
     */
   def prunableFraction(spark: SparkSession, dir: String, column: String,
-                       lo: Long, hi: Long): Double = {
-    val ranges = columnRanges(spark, dir, column)
-    require(ranges.nonEmpty, s"prunableFraction: no row groups under $dir")
-    val skipped = ranges.count {
-      case Some((mn, mx)) => mx < lo || mn > hi
-      case None           => false
+                       lo: Long, hi: Long): Double =
+    prunableFractionAll(spark, dir, Seq((column, lo, hi)))
+
+  /** The CONJUNCTION dial: fraction of row groups a conjunction of
+    * `[lo, hi]` range predicates can skip — a group survives only if
+    * EVERY predicate's interval overlaps its stats (parquet evaluates
+    * all pushed ranges per group), so this is what a z-order layout's
+    * two-dimensional query actually reads. Row groups without stats
+    * for a predicate's column count as overlapping it (never
+    * prunable on that column).
+    */
+  def prunableFractionAll(spark: SparkSession, dir: String,
+                          preds: Seq[(String, Long, Long)]): Double = {
+    require(preds.nonEmpty, "prunableFractionAll: no predicates")
+    val perCol = preds.map { case (c, lo, hi) =>
+      (columnRanges(spark, dir, c), lo, hi)
     }
-    skipped.toDouble / ranges.size
+    val n = perCol.head._1.size
+    require(n > 0, s"prunableFractionAll: no row groups under $dir")
+    require(perCol.forall(_._1.size == n),
+      "prunableFractionAll: column range lists disagree on row-group " +
+        "count — footer read raced a rewrite?")
+    val skipped = (0 until n).count { g =>
+      perCol.exists { case (ranges, lo, hi) =>
+        ranges(g) match {
+          case Some((mn, mx)) => mx < lo || mn > hi
+          case None           => false
+        }
+      }
+    }
+    skipped.toDouble / n
   }
 
   /** Hive-partition leaves under `root`, as root-relative paths in

@@ -80,6 +80,18 @@ class CompactionClusterSpec extends SparkSpec {
     // (x, y) neighborhood, so its min/max are tight in both)
     Compaction.prunableFraction(spark, zdst, "x", 1000, 1639) should be >= 0.5
     Compaction.prunableFraction(spark, zdst, "y", 1000, 1639) should be >= 0.5
+    // the conjunction dial: a group survives only if BOTH intervals
+    // overlap it, so the joint skip is at least each single-column one
+    val jx = Compaction.prunableFraction(spark, zdst, "x", 1000, 1639)
+    val jy = Compaction.prunableFraction(spark, zdst, "y", 1000, 1639)
+    val joint = Compaction.prunableFractionAll(spark, zdst,
+      Seq(("x", 1000L, 1639L), ("y", 1000L, 1639L)))
+    joint should be >= math.max(jx, jy)
+    // and on the x-sorted layout the conjunction is exactly x's dial
+    // (y never prunes there)
+    Compaction.prunableFractionAll(spark, xdst,
+      Seq(("x", 1000L, 1639L), ("y", 1000L, 1639L))) shouldBe
+      Compaction.prunableFraction(spark, xdst, "x", 1000, 1639)
 
     // and the rewrite is still content-preserving
     val back = spark.read.parquet(zdst)
