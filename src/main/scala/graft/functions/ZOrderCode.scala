@@ -41,19 +41,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *    comprehension — see the q118 oracle).
   */
 case class ZOrderCode(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder_code"
   override def foldable: Boolean = left.foldable && right.foldable
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else
-      TypeCheckResult.TypeCheckFailure(
-        s"zorder_code needs (bigint, bigint), got " +
-          s"(${left.dataType}, ${right.dataType})")
+  // the analyzer inserts the same lossless int->long cast the Column
+  // face applies, so SQL `zorder_code(int_col, ...)` behaves like
+  // ZOrderCode.zorder(col, ...) instead of failing analysis
+  override def inputTypes = Seq(LongType, LongType)
 
   override protected def nullSafeEval(x: Any, y: Any): Any =
     ZOrderCode.interleave(x.asInstanceOf[Long], y.asInstanceOf[Long])
@@ -79,24 +77,22 @@ case class ZOrderCode(left: Expression, right: Expression)
   * (scale inputs with [[ZOrderCode.scaled]] — pass `bits = 62/k`),
   * null if any input is null, codes non-negative.
   */
-case class ZOrderCodeN(children: Seq[Expression]) extends Expression {
+case class ZOrderCodeN(children: Seq[Expression]) extends Expression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder_code"
   override def nullable: Boolean = children.exists(_.nullable)
   override def foldable: Boolean = children.forall(_.foldable)
 
+  override def inputTypes = Seq.fill(children.size)(LongType)
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.size < 3 || children.size > 8)
       TypeCheckResult.TypeCheckFailure(
         s"zorder_code takes 2 (binary form) or 3-8 dimensions, got " +
           s"${children.size}")
-    else if (children.forall(_.dataType == LongType))
-      TypeCheckResult.TypeCheckSuccess
-    else
-      TypeCheckResult.TypeCheckFailure(
-        s"zorder_code needs all-bigint inputs, got " +
-          s"(${children.map(_.dataType).mkString(", ")})")
+    else super.checkInputDataTypes()
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vals = new Array[Long](children.size)
@@ -249,7 +245,28 @@ object ZOrderCode {
   def scaled(c: Column, min: Long, max: Long, bits: Int = 20): Column = {
     require(bits >= 1 && bits <= 31, s"scaled: bits out of [1, 31]: $bits")
     require(max > min, s"scaled: empty domain [$min, $max]")
-    ((c.cast("long") - min) * (1L << bits) / (max - min + 1)).cast("long")
+    val span = max - min // inclusive width - 1
+    require(span > 0,
+      s"scaled: domain [$min, $max] wider than a long — rescale upstream")
+    // INTEGRAL division throughout: Column./ is double division, and a
+    // 2^63-magnitude numerator loses low bits to the 53-bit mantissa —
+    // the rounded-up quotient lands exactly ON the grid bound (same
+    // pitfall as graft.Tables' epoch-nanos `div`)
+    def idiv(num: Column, den: Long): Column = GraftSql.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftSql.expression(num),
+        GraftSql.expression(org.apache.spark.sql.functions.lit(den))))
+    val cells = 1L << bits
+    if (span < cells) {
+      // narrow domain: stretch up onto the grid. Product is bounded by
+      // span * cells < cells^2 <= 2^62 — no long overflow for bits <= 31.
+      idiv((c.cast("long") - min) * cells, span + 1).cast("long")
+    } else {
+      // wide domain: DIVIDE first (multiply-first overflows a long for
+      // spans beyond 2^(63-bits) — e.g. an epoch-microsecond column).
+      // width > span/cells, so (c-min)/width <= span/width < cells.
+      idiv(c.cast("long") - min, span / cells + 1).cast("long")
+    }
   }
 
   /** Range-normalize a non-negative long column with a known inclusive

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet layout maintenance (✚ — the production face of
   * `tools/Relayout`'s measured lesson): parquet row groups are
@@ -130,18 +130,36 @@ object Compaction {
                 targetFileBytes: Long = 512L * 1024 * 1024,
                 targetRowGroupBytes: Long = 128L * 1024 * 1024,
                 shuffle: Boolean = false,
-                bloomColumns: Map[String, Long] = Map.empty): Report = {
+                bloomColumns: Map[String, Long] = Map.empty): Report =
+    rewriteAs(spark, srcPath, dstPath, targetFileBytes,
+      targetRowGroupBytes, bloomColumns, "compactTo") { (src, numFiles) =>
+      if (shuffle) src.repartition(numFiles) else src.coalesce(numFiles)
+    }
+
+  /** The shared rewrite skeleton of [[compactTo]] / [[compactClustered]]:
+    * footer census before and after, size-derived output file count,
+    * one write with the row-group and bloom options, footer-verified
+    * [[Report]]. `shape` decides only how rows are distributed into
+    * the `numFiles` outputs — the two faces must never diverge on the
+    * census/sizing/options contract (they did the work twice before
+    * this helper, and the bloom options had to be added to both).
+    */
+  private def rewriteAs(spark: SparkSession, srcPath: String,
+                        dstPath: String, targetFileBytes: Long,
+                        targetRowGroupBytes: Long,
+                        bloomColumns: Map[String, Long], what: String)
+                       (shape: (DataFrame, Int) => DataFrame): Report = {
     require(targetFileBytes > 0 && targetRowGroupBytes > 0,
       s"Compaction targets must be positive: file=$targetFileBytes " +
         s"rowGroup=$targetRowGroupBytes")
     val (filesBefore, groupsBefore, rowsBefore, bytesBefore) =
       census(spark, srcPath)
-    require(filesBefore > 0, s"Compaction.compactTo: no parquet files under $srcPath")
+    require(filesBefore > 0,
+      s"Compaction.$what: no parquet files under $srcPath")
     val numFiles = math.max(1L,
       (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
-    val src = spark.read.parquet(srcPath)
-    val sized = if (shuffle) src.repartition(numFiles) else src.coalesce(numFiles)
-    sized.write.mode("overwrite")
+    shape(spark.read.parquet(srcPath), numFiles)
+      .write.mode("overwrite")
       .option("parquet.block.size", targetRowGroupBytes.toString)
       .options(bloomOptions(bloomColumns))
       .parquet(dstPath)
@@ -191,37 +209,23 @@ object Compaction {
     require(clusterCols.nonEmpty,
       "Compaction.compactClustered: no clustering columns — use compactTo " +
         "for pure size maintenance")
-    require(targetFileBytes > 0 && targetRowGroupBytes > 0,
-      s"Compaction targets must be positive: file=$targetFileBytes " +
-        s"rowGroup=$targetRowGroupBytes")
-    val (filesBefore, groupsBefore, rowsBefore, bytesBefore) =
-      census(spark, srcPath)
-    require(filesBefore > 0,
-      s"Compaction.compactClustered: no parquet files under $srcPath")
-    val numFiles = math.max(1L,
-      (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
-    val src = spark.read.parquet(srcPath)
-    val keyNames = clusterCols.indices.map(i => s"__cluster_$i")
-    keyNames.foreach { n =>
-      require(!src.columns.contains(n),
-        s"Compaction.compactClustered: source already has a '$n' column")
+    rewriteAs(spark, srcPath, dstPath, targetFileBytes,
+      targetRowGroupBytes, bloomColumns, "compactClustered") {
+      (src, numFiles) =>
+        val keyNames = clusterCols.indices.map(i => s"__cluster_$i")
+        keyNames.foreach { n =>
+          require(!src.columns.contains(n),
+            s"Compaction.compactClustered: source already has a '$n' column")
+        }
+        val keyed = clusterCols.zip(keyNames).foldLeft(src) {
+          case (df, (c, n)) => df.withColumn(n, c)
+        }
+        val keys = keyNames.map(org.apache.spark.sql.functions.col)
+        keyed
+          .repartitionByRange(numFiles, keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .drop(keyNames: _*)
     }
-    val keyed = clusterCols.zip(keyNames).foldLeft(src) {
-      case (df, (c, n)) => df.withColumn(n, c)
-    }
-    val keys = keyNames.map(org.apache.spark.sql.functions.col)
-    keyed
-      .repartitionByRange(numFiles, keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .drop(keyNames: _*)
-      .write.mode("overwrite")
-      .option("parquet.block.size", targetRowGroupBytes.toString)
-      .options(bloomOptions(bloomColumns))
-      .parquet(dstPath)
-    val (filesAfter, groupsAfter, rowsAfter, bytesAfter) =
-      census(spark, dstPath)
-    Report(srcPath, dstPath, filesBefore, filesAfter, groupsBefore,
-      groupsAfter, rowsBefore, rowsAfter, bytesBefore, bytesAfter)
   }
 
   /** Per-column parquet bloom-filter write options (the standard
@@ -291,32 +295,49 @@ object Compaction {
     * [[prunableFraction]] counts them as always-read.
     */
   def columnRanges(spark: SparkSession, dir: String,
-                   column: String): Seq[Option[(Long, Long)]] = {
+                   column: String): Seq[Option[(Long, Long)]] =
+    columnRangesAll(spark, dir, Seq(column)).map(_(column))
+
+  /** Multi-column form of [[columnRanges]] — ONE pass over each footer
+    * no matter how many columns are asked for (per row group, a map
+    * from requested column to its optional [min, max]). This is the
+    * primitive the conjunction dial and multi-predicate audits read
+    * through: at lake scale footer opens are remote round trips, so
+    * k predicates must not cost k sweeps.
+    */
+  def columnRangesAll(spark: SparkSession, dir: String,
+                      columns: Seq[String])
+                      : Seq[Map[String, Option[(Long, Long)]]] = {
+    require(columns.nonEmpty, "columnRangesAll: no columns")
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     val files = fs.listStatus(root)
       .filter(s => s.isFile && !shouldSkip(s.getPath.getName))
       .sortBy(_.getPath.getName)
+    val wanted = columns.toSet
     files.toSeq.flatMap { st =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(st.getPath, conf))
       try {
         import scala.jdk.CollectionConverters._
         reader.getRowGroups.asScala.toSeq.map { bb =>
-          bb.getColumns.asScala
-            .find(_.getPath.toDotString == column)
-            .flatMap { cc =>
+          val present = bb.getColumns.asScala
+            .filter(cc => wanted.contains(cc.getPath.toDotString))
+            .map { cc =>
               val s = cc.getStatistics
-              if (s == null || !s.hasNonNullValue) None
-              else (s.genericGetMin, s.genericGetMax) match {
-                case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  Some((mn.longValue(), mx.longValue()))
-                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                  Some((mn.longValue(), mx.longValue()))
-                case _ => None
-              }
-            }
+              val range =
+                if (s == null || !s.hasNonNullValue) None
+                else (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    Some((mn.longValue(), mx.longValue()))
+                  case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                    Some((mn.longValue(), mx.longValue()))
+                  case _ => None
+                }
+              cc.getPath.toDotString -> range
+            }.toMap
+          columns.map(c => c -> present.getOrElse(c, None)).toMap
         }
       } finally reader.close()
     }
@@ -342,23 +363,17 @@ object Compaction {
   def prunableFractionAll(spark: SparkSession, dir: String,
                           preds: Seq[(String, Long, Long)]): Double = {
     require(preds.nonEmpty, "prunableFractionAll: no predicates")
-    val perCol = preds.map { case (c, lo, hi) =>
-      (columnRanges(spark, dir, c), lo, hi)
-    }
-    val n = perCol.head._1.size
-    require(n > 0, s"prunableFractionAll: no row groups under $dir")
-    require(perCol.forall(_._1.size == n),
-      "prunableFractionAll: column range lists disagree on row-group " +
-        "count — footer read raced a rewrite?")
-    val skipped = (0 until n).count { g =>
-      perCol.exists { case (ranges, lo, hi) =>
-        ranges(g) match {
+    val groups = columnRangesAll(spark, dir, preds.map(_._1).distinct)
+    require(groups.nonEmpty, s"prunableFractionAll: no row groups under $dir")
+    val skipped = groups.count { stats =>
+      preds.exists { case (c, lo, hi) =>
+        stats(c) match {
           case Some((mn, mx)) => mx < lo || mn > hi
           case None           => false
         }
       }
     }
-    skipped.toDouble / n
+    skipped.toDouble / groups.size
   }
 
   /** Hive-partition leaves under `root`, as root-relative paths in

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * without running the workload.
   *
   * Fixture: `rows` (default 8 M) rows of two independent uniform
-  * 31-bit keys + a ~64-byte payload, cached under
+  * 31-bit keys + a ~256-byte incompressible payload, cached under
   * SPARK_GRAFT_SCALE_DIR with the ScaleTrend version-token discipline.
   * Layouts are rebuilt per run (the rewrite price is part of the
   * report: clustering is a maintenance op, its cost must be on the

@@ -172,6 +172,30 @@ class ZOrderCodeSpec extends SparkSpec {
       ZOrderCode.scaled(col("v"), 0L, 10L, bits = 32)
   }
 
+  test("scaled: wide domains (epoch-microsecond scale) do not overflow") {
+    // multiply-first would overflow a long past 2^(63-bits): with the
+    // default 20 bits, any domain wider than 2^43 — e.g. an epoch-us
+    // column. The divide-first path must keep every value on the grid
+    // and keep order, all the way up to a full [0, Long.MaxValue-1]
+    // domain.
+    val hi = Long.MaxValue - 1
+    val vals = Seq(0L, hi / 4, hi / 2, hi - 1, hi)
+    val out = vals.toDF("v")
+      .select(ZOrderCode.scaled(col("v"), 0L, hi).as("s"))
+      .collect().map(_.getLong(0))
+    all(out) should (be >= 0L and be < (1L << 20))
+    out shouldBe out.sorted
+    out.last shouldBe (1L << 20) - 1 +- 1
+    // a realistic 116-day microsecond window
+    val tHi = 10_000_000_000_000L
+    val t = Seq(0L, tHi / 2, tHi).toDF("v")
+      .select(ZOrderCode.scaled(col("v"), 0L, tHi).as("s"))
+      .collect().map(_.getLong(0))
+    all(t) should (be >= 0L and be < (1L << 20))
+    t shouldBe t.sorted
+    math.abs(t(1) - (1L << 19)) should be <= 1L
+  }
+
   test("normalized: identity when in range, shift preserves order") {
     val vals = Seq(0L, 5L, ZOrderCode.MaxKey - 1, ZOrderCode.MaxKey,
       3L * ZOrderCode.MaxKey)
