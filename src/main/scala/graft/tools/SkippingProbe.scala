@@ -138,17 +138,24 @@ object SkippingProbe {
       if (cur.forall(_._2 > t)) best((name, pn)) = (n, t)
     }
     for ((name, dst, rep, tBuild) <- built) {
-      // footer-predicted read fraction per dimension (O(footers), no scan)
-      val readX = 1.0 - graft.ops.Compaction.prunableFraction(
-        spark, dst, "x", xLo, xLo + width - 1)
-      val readY = 1.0 - graft.ops.Compaction.prunableFraction(
-        spark, dst, "y", yLo, yLo + width - 1)
+      // footer-predicted read fractions (ONE footer sweep for all
+      // three dials — per dimension and the conjunction)
+      val xp = ("x", xLo, xLo + width - 1)
+      val yp = ("y", yLo, yLo + width - 1)
+      val stats = graft.ops.Compaction.columnRangesAll(
+        spark, dst, Seq("x", "y"))
+      def read(ps: (String, Long, Long)*): Double =
+        1.0 - stats.count(g => ps.exists { case (c, lo, hi) =>
+          g(c).exists { case (mn, mx) => mx < lo || mn > hi }
+        }).toDouble / stats.size
+      val (readX, readY, readBoth) = (read(xp), read(yp), read(xp, yp))
       val (nx, tx) = best((name, "x")); val (ny, ty) = best((name, "y"))
       val (nb, tb) = best((name, "both"))
       println(f"$name%-7s rewrite=$tBuild%6.1fs files=${rep.filesAfter}%3d " +
         f"rowGroups=${rep.rowGroupsAfter}%4d | footer read-frac " +
-        f"x=$readX%5.3f y=$readY%5.3f | scan x=$tx%5.2fs ($nx rows) " +
-        f"y=$ty%5.2fs ($ny rows) both=$tb%5.2fs ($nb rows)")
+        f"x=$readX%5.3f y=$readY%5.3f both=$readBoth%5.3f | " +
+        f"scan x=$tx%5.2fs ($nx rows) y=$ty%5.2fs ($ny rows) " +
+        f"both=$tb%5.2fs ($nb rows)")
     }
 
     // Point-lookup phase: equality on the UNSORTED x column — the
