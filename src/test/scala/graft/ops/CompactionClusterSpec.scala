@@ -141,6 +141,28 @@ class CompactionClusterSpec extends SparkSpec {
     }
   }
 
+  test("compactTree composes clustering with blooms per leaf") {
+    val root = tmp("graft_tree_bloom_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    scrambled().withColumn("part", pmod(col("id"), lit(2L)))
+      .repartition(8).write.partitionBy("part").parquet(src)
+
+    Compaction.compactTree(spark, src, dst,
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024,
+      parallelism = 2,
+      clusterCols = Seq(col("x")),
+      bloomColumns = Map("id" -> 8192L))
+    // every leaf: clustered on x AND bloom'd on the high-card id
+    for (leaf <- Seq("part=0", "part=1")) {
+      Compaction.prunableFraction(
+        spark, s"$dst/$leaf", "x", 1000, 1639) should be >= 0.9
+      Compaction.bloomFilteredColumns(spark, s"$dst/$leaf") shouldBe Seq("id")
+    }
+    spark.read.parquet(dst).count() shouldBe 200000L
+  }
+
   test("bloom filters: written per row group, audited from footers, " +
        "lookups stay correct") {
     val root = tmp("graft_bloom_")
