@@ -253,18 +253,37 @@ object Compaction {
           s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
     }
 
-  /** Columns that carry a bloom filter in EVERY row group under `dir`
-    * (sorted) — the footer-only audit face of [[bloomOptions]]: a
-    * column listed here prunes definitely-absent point lookups; a
-    * column missing from ONE group prunes nothing reliably, so
-    * all-groups is the only honest predicate.
+  /** The population every footer audit reads: the visible files of a
+    * flat directory, or — when `dir` is a Hive partition tree — every
+    * leaf's files in leaf order (the same `leafDirs` walk compactTree
+    * uses, so a mixed file/dir root throws the same loud error).
+    * Partitioned tables are the production shape; an audit that only
+    * worked on flat dirs would silently not cover them.
     */
-  def bloomFilteredColumns(spark: SparkSession, dir: String): Seq[String] = {
+  private def footerFiles(spark: SparkSession,
+                          dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root)
+    val top = fs.listStatus(root)
       .filter(s => s.isFile && !shouldSkip(s.getPath.getName))
+    if (top.nonEmpty) top.sortBy(_.getPath.getName).toSeq
+    else leafDirs(spark, dir).flatMap { rel =>
+      fs.listStatus(new Path(s"$dir/$rel"))
+        .filter(s => s.isFile && !shouldSkip(s.getPath.getName))
+        .sortBy(_.getPath.getName).toSeq
+    }
+  }
+
+  /** Columns that carry a bloom filter in EVERY row group under `dir`
+    * (sorted; flat dir or Hive tree) — the footer-only audit face of
+    * [[bloomOptions]]: a column listed here prunes definitely-absent
+    * point lookups; a column missing from ONE group prunes nothing
+    * reliably, so all-groups is the only honest predicate.
+    */
+  def bloomFilteredColumns(spark: SparkSession, dir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = footerFiles(spark, dir)
     require(files.nonEmpty, s"bloomFilteredColumns: no parquet files under $dir")
     import scala.jdk.CollectionConverters._
     var common: Option[Set[String]] = None
@@ -310,13 +329,9 @@ object Compaction {
                       : Seq[Map[String, Option[(Long, Long)]]] = {
     require(columns.nonEmpty, "columnRangesAll: no columns")
     val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root)
-      .filter(s => s.isFile && !shouldSkip(s.getPath.getName))
-      .sortBy(_.getPath.getName)
+    val files = footerFiles(spark, dir)
     val wanted = columns.toSet
-    files.toSeq.flatMap { st =>
+    files.flatMap { st =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(st.getPath, conf))
       try {

@@ -160,6 +160,11 @@ class CompactionClusterSpec extends SparkSpec {
         spark, s"$dst/$leaf", "x", 1000, 1639) should be >= 0.9
       Compaction.bloomFilteredColumns(spark, s"$dst/$leaf") shouldBe Seq("id")
     }
+    // and the audits walk the TREE ROOT directly (partitioned tables
+    // are the production shape — a flat-dir-only dial wouldn't cover
+    // them): all leaves' row groups in one population
+    Compaction.prunableFraction(spark, dst, "x", 1000, 1639) should be >= 0.9
+    Compaction.bloomFilteredColumns(spark, dst) shouldBe Seq("id")
     spark.read.parquet(dst).count() shouldBe 200000L
   }
 
