@@ -413,6 +413,19 @@ object LabelStore {
     } finally newNodes.unpersist()
   }
 
+  /** What a takedown just cost the read path, reported by [[remove]]:
+    * `overrides` is the override mass — surviving members of touched
+    * components, each now a delta-log row riding the read's broadcast
+    * id-ops join until the next [[compact]] (the 8 M measurement:
+    * a dense-dup-graph takedown's override mass is what turns a
+    * compacted-price read into a 4–7 s penalized one — BASELINE
+    * §"Label store maintenance"). `deltaRowsAfter` is the whole log's
+    * standing size against [[MaxDeltaRows]]; `compacted` records
+    * whether the `compactIfOverMass` gate fired.
+    */
+  final case class RemovalMass(tombstones: Long, overrides: Long,
+                               deltaRowsAfter: Long, compacted: Boolean)
+
   /** Takedown face — [[DupClusters.removeFromLabeling]]'s exact
     * contract (same shared core), persisted as O(removed + touched)
     * rows: tombstones for the removed ids, overrides for every
@@ -421,10 +434,21 @@ object LabelStore {
     * surviving ids ⇒ their pairs under the CURRENT corpus
     * ([[LshIndex.pairsAmong]] against the post-remove index). Shares
     * its cap-regime caveat too.
+    *
+    * Returns the [[RemovalMass]] — the runbook's "compact promptly
+    * after takedowns" made a signal instead of a rule of thumb. Pass
+    * `compactIfOverMass` > 0 to make it executable ([[compact]] runs
+    * right after the remove transaction whenever this takedown's
+    * override mass reaches the threshold — the
+    * `streamingLabelBatchWith` `compactEveryOps` twin for the
+    * takedown path): override rows are the read penalty, so the
+    * threshold is "how many penalized reads am I willing to serve",
+    * priced per store by the BASELINE row.
     */
   def remove(spark: SparkSession, path: String, removedIds: DataFrame,
              survivorEdges: DataFrame => DataFrame, maxIter: Int = 50,
-             mode: CheckpointMode = CheckpointMode.Local): Unit = {
+             mode: CheckpointMode = CheckpointMode.Local,
+             compactIfOverMass: Long = 0L): RemovalMass = {
     val st = readState(spark, path)
     val prev = currentPlan(spark, path, st)
     requireLongIds(removedIds.select(
@@ -441,7 +465,14 @@ object LabelStore {
             col("id").as("a"), col("label").as("b")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val nDelta = delta.count()
+        // one pass over the persisted delta splits the mass by kind —
+        // tombstones are the removed ids, overrides the touched
+        // survivors (the read-price signal)
+        val byKind = delta.groupBy(col("kind")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val nTomb = byKind.getOrElse(KindTomb, 0L)
+        val nOver = byKind.getOrElse(KindOverride, 0L)
+        val nDelta = nTomb + nOver
         require(st.deltaRows + nDelta <= MaxDeltaRows,
           s"label store at $path would exceed $MaxDeltaRows delta rows " +
             "— run LabelStore.compact, then re-run this remove")
@@ -458,6 +489,14 @@ object LabelStore {
             .parquet(s"$path/deltas.parquet")
           writeMeta(spark, path, fresh.copy(opSeq = seq))
         }
+        // the gate runs OUTSIDE the remove's lease (compact takes its
+        // own), AFTER the transaction is durable — a crash between the
+        // two leaves a valid store with a pending penalty, never a
+        // half-removed one
+        val fire = compactIfOverMass > 0 && nOver >= compactIfOverMass
+        if (fire) compact(spark, path)
+        RemovalMass(nTomb, nOver,
+          if (fire) 0L else st.deltaRows + nDelta, fire)
       } finally delta.unpersist()
     } finally core.caches.foreach(_.unpersist())
   }

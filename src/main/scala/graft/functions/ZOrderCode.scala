@@ -114,9 +114,14 @@ case class ZOrderCodeN(children: Seq[Expression]) extends Expression
     val arr = ctx.addMutableState("long[]", "zvals",
       v => s"$v = new long[${children.size}];")
     val fill = evals.zipWithIndex.map { case (e, i) =>
-      s"""${e.code}
-         |if (${e.isNull}) { ${ev.isNull} = true; }
-         |else { $arr[$i] = ${e.value}; }""".stripMargin
+      val step =
+        s"""${e.code}
+           |if (${e.isNull}) { ${ev.isNull} = true; }
+           |else { $arr[$i] = ${e.value}; }""".stripMargin
+      // short-circuit after the first null child, matching interpreted
+      // eval's early return — this sits in whole-stage codegen's
+      // per-row loop
+      if (i == 0) step else s"if (!${ev.isNull}) {\n$step\n}"
     }.mkString("\n")
     ev.copy(code =
       code"""boolean ${ev.isNull} = false;
@@ -267,6 +272,88 @@ object ZOrderCode {
       // width > span/cells, so (c-min)/width <= span/width < cells.
       idiv(c.cast("long") - min, span / cells + 1).cast("long")
     }
+  }
+
+  /** The sorted dictionary behind [[ranked]] for a LOW-NDV string
+    * column: the column's distinct non-null values in byte order,
+    * collected ONCE driver-side and bounded by `maxNdv` (a loud throw
+    * past it — a dictionary that large belongs on [[hashBucket]]'s
+    * stateless path instead). Real curation tables cluster on string
+    * keys (source, lang, url_host); this is the explicit
+    * normalization step that turns one into a Morton dimension
+    * without shuffling anything: the dictionary rides the plan as a
+    * literal map, so the rank lookup is map-side codegen'd work.
+    *
+    * Sort order is Java's String order — identical to DuckDB/parquet
+    * byte order for ASCII keys; non-ASCII dictionaries should be
+    * ranked by an explicit caller-sorted Seq if the oracle's
+    * collation matters.
+    */
+  def rankDictionary(df: org.apache.spark.sql.DataFrame, column: String,
+                     maxNdv: Int = 65536): Seq[String] = {
+    require(maxNdv > 0, s"rankDictionary: maxNdv must be positive: $maxNdv")
+    require(df.schema(column).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"rankDictionary: '$column' must be a string column, got " +
+        s"${df.schema(column).dataType} — numeric keys feed scaled/" +
+        "normalized directly")
+    val vals = df.select(col(column)).na.drop().distinct()
+      .limit(maxNdv + 1).collect().map(_.getString(0))
+    require(vals.length <= maxNdv,
+      s"rankDictionary: '$column' has more than $maxNdv distinct values " +
+        "— a dictionary rank is the low-NDV normalizer; use " +
+        "ZOrderCode.hashBucket for high-NDV string keys")
+    vals.sorted.toSeq
+  }
+
+  /** Dictionary-rank normalizer for a low-NDV string column: each
+    * value maps to its 0-based rank in the (sorted, distinct)
+    * `dictionary`, so equal keys cluster and the rank dimension
+    * preserves the key's sort order — range predicates on the string
+    * prune too, not just equality. Null stays null ([[ZOrderCode]]'s
+    * null neighborhood); a value NOT in the dictionary throws at scan
+    * time rather than fold distant keys together silently (the same
+    * loud contract as the interleave's range check — the dictionary
+    * IS the clustering-domain decision). Feed the result through
+    * [[scaled]]`(_, 0, dictionary.size - 1, bits)` so the rank
+    * dimension lands on the same grid as its numeric partner.
+    */
+  def ranked(c: Column, dictionary: Seq[String]): Column = {
+    require(dictionary.nonEmpty, "ranked: empty dictionary")
+    val sorted = dictionary.sorted
+    require(sorted == dictionary,
+      "ranked: dictionary must be sorted (rankDictionary returns it " +
+        "sorted; a scrambled dictionary would break the oracle's rank " +
+        "replay silently)")
+    require(dictionary.distinct.size == dictionary.size,
+      "ranked: dictionary has duplicate values")
+    import org.apache.spark.sql.functions._
+    val m = typedLit(dictionary.zipWithIndex
+      .map { case (s, i) => s -> i.toLong }.toMap)
+    val hit = element_at(m, c)
+    when(c.isNull, lit(null).cast("long"))
+      .when(hit.isNotNull, hit)
+      .otherwise(raise_error(concat(
+        lit("zorder ranked: value not in dictionary: "), c)).cast("long"))
+  }
+
+  /** Stateless normalizer for HIGH-NDV string keys (url_host, doc
+    * uid): the first `ceil(bits/4)` hex chars of md5, shifted down to
+    * exactly `bits` — uniform over [0, 2^bits), no driver state, no
+    * shuffle, map-side codegen'd. Hash order is NOT key order: equal
+    * keys still co-locate (the point — equality predicates prune via
+    * min/max on the bucket's neighborhood plus blooms), but range
+    * predicates on the raw string do not; that trade is why the
+    * low-NDV path prefers [[ranked]]. md5 makes a DuckDB oracle
+    * replay bit-for-bit (`CAST('0x'||substr(md5(k),1,h) AS BIGINT)`).
+    */
+  def hashBucket(c: Column, bits: Int = 20): Column = {
+    require(bits >= 1 && bits <= 31, s"hashBucket: bits out of [1, 31]: $bits")
+    import org.apache.spark.sql.functions._
+    val hexChars = (bits + 3) / 4
+    val v = conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+    val excess = hexChars * 4 - bits
+    if (excess == 0) v else shiftright(v, excess).cast("long")
   }
 
   /** Range-normalize a non-negative long column with a known inclusive

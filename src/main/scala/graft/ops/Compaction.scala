@@ -130,10 +130,12 @@ object Compaction {
                 targetFileBytes: Long = 512L * 1024 * 1024,
                 targetRowGroupBytes: Long = 128L * 1024 * 1024,
                 shuffle: Boolean = false,
-                bloomColumns: Map[String, Long] = Map.empty): Report =
+                bloomColumns: Map[String, Long] = Map.empty,
+                writerOptions: Map[String, String] = Map.empty): Report =
     rewriteAs(spark, srcPath, dstPath, targetFileBytes,
-      targetRowGroupBytes, bloomColumns, "compactTo") { (src, numFiles) =>
-      if (shuffle) src.repartition(numFiles) else src.coalesce(numFiles)
+      targetRowGroupBytes, bloomColumns, writerOptions, "compactTo") {
+      (src, numFiles) =>
+        if (shuffle) src.repartition(numFiles) else src.coalesce(numFiles)
     }
 
   /** The shared rewrite skeleton of [[compactTo]] / [[compactClustered]]:
@@ -147,7 +149,8 @@ object Compaction {
   private def rewriteAs(spark: SparkSession, srcPath: String,
                         dstPath: String, targetFileBytes: Long,
                         targetRowGroupBytes: Long,
-                        bloomColumns: Map[String, Long], what: String)
+                        bloomColumns: Map[String, Long],
+                        writerOptions: Map[String, String], what: String)
                        (shape: (DataFrame, Int) => DataFrame): Report = {
     require(targetFileBytes > 0 && targetRowGroupBytes > 0,
       s"Compaction targets must be positive: file=$targetFileBytes " +
@@ -158,8 +161,12 @@ object Compaction {
       s"Compaction.$what: no parquet files under $srcPath")
     val numFiles = math.max(1L,
       (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
+    // caller writerOptions (e.g. parquet.page.size.row.check.min for
+    // tiny-fixture layout granularity) never override the sizing/bloom
+    // contract — those are this function's own parameters
     shape(spark.read.parquet(srcPath), numFiles)
       .write.mode("overwrite")
+      .options(writerOptions)
       .option("parquet.block.size", targetRowGroupBytes.toString)
       .options(bloomOptions(bloomColumns))
       .parquet(dstPath)
@@ -205,12 +212,13 @@ object Compaction {
                        clusterCols: Seq[org.apache.spark.sql.Column],
                        targetFileBytes: Long = 512L * 1024 * 1024,
                        targetRowGroupBytes: Long = 128L * 1024 * 1024,
-                       bloomColumns: Map[String, Long] = Map.empty): Report = {
+                       bloomColumns: Map[String, Long] = Map.empty,
+                       writerOptions: Map[String, String] = Map.empty): Report = {
     require(clusterCols.nonEmpty,
       "Compaction.compactClustered: no clustering columns — use compactTo " +
         "for pure size maintenance")
     rewriteAs(spark, srcPath, dstPath, targetFileBytes,
-      targetRowGroupBytes, bloomColumns, "compactClustered") {
+      targetRowGroupBytes, bloomColumns, writerOptions, "compactClustered") {
       (src, numFiles) =>
         val keyNames = clusterCols.indices.map(i => s"__cluster_$i")
         keyNames.foreach { n =>
@@ -265,10 +273,23 @@ object Compaction {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val top = fs.listStatus(root)
-      .filter(s => s.isFile && !shouldSkip(s.getPath.getName))
-    if (top.nonEmpty) top.sortBy(_.getPath.getName).toSeq
-    else leafDirs(spark, dir).flatMap { rel =>
+    val entries = fs.listStatus(root)
+    val top = entries.filter(s => s.isFile && !shouldSkip(s.getPath.getName))
+    if (top.nonEmpty) {
+      // a root mixing visible files with visible subdirectories is the
+      // same non-layout leafDirs throws on — auditing only the top-level
+      // files here would report e.g. a bloom missing from partition-leaf
+      // row groups as present everywhere (ADVICE r15)
+      val subdirs = entries
+        .filter(s => s.isDirectory && !shouldSkip(s.getPath.getName))
+      require(subdirs.isEmpty,
+        s"Compaction footer audit: $dir mixes data files " +
+          s"(${top.map(_.getPath.getName).sorted.take(3).mkString(", ")}…) " +
+          s"with subdirectories (${subdirs.map(_.getPath.getName).sorted
+            .take(3).mkString(", ")}…) — not a flat dir or Hive layout; " +
+          "audit the offending directory explicitly")
+      top.sortBy(_.getPath.getName).toSeq
+    } else leafDirs(spark, dir).flatMap { rel =>
       fs.listStatus(new Path(s"$dir/$rel"))
         .filter(s => s.isFile && !shouldSkip(s.getPath.getName))
         .sortBy(_.getPath.getName).toSeq
@@ -366,6 +387,59 @@ object Compaction {
   def prunableFraction(spark: SparkSession, dir: String, column: String,
                        lo: Long, hi: Long): Double =
     prunableFractionAll(spark, dir, Seq((column, lo, hi)))
+
+  /** STRING twin of [[columnRanges]]: per-row-group [min, max] of a
+    * string column, footer-only — the audit face of clustering on a
+    * dictionary-ranked string key ([[graft.functions.ZOrderCode
+    * .ranked]]): the read-path predicate is pushed on the RAW string
+    * column, and parquet prunes it with these very stats, so the dial
+    * must read them, not the derived rank. Values decode as UTF-8;
+    * ordering comparisons downstream are Java String order, which
+    * equals parquet's unsigned byte order for ASCII keys (the
+    * dictionary-rank normalizer documents the same caveat).
+    */
+  def stringColumnRanges(spark: SparkSession, dir: String,
+                         column: String): Seq[Option[(String, String)]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = footerFiles(spark, dir)
+    import scala.jdk.CollectionConverters._
+    files.flatMap { st =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        reader.getRowGroups.asScala.toSeq.map { bb =>
+          bb.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .flatMap { cc =>
+              val s = cc.getStatistics
+              if (s == null || !s.hasNonNullValue) None
+              else (s.genericGetMin, s.genericGetMax) match {
+                case (mn: org.apache.parquet.io.api.Binary,
+                      mx: org.apache.parquet.io.api.Binary) =>
+                  Some((mn.toStringUsingUTF8, mx.toStringUsingUTF8))
+                case _ => None
+              }
+            }
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** [[prunableFraction]] for a string `[lo, hi]` range (equality =
+    * `lo == hi`): fraction of row groups the pushed predicate skips
+    * under the string min/max stats. Statless groups count as
+    * always-read, same as the numeric dial.
+    */
+  def prunableFractionString(spark: SparkSession, dir: String,
+                             column: String, lo: String, hi: String): Double = {
+    require(lo <= hi, s"prunableFractionString: empty range ['$lo', '$hi']")
+    val groups = stringColumnRanges(spark, dir, column)
+    require(groups.nonEmpty, s"prunableFractionString: no row groups under $dir")
+    groups.count {
+      case Some((mn, mx)) => mx < lo || mn > hi
+      case None           => false
+    }.toDouble / groups.size
+  }
 
   /** The CONJUNCTION dial: fraction of row groups a conjunction of
     * `[lo, hi]` range predicates can skip — a group survives only if

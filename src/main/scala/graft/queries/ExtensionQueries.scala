@@ -664,7 +664,13 @@ object ExtensionQueries {
       .orderBy(col("rep"))
   }
 
-  val q47Sql: String =
+  /** The q47 oracle's CC pipeline as a reusable CTE prefix (banding →
+    * verified pairs → recursive reach → `comp(node, rep)`), shared
+    * verbatim by q47/q113/q115's summary tail and q121's
+    * curation-selection tail — one definition so the capstone's
+    * oracle provably runs the SAME full-recompute clustering.
+    */
+  private[queries] val cc300Ctes: String =
     """WITH RECURSIVE d AS (
       |  SELECT doc_id, list_distinct(string_split(text,' ')) AS sh
       |  FROM documents WHERE doc_id < 300),
@@ -699,7 +705,10 @@ object ExtensionQueries {
       |  SELECT doc_id, doc_id FROM d
       |  UNION
       |  SELECT e.t, r.label FROM reach r JOIN edges e ON e.s = r.node),
-      |comp AS (SELECT node, min(label) AS rep FROM reach GROUP BY node)
+      |comp AS (SELECT node, min(label) AS rep FROM reach GROUP BY node)""".stripMargin
+
+  val q47Sql: String = cc300Ctes +
+    """
       |SELECT rep, count(*) AS n_members FROM comp
       |GROUP BY rep HAVING count(*) >= 2 ORDER BY rep""".stripMargin
 

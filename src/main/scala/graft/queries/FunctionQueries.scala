@@ -372,17 +372,21 @@ object FunctionQueries {
   }
 
   /** ✚ N-dimensional Z-order ([[graft.functions.ZOrderCodeN]]) —
-    * the 3-D Morton code of lineitem's three raw join keys (each
-    * < 2^20 at every SF, so the 62/3-bit contract holds un-scaled).
-    * Same hashing shape as q118 (min/max + modular row sum per
-    * group); the oracle replays the generic interleave as a
-    * generated 20-term-per-dimension BIGINT comprehension at
-    * stride 3 — a wrong bit placement in ANY row's code breaks the
-    * hash at both SFs.
+    * the 3-D Morton code of lineitem's three join keys, each folded
+    * into the 62/3 = 20-bit per-dimension contract by `% 2^20` (keys
+    * are dense per-SF — orderkey would overflow the 20-bit bound past
+    * sf ≈ 0.7, so the gate normalizes explicitly and stays
+    * SF-independent; ADVICE r15). Same hashing shape as q118 (min/max
+    * + modular row sum per group); the oracle replays BOTH the fold
+    * and the generic interleave as a generated 20-term-per-dimension
+    * BIGINT comprehension at stride 3 — a wrong bit placement in ANY
+    * row's code breaks the hash at both SFs.
     */
   def q120ZOrder3d(spark: SparkSession, dir: String): DataFrame = {
+    val cells = lit(1L << 20)
     val z = graft.functions.ZOrderCode.zorder(
-      col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      col("l_orderkey") % cells, col("l_partkey") % cells,
+      col("l_suppkey") % cells)
     Tables(spark, dir, "lineitem")
       .withColumn("z", z)
       .groupBy(col("l_linestatus"))
@@ -394,9 +398,9 @@ object FunctionQueries {
   }
 
   val q120Sql: String = {
-    val code = s"(${spreadSql("l_orderkey", 0, 3)}) + " +
-      s"(${spreadSql("l_partkey", 1, 3)}) + " +
-      s"(${spreadSql("l_suppkey", 2, 3)})"
+    val code = s"(${spreadSql("(l_orderkey % 1048576)", 0, 3)}) + " +
+      s"(${spreadSql("(l_partkey % 1048576)", 1, 3)}) + " +
+      s"(${spreadSql("(l_suppkey % 1048576)", 2, 3)})"
     s"""SELECT l_linestatus, count(*) AS n,
        |  min($code) AS min_code,
        |  max($code) AS max_code,

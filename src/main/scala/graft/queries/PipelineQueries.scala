@@ -571,6 +571,107 @@ object PipelineQueries {
   // equality through the store's persistence is the point (scaladoc)
   lazy val q115Sql: String = ExtensionQueries.q113Sql
 
+  /** ✚ the INCREMENTAL-curation capstone — the production sequence a
+    * 100 TB operator actually reruns, as ONE gate: stream document
+    * batches in → incremental LSH dedup (index fold-in, O(batch)
+    * pairs) → cluster labeling maintained live in the persisted
+    * [[graft.ext.LabelStore]] (q115's loop, verbatim) → then the
+    * TRAINING-SET SELECTION over the deduped survivors: near-dup
+    * representative election (a doc survives iff it IS its cluster's
+    * min-id label), q60's quality predicate, q60's reproducible
+    * md5 sample, and q100's hash split — rolled up per
+    * (source, split). THE ORACLE IS ONE FULL-RECOMPUTE SQL composing
+    * q47's recursive-CC pipeline (the exact `cc300Ctes` text q47/
+    * q113/q115 hash against) with q60's selection predicates and
+    * q100's split arithmetic: the hash passes only if the streamed,
+    * store-mediated, incrementally-labeled corpus selects the
+    * byte-identical training set a one-shot batch recompute selects.
+    *
+    * Scale shape of the selection tail: survivors are corpus-sized,
+    * so it is ONE id-keyed join (labeling ⨝ corpus), with quality/
+    * sample/split all map-side columns and one grouped rollup — no
+    * operator in the tail re-runs CC or re-pairs anything.
+    */
+  def q121IncCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_q121_").toString
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
+    // streaming labeling phase — q115's loop: private index copy
+    // (the stream folds batches in), store seeded from the shared
+    // prior labeling (its production contract)
+    val idxPath = GateFixtures.lshDocsIndexCopy(spark, dir, 200)
+    val storePath = s"$root/store"
+    graft.ext.LabelStore.create(spark, storePath,
+      GateFixtures.priorLabels(spark, dir, 200))
+    val batchDir = s"$root/batches"
+    docs.filter(col("doc_id") >= 200).select(col("doc_id"), col("text"))
+      .repartition(2).write.parquet(batchDir)
+    val q = spark.readStream
+      .schema(spark.read.parquet(batchDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(batchDir)
+      .writeStream
+      .foreachBatch(graft.ext.LabelStore.streamingLabelBatch(
+        spark, idxPath, storePath, "text", "doc_id", threshold = 0.9,
+        onCensus = (census, _) => require(!census.anyDropped,
+          "q121: gate fixture must not hit the bucket cap"))(
+        (_, _) => ()))
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // selection phase over the live store: representative election +
+    // quality + sample + split, exactly q60/q100's predicates
+    val surv = graft.ext.LabelStore.load(spark, storePath)
+      .filter(col("id") === col("label"))
+      .select(col("id").as("doc_id"))
+    val bucket = pmod(
+      graft.ext.Dedup.hexHash(col("doc_id").cast("string"), "sp#"),
+      lit(100L))
+    val sel = docs.join(surv, Seq("doc_id"))
+      .withColumn("split", when(bucket < 90, "train")
+        .when(bucket < 95, "val").otherwise("test"))
+      .withColumn("n_tokens",
+        size(graft.ext.TextStats.wsTokens(col("text"))).cast("long"))
+      .withColumn("q_keep",
+        col("n_tokens") >= 20 && col("n_chars") >= 100 &&
+          graft.ext.TextStats.punctCount(col("text")) * 5 <= col("n_chars"))
+      .withColumn("s_keep",
+        substring(md5(concat(lit("seed1#"), col("doc_id"))), 1, 2) < "c0")
+      .withColumn("kept", col("q_keep") && col("s_keep"))
+    SourceQueries.materializeThenDelete(
+      sel.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_surv"),
+             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+             sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+               .as("kept_tokens"))
+        .orderBy(col("source"), col("split")),
+      root, idxPath)
+  }
+
+  /** q47's full-recompute CC composed with q60's selection and q100's
+    * split — the one-shot batch oracle the streamed incremental
+    * pipeline must hash-equal (see [[q121IncCuration]]).
+    */
+  lazy val q121Sql: String = ExtensionQueries.cc300Ctes +
+    """,
+      |surv AS (SELECT node AS doc_id FROM comp WHERE node = rep),
+      |sel AS (
+      |  SELECT dd.source,
+      |    CASE WHEN CAST('0x'||substr(md5('sp#'||CAST(dd.doc_id AS VARCHAR)),1,13) AS BIGINT) % 100 < 90 THEN 'train'
+      |         WHEN CAST('0x'||substr(md5('sp#'||CAST(dd.doc_id AS VARCHAR)),1,13) AS BIGINT) % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS n_tokens,
+      |    (len(string_split(dd.text, ' ')) >= 20 AND dd.n_chars >= 100
+      |     AND len(regexp_extract_all(lower(dd.text), '[^a-z0-9 ]')) * 5 <= dd.n_chars)
+      |      AS q_keep,
+      |    substr(md5('seed1#' || dd.doc_id), 1, 2) < 'c0' AS s_keep
+      |  FROM documents dd JOIN surv s ON dd.doc_id = s.doc_id
+      |  WHERE dd.doc_id < 300)
+      |SELECT source, split, count(*) AS n_surv,
+      |  CAST(sum(CASE WHEN q_keep AND s_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN q_keep AND s_keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM sel GROUP BY source, split ORDER BY source, split""".stripMargin
+
   def q104AppendWindow(spark: SparkSession, dir: String): DataFrame =
     EventStream.withShufflePartitions(spark, 8) {
       val agg = EventStream.hourlyByType(EventStream.readEvents(spark, dir))

@@ -478,6 +478,118 @@ object SourceQueries {
       |  TRUE AS pruned_both, 'line_uid' AS bloom_cols
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** ✚ Z-order over a NON-NUMERIC dimension — the shape real curation
+    * tables cluster on (source, lang, url_host are strings; r15's
+    * z-order family was numeric-only): documents scrambled on an
+    * unrelated key, then `compactClustered` on
+    * `zorder(scaled(ranked(source)), scaled(n_chars))` where
+    * [[graft.functions.ZOrderCode.ranked]] is the explicit low-NDV
+    * dictionary-rank normalizer. Loud in-gate layout checks BEFORE
+    * the literals enter the hash: an EQUALITY predicate on the raw
+    * STRING column must read ≤ 35% of row groups straight from the
+    * string min/max footer stats ([[graft.ops.Compaction
+    * .prunableFractionString]] — the read path pushes the string
+    * predicate, so the audit reads the string stats, not the derived
+    * rank), and a mid-domain 2% n_chars window must prune too (both
+    * dimensions live, z-order's contract). The 35% bound is the
+    * gate-SF price (hundreds of rows per 100-row-minimum row group);
+    * the production-scale dial (<0.1 read fraction at 8 M rows) is
+    * the SkippingProbe string phase's measured row (BASELINE §"Scan
+    * clustering"). The hashed output replays BOTH normalizers in
+    * DuckDB: `rnk` is the dictionary rank (rank() over the sorted
+    * distinct sources) and `hb_*` fold every row's
+    * [[graft.functions.ZOrderCode.hashBucket]] (the high-NDV
+    * normalizer) — md5-prefix arithmetic DuckDB reproduces
+    * bit-for-bit.
+    */
+  def q122StringCluster(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_q122_").toString
+    try q122Body(spark, dir, root)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        throw e
+    }
+  }
+
+  private def q122Body(spark: SparkSession, dir: String,
+                       root: String): DataFrame = {
+    import graft.functions.ZOrderCode.{hashBucket, ranked, rankDictionary, scaled, zorder}
+    val src = s"$root/scrambled"
+    val dst = s"$root/clustered"
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+    docs.repartition(8, col("doc_id")).write.parquet(src)
+    val dict = rankDictionary(docs, "source")
+    val cb = docs.agg(min(col("n_chars").cast("long")),
+                      max(col("n_chars").cast("long"))).collect()(0)
+    graft.ops.Compaction.compactClustered(spark, src, dst,
+      clusterCols = Seq(zorder(
+        scaled(ranked(col("source"), dict), 0L, dict.size - 1L, bits = 12),
+        scaled(col("n_chars"), cb.getLong(0), cb.getLong(1), bits = 12))),
+      targetFileBytes = 24L * 1024,
+      targetRowGroupBytes = 8L * 1024,
+      // the 100-row default flush-check cadence would collapse this
+      // few-hundred-row fixture into a couple of row groups (nothing
+      // to prune between) — scaled-down granularity, same argument as
+      // the scaled-down file/group byte targets (q119 scaladoc)
+      writerOptions = Map("parquet.page.size.row.check.min" -> "16",
+                          "parquet.page.size.row.check.max" -> "64"))
+    // equality on a mid-dictionary source value, pushed on the RAW
+    // string column — the predicate a curation read actually runs
+    val probe = dict(dict.size / 2)
+    val readSource = 1.0 - graft.ops.Compaction.prunableFractionString(
+      spark, dst, "source", probe, probe)
+    val (cLo, cHi) = {
+      val mid = cb.getLong(0) + (cb.getLong(1) - cb.getLong(0)) / 2
+      (mid, mid + math.max(1L, (cb.getLong(1) - cb.getLong(0)) / 50))
+    }
+    val readChars = 1.0 - graft.ops.Compaction.prunableFraction(
+      spark, dst, "n_chars", cLo, cHi)
+    // a Morton equality slice reads ~1/sqrt(G) of G row groups — at
+    // gate scale G is a few dozen (the fixture is hundreds of rows),
+    // so ≤ 0.45 is the achievable two-sided bound here (measured 0.39
+    // source / 0.26 chars at sf0.01); the production dial (< 0.1 at
+    // hundreds of groups) is the 8 M SkippingProbe string phase's row
+    require(readSource <= 0.45 && readChars <= 0.45,
+      s"q122: string-ranked z-order layout does not prune both " +
+        s"dimensions (source-equality read fraction $readSource, " +
+        s"n_chars window read fraction $readChars)")
+    SourceQueries.materializeThenDelete(
+      spark.read.parquet(dst)
+        .withColumn("rnk", ranked(col("source"), dict))
+        .withColumn("hb", hashBucket(
+          concat(col("source"), lit("#"), col("doc_id").cast("string")), 20))
+        .groupBy(col("source"))
+        .agg(min(col("rnk")).as("rnk"),
+             count(lit(1)).as("n"),
+             sum(col("n_chars")).cast("long").as("chars"),
+             sum(col("hb") % lit(1000003L)).as("hb_sum"),
+             min(col("hb")).as("hb_min"),
+             max(col("hb")).as("hb_max"))
+        .withColumn("pruned_source", lit(true))
+        .withColumn("pruned_chars", lit(true))
+        .orderBy(col("source")), root)
+  }
+
+  val q122Sql: String =
+    """WITH r AS (
+      |  SELECT source, rank() OVER (ORDER BY source) - 1 AS rnk
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |d AS (
+      |  SELECT dd.source, r.rnk, dd.n_chars,
+      |    CAST('0x'||substr(md5(dd.source||'#'||CAST(dd.doc_id AS VARCHAR)),1,5) AS BIGINT) AS hb
+      |  FROM documents dd JOIN r ON dd.source = r.source)
+      |SELECT source, CAST(min(rnk) AS BIGINT) AS rnk, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
+      |  CAST(sum(hb % 1000003) AS BIGINT) AS hb_sum,
+      |  min(hb) AS hb_min, max(hb) AS hb_max,
+      |  TRUE AS pruned_source, TRUE AS pruned_chars
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val q85Sql: String =
     """WITH docs AS (
       |  SELECT source, lang, doc_id, strlen(text) AS n_bytes, n_chars

@@ -44,7 +44,8 @@ object IndexMaintProbe {
       case Some(f) if f.toLongOption.isEmpty => (f, args.drop(1))
       case _ => ("lsh", args)
     }
-    require(family == "lsh" || family == "ivf" || family == "labelstore",
+    require(family == "lsh" || family == "ivf" || family == "labelstore" ||
+        family == "labelsoak",
       s"unknown family: $family")
     val n = rest.headOption.map(_.toLong).getOrElse(8000000L)
     val appends = rest.drop(1).headOption.map(_.toInt).getOrElse(100)
@@ -86,6 +87,12 @@ object IndexMaintProbe {
 
     println(s"family=$family n=$n appends=$appends batchSize=$batchSize " +
       s"corpusEnd=$corpusEnd")
+
+    if (family == "labelsoak") {
+      runLabelSoak(spark, n, appends, batchSize, out, idxPath)
+      spark.stop()
+      return
+    }
 
     // per-family wiring: build, probe (the steady-state serving op),
     // one marked append, the maintenance op, and the frames censused
@@ -225,5 +232,110 @@ object IndexMaintProbe {
       println(f"probe after remove: cold ${probe()}%.2f s, warm ${probe()}%.2f s")
     }
     spark.stop()
+  }
+
+  /** The LONG mixed-op soak (family `labelsoak`): `ops` operations
+    * against the 8 M cc-labeling store at the SURVEY §9 cadence rules
+    * made executable — every 25th op a takedown with
+    * `compactIfOverMass` armed (this fixture's dense dup graph makes
+    * every takedown's override mass cross the threshold, so the rule
+    * compacts right behind it), every 100th fold a cadence compact.
+    * Reads are probed every 50 ops; the run's verdict is the
+    * bounded-read table plus the MAX standing delta-log size vs
+    * [[graft.ext.LabelStore.MaxDeltaRows]] — in a realistic mix the
+    * cap must never be the binding constraint (the cadence fires far
+    * below it). Fold edges model the production contract: pair
+    * targets come only from the SURVIVING original corpus (takedown
+    * pairs come from the post-remove survivor view — foldBatch
+    * refuses tombstone-touching edges loudly otherwise).
+    */
+  private def runLabelSoak(spark: SparkSession, n: Long, ops: Int,
+                           batchSize: Long, out: String,
+                           idxPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val labelsPath = ScaleTrend.ccLabelsFixturePath(out, n, pct = 1)
+    require(fs.exists(new org.apache.hadoop.fs.Path(labelsPath)),
+      s"labels fixture $labelsPath missing — run the ScaleTrend ccinc " +
+        "shape at this n first")
+    val split = ScaleTrend.incSplitFor(n, 1)
+    def timed[T](f: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    val (createSec, _) = timed(graft.ext.LabelStore.create(spark, idxPath,
+      spark.read.parquet(labelsPath)))
+    println(f"create $createSec%.1f s")
+    def deltaRows: Long = {
+      val dp = new org.apache.hadoop.fs.Path(s"$idxPath/deltas.parquet")
+      if (!fs.exists(dp)) 0L
+      else graft.ops.Compaction.census(spark, dp.toString)._3
+    }
+    def readWarm: Double = {
+      timed(graft.ext.LabelStore.load(spark, idxPath).count())
+      timed(graft.ext.LabelStore.load(spark, idxPath).count())._1
+    }
+    val emptyEdges = (_: org.apache.spark.sql.DataFrame) =>
+      spark.range(0).select(col("id").as("s"), col("id").as("t"))
+    var victimCursor = split
+    var maxDelta = 0L
+    var cadenceCompacts = 0
+    var massCompacts = 0
+    val reads = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val foldSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (op <- 1 to ops) {
+      if (op % 25 == 0) {
+        victimCursor -= batchSize
+        val victims = spark.range(victimCursor, victimCursor + batchSize)
+          .toDF("id")
+        val (sec, mass) = timed(graft.ext.LabelStore.remove(spark, idxPath,
+          victims, emptyEdges, compactIfOverMass = 100000L))
+        if (mass.compacted) massCompacts += 1
+        println(f"op $op%4d remove $sec%5.1f s tomb=${mass.tombstones} " +
+          f"over=${mass.overrides} compacted=${mass.compacted}")
+      } else {
+        val lo = n + op * batchSize
+        val nodes = spark.range(lo, lo + batchSize).toDF("id")
+        val ids = spark.range(lo, lo + batchSize)
+        // survivor-only merge targets (see scaladoc); cursor is stable
+        // within the op
+        val cur = victimCursor
+        val mergeE = ids.filter(col("id") % 10 === 0)
+          .select(col("id").as("s"), (col("id") * 37 % cur).as("t"))
+          .unionByName(ids.filter(col("id") % 10 === 0)
+            .select(col("id").as("s"), (col("id") * 53 % cur).as("t")))
+        val newE = ids.filter(col("id") % 10 === 1)
+          .select(col("id").as("s"), (col("id") - 1).as("t"))
+        foldSecs += timed(graft.ext.LabelStore.foldBatch(spark, idxPath,
+          nodes, mergeE.unionByName(newE), batchMarker = Some(op.toLong)))._1
+        if (op % 100 == 0) {
+          val (sec, _) = timed(graft.ext.LabelStore.compact(spark, idxPath))
+          cadenceCompacts += 1
+          println(f"op $op%4d cadence compact $sec%5.1f s")
+        }
+      }
+      maxDelta = math.max(maxDelta, deltaRows)
+      if (op == 1 || op % 50 == 0) {
+        val r = readWarm
+        reads += ((op, r))
+        println(f"op $op%4d read(warm) $r%5.2f s deltaRows=$deltaRows " +
+          f"maxDelta=$maxDelta")
+      }
+    }
+    val (finalCompactSec, _) = timed(
+      graft.ext.LabelStore.compact(spark, idxPath))
+    val finalRead = readWarm
+    val total = spark.read.parquet(s"$idxPath/labels.parquet").count()
+    println(f"folds: first10 ${foldSecs.take(10).sum / 10}%.2f s/ea, " +
+      f"last10 ${foldSecs.takeRight(10).sum / 10}%.2f s/ea, " +
+      f"n=${foldSecs.size}")
+    println(f"reads probed: min ${reads.map(_._2).min}%.2f s, " +
+      f"max ${reads.map(_._2).max}%.2f s over ${reads.size} probes")
+    println(f"maxDelta=$maxDelta (cap ${graft.ext.LabelStore.MaxDeltaRows}; " +
+      f"binding=${maxDelta >= graft.ext.LabelStore.MaxDeltaRows})")
+    println(f"compacts: cadence=$cadenceCompacts overMass=$massCompacts; " +
+      f"final compact $finalCompactSec%.1f s, final read $finalRead%.2f s, " +
+      f"labels=$total")
   }
 }

@@ -37,13 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object SkippingProbe {
 
-  private val GenVersion = "z2"
+  private val GenVersion = "z3" // z3: + 500-NDV string key for the ranked phase
 
   /** ~256 B of incompressible payload per row: small enough to build
     * fast, big enough that row-group DECODE (not per-task fixed
     * overhead) dominates the scan — the regime a 100 TB table is
     * always in, and the one where skipped row groups are visible
-    * wall-clock, not just footer arithmetic.
+    * wall-clock, not just footer arithmetic. `src` is the low-NDV
+    * STRING key (500 values) the ranked-clustering phase prices —
+    * the (source, lang, url_host) shape of real curation tables.
     */
   private def fixture(spark: SparkSession, rows: Long, out: String): String = {
     val path = s"$out/zprobe_src_${rows}_$GenVersion"
@@ -52,6 +54,8 @@ object SkippingProbe {
           col("id"),
           pmod(xxhash64(col("id"), lit(1)), lit(1L << 31)).as("x"),
           pmod(xxhash64(col("id"), lit(2)), lit(1L << 31)).as("y"),
+          format_string("s%03d",
+            pmod(xxhash64(col("id"), lit(3)), lit(500L))).as("src"),
           concat((1 to 4).map(i =>
             sha2(concat(col("id").cast("string"), lit(s"#$i")), 256)): _*)
             .as("payload"))
@@ -197,6 +201,84 @@ object SkippingProbe {
       f"bloom=${lbest(("bloom", "absent"))._2}%5.2fs | " +
       f"present plain=${lbest(("plain", "present"))._2}%5.2fs " +
       f"bloom=${lbest(("bloom", "present"))._2}%5.2fs")
+
+    // Append-cadence phase: the §9 "recluster past the read budget"
+    // rule made a measured row. Appends land UNCLUSTERED (the
+    // streaming-ingest shape); already-clustered row groups keep
+    // pruning, so the footer read fraction must decay by EXACTLY the
+    // tail's group share (predicted vs measured printed side by side)
+    // and the same dial must predict the scan wall-clock; a recluster
+    // restores both. No bookkeeping of which files are clustered —
+    // the footer dial IS the cadence instrument.
+    val live = s"$work/live"
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val lfs = new org.apache.hadoop.fs.Path(live).getFileSystem(fsConf)
+    require(org.apache.hadoop.fs.FileUtil.copy(lfs,
+      new org.apache.hadoop.fs.Path(s"$work/sort-x"), lfs,
+      new org.apache.hadoop.fs.Path(live), false, fsConf),
+      "append phase: copy of the sort-x layout failed")
+    def readFracX(dir: String): Double =
+      1.0 - graft.ops.Compaction.prunableFraction(
+        spark, dir, "x", xLo, xLo + width - 1)
+    val baseGroups = graft.ops.Compaction.columnRanges(spark, live, "x")
+    val baseSkipped = baseGroups.count(_.exists {
+      case (mn, mx) => mx < xLo || mn > xLo + width - 1 })
+    val (_, tLive0) = (1 to 3).map(_ => scan(spark, live, xPred)).minBy(_._2)
+    println(f"append  base: rowGroups=${baseGroups.size}%4d " +
+      f"read-frac=${readFracX(live)}%6.4f scan=$tLive0%5.2fs")
+    val batchRows = rows / 50 // 2% per append batch
+    (1 to 4).foreach { k =>
+      spark.range(rows + (k - 1) * batchRows, rows + k * batchRows).select(
+          col("id"),
+          pmod(xxhash64(col("id"), lit(1)), lit(1L << 31)).as("x"),
+          pmod(xxhash64(col("id"), lit(2)), lit(1L << 31)).as("y"),
+          format_string("s%03d",
+            pmod(xxhash64(col("id"), lit(3)), lit(500L))).as("src"),
+          concat((1 to 4).map(i =>
+            sha2(concat(col("id").cast("string"), lit(s"#$i")), 256)): _*)
+            .as("payload"))
+        .coalesce(1).write.mode("append")
+        .option("parquet.block.size", groupB.toString).parquet(live)
+      val groupsNow = graft.ops.Compaction.columnRanges(spark, live, "x")
+      val predicted = 1.0 - baseSkipped.toDouble / groupsNow.size
+      val (_, tK) = (1 to 3).map(_ => scan(spark, live, xPred)).minBy(_._2)
+      println(f"append  +${k * 2}%2d%% tail: rowGroups=${groupsNow.size}%4d " +
+        f"read-frac=${readFracX(live)}%6.4f " +
+        f"(tail-predicted $predicted%6.4f) scan=$tK%5.2fs")
+    }
+    val reclustered = s"$work/reclustered"
+    val (_, tRecluster) = timed(graft.ops.Compaction.compactClustered(
+      spark, live, reclustered, Seq(col("x")), fileB, groupB))
+    val (_, tR) = (1 to 3).map(_ =>
+      scan(spark, reclustered, xPred)).minBy(_._2)
+    println(f"append  recluster=$tRecluster%6.1fs " +
+      f"read-frac=${readFracX(reclustered)}%6.4f scan=$tR%5.2fs")
+
+    // String-dimension phase: the production-scale dial behind the
+    // q122 gate — zorder(ranked(src), scaled(x)) over the 500-NDV
+    // string key; an equality predicate pushed on the RAW string
+    // column must read < 0.1 of row groups (footer stats), priced
+    // against the random layout, with the numeric partner still live.
+    import graft.functions.ZOrderCode.{ranked, rankDictionary, scaled, zorder}
+    val dict = rankDictionary(spark.read.parquet(src), "src")
+    val szDst = s"$work/string-z"
+    val (_, tSz) = timed(graft.ops.Compaction.compactClustered(
+      spark, src, szDst,
+      Seq(zorder(scaled(ranked(col("src"), dict), 0L, dict.size - 1L, 12),
+                 scaled(col("x"), 0L, (1L << 31) - 1, 12))),
+      fileB, groupB))
+    val probeVal = dict(dict.size / 2)
+    def srcFrac(dir: String): Double =
+      1.0 - graft.ops.Compaction.prunableFractionString(
+        spark, dir, "src", probeVal, probeVal)
+    val sPred = col("src") === probeVal
+    val (nsz, tszScan) = (1 to 3).map(_ => scan(spark, szDst, sPred)).minBy(_._2)
+    val (nrd, trdScan) = (1 to 3).map(_ =>
+      scan(spark, plainDst, sPred)).minBy(_._2)
+    println(f"string  rewrite=$tSz%6.1fs ndv=${dict.size} | src-eq " +
+      f"read-frac z=${srcFrac(szDst)}%6.4f random=${srcFrac(plainDst)}%6.4f " +
+      f"| scan z=$tszScan%5.2fs ($nsz rows) random=$trdScan%5.2fs ($nrd rows) " +
+      f"| x-window read-frac z=${readFracX(szDst)}%6.4f")
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
     spark.stop()

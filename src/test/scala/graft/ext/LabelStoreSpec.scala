@@ -225,6 +225,43 @@ class LabelStoreSpec extends SparkSpec {
     }
   }
 
+  test("remove reports its override mass; compactIfOverMass bounds the " +
+      "post-takedown read price") {
+    val deltasOf: String => org.apache.hadoop.fs.Path =
+      p => new org.apache.hadoop.fs.Path(s"$p/deltas.parquet")
+    val fs = new org.apache.hadoop.fs.Path("/tmp").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // triangle {1,2,3} (rep 1), pair {5,6}, singleton 7
+    val nodes = Set(1L, 2L, 3L, 5L, 6L, 7L)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L))
+    // sub-threshold takedown: mass reported, gate does NOT fire —
+    // removing the singleton touches no component (0 overrides)
+    val p1 = s"${tmp()}/store"
+    LabelStore.create(spark, p1, truth(nodes, edges).toSeq.toDF("id", "label"))
+    val m1 = LabelStore.remove(spark, p1, Seq(7L).toDF("id"),
+      survivorsFrom(edges), compactIfOverMass = 1L)
+    m1 shouldBe LabelStore.RemovalMass(1L, 0L, 1L, compacted = false)
+    fs.exists(deltasOf(p1)) shouldBe true
+    // dense takedown: the triangle's rep goes, 2 survivors re-elect →
+    // override mass 2 ≥ threshold, compact fires inside the call
+    val m2 = LabelStore.remove(spark, p1, Seq(1L).toDF("id"),
+      survivorsFrom(edges), compactIfOverMass = 2L)
+    m2.tombstones shouldBe 1L
+    m2.overrides shouldBe 2L
+    m2.compacted shouldBe true
+    m2.deltaRowsAfter shouldBe 0L
+    fs.exists(deltasOf(p1)) shouldBe false // log folded, read at base price
+    loaded(p1) shouldBe truth(nodes - 7L - 1L, edges)
+    // same takedown WITHOUT the gate: mass identical, log kept
+    val p2 = s"${tmp()}/store"
+    LabelStore.create(spark, p2, truth(nodes, edges).toSeq.toDF("id", "label"))
+    val m3 = LabelStore.remove(spark, p2, Seq(1L).toDF("id"),
+      survivorsFrom(edges))
+    m3 shouldBe LabelStore.RemovalMass(1L, 2L, 3L, compacted = false)
+    fs.exists(deltasOf(p2)) shouldBe true
+    loaded(p2) shouldBe truth(nodes - 1L, edges)
+  }
+
   test("randomized op sequences match the from-scratch recompute") {
     val rnd = new scala.util.Random(20260814L)
     val p = s"${tmp()}/store"

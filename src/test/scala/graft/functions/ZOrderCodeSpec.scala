@@ -209,4 +209,81 @@ class ZOrderCodeSpec extends SparkSpec {
     shifted shouldBe vals.map(_ >> 2).toArray
     all(shifted) should be < ZOrderCode.MaxKey
   }
+
+  test("rankDictionary: sorted distinct values, NDV cap, type refusal") {
+    val df = Seq("src2", "src10", "src2", "src1", null)
+      .map(Tuple1(_)).toDF("src")
+    // byte order (src10 < src2), nulls dropped, duplicates folded
+    ZOrderCode.rankDictionary(df, "src") shouldBe
+      Seq("src1", "src10", "src2")
+    the[IllegalArgumentException] thrownBy
+      ZOrderCode.rankDictionary(df, "src", maxNdv = 2) should have message
+      "requirement failed: rankDictionary: 'src' has more than 2 " +
+        "distinct values — a dictionary rank is the low-NDV normalizer; " +
+        "use ZOrderCode.hashBucket for high-NDV string keys"
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderCode.rankDictionary(Seq(1L).toDF("k"), "k")
+  }
+
+  test("ranked: sorted-rank lookup, null neighborhood, loud on unseen " +
+       "values and bad dictionaries") {
+    val dict = Seq("a", "b", "d")
+    val out = Seq(Some("d"), Some("a"), None, Some("b"))
+      .map(Tuple1(_)).toDF("s")
+      .select(ZOrderCode.ranked(col("s"), dict).as("r")).collect()
+    out(0).getLong(0) shouldBe 2L
+    out(1).getLong(0) shouldBe 0L
+    out(2).isNullAt(0) shouldBe true
+    out(3).getLong(0) shouldBe 1L
+    // a value outside the dictionary throws AT SCAN TIME (the same
+    // loud contract as the interleave's range check)
+    val ex = intercept[Exception] {
+      Seq("zzz").toDF("s")
+        .select(ZOrderCode.ranked(col("s"), dict)).collect()
+    }
+    ex.getMessage should include("not in dictionary")
+    // dictionary hygiene is the caller's explicit decision — refused,
+    // not repaired
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderCode.ranked(col("s"), Seq("b", "a"))
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderCode.ranked(col("s"), Seq("a", "a"))
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderCode.ranked(col("s"), Nil)
+  }
+
+  test("hashBucket: md5-prefix arithmetic the DuckDB oracle replays; " +
+       "range and shift-down contract") {
+    def refBucket(s: String, bits: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val hexChars = (bits + 3) / 4
+      java.lang.Long.parseLong(hex.substring(0, hexChars), 16) >>
+        (hexChars * 4 - bits)
+    }
+    val keys = Seq("example.org", "a", "key#17", "")
+    // bits=20: exactly 5 hex chars, no shift (the oracle's
+    // CAST('0x'||substr(md5(k),1,5) AS BIGINT) form)
+    val b20 = keys.toDF("k")
+      .select(ZOrderCode.hashBucket(col("k"), 20).as("b"))
+      .collect().map(_.getLong(0))
+    b20 shouldBe keys.map(refBucket(_, 20)).toArray
+    all(b20) should (be >= 0L and be < (1L << 20))
+    // bits=10: 3 hex chars shifted down 2 — non-nibble widths stay
+    // uniform over [0, 2^bits)
+    val b10 = keys.toDF("k")
+      .select(ZOrderCode.hashBucket(col("k"), 10).as("b"))
+      .collect().map(_.getLong(0))
+    b10 shouldBe keys.map(refBucket(_, 10)).toArray
+    all(b10) should (be >= 0L and be < (1L << 10))
+    // null stays null; bits bound is loud
+    Seq(Option.empty[String]).map(Tuple1(_)).toDF("k")
+      .select(ZOrderCode.hashBucket(col("k")))
+      .collect()(0).isNullAt(0) shouldBe true
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderCode.hashBucket(col("k"), 0)
+    an[IllegalArgumentException] should be thrownBy
+      ZOrderCode.hashBucket(col("k"), 32)
+  }
 }

@@ -203,6 +203,102 @@ class CompactionClusterSpec extends SparkSpec {
         bloomColumns = Map("id" -> 0L))
   }
 
+  test("string dimension: ranked clustering prunes the RAW string " +
+       "column's pushed predicates, audited from string footer stats") {
+    val root = tmp("graft_cluster_str_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    val zdst = s"$root/zdst"
+    // independent string key (40 values, scrambled like x/y)
+    val df = scrambled().withColumn("src",
+      format_string("s%02d", pmod(col("id") * 69621L, lit(40L))))
+    df.repartition(8).write.parquet(src)
+    val dict = ZOrderCode.rankDictionary(spark.read.parquet(src), "src")
+    dict should have size 40
+    dict shouldBe dict.sorted
+
+    // 1-D: cluster on the rank — equality on the raw STRING column
+    // prunes via the string min/max stats (what the reader consults)
+    Compaction.compactClustered(spark, src, dst,
+      clusterCols = Seq(ZOrderCode.ranked(col("src"), dict)),
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024)
+    Compaction.prunableFractionString(
+      spark, dst, "src", "s17", "s17") should be >= 0.9
+    Compaction.prunableFractionString(
+      spark, src, "src", "s17", "s17") should be <= 0.1
+    // the per-group ranges are real values, ordered
+    val ranges = Compaction.stringColumnRanges(spark, dst, "src")
+    ranges.flatten should not be empty
+    all(ranges.flatten.map { case (mn, mx) => mn <= mx }) shouldBe true
+
+    // 2-D: zorder(ranked(string), scaled(numeric)) prunes BOTH —
+    // the (string, numeric) pair real curation tables filter on
+    Compaction.compactClustered(spark, src, zdst,
+      clusterCols = Seq(ZOrderCode.zorder(
+        ZOrderCode.scaled(ZOrderCode.ranked(col("src"), dict),
+          0L, dict.size - 1L, bits = 12),
+        ZOrderCode.scaled(col("y"), 0L, 65535L, bits = 12))),
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024)
+    Compaction.prunableFractionString(
+      spark, zdst, "src", "s17", "s17") should be >= 0.5
+    Compaction.prunableFraction(
+      spark, zdst, "y", 1000, 1639) should be >= 0.5
+    // content identical through the ranked rewrite
+    spark.read.parquet(zdst).exceptAll(df).count() shouldBe 0L
+    spark.read.parquet(zdst).count() shouldBe 200000L
+  }
+
+  test("append cadence: appends never corrupt clustered row-group stats; " +
+       "the dial decays by exactly the un-clustered tail and recluster " +
+       "restores it") {
+    val root = tmp("graft_cluster_append_")
+    val src = s"$root/src"
+    val live = s"$root/live"
+    scrambled().repartition(8).write.parquet(src)
+    Compaction.compactClustered(spark, src, live,
+      clusterCols = Seq(col("x")),
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024)
+    val baseRanges = Compaction.columnRanges(spark, live, "x").flatten
+    val baseDial = Compaction.prunableFraction(spark, live, "x", 1000, 1639)
+    baseDial should be >= 0.9
+    val baseSkipped = baseRanges.count { case (mn, mx) => mx < 1000 || mn > 1639 }
+
+    // three streaming-append batches of SCRAMBLED rows (the production
+    // drift: appends land unclustered)
+    (1 to 3).foreach { k =>
+      (0 until 20000).map { i =>
+        val id = 200000L + k * 100000L + i
+        ((id, (id * 48271) % 65536, (id * 16807) % 65536, "p" * 64 + id))
+      }.toDF("id", "x", "y", "payload")
+        .coalesce(1).write.mode("append").parquet(live)
+    }
+    // (a) pre-existing row groups keep their EXACT ranges — appends
+    // add files, they never rewrite clustered groups' stats
+    val afterRanges = Compaction.columnRanges(spark, live, "x").flatten
+    baseRanges.toSet.subsetOf(afterRanges.toSet) shouldBe true
+    // (b) the dial decays by exactly the appended tail: the same base
+    // groups still skip, the tail's domain-spanning groups never do,
+    // so decayed = baseSkipped / totalGroups — the footer dial IS the
+    // recluster-cadence instrument, no separate bookkeeping
+    val tailGroups = afterRanges.size - baseRanges.size
+    tailGroups should be >= 3
+    val decayed = Compaction.prunableFraction(spark, live, "x", 1000, 1639)
+    decayed shouldBe (baseSkipped.toDouble / afterRanges.size) +- 1e-12
+    decayed should be < baseDial
+    // (c) recluster restores the dial and loses nothing
+    val restored = s"$root/restored"
+    val rep = Compaction.compactClustered(spark, live, restored,
+      clusterCols = Seq(col("x")),
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024)
+    rep.rowsAfter shouldBe 260000L
+    Compaction.prunableFraction(
+      spark, restored, "x", 1000, 1639) should be >= 0.9
+  }
+
   test("empty clusterCols is rejected toward compactTo") {
     val root = tmp("graft_cluster_empty_")
     val src = s"$root/src"

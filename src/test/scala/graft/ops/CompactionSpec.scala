@@ -236,4 +236,36 @@ class CompactionSpec extends SparkSpec {
       }
     }
   }
+
+  test("footer audits refuse a root mixing files with subdirectories") {
+    val root = tmp("graft_compact_fmix_")
+    val mixed = s"$root/mixed"
+    (1L to 100L).map(i => (i, s"m${i % 2}")).toDF("id", "k")
+      .write.partitionBy("k").parquet(mixed)
+    val flat = s"$root/flat"
+    (1L to 10L).map(i => (i, i * 2)).toDF("id", "v").write.parquet(flat)
+    java.nio.file.Files.copy(
+      new java.io.File(flat).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath,
+      java.nio.file.Paths.get(mixed, "stray.parquet"))
+    // the old behavior audited ONLY the top-level stray file: a bloom
+    // or clustering defect in the partition leaves would be reported
+    // as absent/present from one unrepresentative file (ADVICE r15)
+    Seq(
+      ("bloomFilteredColumns", () =>
+        Compaction.bloomFilteredColumns(spark, mixed)),
+      ("columnRanges", () => Compaction.columnRanges(spark, mixed, "id")),
+      ("prunableFraction", () =>
+        Compaction.prunableFraction(spark, mixed, "id", 0L, 1L))
+    ).foreach { case (name, audit) =>
+      withClue(s"$name: ") {
+        val ex = intercept[IllegalArgumentException](audit())
+        ex.getMessage should include("mixes data files")
+      }
+    }
+    // the pure-Hive tree still audits across every leaf (no throw)
+    val stray = new java.io.File(s"$mixed/stray.parquet")
+    stray.delete() shouldBe true
+    Compaction.columnRanges(spark, mixed, "id").size should be >= 2
+  }
 }
