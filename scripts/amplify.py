@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Build an sf1.0-scale verification fixture by key-shifted replication.
+
+The driver ships sf{0.001,0.01,0.1}; the one-time sf1.0 hash run
+(round-16 verdict ask #6) needs ~10x sf0.1. Replicating sf0.1 K times
+with CONSISTENT key-space shifts preserves every foreign-key
+relationship (each copy is a disjoint, internally-consistent shard),
+and the DuckDB oracle runs over the same amplified parquet, so the
+hash comparison is exactly as strong as at the driver scales — the
+data need not be the official generator's, the oracle replays
+whatever the input is.
+
+Shift scheme per copy k (k=0 is the original):
+  orders/lineitem : o_orderkey/l_orderkey += k * ORD
+  customer        : c_custkey += k * CUST; o_custkey likewise
+  part/partsupp-ish keys: p_partkey/l_partkey += k * PART
+  supplier        : s_suppkey/l_suppkey += k * SUPP
+  events          : event_id += k * EV; user_id += k * USR
+  documents       : doc_id += k * DOC
+  embeddings      : vec_id += k * VEC
+  region/nation   : copied once (dimension tables; every copy's
+                    nation/region keys keep pointing at them)
+Shift bases are the table's (max key + 1) so copies never collide.
+
+Usage: amplify.py <srcSfDir> <dstDir> [K=10]
+"""
+import sys
+import duckdb
+
+SHIFTS = {
+    "orders":    [("o_orderkey", "ORD"), ("o_custkey", "CUST")],
+    "lineitem":  [("l_orderkey", "ORD"), ("l_partkey", "PART"),
+                  ("l_suppkey", "SUPP")],
+    "customer":  [("c_custkey", "CUST")],
+    "part":      [("p_partkey", "PART")],
+    "supplier":  [("s_suppkey", "SUPP")],
+    "events":    [("event_id", "EV"), ("user_id", "USR")],
+    "documents": [("doc_id", "DOC")],
+    "embeddings": [("vec_id", "VEC")],
+    "region":    [],
+    "nation":    [],
+}
+
+BASES = {
+    "ORD":  ("orders", "o_orderkey"),
+    "CUST": ("customer", "c_custkey"),
+    "PART": ("part", "p_partkey"),
+    "SUPP": ("supplier", "s_suppkey"),
+    "EV":   ("events", "event_id"),
+    "USR":  ("events", "user_id"),
+    "DOC":  ("documents", "doc_id"),
+    "VEC":  ("embeddings", "vec_id"),
+}
+
+
+def main():
+    src, dst = sys.argv[1], sys.argv[2]
+    k_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    import os
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    bases = {}
+    for name, (table, keycol) in BASES.items():
+        bases[name] = con.execute(
+            f"SELECT max({keycol}) + 1 FROM '{src}/{table}.parquet'"
+        ).fetchone()[0]
+    print("shift bases:", bases)
+    for table, shifts in SHIFTS.items():
+        if not shifts:  # dimension table: copy once
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{table}.parquet') TO "
+                f"'{dst}/{table}.parquet' (FORMAT PARQUET)")
+            continue
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()]
+        shifted = dict(shifts)
+        selects = []
+        for k in range(k_copies):
+            exprs = []
+            for c in cols:
+                if c in shifted and k > 0:
+                    # preserve the column's parquet type exactly
+                    exprs.append(
+                        f"CAST({c} + {k} * {bases[shifted[c]]} AS "
+                        f"TYPEOF_PLACEHOLDER) AS {c}")
+                else:
+                    exprs.append(c)
+            selects.append((k, exprs))
+        # resolve types once
+        types = dict(con.execute(
+            f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()
+            and [(r[0], r[1]) for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()])
+        union = []
+        for k, exprs in selects:
+            fixed = [e.replace("TYPEOF_PLACEHOLDER",
+                               types[e.split(" AS ")[-1]])
+                     if "TYPEOF_PLACEHOLDER" in e else e for e in exprs]
+            union.append(
+                f"SELECT {', '.join(fixed)} FROM '{src}/{table}.parquet'")
+        sql = " UNION ALL ".join(union)
+        con.execute(f"COPY ({sql}) TO '{dst}/{table}.parquet' "
+                    "(FORMAT PARQUET)")
+        n = con.execute(
+            f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows ({k_copies} copies)")
+
+
+if __name__ == "__main__":
+    main()

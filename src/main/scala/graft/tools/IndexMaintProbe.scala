@@ -309,11 +309,16 @@ object IndexMaintProbe {
           .select(col("id").as("s"), (col("id") - 1).as("t"))
         foldSecs += timed(graft.ext.LabelStore.foldBatch(spark, idxPath,
           nodes, mergeE.unionByName(newE), batchMarker = Some(op.toLong)))._1
-        if (op % 100 == 0) {
-          val (sec, _) = timed(graft.ext.LabelStore.compact(spark, idxPath))
-          cadenceCompacts += 1
-          println(f"op $op%4d cadence compact $sec%5.1f s")
-        }
+      }
+      // cadence compact fires on the OP counter, not the op kind —
+      // every 100th op is also a multiple of 25 (a remove), and a
+      // fold-only cadence would silently never fire on this schedule
+      // (first soak run: deltas grew unboundedly-within-cap and reads
+      // crept 0.45 → 3 s by op 150)
+      if (op % 100 == 0) {
+        val (sec, _) = timed(graft.ext.LabelStore.compact(spark, idxPath))
+        cadenceCompacts += 1
+        println(f"op $op%4d cadence compact $sec%5.1f s")
       }
       maxDelta = math.max(maxDelta, deltaRows)
       if (op == 1 || op % 50 == 0) {

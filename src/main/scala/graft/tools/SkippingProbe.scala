@@ -141,6 +141,12 @@ object SkippingProbe {
       val cur = best.get((name, pn))
       if (cur.forall(_._2 > t)) best((name, pn)) = (n, t)
     }
+    // staged cleanup: at 32 M rows each layout is ~8 GB, and holding
+    // all seven phase layouts at once exceeded the sandbox disk (the
+    // run died ENOSPC mid-recluster) — delete each layout the moment
+    // its last phase is done
+    def drop(dirs: String*): Unit = dirs.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     for ((name, dst, rep, tBuild) <- built) {
       // footer-predicted read fractions (ONE footer sweep for all
       // three dials — per dimension and the conjunction)
@@ -161,6 +167,8 @@ object SkippingProbe {
         f"scan x=$tx%5.2fs ($nx rows) y=$ty%5.2fs ($ny rows) " +
         f"both=$tb%5.2fs ($nb rows)")
     }
+
+    drop(s"$work/zorder") // scans + footer rows done; random/sort-x still live
 
     // Point-lookup phase: equality on the UNSORTED x column — the
     // takedown-audit predicate range stats can never prune (x is
@@ -217,6 +225,7 @@ object SkippingProbe {
       new org.apache.hadoop.fs.Path(s"$work/sort-x"), lfs,
       new org.apache.hadoop.fs.Path(live), false, fsConf),
       "append phase: copy of the sort-x layout failed")
+    drop(s"$work/sort-x", bloomDst) // the live copy carries the phase
     def readFracX(dir: String): Double =
       1.0 - graft.ops.Compaction.prunableFraction(
         spark, dir, "x", xLo, xLo + width - 1)
@@ -253,6 +262,7 @@ object SkippingProbe {
       scan(spark, reclustered, xPred)).minBy(_._2)
     println(f"append  recluster=$tRecluster%6.1fs " +
       f"read-frac=${readFracX(reclustered)}%6.4f scan=$tR%5.2fs")
+    drop(live, reclustered)
 
     // String-dimension phase: the production-scale dial behind the
     // q122 gate — zorder(ranked(src), scaled(x)) over the 500-NDV
