@@ -290,7 +290,7 @@ object ZOrderCode {
     * collation matters.
     */
   def rankDictionary(df: org.apache.spark.sql.DataFrame, column: String,
-                     maxNdv: Int = 65536): Seq[String] = {
+                     maxNdv: Int = 4096): Seq[String] = {
     require(maxNdv > 0, s"rankDictionary: maxNdv must be positive: $maxNdv")
     require(df.schema(column).dataType ==
         org.apache.spark.sql.types.StringType,
@@ -317,6 +317,13 @@ object ZOrderCode {
     * IS the clustering-domain decision). Feed the result through
     * [[scaled]]`(_, 0, dictionary.size - 1, bits)` so the rank
     * dimension lands on the same grid as its numeric partner.
+    *
+    * Cost shape: the literal-map lookup (`GetMapValue`) is a LINEAR
+    * scan of the dictionary per row in Spark — fine at the low NDVs
+    * this normalizer is for (the [[rankDictionary]] default caps at
+    * 4096; the 500-NDV 32 M-row probe rewrite was sort-dominated),
+    * wrong for genuinely high-NDV keys, which should take
+    * [[hashBucket]]'s O(1) stateless path instead.
     */
   def ranked(c: Column, dictionary: Seq[String]): Column = {
     require(dictionary.nonEmpty, "ranked: empty dictionary")
