@@ -61,9 +61,13 @@ def main():
     con = duckdb.connect()
     bases = {}
     for name, (table, keycol) in BASES.items():
-        bases[name] = con.execute(
+        v = con.execute(
             f"SELECT max({keycol}) + 1 FROM '{src}/{table}.parquet'"
         ).fetchone()[0]
+        if v is None:
+            sys.exit(f"amplify: {table}.{keycol} is empty — cannot "
+                     "derive a shift base")
+        bases[name] = v
     print("shift bases:", bases)
     for table, shifts in SHIFTS.items():
         if not shifts:  # dimension table: copy once
@@ -71,36 +75,21 @@ def main():
                 f"COPY (SELECT * FROM '{src}/{table}.parquet') TO "
                 f"'{dst}/{table}.parquet' (FORMAT PARQUET)")
             continue
-        cols = [r[0] for r in con.execute(
-            f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()]
+        # (column, type) once; shifted keys are CAST back to their
+        # exact parquet type so every copy's schema matches copy 0
+        types = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()}
         shifted = dict(shifts)
-        selects = []
-        for k in range(k_copies):
-            exprs = []
-            for c in cols:
-                if c in shifted and k > 0:
-                    # preserve the column's parquet type exactly
-                    exprs.append(
-                        f"CAST({c} + {k} * {bases[shifted[c]]} AS "
-                        f"TYPEOF_PLACEHOLDER) AS {c}")
-                else:
-                    exprs.append(c)
-            selects.append((k, exprs))
-        # resolve types once
-        types = dict(con.execute(
-            f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()
-            and [(r[0], r[1]) for r in con.execute(
-                f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()])
         union = []
-        for k, exprs in selects:
-            fixed = [e.replace("TYPEOF_PLACEHOLDER",
-                               types[e.split(" AS ")[-1]])
-                     if "TYPEOF_PLACEHOLDER" in e else e for e in exprs]
+        for k in range(k_copies):
+            exprs = [
+                f"CAST({c} + {k} * {bases[shifted[c]]} AS {t}) AS {c}"
+                if c in shifted and k > 0 else c
+                for c, t in types.items()]
             union.append(
-                f"SELECT {', '.join(fixed)} FROM '{src}/{table}.parquet'")
-        sql = " UNION ALL ".join(union)
-        con.execute(f"COPY ({sql}) TO '{dst}/{table}.parquet' "
-                    "(FORMAT PARQUET)")
+                f"SELECT {', '.join(exprs)} FROM '{src}/{table}.parquet'")
+        con.execute(f"COPY ({' UNION ALL '.join(union)}) TO "
+                    f"'{dst}/{table}.parquet' (FORMAT PARQUET)")
         n = con.execute(
             f"SELECT count(*) FROM '{dst}/{table}.parquet'").fetchone()[0]
         print(f"{table}: {n} rows ({k_copies} copies)")

@@ -593,13 +593,32 @@ object PipelineQueries {
     * operator in the tail re-runs CC or re-pairs anything.
     */
   def q121IncCuration(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
     val root = java.nio.file.Files.createTempDirectory("graft_q121_").toString
+    // failure-path cleanup (the q119/q122 discipline): the census
+    // require or a stream/lease refusal must not strand the temp
+    // root + the copied index under /tmp on every failing sweep
+    var idxPath: String = null
+    try q121Body(spark, dir, root, p => idxPath = p)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        Seq(Option(root), Option(idxPath)).flatten.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(conf).delete(p, true)
+        }
+        throw e
+    }
+  }
+
+  private def q121Body(spark: SparkSession, dir: String, root: String,
+                       onIdxCopy: String => Unit): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
     // streaming labeling phase — q115's loop: private index copy
     // (the stream folds batches in), store seeded from the shared
     // prior labeling (its production contract)
     val idxPath = GateFixtures.lshDocsIndexCopy(spark, dir, 200)
+    onIdxCopy(idxPath)
     val storePath = s"$root/store"
     graft.ext.LabelStore.create(spark, storePath,
       GateFixtures.priorLabels(spark, dir, 200))

@@ -280,6 +280,7 @@ object IndexMaintProbe {
       spark.range(0).select(col("id").as("s"), col("id").as("t"))
     var victimCursor = split
     var maxDelta = 0L
+    var standing = 0L // delta rows since the last compact (pre-compact peak)
     var cadenceCompacts = 0
     var massCompacts = 0
     val reads = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
@@ -291,9 +292,16 @@ object IndexMaintProbe {
           .toDF("id")
         val (sec, mass) = timed(graft.ext.LabelStore.remove(spark, idxPath,
           victims, emptyEdges, compactIfOverMass = 100000L))
+        // the cap compares against the PRE-compact standing size — an
+        // over-mass auto-compact must not hide the peak it just paid
+        // down (first soak run under-reported maxDelta 3.4x this way)
+        maxDelta = math.max(maxDelta,
+          standing + mass.tombstones + mass.overrides)
+        standing = mass.deltaRowsAfter
         if (mass.compacted) massCompacts += 1
         println(f"op $op%4d remove $sec%5.1f s tomb=${mass.tombstones} " +
-          f"over=${mass.overrides} compacted=${mass.compacted}")
+          f"over=${mass.overrides} compacted=${mass.compacted} " +
+          f"peak=$maxDelta")
       } else {
         val lo = n + op * batchSize
         val nodes = spark.range(lo, lo + batchSize).toDF("id")
@@ -305,7 +313,11 @@ object IndexMaintProbe {
           .select(col("id").as("s"), (col("id") * 37 % cur).as("t"))
           .unionByName(ids.filter(col("id") % 10 === 0)
             .select(col("id").as("s"), (col("id") * 53 % cur).as("t")))
-        val newE = ids.filter(col("id") % 10 === 1)
+        // `id - 1` must stay INSIDE this batch: if lo ≡ 1 (mod 10) the
+        // first qualifying id would edge into the previous batch's
+        // range, which a remove-op never folded — exclude lo itself so
+        // the survivor-only invariant holds for any n/batchSize
+        val newE = ids.filter(col("id") % 10 === 1 && col("id") =!= lo)
           .select(col("id").as("s"), (col("id") - 1).as("t"))
         foldSecs += timed(graft.ext.LabelStore.foldBatch(spark, idxPath,
           nodes, mergeE.unionByName(newE), batchMarker = Some(op.toLong)))._1
@@ -320,7 +332,10 @@ object IndexMaintProbe {
         cadenceCompacts += 1
         println(f"op $op%4d cadence compact $sec%5.1f s")
       }
-      maxDelta = math.max(maxDelta, deltaRows)
+      // footer census of the live log = the current standing size
+      // (0 right after a compact)
+      standing = deltaRows
+      maxDelta = math.max(maxDelta, standing)
       if (op == 1 || op % 50 == 0) {
         val r = readWarm
         reads += ((op, r))
