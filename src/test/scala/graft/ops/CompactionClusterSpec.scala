@@ -250,6 +250,39 @@ class CompactionClusterSpec extends SparkSpec {
     spark.read.parquet(zdst).count() shouldBe 200000L
   }
 
+  test("high-NDV string keys: hashBucket clustering composes with a " +
+       "bloom on the RAW string column (the takedown-audit shape)") {
+    val root = tmp("graft_cluster_hb_")
+    val src = s"$root/src"
+    val dst = s"$root/dst"
+    // ~44 k distinct string keys over 50 k rows — high-card, so parquet
+    // writes real blooms (it omits them on dictionary-encoded chunks)
+    val df = scrambled(50000).withColumn("key",
+      concat(lit("user-"), (col("id") * 2654435761L % 1000000L).cast("string")))
+    df.repartition(8).write.parquet(src)
+    Compaction.compactClustered(spark, src, dst,
+      clusterCols = Seq(ZOrderCode.hashBucket(col("key"), 20)),
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024,
+      bloomColumns = Map("key" -> 2000L))
+    // the bloom is present in EVERY row group, on the STRING column
+    Compaction.bloomFilteredColumns(spark, dst) shouldBe Seq("key")
+    // content round-trips through the derived-key rewrite
+    val back = spark.read.parquet(dst)
+    back.count() shouldBe 50000L
+    back.columns.toSeq shouldBe Seq("id", "x", "y", "payload", "key")
+    // equality lookups on the string key: a present key returns exactly
+    // its rows, an absent one exactly none — the predicate the bloom
+    // prunes and hashBucket co-locates (hash order is NOT string
+    // order: string min/max stats cannot prune here, the bloom is the
+    // mechanism — which is why the §9 rule pairs them)
+    val presentKey = df.filter($"id" === 17L)
+      .select($"key").as[String].head()
+    val expect = df.filter($"key" === presentKey).count()
+    back.filter($"key" === presentKey).count() shouldBe expect
+    back.filter($"key" === "user-nosuch").count() shouldBe 0L
+  }
+
   test("append cadence: appends never corrupt clustered row-group stats; " +
        "the dial decays by exactly the un-clustered tail and recluster " +
        "restores it") {
