@@ -58,6 +58,17 @@ def main():
     k_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     import os
     os.makedirs(dst, exist_ok=True)
+    # Every table present in the source dir must be covered by SHIFTS:
+    # a table silently omitted here would make downstream verification
+    # silently narrower (the gate would "pass" having never seen the
+    # missing table at scale) instead of failing loudly (ADVICE r16).
+    present = sorted(f[:-len(".parquet")] for f in os.listdir(src)
+                     if f.endswith(".parquet"))
+    uncovered = [t for t in present if t not in SHIFTS]
+    if uncovered:
+        sys.exit(f"amplify: tables in {src} not covered by SHIFTS: "
+                 f"{uncovered} — add shift entries (or [] for a "
+                 "dimension table copied once) before amplifying")
     con = duckdb.connect()
     bases = {}
     for name, (table, keycol) in BASES.items():

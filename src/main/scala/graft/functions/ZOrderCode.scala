@@ -284,10 +284,12 @@ object ZOrderCode {
     * without shuffling anything: the dictionary rides the plan as a
     * literal map, so the rank lookup is map-side codegen'd work.
     *
-    * Sort order is Java's String order — identical to DuckDB/parquet
-    * byte order for ASCII keys; non-ASCII dictionaries should be
-    * ranked by an explicit caller-sorted Seq if the oracle's
-    * collation matters.
+    * Sort order is UNSIGNED UTF-8 BYTE order ([[byteOrdering]]) — the
+    * order parquet writes its string min/max stats in and the order
+    * DuckDB's binary collation ranks by, so the footer-audit dial and
+    * the oracle's `rank() OVER (ORDER BY ...)` agree with the rank
+    * dimension for EVERY string, not just ASCII (Java's native String
+    * order diverges on supplementary-plane characters; ADVICE r16).
     */
   def rankDictionary(df: org.apache.spark.sql.DataFrame, column: String,
                      maxNdv: Int = 4096): Seq[String] = {
@@ -303,7 +305,32 @@ object ZOrderCode {
       s"rankDictionary: '$column' has more than $maxNdv distinct values " +
         "— a dictionary rank is the low-NDV normalizer; use " +
         "ZOrderCode.hashBucket for high-NDV string keys")
-    vals.sorted.toSeq
+    vals.sorted(byteOrdering).toSeq
+  }
+
+  /** Unsigned UTF-8 byte ordering — parquet's string-stats order and
+    * DuckDB's binary collation, shared by [[rankDictionary]]/[[ranked]]
+    * and the string footer audits ([[graft.ops.Compaction
+    * .prunableFractionString]]) so the clustering rank, the pushed
+    * predicate's pruning, and the oracle's `rank()` all agree on one
+    * collation for any string. Java's String order matches it on
+    * ASCII but diverges on supplementary-plane code points (UTF-16
+    * surrogates sort below 0xE000-block chars; bytewise UTF-8 sorts
+    * them above).
+    */
+  val byteOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val xs = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val ys = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xs.length, ys.length)
+      while (i < n) {
+        val d = (xs(i) & 0xff) - (ys(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      xs.length - ys.length
+    }
   }
 
   /** Dictionary-rank normalizer for a low-NDV string column: each
@@ -327,11 +354,11 @@ object ZOrderCode {
     */
   def ranked(c: Column, dictionary: Seq[String]): Column = {
     require(dictionary.nonEmpty, "ranked: empty dictionary")
-    val sorted = dictionary.sorted
+    val sorted = dictionary.sorted(byteOrdering)
     require(sorted == dictionary,
-      "ranked: dictionary must be sorted (rankDictionary returns it " +
-        "sorted; a scrambled dictionary would break the oracle's rank " +
-        "replay silently)")
+      "ranked: dictionary must be sorted in unsigned UTF-8 byte order " +
+        "(rankDictionary returns it sorted; a scrambled dictionary " +
+        "would break the oracle's rank replay silently)")
     require(dictionary.distinct.size == dictionary.size,
       "ranked: dictionary has duplicate values")
     import org.apache.spark.sql.functions._

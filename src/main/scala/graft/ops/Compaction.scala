@@ -236,6 +236,64 @@ object Compaction {
     }
   }
 
+  /** The dictionary-churn rule made EXECUTABLE (the §9 "String
+    * clustering keys" runbook row): a table clustered on a
+    * dictionary-ranked string dimension ([[graft.functions.ZOrderCode
+    * .ranked]]) throws at scan time when an appended batch carries a
+    * value the dictionary has never seen — by design, because the
+    * dictionary IS the clustering-domain decision. The documented
+    * recovery is "extend the dictionary and recluster in the next
+    * maintenance window"; this operator is that window's body:
+    *
+    *  1. collect the live directory's distinct `column` values (one
+    *     bounded distinct — [[graft.functions.ZOrderCode
+    *     .rankDictionary]]'s limit-probed collect, loud past
+    *     `maxNdv`);
+    *  2. EXTEND, never replace: `dictionary ∪ live values`, re-sorted
+    *     in unsigned byte order — values that have since left the data
+    *     stay in the dictionary, so any persisted reader still holding
+    *     the old domain keeps resolving (extension can SHIFT existing
+    *     ranks — ranks are insertion-ordered — which is exactly why
+    *     the recovery must recluster, and why high-churn keys belong
+    *     on `hashBucket`, whose mapping never changes);
+    *  3. recluster via [[compactClustered]] with the caller's
+    *     clustering expressions rebuilt over the extended dictionary
+    *     (`clusterColsFor` — the caller owns the zorder/scaled
+    *     composition and its bit widths, this operator owns the
+    *     dictionary lifecycle).
+    *
+    * Returns the extended dictionary (persist it — it is the table's
+    * clustering metadata) and the footer-verified [[Report]]. The
+    * source is left intact; swap-in is the caller's transaction, same
+    * as every compaction face. Cost shape: one distinct scan + one
+    * clustered rewrite — the same maintenance-window price as the
+    * recluster the append cadence already schedules, so churn recovery
+    * rides an existing window instead of adding one.
+    */
+  def extendRankedCluster(spark: SparkSession, srcPath: String,
+                          dstPath: String, column: String,
+                          dictionary: Seq[String],
+                          clusterColsFor: Seq[String] => Seq[org.apache.spark.sql.Column],
+                          targetFileBytes: Long = 512L * 1024 * 1024,
+                          targetRowGroupBytes: Long = 128L * 1024 * 1024,
+                          bloomColumns: Map[String, Long] = Map.empty,
+                          writerOptions: Map[String, String] = Map.empty,
+                          maxNdv: Int = 4096): (Seq[String], Report) = {
+    import graft.functions.ZOrderCode
+    require(dictionary.nonEmpty, "extendRankedCluster: empty dictionary")
+    val live = ZOrderCode.rankDictionary(
+      spark.read.parquet(srcPath), column, maxNdv)
+    val extended = (dictionary ++ live).distinct.sorted(ZOrderCode.byteOrdering)
+    require(extended.size <= maxNdv,
+      s"extendRankedCluster: extended dictionary for '$column' exceeds " +
+        s"$maxNdv values (${extended.size}) — past the low-NDV regime; " +
+        "recluster on ZOrderCode.hashBucket instead")
+    val report = compactClustered(spark, srcPath, dstPath,
+      clusterColsFor(extended), targetFileBytes, targetRowGroupBytes,
+      bloomColumns, writerOptions)
+    (extended, report)
+  }
+
   /** Per-column parquet bloom-filter write options (the standard
     * parquet-hadoop `#column`-suffixed keys, passed through Spark's
     * DataFrameWriter options verbatim). Blooms answer the predicate
@@ -394,9 +452,11 @@ object Compaction {
     * .ranked]]): the read-path predicate is pushed on the RAW string
     * column, and parquet prunes it with these very stats, so the dial
     * must read them, not the derived rank. Values decode as UTF-8;
-    * ordering comparisons downstream are Java String order, which
-    * equals parquet's unsigned byte order for ASCII keys (the
-    * dictionary-rank normalizer documents the same caveat).
+    * ordering comparisons downstream ([[prunableFractionString]]) use
+    * unsigned UTF-8 byte order ([[graft.functions.ZOrderCode
+    * .byteOrdering]]) — exactly the order parquet wrote the stats in,
+    * so the dial agrees with the reader's actual pruning for every
+    * string, not just ASCII (ADVICE r16).
     */
   def stringColumnRanges(spark: SparkSession, dir: String,
                          column: String): Seq[Option[(String, String)]] = {
@@ -432,11 +492,12 @@ object Compaction {
     */
   def prunableFractionString(spark: SparkSession, dir: String,
                              column: String, lo: String, hi: String): Double = {
-    require(lo <= hi, s"prunableFractionString: empty range ['$lo', '$hi']")
+    val ord = graft.functions.ZOrderCode.byteOrdering
+    require(ord.lteq(lo, hi), s"prunableFractionString: empty range ['$lo', '$hi']")
     val groups = stringColumnRanges(spark, dir, column)
     require(groups.nonEmpty, s"prunableFractionString: no row groups under $dir")
     groups.count {
-      case Some((mn, mx)) => mx < lo || mn > hi
+      case Some((mn, mx)) => ord.lt(mx, lo) || ord.gt(mn, hi)
       case None           => false
     }.toDouble / groups.size
   }

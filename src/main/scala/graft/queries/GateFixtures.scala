@@ -98,6 +98,12 @@ private[queries] object GateFixtures {
     built.computeIfAbsent(key, _ => {
       import org.apache.spark.sql.streaming.Trigger
       val base = s"$root/$key"
+      // a FAILED earlier build caches nothing here but leaves the
+      // store/batches/checkpoint dirs behind — a same-session retry
+      // would then resume the stale checkpoint against a FRESH index
+      // copy and build an inconsistent fixture; always start from an
+      // empty directory instead (ADVICE r16)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       val idxPath = lshDocsIndexCopy(spark, dir, 200)
       val storePath = s"$base/store"
       graft.ext.LabelStore.create(spark, storePath,

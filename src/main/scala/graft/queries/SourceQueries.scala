@@ -553,11 +553,19 @@ object SourceQueries {
     // gate scale G is a few dozen (the fixture is hundreds of rows),
     // so ≤ 0.45 is the achievable two-sided bound here (measured 0.39
     // source / 0.26 chars at sf0.01); the production dial (< 0.1 at
-    // hundreds of groups) is the 8 M SkippingProbe string phase's row
-    require(readSource <= 0.45 && readChars <= 0.45,
-      s"q122: string-ranked z-order layout does not prune both " +
-        s"dimensions (source-equality read fraction $readSource, " +
-        s"n_chars window read fraction $readChars)")
+    // hundreds of groups) is the 8 M SkippingProbe string phase's row.
+    // Below ~10 row groups the fraction is statistically meaningless
+    // (one group is 10+ points of read fraction) and parquet-writer
+    // drift at the smallest SF could collapse the fixture there — skip
+    // the layout assertion then but keep the hash check running
+    // (ADVICE r16)
+    val nGroups = graft.ops.Compaction
+      .stringColumnRanges(spark, dst, "source").size
+    if (nGroups >= 10)
+      require(readSource <= 0.45 && readChars <= 0.45,
+        s"q122: string-ranked z-order layout does not prune both " +
+          s"dimensions (source-equality read fraction $readSource, " +
+          s"n_chars window read fraction $readChars, $nGroups row groups)")
     SourceQueries.materializeThenDelete(
       spark.read.parquet(dst)
         .withColumn("rnk", ranked(col("source"), dict))

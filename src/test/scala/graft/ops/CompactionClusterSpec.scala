@@ -332,6 +332,80 @@ class CompactionClusterSpec extends SparkSpec {
       spark, restored, "x", 1000, 1639) should be >= 0.9
   }
 
+  test("dictionary churn: unseen value throws on the stale dictionary; " +
+       "extendRankedCluster extends + reclusters and both dims prune again") {
+    val root = tmp("graft_cluster_churn_")
+    val src = s"$root/src"
+    val live = s"$root/live"
+    // base corpus over a 40-value string domain, z-ordered on
+    // (ranked(src), scaled(y)) — the q122 shape
+    val df = scrambled().withColumn("src",
+      format_string("s%02d", pmod(col("id") * 69621L, lit(40L))))
+    df.repartition(8).write.parquet(src)
+    val dict = ZOrderCode.rankDictionary(spark.read.parquet(src), "src")
+    def cluster(d: Seq[String]) = Seq(ZOrderCode.zorder(
+      ZOrderCode.scaled(ZOrderCode.ranked(col("src"), d),
+        0L, d.size - 1L, bits = 12),
+      ZOrderCode.scaled(col("y"), 0L, 65535L, bits = 12)))
+    Compaction.compactClustered(spark, src, live,
+      clusterCols = cluster(dict),
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024)
+    val baseSrcDial = Compaction.prunableFractionString(
+      spark, live, "src", "s17", "s17")
+    baseSrcDial should be >= 0.5
+
+    // an appended batch carrying a NEW dictionary value (a new source
+    // arriving — the churn event)
+    (0 until 20000).map { i =>
+      val id = 300000L + i
+      (id, (id * 48271) % 65536, (id * 16807) % 65536, "p" * 64 + id,
+        if (i % 4 == 0) "s99new" else f"s${(id * 69621L) % 40}%02d")
+    }.toDF("id", "x", "y", "payload", "src")
+      .coalesce(1).write.mode("append").parquet(live)
+
+    // the stale dictionary now THROWS at scan time — loud, not a
+    // silent fold of the new source into some existing neighborhood
+    val e = the[Exception] thrownBy
+      spark.read.parquet(live)
+        .select(ZOrderCode.ranked(col("src"), dict).as("r"))
+        .agg(sum(col("r"))).collect()
+    e.getMessage should include("not in dictionary")
+
+    // the maintenance-window recovery: extend + recluster
+    val restored = s"$root/restored"
+    val (extended, rep) = Compaction.extendRankedCluster(spark, live,
+      restored, "src", dict, cluster,
+      targetFileBytes = 4L * 1024 * 1024,
+      targetRowGroupBytes = 256L * 1024)
+    // extension, never replacement: old domain ⊆ new, new value ranked
+    extended should contain allElementsOf dict
+    extended should contain("s99new")
+    extended shouldBe extended.sorted(ZOrderCode.byteOrdering)
+    rep.rowsAfter shouldBe 220000L
+    // reads resume: ranked() over the live data no longer throws...
+    spark.read.parquet(restored)
+      .select(ZOrderCode.ranked(col("src"), extended).as("r"))
+      .agg(count(col("r"))).collect()(0).getLong(0) shouldBe 220000L
+    // ...and the dial is restored on BOTH dimensions, including for
+    // the NEW value (which clusters like any other now)
+    Compaction.prunableFractionString(
+      spark, restored, "src", "s17", "s17") should be >= 0.5
+    Compaction.prunableFractionString(
+      spark, restored, "src", "s99new", "s99new") should be >= 0.5
+    Compaction.prunableFraction(
+      spark, restored, "y", 1000, 1639) should be >= 0.5
+    // nothing lost through the churn recovery
+    spark.read.parquet(restored).exceptAll(
+      spark.read.parquet(live)).count() shouldBe 0L
+
+    // past the low-NDV regime the extension REFUSES toward hashBucket
+    val wide = the[IllegalArgumentException] thrownBy
+      Compaction.extendRankedCluster(spark, live, s"$root/wide", "src",
+        dict, cluster, maxNdv = 40)
+    wide.getMessage should include("hashBucket")
+  }
+
   test("empty clusterCols is rejected toward compactTo") {
     val root = tmp("graft_cluster_empty_")
     val src = s"$root/src"
