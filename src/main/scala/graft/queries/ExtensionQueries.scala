@@ -2085,6 +2085,87 @@ object ExtensionQueries {
       .orderBy(col("status"))
   }
 
+  /** ✚ substring-level exact dedup (the sub-document dedup family —
+    * repeated long substrings scrubbed ACROSS documents, the public
+    * 50-token-window method at a gate-scale k=8): documents with a
+    * deterministically injected cross-document boilerplate sentence
+    * (appended on doc_id%7, prepended on doc_id%11 — the %77 overlap
+    * resolves by CASE order identically on both engines) run through
+    * [[graft.ext.SubstringDedup.dedup]], rolled up per source. The
+    * oracle replays EVERYTHING relationally in DuckDB: the per-token
+    * rolling hash (q41's fold), the k-token window polynomial (the
+    * rolling update is an algebraic rearrangement — same values), the
+    * min-doc-id keep-one election, and the span-removal sweep (as a
+    * position comprehension), down to `clean_fp` folding an
+    * md5-prefix of every document's RECONSTRUCTED post-removal text —
+    * so the hash pins the exact cleaned corpus, not just counts. The
+    * un-injected corpus carries natural cross-doc window repeats too
+    * (small shared vocab), so the gate exercises organic duplicates
+    * beside the planted ones.
+    */
+  def q123SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + boiler)))
+          .when(col("doc_id") % 11 === 0, concat(lit(boiler + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+    graft.ext.SubstringDedup.dedup(docs, "text", "doc_id", k = 8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("total_tokens"),
+           sum(col("removed_windows")).as("removed_windows"),
+           sum(col("removed_tokens")).as("removed_tokens"),
+           sum(when(col("removed_tokens") > 0, 1L).otherwise(0L))
+             .as("n_docs_touched"),
+           sum(conv(substring(md5(col("clean_text")), 1, 6), 16, 10)
+             .cast("long")).as("clean_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q123Sql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' lorem ipsum dolor sit amet consectetur adipiscing elit sed do'
+      |         WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet consectetur adipiscing elit sed do ' || text
+      |         ELSE text END AS text
+      |  FROM documents),
+      |tok AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM d0),
+      |th AS (
+      |  SELECT doc_id, list_transform(w, t -> list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 2147483647)) AS h
+      |  FROM tok),
+      |win AS (
+      |  SELECT doc_id, s.p AS pos, s.h AS wh
+      |  FROM (SELECT doc_id,
+      |          unnest([{'p': i - 1,
+      |                   'h': list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+7]),
+      |                        (a, b) -> (a * 1000003 + b) % 2147483647)}
+      |                  for i in range(1, len(h) - 6)]) AS s
+      |        FROM th)),
+      |keep AS (
+      |  SELECT wh, min(doc_id) AS keep_id FROM win
+      |  GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+      |rem AS (
+      |  SELECT w.doc_id, list_sort(list(w.pos)) AS st
+      |  FROM win w JOIN keep k ON w.wh = k.wh
+      |  WHERE w.doc_id <> k.keep_id GROUP BY w.doc_id),
+      |clean AS (
+      |  SELECT t.doc_id, t.source, len(t.w) AS n_tokens,
+      |    coalesce(len(r.st), 0) AS removed_windows,
+      |    [t.w[i] for i in range(1, len(t.w) + 1)
+      |       if len(list_filter(coalesce(r.st, []), x -> i - 1 >= x AND i - 1 < x + 8)) = 0] AS kept
+      |  FROM tok t LEFT JOIN rem r USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(sum(removed_windows) AS BIGINT) AS removed_windows,
+      |  CAST(sum(n_tokens - len(kept)) AS BIGINT) AS removed_tokens,
+      |  CAST(sum(CASE WHEN n_tokens > len(kept) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+      |  CAST(sum(CAST('0x' || substr(md5(coalesce(array_to_string(kept, ' '), '')), 1, 6) AS BIGINT)) AS BIGINT) AS clean_fp
+      |FROM clean GROUP BY source ORDER BY source""".stripMargin
+
   val q101Sql: String =
     """WITH o AS (
       |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 5 <> 0),
