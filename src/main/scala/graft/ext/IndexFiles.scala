@@ -199,6 +199,28 @@ private[graft] object IndexFiles {
     finally in.close()
   }
 
+  /** Age of the writer lock at `dir`, if one exists: milliseconds
+    * since its heartbeat timestamp (modification time when the
+    * timestamp is mid-rewrite — the [[withWriterLease]] read
+    * discipline), None when absent/vanished. The READER-side liveness
+    * probe: a store whose meta is missing while a lock younger than
+    * the stale threshold exists is in a live writer's swap window
+    * (transient — wait), not crashed (permanent — fail).
+    */
+  def lockAgeMs(spark: SparkSession, dir: String): Option[Long] = {
+    val p = lockPath(dir)
+    val fs = fsFor(spark, p)
+    try {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(text.toLongOption.map(System.currentTimeMillis() - _)
+        .getOrElse(System.currentTimeMillis() -
+          fs.getFileStatus(p).getModificationTime))
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** Run `body` holding the index's writer lease. A live concurrent
     * writer (lock younger than `staleMs`) fails loudly; a crashed
     * writer's stale lock is taken over. The lease is released in
@@ -223,10 +245,29 @@ private[graft] object IndexFiles {
     val fs = fsFor(spark, p)
     def touch(exclusive: Boolean): Boolean =
       try {
-        val out = fs.create(p, !exclusive)
-        try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
-        finally out.close()
-        true
+        if (exclusive && (fs.getUri.getScheme == null ||
+            fs.getUri.getScheme == "file")) {
+          // Hadoop's local create(overwrite=false) is CHECK-then-create
+          // — two simultaneous acquirers can both win and interleave
+          // meta swaps (ConcurrentWriterSoakSpec caught exactly that as
+          // a failed meta rename). POSIX O_CREAT|O_EXCL via
+          // createNewFile IS atomic; HDFS keeps the fs.create path
+          // below (its exclusive create is atomic server-side).
+          val f = new java.io.File(p.toUri.getPath)
+          Option(f.getParentFile).foreach(_.mkdirs())
+          if (!f.createNewFile()) false
+          else {
+            val out = new java.io.FileOutputStream(f)
+            try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+            finally out.close()
+            true
+          }
+        } else {
+          val out = fs.create(p, !exclusive)
+          try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+          finally out.close()
+          true
+        }
       } catch { case _: java.io.IOException => false }
     if (!touch(exclusive = true)) {
       // Read discipline matters here: the holder's heartbeat rewrites

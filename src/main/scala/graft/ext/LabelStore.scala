@@ -111,11 +111,42 @@ object LabelStore {
 
   private def metaPath(path: String) = s"$path/_labels_meta.json"
 
-  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit =
-    IndexFiles.writeTextFile(spark, metaPath(path),
+  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
+    // ATOMIC publish: write-to-temp + rename. A direct create() is
+    // truncate-then-write, and a reader opening the file between the
+    // two reads EMPTY meta and reports the store corrupt
+    // (ConcurrentWriterSoakSpec's second seam). The rename target is
+    // always absent here by protocol — every commit deletes the meta
+    // first (completeness marker) and create() requires it absent —
+    // so the rename never needs overwrite semantics.
+    val tmp = s"${metaPath(path)}.tmp"
+    IndexFiles.writeTextFile(spark, tmp,
       s"""{"version":${m.version},"opSeq":${m.opSeq}}""")
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new Path(tmp), new Path(metaPath(path))),
+      s"label store at $path: meta rename failed — the store is left " +
+        "meta-less (incomplete) for loud recovery, never half-written")
+  }
 
   private def readMeta(spark: SparkSession, path: String): Meta = {
+    // Meta-absent is AMBIGUOUS: a killed writer leaves it absent
+    // forever (incomplete store — fail), but a LIVE writer's commit
+    // swap deletes it transiently (meta-deleted-first completeness
+    // protocol). The writer lock disambiguates: while a lock younger
+    // than the stale threshold exists, the absence is a live swap —
+    // wait it out instead of reporting a healthy store as broken
+    // (found by ConcurrentWriterSoakSpec: a reader racing a commit hit
+    // "rebuild or restore the store"). The wait is bounded by lease
+    // LIVENESS, not wall-clock — the swap tail is filesystem ops +
+    // one batch-sized append, and a dead writer's lock stops
+    // heartbeating and ages out.
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    while (!fs.exists(new Path(metaPath(path))) &&
+        IndexFiles.lockAgeMs(spark, path)
+          .exists(_ <= IndexFiles.DefaultLeaseStaleMs))
+      Thread.sleep(50)
     val text = IndexFiles.readTextFile(spark, metaPath(path),
       s"no label store at $path: missing/incomplete (no _labels_meta" +
         ".json — a killed writer leaves the meta absent; rebuild or " +
@@ -162,9 +193,29 @@ object LabelStore {
     requireReadable(meta, path)
     val dp = new Path(s"$path/deltas.parquet")
     val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // seq <= meta.opSeq pins the delta view to the META's snapshot: a
+    // read racing a concurrent writer's commit (delta appended, meta
+    // not yet swapped) must not compose old meta with the in-flight
+    // op's rows (ConcurrentWriterSoakSpec's seam; writers are
+    // additionally safe via the in-lease opSeq re-check)
+    // EXPLICIT schema: the delta layout is fixed, and schema inference
+    // over a dir a concurrent writer just created (its first append's
+    // files still under _temporary) fails UNABLE_TO_INFER_SCHEMA —
+    // with the schema given, an in-flight dir reads as zero rows,
+    // consistent with the meta snapshot (ConcurrentWriterSoakSpec)
+    val deltaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("seq",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType)))
     val raw =
       if (!fs.exists(dp)) Array.empty[org.apache.spark.sql.Row]
-      else spark.read.parquet(dp.toString)
+      else spark.read.schema(deltaSchema).parquet(dp.toString)
+        .filter(col("seq") <= meta.opSeq)
         .select(col("seq"), col("kind"), col("a"), col("b"))
         .limit((MaxDeltaRows + 1).toInt).collect()
     require(raw.length <= MaxDeltaRows,
