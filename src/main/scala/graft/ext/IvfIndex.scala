@@ -408,6 +408,69 @@ object IvfIndex {
       if (dc.appendN > 0) Some(dc.appendDistSum / dc.appendN) else None,
       dc.appendN.toDouble / (dc.trainN + dc.appendN))
 
+  /** What the retrain dial decided: the stat it read (None when the
+    * index carries no usable baseline) and whether the retrain fired.
+    */
+  final case class RetrainReport(stat: Option[DriftStat], retrained: Boolean)
+
+  /** The §9 retrain rule as an OPERATOR — the [[graft.ext.LabelStore]]
+    * `compactIfOverMass` mirror for the index family's last advisory
+    * dial: read the O(1) drift ratio from the meta; at or past
+    * `threshold` (the measured ~2 sustained — BASELINE §"IVF drift"),
+    * retrain on the index's CURRENT survivor corpus and [[save]] over
+    * the index — fresh train-time counters, appended counters reset,
+    * so the dial re-arms against the new centroids. Below threshold
+    * (or no usable stat — saved without assignments, or nothing
+    * appended yet), the index is untouched.
+    *
+    * `train` receives the survivor corpus (`(idCol, vecCol)` — the
+    * served assignments view, tombstones excluded) and returns
+    * `(centroids, assignments)` exactly as [[save]] consumes them —
+    * the caller owns k/iters/seed choices ([[Similarity.kmeansTrain]]
+    * + [[Similarity.assignToCentroids]] is the standard pair). The
+    * heavy train runs OUTSIDE any lease; [[save]]'s own lease +
+    * meta-last protocol makes the swap transactional. Save clears the
+    * append marker too (a rebuilt index contains no marked batches),
+    * so quiesce a streaming ingestion across a retrain — the same
+    * maintenance-window rule as `compactFrames`.
+    */
+  def retrainIfDrifted(spark: SparkSession, path: String,
+                       threshold: Double = 2.0)
+                      (train: DataFrame => (DataFrame, Option[DataFrame]))
+                      : RetrainReport = {
+    require(threshold > 0, s"retrainIfDrifted: threshold must be positive: $threshold")
+    val stat = driftStatOption(spark, path)
+    if (!stat.exists(_.ratio.exists(_ >= threshold))) RetrainReport(stat, false)
+    else {
+      val idx = load(spark, path)
+      val corpus = idx.assignments.getOrElse(sys.error(
+        s"IvfIndex at $path: drift fired but the index serves no " +
+          "assignments — nothing to retrain from")) // unreachable: no
+        // assignments ⇒ no counters ⇒ stat is None
+        .select(col(idx.idCol), col(idx.vecCol))
+      val (centroids, assignments) = train(corpus)
+      // STAGE before save: the retrained frames' lineage READS the
+      // very assignments.parquet save is about to overwrite — writing
+      // them directly would recompute partitions against deleted files
+      // (FAILED_READ_FILE, caught by the spec). One underscore-named
+      // staging dir (invisible to listings) breaks the cycle; a crash
+      // mid-save still leaves the documented incomplete-index recovery
+      val stage = s"$path/_retrain_tmp"
+      val fs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(stage), true)
+      try {
+        centroids.write.parquet(s"$stage/centroids")
+        assignments.foreach(_.write.parquet(s"$stage/assignments"))
+        save(spark, path,
+          spark.read.parquet(s"$stage/centroids"),
+          assignments.map(_ => spark.read.parquet(s"$stage/assignments")),
+          idx.idCol, idx.vecCol)
+      } finally fs.delete(new Path(stage), true)
+      RetrainReport(stat, true)
+    }
+  }
+
   /** Append-write sizing: assignment rows carry the full vector, so
     * ~2 M rows keeps the ~100 MB-file shape of the other indexes'
     * append writes.

@@ -140,6 +140,33 @@ object DriftProbe {
       val label = s"$pct%"
       println(f"$label%-9s ${stat.ratio.get}%8.3f $rd%13.3f $rt%13.3f $skew%7.2f $sec%7.1f")
     }
+
+    // the executable dial (IvfIndex.retrainIfDrifted, threshold 2 —
+    // the §9 rule): decision latency is the O(1) meta read; firing
+    // pays one kmeansTrain + assignment + staged save over the grown
+    // survivor corpus. Report post-retrain ratio (re-armed to None)
+    // and drifted-population recall against the NEW centroids.
+    val t2 = System.nanoTime()
+    val report = graft.ext.IvfIndex.retrainIfDrifted(spark, idxPath,
+        threshold = 2.0) { c0 =>
+      val c = c0.withColumn("embedding", col("embedding").cast("array<float>"))
+      val cents = graft.ext.Similarity.kmeansTrain(c,
+        c.filter(col("vec_id") < centers.toLong), iters = 3, dims = dims)
+      (cents, Some(graft.ext.Similarity.assignToCentroids(c, cents)))
+    }
+    val retrainSec = (System.nanoTime() - t2) / 1e9
+    println(f"retrainIfDrifted(2.0): fired=${report.retrained} " +
+      f"(ratio was ${report.stat.flatMap(_.ratio).getOrElse(Double.NaN)}%.3f) " +
+      f"in $retrainSec%.1f s")
+    if (report.retrained) {
+      val stat = graft.ext.IvfIndex.driftStatOption(spark, idxPath)
+      val index = graft.ext.IvfIndex.load(spark, idxPath)
+      val grown = index.assignments.get.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      val rd = recall(index, driftVecs(n, numQ.toLong), grown)
+      println(f"post-retrain: trainN=${stat.get.trainN} ratio=re-armed " +
+        f"recall_drift=$rd%.3f")
+    }
     spark.stop()
   }
 }

@@ -338,6 +338,57 @@ class IvfIndexSpec extends SparkSpec {
     } finally delete(root)
   }
 
+  test("retrainIfDrifted: below threshold untouched; past it retrains on " +
+       "the survivor corpus, re-arms the dial, serves the drifted mass") {
+    val root = tmp()
+    try {
+      val corpus = axisVecs(0 until 20, 0).union(axisVecs(20 until 40, 1))
+      val centroids = axisVecs(0 until 1, 0).union(axisVecs(1 until 2, 1))
+      IvfIndex.save(spark, s"$root/idx", centroids,
+        Some(Similarity.assignToCentroids(corpus, centroids)))
+      def train(c0: org.apache.spark.sql.DataFrame) = {
+        // kmeansTrain consumes float vectors; the survivor corpus view
+        // serves array<double> (the save-time cast)
+        val c = c0.withColumn("embedding",
+          col("embedding").cast("array<float>"))
+        val cents = Similarity.kmeansTrain(c,
+          c.filter(col("vec_id").isin(0L, 20L, 200L)), iters = 2, dims = 4)
+        (cents, Some(Similarity.assignToCentroids(c, cents)))
+      }
+      // nothing appended: stat has no ratio, never fires
+      val r0 = IvfIndex.retrainIfDrifted(spark, s"$root/idx")(c =>
+        fail("train closure must not run below threshold"))
+      r0.retrained shouldBe false
+      r0.stat.get.appendedMeanDist shouldBe None
+      // in-distribution append: ratio ~1 < 2, untouched
+      IvfIndex.append(spark, s"$root/idx", axisVecs(100 until 120, 0))
+      val statBefore = IvfIndex.driftStat(spark, s"$root/idx")
+      val r1 = IvfIndex.retrainIfDrifted(spark, s"$root/idx")(c =>
+        fail("train closure must not run below threshold"))
+      r1.retrained shouldBe false
+      IvfIndex.driftStat(spark, s"$root/idx") shouldBe statBefore
+      // drifted append (orthogonal cluster): ratio explodes, FIRES
+      IvfIndex.append(spark, s"$root/idx", axisVecs(200 until 220, 2))
+      val r2 = IvfIndex.retrainIfDrifted(spark, s"$root/idx")(train)
+      r2.retrained shouldBe true
+      r2.stat.get.ratio.get should be > 2.0
+      // the dial re-armed: fresh train baseline covers ALL 80 vectors,
+      // nothing counted as appended anymore
+      val after = IvfIndex.driftStat(spark, s"$root/idx")
+      after.trainN shouldBe 80L
+      after.appendedN shouldBe 0L
+      after.ratio shouldBe None
+      // the retrained index actually serves the drifted population:
+      // a query in the drifted cluster finds its own neighbors
+      val idx = IvfIndex.load(spark, s"$root/idx")
+      val got = IvfIndex.search(idx, axisVecs(200 until 201, 2), k = 5,
+          nprobe = 1).select("neighbor_id")
+        .collect().map(_.getLong(0)).toSet
+      got.subsetOf((200L until 220L).toSet) shouldBe true
+      got should have size 5
+    } finally delete(root)
+  }
+
   test("streamingAppendBatch folds exactly once; replay skips, stats fire every batch") {
     val root = tmp()
     try {
