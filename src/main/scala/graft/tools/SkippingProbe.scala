@@ -290,6 +290,57 @@ object SkippingProbe {
       f"| scan z=$tszScan%5.2fs ($nsz rows) random=$trdScan%5.2fs ($nrd rows) " +
       f"| x-window read-frac z=${readFracX(szDst)}%6.4f")
 
+    // Dictionary-churn phase: the §9 churn rule as a measured row
+    // (r17 — `Compaction.extendRankedCluster`). A 2% appended batch
+    // carries a NEW src value ('zzz-new' — past every s### in byte
+    // order): the stale dictionary THROWS at scan time by design, and
+    // the maintenance-window recovery (extend + recluster) restores
+    // BOTH dials, including pruning for the new value. Reported:
+    // recovery wall (== one clustered rewrite of base+tail — the same
+    // price as the append-cadence recluster), dict growth, and the
+    // restored read fractions.
+    val churnBatch = rows / 50
+    spark.range(rows * 2, rows * 2 + churnBatch).select(
+        col("id"),
+        pmod(xxhash64(col("id"), lit(1)), lit(1L << 31)).as("x"),
+        pmod(xxhash64(col("id"), lit(2)), lit(1L << 31)).as("y"),
+        when(col("id") % 4 === 0, "zzz-new")
+          .otherwise(format_string("s%03d",
+            pmod(xxhash64(col("id"), lit(3)), lit(500L)))).as("src"),
+        concat((1 to 4).map(i =>
+          sha2(concat(col("id").cast("string"), lit(s"#$i")), 256)): _*)
+          .as("payload"))
+      .coalesce(1).write.mode("append")
+      .option("parquet.block.size", groupB.toString).parquet(szDst)
+    val staleThrows =
+      try {
+        spark.read.parquet(szDst)
+          .select(ranked(col("src"), dict).as("r"))
+          .agg(count(col("r"))).collect()
+        false
+      } catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("not in dictionary") ||
+          Option(e.getCause).exists(c =>
+            c.getMessage != null && c.getMessage.contains("not in dictionary"))
+      }
+    val churnDst = s"$work/churn"
+    val ((dict2, _), tChurn) = timed(
+      graft.ops.Compaction.extendRankedCluster(spark, szDst, churnDst,
+        "src", dict,
+        d => Seq(zorder(scaled(ranked(col("src"), d), 0L, d.size - 1L, 12),
+                        scaled(col("x"), 0L, (1L << 31) - 1, 12))),
+        fileB, groupB))
+    def srcFracIn(dir: String, v: String): Double =
+      1.0 - graft.ops.Compaction.prunableFractionString(spark, dir, "src", v, v)
+    val (nNew, tNewScan) = (1 to 3).map(_ =>
+      scan(spark, churnDst, col("src") === "zzz-new")).minBy(_._2)
+    println(f"churn   staleThrows=$staleThrows extend+recluster=$tChurn%6.1fs " +
+      f"ndv=${dict.size}->${dict2.size} | src-eq read-frac " +
+      f"old=${srcFracIn(churnDst, probeVal)}%6.4f " +
+      f"new=${srcFracIn(churnDst, "zzz-new")}%6.4f " +
+      f"x-window=${readFracX(churnDst)}%6.4f | new-value scan=$tNewScan%5.2fs " +
+      f"($nNew rows)")
+
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
     spark.stop()
   }
