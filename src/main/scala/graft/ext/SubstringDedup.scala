@@ -42,13 +42,19 @@ import org.apache.spark.sql.functions._
   * window must appear in 2+ docs to be scrubbed).
   *
   * Hash collisions: two DIFFERENT k-token substrings sharing a window
-  * hash would be scrubbed as if equal — odds per pair ~2^-31 with the
-  * fingerprint arithmetic shared bit-for-bit by the DuckDB oracle
-  * (q123 replays hashing, election, and span removal exactly), and
-  * the identical "collision" fires on both engines by construction.
-  * For a 100 TB corpus where 2^-31 per-pair is too hot, widen k or
-  * re-verify survivors against `ext/Dedup`'s exact-string equality —
-  * the published method itself tolerates fingerprint merges.
+  * fingerprint would be scrubbed as if equal. The fingerprint is a
+  * packed TWO-LANE 62-bit code ([[graft.functions.WindowHashOps]]) —
+  * a single 31-bit lane birthday-collides SYSTEMATICALLY at corpus
+  * scale (measured: ~19 M tokens scrubbed spuriously at 8 M docs /
+  * 10^8 windows before the second lane landed; expected colliding
+  * pairs at that volume ~10^6), while two independent lanes put the
+  * per-pair odds at ~2^-62 (~3·10^-3 expected collisions at 10^8
+  * windows) and stay BIGINT-replayable, so the DuckDB oracle (q123)
+  * still replays hashing, election, and span removal exactly, and
+  * any residual collision fires identically on both engines by
+  * construction. Where even that is too hot, re-verify survivors
+  * against `ext/Dedup`'s exact-string equality — the published
+  * method itself tolerates fingerprint merges.
   *
   * 100 TB posture: stage 2's group-by is the only shuffle over the
   * window stream (map-side partial aggregation applies; the join back

@@ -23,17 +23,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * per element).
   *
   * Hash arithmetic (shared contract with the DuckDB oracle, which
-  * replays it bit-for-bit in BIGINT):
-  *  - token hash `t` = [[RollingHash.hash]] of the token
-  *    (h*31 + char mod 2^31-1 — q41's oracle-portable fold);
-  *  - window hash over the k token hashes =
-  *    `fold(t_i, 0, (h, t) => (h * 1000003 + t) mod 2^31-1)`.
+  * replays it bit-for-bit in BIGINT): the window fingerprint is TWO
+  * independent 31-bit polynomial folds packed into one 62-bit long —
+  * `wh = w1 * 2^31 + w2`, where for lane j ∈ {1, 2}:
+  *  - token hash `t_j` = `fold(chars, 0, (h, c) => (h * m_j + c)
+  *    mod 2^31-1)` with char multipliers m_1 = 31 (q41's
+  *    oracle-portable fold) and m_2 = 131;
+  *  - window hash `w_j` over the k token hashes =
+  *    `fold(t_j, 0, (h, t) => (h * B_j + t) mod 2^31-1)` with window
+  *    bases B_1 = 1000003, B_2 = 999983.
+  * WHY two lanes: a single 31-bit fingerprint is sound at gate scale
+  * but BIRTHDAY-collides systematically at corpus scale — at 8 M
+  * docs (~10^8 windows) the expected colliding pairs are ~10^6, and
+  * the first ScaleTrend run measured the damage: ~19 M tokens
+  * scrubbed spuriously. Two independent lanes put the per-pair odds
+  * at ~2^-62 (expected collisions at 10^8 windows: ~3·10^-3) while
+  * every intermediate stays BIGINT-replayable: per-lane bound
+  * (M-1)·B < 2^51, packed bound < 2^62.
   * The implementation computes windows by ROLLING update — O(1) per
   * window after the first instead of O(k) — which is an algebraic
   * rearrangement mod M of the fold, so the values are identical; the
-  * oracle replays the plain fold per window (O(n·k) at gate scale,
-  * irrelevant there). All intermediates bound by (M-1)·B < 2^51 — no
-  * Long overflow, no BIGINT overflow.
+  * oracle replays the plain folds per window (O(n·k) at gate scale,
+  * irrelevant there).
   *
   * Tokenization is [[GramOps.tokenize]]: split on single spaces,
   * empty tokens kept — identical to `split(text, " ")` and DuckDB's
@@ -42,52 +53,70 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WindowHashOps {
 
-  /** Window-fold base: small enough that (M-1)*B fits a long/BIGINT,
-    * large (> M^(1/2)) enough that distinct windows rarely collide —
-    * and a collision only merges two spans CONSISTENTLY on both
-    * engines (the hash IS the equality relation on both sides).
+  /** Lane window-fold bases: each small enough that (M-1)*B fits a
+    * long/BIGINT, large (> M^(1/2)) enough that distinct windows
+    * rarely collide per lane — and a collision only merges two spans
+    * CONSISTENTLY on both engines (the packed hash IS the equality
+    * relation on both sides).
     */
   final val Base: Long = 1000003L
+  final val Base2: Long = 999983L
+
+  /** Lane-2 char multiplier (lane 1 is RollingHash's 31). */
+  final val CharMul2: Long = 131L
 
   private final val M = RollingHash.Modulus // 2^31 - 1
 
-  private def tokenHash(tok: String): Long = {
+  private def tokenHash(tok: String, mul: Long): Long = {
     var h = 0L
     var i = 0
     while (i < tok.length) {
-      h = (h * 31 + tok.charAt(i)) % M
+      h = (h * mul + tok.charAt(i)) % M
       i += 1
     }
     h
   }
 
-  /** All k-token window hashes of `s` in token order (index i = the
-    * window starting at token i); empty array when the document has
-    * fewer than k tokens. One pass: n token hashes + rolling updates.
+  /** All k-token window fingerprints of `s` in token order (index i =
+    * the window starting at token i; value = the packed two-lane
+    * 62-bit code); empty array when the document has fewer than k
+    * tokens. One pass: 2n token hashes + rolling updates.
     */
   def windowHashes(s: UTF8String, k: Int): ArrayData = {
     val toks = GramOps.tokenize(s)
     val n = toks.length
     val m = n - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val th = new Array[Long](n)
+    val t1 = new Array[Long](n)
+    val t2 = new Array[Long](n)
     var i = 0
-    while (i < n) { th(i) = tokenHash(toks(i)); i += 1 }
-    // pow = Base^(k-1) mod M — the weight the leaving token carries
-    var pow = 1L
+    while (i < n) {
+      t1(i) = tokenHash(toks(i), 31L)
+      t2(i) = tokenHash(toks(i), CharMul2)
+      i += 1
+    }
+    // pow_j = B_j^(k-1) mod M — the weight the leaving token carries
+    var pow1 = 1L; var pow2 = 1L
     i = 1
-    while (i < k) { pow = (pow * Base) % M; i += 1 }
+    while (i < k) { pow1 = (pow1 * Base) % M; pow2 = (pow2 * Base2) % M; i += 1 }
     val out = new Array[Any](m)
-    var h = 0L
+    var h1 = 0L; var h2 = 0L
     i = 0
-    while (i < k) { h = (h * Base + th(i)) % M; i += 1 }
-    out(0) = h
+    while (i < k) {
+      h1 = (h1 * Base + t1(i)) % M
+      h2 = (h2 * Base2 + t2(i)) % M
+      i += 1
+    }
+    out(0) = (h1 << 31) + h2
     var p = 1
     while (p < m) {
-      var x = (h - (th(p - 1) * pow) % M) % M
-      if (x < 0) x += M
-      h = (x * Base + th(p + k - 1)) % M
-      out(p) = h
+      var x1 = (h1 - (t1(p - 1) * pow1) % M) % M
+      if (x1 < 0) x1 += M
+      h1 = (x1 * Base + t1(p + k - 1)) % M
+      var x2 = (h2 - (t2(p - 1) * pow2) % M) % M
+      if (x2 < 0) x2 += M
+      h2 = (x2 * Base2 + t2(p + k - 1)) % M
+      out(p) = (h1 << 31) + h2
       p += 1
     }
     new GenericArrayData(out)

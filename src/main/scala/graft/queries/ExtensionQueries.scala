@@ -2132,18 +2132,25 @@ object ExtensionQueries {
       |  FROM documents),
       |tok AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM d0),
       |th AS (
-      |  SELECT doc_id, list_transform(w, t -> list_reduce(
+      |  SELECT doc_id,
+      |    list_transform(w, t -> list_reduce(
       |      list_prepend(CAST(0 AS BIGINT),
       |        list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
-      |      (a, b) -> (a * 31 + b) % 2147483647)) AS h
+      |      (a, b) -> (a * 31 + b) % 2147483647)) AS h1,
+      |    list_transform(w, t -> list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (a, b) -> (a * 131 + b) % 2147483647)) AS h2
       |  FROM tok),
       |win AS (
       |  SELECT doc_id, s.p AS pos, s.h AS wh
       |  FROM (SELECT doc_id,
       |          unnest([{'p': i - 1,
-      |                   'h': list_reduce(list_prepend(CAST(0 AS BIGINT), h[i:i+7]),
-      |                        (a, b) -> (a * 1000003 + b) % 2147483647)}
-      |                  for i in range(1, len(h) - 6)]) AS s
+      |                   'h': list_reduce(list_prepend(CAST(0 AS BIGINT), h1[i:i+7]),
+      |                          (a, b) -> (a * 1000003 + b) % 2147483647) * 2147483648
+      |                      + list_reduce(list_prepend(CAST(0 AS BIGINT), h2[i:i+7]),
+      |                          (a, b) -> (a * 999983 + b) % 2147483647)}
+      |                  for i in range(1, len(h1) - 6)]) AS s
       |        FROM th)),
       |keep AS (
       |  SELECT wh, min(doc_id) AS keep_id FROM win

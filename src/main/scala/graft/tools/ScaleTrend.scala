@@ -211,7 +211,7 @@ object ScaleTrend {
     // `ivf,brute`) never pays for the families it skips
     val needLi = Seq("q1_agg", "q5_join", "q88_sketch").exists(shapeFilter)
     val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
-      "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull")
+      "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull", "subdedup")
       .exists(shapeFilter)
     val needVecs = Seq("ivf", "ivfsearch", "brute",
       "srpidx_build", "srpinc", "srpfull").exists(shapeFilter)
@@ -561,6 +561,25 @@ object ScaleTrend {
         .toDF("shard", "doc_id", "n_tokens", "pack_id")
         .count()
 
+    // substring-level exact dedup (q123's operator at corpus scale):
+    // every 100th doc carries a shared 10-token boilerplate tail
+    // (3 duplicate 8-token windows each — removed mass proportional
+    // to the corpus, min-doc occurrence kept), so the shape prices
+    // ALL stages with real work: map-side window hashing (~13
+    // windows/doc), the one hash group-by election, the id-keyed
+    // join back, and the span-removal sweep + full text
+    // reconstruction (sum(length(clean_text)) forces it per doc)
+    def subdedupShape(path: String): Long = {
+      val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+      val docs = spark.read.parquet(path).select(col("doc_id"),
+        when(col("doc_id") % 100 === 0, concat(col("text"), lit(" " + boiler)))
+          .otherwise(col("text")).as("text"))
+      graft.ext.SubstringDedup.dedup(docs, "text", "doc_id", k = 8)
+        .agg(sum(col("removed_tokens")).as("rt"),
+             sum(length(col("clean_text"))).as("b"))
+        .head().getLong(0)
+    }
+
     // ---- run: twice per (shape, scale), report the second -----------
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
     def run(shape: String, scale: String, rows: Long)(f: => Long): Unit =
@@ -597,6 +616,8 @@ object ScaleTrend {
     run("q94_vocab", "big", docsBigN)(q94Shape(docsBig))
     run("q96_pack", "small", docsSmallN)(q96Shape(docsSmall))
     run("q96_pack", "big", docsBigN)(q96Shape(docsBig))
+    run("subdedup", "small", docsSmallN)(subdedupShape(docsSmall))
+    run("subdedup", "big", docsBigN)(subdedupShape(docsBig))
     run("ivf", "small", docsSmallN)(ivfShape(vecsSmall))
     run("ivf", "big", docsBigN)(ivfShape(vecsBig))
     run("ivfsearch", "small", docsSmallN)(ivfSearchShape(vecsSmall))

@@ -14,14 +14,20 @@ class SubstringDedupSpec extends SparkSpec {
   import spark.implicits._
 
   private val M = 2147483647L
-  private val B = WindowHashOps.Base
 
-  private def tokenHash(t: String): Long =
-    t.foldLeft(0L)((h, c) => (h * 31 + c) % M)
+  private def tokenHash(t: String, mul: Long): Long =
+    t.foldLeft(0L)((h, c) => (h * mul + c) % M)
 
-  /** The oracle's plain fold — the spec's independent reference. */
-  private def foldWindow(toks: Seq[String]): Long =
-    toks.map(tokenHash).foldLeft(0L)((h, t) => (h * B + t) % M)
+  /** The oracle's plain two-lane fold, packed — the spec's
+    * independent reference.
+    */
+  private def foldWindow(toks: Seq[String]): Long = {
+    val w1 = toks.map(tokenHash(_, 31L))
+      .foldLeft(0L)((h, t) => (h * WindowHashOps.Base + t) % M)
+    val w2 = toks.map(tokenHash(_, WindowHashOps.CharMul2))
+      .foldLeft(0L)((h, t) => (h * WindowHashOps.Base2 + t) % M)
+    (w1 << 31) + w2
+  }
 
   test("windowHashes: rolling update equals the plain fold per window; " +
        "short docs yield none; empty tokens participate") {
