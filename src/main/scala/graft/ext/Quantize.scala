@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Int8 scalar quantization for the embedding family (north-star ✚) —
+  * the MEMORY-scale path of ANN search: a 100 TB float corpus is 25 TB
+  * as int8, and the quantized scan moves 4× fewer bytes through
+  * storage, shuffle and cache before any pruning (IVF) is applied.
+  *
+  * Scheme: symmetric per-vector linear quantization.
+  * {{{
+  *   scale = max_i |x_i| / 127            (double)
+  *   q_i   = clamp(floor(x_i/scale + 0.5), -127, 127)   (tinyint)
+  * }}}
+  * `floor(v + 0.5)` is used INSTEAD of `round(v)` deliberately: both
+  * this JVM (`Math.round` = floor(x+0.5)) and columnar engines agree
+  * on IEEE `floor`, while `round` half-cases differ across engines
+  * (half-up vs half-away-from-zero on negatives). Every step — the
+  * double cast, |x|, max, the division by a derived scale, +0.5,
+  * floor, clamp — is IEEE correctly-rounded double arithmetic, so an
+  * oracle replaying the same formula produces the IDENTICAL int8
+  * codes, and everything downstream of the codes is exact integer
+  * arithmetic ([[graft.functions.QuantizedDot]]).
+  *
+  * Cosine under symmetric quantization: the per-vector scales CANCEL
+  * in the cosine ratio —
+  * `cos_q = qdot(a,b) / (sqrt(qdot(a,a)) * sqrt(qdot(b,b)))` — so
+  * quantized search needs no float payload at all; the scale column
+  * is only needed to [[dequantize]] back to approximate floats.
+  *
+  * All operators here are MAP-SIDE (quantization is a scan); the only
+  * shuffle in [[bruteForceKnnQuantized]] is the per-query top-k
+  * window, same as the float path.
+  */
+object Quantize {
+
+  /** Per-vector symmetric int8 scale: `max_i |x_i| / 127` over the
+    * double-cast vector. Null vector → null; an all-zero vector gets
+    * scale 0 (its codes quantize to all-zero via the guard below).
+    */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec.cast("array<double>"), x => abs(x))) / lit(127.0)
+
+  /** Quantize one vector to `array<tinyint>` codes given its scale.
+    * scale ≤ 0 (all-zero vector) → all-zero codes, never NaN from 0/0.
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec.cast("array<double>"), x =>
+      when(scale <= 0.0, lit(0).cast("tinyint"))
+        .otherwise(
+          least(greatest(floor(x / scale + lit(0.5)), lit(-127L)), lit(127L))
+            .cast("tinyint")))
+
+  /** Approximate reconstruction: `q_i * scale` (each product is one
+    * exact IEEE double multiply — portable).
+    */
+  def dequantize(qv: Column, scale: Column): Column =
+    transform(qv, q => q.cast("double") * scale)
+
+  /** Exact integer dot product of two code vectors (codegen'd). */
+  def qdot(a: Column, b: Column): Column =
+    graft.functions.QuantizedDot.qdot(a, b)
+
+  /** Cosine of two code vectors — integer dots, scales cancelled.
+    * Zero-magnitude codes yield null (same contract as
+    * [[Similarity.cosine]]: never a NaN that would sort above 1.0).
+    */
+  def quantizedCosine(qa: Column, qb: Column): Column = {
+    val denom = sqrt(qdot(qa, qa).cast("double")) *
+      sqrt(qdot(qb, qb).cast("double"))
+    when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(least(greatest(qdot(qa, qb).cast("double") / denom,
+        lit(-1.0)), lit(1.0)))
+  }
+
+  /** The storage face: replace `vecCol` (array<float>) with int8 codes
+    * + the per-vector scale. Written to parquet this is the 4×-smaller
+    * corpus a quantized ANN deployment scans; [[dequantize]] recovers
+    * approximate floats when a downstream float op needs them.
+    */
+  def quantize(df: DataFrame, vecCol: String = "embedding",
+               codesCol: String = "q_vec",
+               scaleCol: String = "q_scale"): DataFrame = {
+    val s = int8Scale(col(vecCol))
+    df.withColumn(scaleCol, s)
+      .withColumn(codesCol, quantizeInt8(col(vecCol), col(scaleCol)))
+      .drop(vecCol)
+  }
+
+  /** Brute-force top-k over int8 codes — [[Similarity.bruteForceKnn]]'s
+    * quantized twin: queries quantized and broadcast, the corpus
+    * quantized in the scan (or pass a pre-quantized table via
+    * `preQuantized = true` to skip re-coding a persisted int8 corpus),
+    * ranked by [[quantizedCosine]] with the same
+    * (cosine desc, neighbor_id) tie-break. `qdot` rides along — the
+    * exact integer score an oracle replays without any float caveat.
+    */
+  def bruteForceKnnQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             queryIdCol: String = "query_id",
+                             preQuantized: Boolean = false): DataFrame = {
+    def coded(df: DataFrame): DataFrame =
+      if (preQuantized) df
+      else quantize(df, vecCol = vecCol)
+    val q = coded(queries)
+      .select(col(idCol).as(queryIdCol), col("q_vec").as("qq_vec"))
+    val scored = coded(corpus)
+      .select(col(idCol).as("neighbor_id"), col("q_vec").as("qc_vec"))
+      .crossJoin(broadcast(q))
+      .withColumn("qdot", qdot(col("qq_vec"), col("qc_vec")))
+      .withColumn("qcos", quantizedCosine(col("qq_vec"), col("qc_vec")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("neighbor_id"), col("rank"),
+        col("qdot"), col("qcos"))
+  }
+}

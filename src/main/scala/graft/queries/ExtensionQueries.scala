@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{BoundedPairs, CentroidAggregator, Dedup, DupClusters, Multimodal, Similarity, TextStats}
+import graft.ext.{BoundedPairs, CentroidAggregator, Dedup, DupClusters, Multimodal, Quantize, Similarity, TextStats}
 import graft.functions.RollingHash
 
 /** North-star ✚ queries: text analysis, dedup, similarity search over
@@ -2172,6 +2172,192 @@ object ExtensionQueries {
       |  CAST(sum(CASE WHEN n_tokens > len(kept) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
       |  CAST(sum(CAST('0x' || substr(md5(coalesce(array_to_string(kept, ' '), '')), 1, 6) AS BIGINT)) AS BIGINT) AS clean_fp
       |FROM clean GROUP BY source ORDER BY source""".stripMargin
+
+  /** ✚ int8-quantized ANN search — the MEMORY-scale path of the
+    * similarity family ([[graft.ext.Quantize]]): symmetric per-vector
+    * scalar quantization (scale = max|x|/127, codes =
+    * clamp(floor(x/scale + 0.5), ±127)) shrinks a float corpus 4×,
+    * and search runs on EXACT integer dot products
+    * ([[graft.functions.QuantizedDot]]) with the per-vector scales
+    * cancelling out of the cosine ratio. The oracle replays the WHOLE
+    * path bit-for-bit — the quantization formula (IEEE double
+    * division/floor/clamp is engine-portable, and `floor(v+0.5)` is
+    * used instead of `round(v)` precisely because round's half-cases
+    * are NOT portable), the integer dot (exact below 2^53 even
+    * through DuckDB's double-typed list kernel), the cosine ranking,
+    * and the per-query recall@10 against the float brute-force ground
+    * truth — so the hash pins both the exact int8 codes and the
+    * approximation quality (QuantizeSpec asserts recall ≥ 0.9 per
+    * query; measured min 1.0 at sf0.001, 0.9 at sf0.01 and sf0.1 —
+    * 64-dim vectors lose little to int8).
+    */
+  def q124QuantizedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val k = 10
+    val queries = e.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceKnn(e, queries, k)
+    val quant = Quantize.bruteForceKnnQuantized(e, queries, k)
+    val recall = truth.select(col("query_id"), col("neighbor_id"))
+      .join(quant.select(col("query_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(round(count(col("hit")).cast("double") / count(lit(1)), 4)
+        .as("recall"))
+    quant.join(recall, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("qdot"), col("qcos"), col("recall"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q124Sql: String =
+    """WITH s AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(emb, x -> CASE WHEN scale <= 0 THEN 0.0
+      |      ELSE least(greatest(floor(x / scale + 0.5), -127.0), 127.0) END) AS qvd
+      |  FROM s),
+      |n AS (
+      |  SELECT vec_id, qvd,
+      |    CAST(list_dot_product(qvd, qvd) AS BIGINT) AS qnorm FROM q),
+      |p AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_dot_product(a.qvd, b.qvd) AS BIGINT) AS qdot,
+      |    a.qnorm AS qn, b.qnorm AS cn
+      |  FROM n a CROSS JOIN n b WHERE a.vec_id < 5),
+      |sc AS (
+      |  SELECT query_id, neighbor_id, qdot,
+      |    CASE WHEN qn = 0 OR cn = 0 THEN NULL
+      |         ELSE least(greatest(CAST(qdot AS DOUBLE)
+      |                / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))),
+      |              -1.0), 1.0) END AS qcos
+      |  FROM p),
+      |qt AS (
+      |  SELECT query_id, neighbor_id, qdot, qcos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY qcos DESC, neighbor_id) AS rank
+      |  FROM sc),
+      |topq AS (SELECT * FROM qt WHERE rank <= 10),
+      |brute AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q2.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q2.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q2.embedding AS DOUBLE[]),
+      |                 CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS r
+      |    FROM embeddings q2 CROSS JOIN embeddings c
+      |    WHERE q2.vec_id < 5) t
+      |  WHERE r <= 10),
+      |rec AS (
+      |  SELECT b.query_id,
+      |    round(CAST(count(i.neighbor_id) AS DOUBLE) / count(*), 4) AS recall
+      |  FROM brute b LEFT JOIN topq i
+      |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      |  GROUP BY b.query_id)
+      |SELECT t.query_id, t.neighbor_id, t.rank, t.qdot, t.qcos, r.recall
+      |FROM topq t JOIN rec r ON t.query_id = r.query_id
+      |ORDER BY t.query_id, t.rank""".stripMargin
+
+  /** ✚ published quality-rule battery ([[graft.ext.QualityRules]]) —
+    * the Gopher/C4-family per-rule document filter: word-count bounds,
+    * mean word length, symbol ratio, bullet/ellipsis line fractions,
+    * alphabetic-word fraction, stop-word floor, and the C4
+    * brace/"lorem ipsum" rejects, each emitted as its own failure
+    * count per source (the knobs an operator tunes — q25 is the
+    * composite SHAPE, this is the named battery). The fixture is
+    * single-line prose, so each line/boiler rule gets deterministic
+    * dirt injected (CASE order resolves overlaps identically on both
+    * engines): braces+lorem on %13, a '#' run on %17, an all-bullet
+    * multi-line rewrite on %19, ellipsis-terminated lines on %23;
+    * word-count / stop-word / mean-word-length failures occur
+    * organically. Every signal is an integer count and every
+    * threshold an integer cross-multiplication (`10*symbols <=
+    * words`), so the oracle replays all nine flags bit-for-bit —
+    * no float boundary anywhere.
+    */
+  def q125QualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" see { lorem ipsum } now")))
+          .when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" # # # # # # # # # # # #")))
+          .when(col("doc_id") % 19 === 0,
+            concat(lit("- "), col("text"),
+              lit("\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j")))
+          .when(col("doc_id") % 23 === 0,
+            concat(col("text"),
+              lit("\nwait for it ...\nand more ...\nyet more ...")))
+          .otherwise(col("text")).as("text"))
+    val battery = graft.ext.QualityRules.battery(docs)
+    val failCounts = graft.ext.QualityRules.RuleCols.map(r =>
+      sum(when(!col(r), 1L).otherwise(0L)).as(s"f_${r.stripPrefix("r_")}"))
+    val aggs = (count(lit(1)).as("n_docs") +: failCounts) :+
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep")
+    battery.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("source"))
+  }
+
+  val q125Sql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' see { lorem ipsum } now'
+      |         WHEN doc_id % 17 = 0 THEN text || ' # # # # # # # # # # # #'
+      |         WHEN doc_id % 19 = 0 THEN '- ' || text || chr(10) ||
+      |           '- b' || chr(10) || '- c' || chr(10) || '- d' || chr(10) ||
+      |           '- e' || chr(10) || '- f' || chr(10) || '- g' || chr(10) ||
+      |           '- h' || chr(10) || '- i' || chr(10) || '- j'
+      |         WHEN doc_id % 23 = 0 THEN text || chr(10) ||
+      |           'wait for it ...' || chr(10) || 'and more ...' || chr(10) ||
+      |           'yet more ...'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |sig AS (
+      |  SELECT source,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(replace(replace(text, ' ', ''), chr(10), '')) AS n_word_chars,
+      |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+      |    len(string_split(text, chr(10))) AS n_lines,
+      |    len(list_filter(string_split(text, chr(10)),
+      |        l -> l LIKE '- %' OR l LIKE '* %' OR l = '-' OR l = '*')) AS n_bullet,
+      |    len(list_filter(string_split(text, chr(10)),
+      |        l -> l LIKE '%...')) AS n_ellipsis,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |        w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS n_stop,
+      |    (contains(text, '{') OR contains(text, '}')) AS has_brace,
+      |    contains(lower(text), 'lorem ipsum') AS has_lorem
+      |  FROM d0),
+      |fl AS (
+      |  SELECT source,
+      |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+      |    (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10) AS r_mean_word_len,
+      |    (n_symbols * 10 <= n_words) AS r_symbol_ratio,
+      |    (n_bullet * 10 <= n_lines * 9) AS r_bullet_lines,
+      |    (n_ellipsis * 10 <= n_lines * 3) AS r_ellipsis_lines,
+      |    (n_alpha * 5 >= n_words * 4) AS r_alpha_words,
+      |    (n_stop >= 2) AS r_stopwords,
+      |    (NOT has_brace) AS r_no_brace,
+      |    (NOT has_lorem) AS r_no_lorem
+      |  FROM sig)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS f_word_count,
+      |  CAST(sum(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f_mean_word_len,
+      |  CAST(sum(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol_ratio,
+      |  CAST(sum(CASE WHEN NOT r_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_bullet_lines,
+      |  CAST(sum(CASE WHEN NOT r_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_ellipsis_lines,
+      |  CAST(sum(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha_words,
+      |  CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS f_stopwords,
+      |  CAST(sum(CASE WHEN NOT r_no_brace THEN 1 ELSE 0 END) AS BIGINT) AS f_no_brace,
+      |  CAST(sum(CASE WHEN NOT r_no_lorem THEN 1 ELSE 0 END) AS BIGINT) AS f_no_lorem,
+      |  CAST(sum(CASE WHEN r_word_count AND r_mean_word_len AND r_symbol_ratio
+      |       AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+      |       AND r_stopwords AND r_no_brace AND r_no_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |FROM fl GROUP BY source ORDER BY source""".stripMargin
 
   val q101Sql: String =
     """WITH o AS (

@@ -225,6 +225,46 @@ object PipelineQueries {
       |FROM lineitem WHERE l_orderkey < 500
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** K-family ORC round-trip, oracle-gated: an embeddings slice —
+    * including its array<float> column, the payload CSV/JSON gates
+    * can't carry typed — goes out through [[graft.sinks.Exporters.orc]]
+    * and back through [[graft.sources.Readers.orc]]; the per-label
+    * aggregate matches the oracle (reading the ORIGINAL parquet) only
+    * if every row, the int/long scalars AND every array element
+    * survived the format round-trip bit-for-bit. Aggregates are
+    * integer-only (element counts from float COMPARISONS, never float
+    * sums), so there is no operation-order caveat.
+    */
+  def q126OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Exporters
+    import graft.sources.Readers
+    val root = java.nio.file.Files.createTempDirectory("graft_q126_").toString
+    val out = root + "/orc"
+    Exporters.orc(
+      Tables(spark, dir, "embeddings").filter(col("vec_id") < 200), out)
+    SourceQueries.materializeThenDelete(
+      Readers.orc(spark, out)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("vec_id")).as("id_sum"),
+             sum(size(col("embedding"))).as("dim_sum"),
+             sum(size(filter(col("embedding"), x => x > 0f)))
+               .as("pos_elems"),
+             min(col("vec_id")).as("min_id"),
+             max(col("vec_id")).as("max_id"))
+        .orderBy(col("label")),
+      root)
+  }
+
+  val q126Sql: String =
+    """SELECT label, count(*) AS n,
+      |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(len(embedding)) AS BIGINT) AS dim_sum,
+      |  CAST(sum(len(list_filter(embedding, x -> x > 0))) AS BIGINT) AS pos_elems,
+      |  min(vec_id) AS min_id, max(vec_id) AS max_id
+      |FROM embeddings WHERE vec_id < 200
+      |GROUP BY label ORDER BY label""".stripMargin
+
   /** S5 — skip-bad-cells numeric extract, oracle-gated: a CSV is
     * written with every third value corrupted (non-numeric prefix);
     * the reader must DROP those cells (try_cast tolerance,

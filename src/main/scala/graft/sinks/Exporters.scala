@@ -20,6 +20,15 @@ object Exporters {
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** ORC — the other columnar interchange format a lakehouse speaks
+    * (Hive/Trino ecosystems): same footer-stats pushdown family as
+    * parquet, full nested/array type support, so typed frames
+    * round-trip losslessly (oracle-gated by q126 including an
+    * array<float> column).
+    */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Partitioned parquet: the record-store's tag dict as partition
     * columns (SURVEY.md §1.1) — a tag selector on the read side becomes
     * a partition-pruning filter, so queries touching one tag value

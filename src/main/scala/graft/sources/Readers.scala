@@ -33,6 +33,12 @@ object Readers {
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** ORC read — schema travels in the file (no inference), nested and
+    * array types intact; the read side of [[graft.sinks.Exporters.orc]].
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5 — CSV numeric-column extract (`io_helpers.py:37-79`): one
     * column (by header name, or the first column when `column` is
     * None), cells cast to double, unparseable cells DROPPED rather
