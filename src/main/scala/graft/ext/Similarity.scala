@@ -45,6 +45,16 @@ object Similarity {
   /** Brute-force top-k: score every (query, corpus) pair, keep the k
     * best per query (ties broken by corpus id). Queries are broadcast;
     * the corpus is scanned once, map-side.
+    *
+    * The top-k itself runs through [[graft.plans.TopK.topKPerKey]]
+    * (map-side partial top-k) since r17: a window over the scored
+    * cross product would SHUFFLE all |corpus|×|queries| scored rows to
+    * rank them (measured at 8 M×20: the exchange dominated the whole
+    * search and its wall-clock swung 3× run-to-run with spill
+    * pressure); the partial shrinks the exchange to ≤ k rows per query
+    * per partition. Same total order (score desc NULLS LAST,
+    * neighbor_id asc) → results bit-identical, and the tiny
+    * rank-stamping window afterwards sorts ≤ k·queries rows.
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
@@ -54,12 +64,26 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .crossJoin(broadcast(q))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+    rankTopK(scored, queryIdCol, k, "cosine")
+  }
+
+  /** Shared kNN tail: prune to the score columns (the vectors must
+    * never reach an exchange), exact partial top-k per query, then
+    * stamp `rank` with a window over the ≤ k·queries survivors.
+    */
+  private[ext] def rankTopK(scored: DataFrame, queryIdCol: String, k: Int,
+                            scoreCol: String,
+                            extraCols: Seq[String] = Nil): DataFrame = {
+    val pruned = scored.select(
+      (Seq(queryIdCol, "neighbor_id", scoreCol) ++ extraCols).map(col): _*)
+    val shrunk = graft.plans.TopK.topKPerKey(pruned, Seq(queryIdCol),
+      scoreCol, k, desc = true, tiebreak = Seq("neighbor_id"))
     val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
+    shrunk
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col("neighbor_id"), col("rank"), col("cosine"))
+      .select((Seq(queryIdCol, "neighbor_id", "rank") ++ extraCols :+
+        scoreCol).map(col): _*)
   }
 
   /** Assign every corpus vector to its nearest centroid (argmax cosine,
@@ -209,15 +233,14 @@ object Similarity {
       .withColumn("qc_rank", row_number().over(qw))
       .filter(col("qc_rank") <= nprobe)
       .select(col("query_id"), col("q_vec"), col("centroid_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned
+    // same partial-top-k tail as bruteForceKnn (r17): the probed
+    // clusters' scored candidates — nprobe/numCentroids of the corpus
+    // per query — never shuffle; only ≤ k rows/query/partition do
+    rankTopK(assigned
       .withColumnRenamed(idCol, "neighbor_id")
       .join(broadcast(probes), Seq("centroid_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col(vecCol)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+      .withColumn("cosine", cosine(col("q_vec"), col(vecCol))),
+      "query_id", k, "cosine")
   }
 
   /** Deterministic Rademacher (±1) hyperplanes for sign-random-

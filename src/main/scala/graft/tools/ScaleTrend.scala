@@ -213,7 +213,7 @@ object ScaleTrend {
     val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
       "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull", "subdedup")
       .exists(shapeFilter)
-    val needVecs = Seq("ivf", "ivfsearch", "brute",
+    val needVecs = Seq("ivf", "ivfsearch", "brute", "qbuild", "qbrute",
       "srpidx_build", "srpinc", "srpfull").exists(shapeFilter)
 
     val liBig = s"$out/lineitem_x$rep"
@@ -514,6 +514,34 @@ object ScaleTrend {
       stash("brute", path, graft.ext.Similarity.bruteForceKnn(
         spark.read.parquet(path), vecQueries(path), k = vecK))
 
+    // ---- int8-quantized embedding family (round 17) ----------------
+    // `qbuild` prices the ONE-TIME quantize+write of the corpus (paid
+    // once for a 4×-smaller scan thereafter); `qbrute` prices brute
+    // top-k over the PERSISTED int8 corpus — graft.ext.Quantize's
+    // memory-scale path vs `brute`'s float scan — with recall@10
+    // graded against the same stashed float-brute floor. The fixture
+    // carries VecGenVersion like every other cached corpus.
+    def qvecsFixture(vpath: String, n: Long): String = {
+      val dst = s"$out/qvecs_${n}_$VecGenVersion"
+      ensure(dst) {
+        graft.ext.Quantize.quantize(spark.read.parquet(vpath))
+          .repartition(64).write.mode("overwrite").parquet(dst)
+      }
+      dst
+    }
+    def qbuildShape(vpath: String, n: Long): Long = {
+      val dst = s"$out/qvecs_tmp_$n"
+      graft.ext.Quantize.quantize(spark.read.parquet(vpath))
+        .repartition(64).write.mode("overwrite").parquet(dst)
+      spark.read.parquet(dst).count()
+    }
+    def qbruteShape(vpath: String, n: Long): Long = {
+      val q = spark.read.parquet(qvecsFixture(vpath, n))
+      stash("qbrute", vpath, graft.ext.Quantize.bruteForceKnnQuantized(
+        q, q.filter(col("vec_id") < vecNumQ), k = vecK,
+        preQuantized = true))
+    }
+
     /** recall@10 of a stashed kNN result vs the stashed brute floor
       * (defined only when both that shape and brute ran on `path`).
       */
@@ -624,6 +652,25 @@ object ScaleTrend {
     run("ivfsearch", "big", docsBigN)(ivfSearchShape(vecsBig))
     run("brute", "small", docsSmallN)(bruteShape(vecsSmall))
     run("brute", "big", docsBigN)(bruteShape(vecsBig))
+    run("qbuild", "small", docsSmallN)(qbuildShape(vecsSmall, docsSmallN))
+    run("qbuild", "big", docsBigN)(qbuildShape(vecsBig, docsBigN))
+    run("qbrute", "small", docsSmallN)(qbruteShape(vecsSmall, docsSmallN))
+    run("qbrute", "big", docsBigN)(qbruteShape(vecsBig, docsBigN))
+    // on-disk footprint of the int8 face vs the float corpus — the
+    // 4×-smaller-scan claim, measured (prints only when qbrute ran)
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      if (d.exists) d.listFiles.filter(_.isFile).map(_.length).sum else 0L
+    }
+    if (shapeFilter("qbrute"))
+      for ((vpath, n) <- Seq((vecsSmall, docsSmallN), (vecsBig, docsBigN))
+           if vpath.nonEmpty) {
+        val fb = dirBytes(vpath)
+        val qb = dirBytes(s"$out/qvecs_${n}_$VecGenVersion")
+        if (fb > 0 && qb > 0)
+          println(f"int8 footprint @$n%d: float ${fb / 1e6}%.1f MB -> " +
+            f"int8 ${qb / 1e6}%.1f MB (${fb.toDouble / qb}%.2fx smaller)")
+      }
     run("srpidx_build", "small", docsSmallN)(srpIdxBuildShape(vecsSmall, docsSmallN))
     run("srpidx_build", "big", docsBigN)(srpIdxBuildShape(vecsBig, docsBigN))
     run("srpinc", "small", docsSmallN)(srpIncShape(vecsSmall, docsSmallN))
@@ -634,7 +681,7 @@ object ScaleTrend {
     // sets — the scaling claim is (sublinear wall, recall held), not
     // wall alone; a line prints only when that shape AND brute ran
     for {
-      shape <- Seq("ivf", "ivfsearch")
+      shape <- Seq("ivf", "ivfsearch", "qbrute")
       rSmall <- ivfRecall(shape, vecsSmall)
       rBig <- ivfRecall(shape, vecsBig)
     } println(f"$shape%s recall@$vecK vs brute floor: " +

@@ -115,6 +115,37 @@ class QuantizeSpec extends SparkSpec {
     out.foreach(r => r.getAs[Double]("recall") should be >= 0.9)
   }
 
+  test("ivfKnnQuantized: recall@10 >= 0.9 vs float brute, self found, " +
+    "and probes match the float IVF's probe set") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val centroids = emb.filter(col("vec_id") < 8)
+    val assignedQ = Quantize.quantize(
+      Similarity.assignToCentroids(emb, centroids))
+    val got = Quantize.ivfKnnQuantized(assignedQ, centroids, queries,
+        k = 10, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteForceKnn(emb, queries, k = 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // per-query recall floor (same bar as the float IVF's q93 gate)
+    (0L until 5L).foreach { q =>
+      val t = truth.filter(_._1 == q)
+      val hit = t.count(got.contains)
+      withClue(s"query $q") { hit.toDouble / t.size should be >= 0.9 }
+      got should contain((q, q))
+    }
+    // the candidate universe is the float IVF's: probe ranking is
+    // float on both paths, so at the same nprobe the quantized search
+    // can only re-rank within the identical probed clusters
+    val floatIvf = Similarity.ivfKnn(emb, centroids, queries,
+        k = 10, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = got.intersect(floatIvf).size.toDouble / got.size
+    overlap should be >= 0.9
+  }
+
   test("preQuantized search over a persisted int8 corpus equals in-scan coding") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("quantized_corpus").toString
