@@ -53,7 +53,14 @@ class ConcurrentWriterSoakSpec extends SparkSpec {
     var nextId: Long = base + 100L
     var commits = 0
     var retries = 0
-    val maxAttempts = 8
+    // high cap + jittered backoff: convergence of retry-on-refusal is
+    // probabilistic, and under a loaded box (the full suite runs
+    // around this spec) each op's lease window stretches — two
+    // writers retrying in lockstep with only 8 attempts and no
+    // backoff flaked once under full-suite load without any contract
+    // violation. The backoff de-synchronizes them; the cap exists
+    // only to turn a genuine livelock into a loud failure.
+    val maxAttempts = 32
 
     private def df2(rows: Seq[(Long, Long)], c1: String, c2: String): DataFrame =
       session.createDataFrame(rows).toDF(c1, c2)
@@ -122,7 +129,9 @@ class ConcurrentWriterSoakSpec extends SparkSpec {
               case _         => nodes = nodes ++ fresh; edges = edges ++ newEdges
             }
           } catch {
-            case e: Throwable if isContractRefusal(e) => retries += 1
+            case e: Throwable if isContractRefusal(e) =>
+              retries += 1
+              Thread.sleep(rnd.nextInt(40 * attempt).toLong)
             case e: Throwable =>
               bad.add(s"op $op ($kind) attempt $attempt: ${e.getClass.getName}: ${e.getMessage}")
               return

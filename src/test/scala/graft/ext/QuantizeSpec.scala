@@ -146,6 +146,34 @@ class QuantizeSpec extends SparkSpec {
     overlap should be >= 0.9
   }
 
+  test("rerankKnn: candidates >= corpus equals float brute exactly; " +
+    "3k-wide pass recovers at least the plain int8 recall") {
+    val n = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpusQ = Quantize.quantize(emb)
+    val full = Quantize.rerankKnn(corpusQ, emb, queries,
+        k = 10, candidates = n)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val brute = Similarity.bruteForceKnn(emb, queries, k = 10)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    full shouldBe brute
+    // a 3×k wide pass: every candidate the plain int8 top-10 would
+    // return is inside the wide set, so rerank recall can only match
+    // or beat it (and the float tail fixes int8's rank inversions)
+    val truth = brute.map(s => (s(0), s(1))).toSet
+    val rer = Quantize.rerankKnn(corpusQ, emb, queries,
+        k = 10, candidates = 30)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Quantize.bruteForceKnnQuantized(emb, queries, k = 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerHits = rer.count(p => truth.contains((p._1, p._2)))
+    val plainHits = plain.count(p => truth.contains((p._1, p._2)))
+    rerHits should be >= plainHits
+    (0L until 5L).foreach(q => rer should contain((q, q)))
+  }
+
   test("preQuantized search over a persisted int8 corpus equals in-scan coding") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("quantized_corpus").toString
