@@ -76,4 +76,10 @@ object QuantizedDot {
 
   def qdot(a: Column, b: Column): Column =
     GraftSql.column(QuantizedDot(GraftSql.expression(a), GraftSql.expression(b)))
+
+  /** Idempotent SQL registration (the non-extensions path). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantized_dot", exprs => QuantizedDot(exprs.head, exprs(1)),
+      "built-in")
 }

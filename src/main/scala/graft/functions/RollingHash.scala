@@ -103,6 +103,32 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new FunctionIdentifier("zorder_code"),
       new ExpressionInfo(classOf[ZOrderCode].getName, "zorder_code"),
       (exprs: Seq[Expression]) => ZOrderCode.build(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getName, "quantized_dot"),
+      (exprs: Seq[Expression]) => QuantizedDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("hex_hash_array"),
+      new ExpressionInfo(classOf[HexHashArray].getName, "hex_hash_array"),
+      (exprs: Seq[Expression]) => HexHashArray(exprs.head,
+        exprs(1).eval().toString)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_array"),
+      new ExpressionInfo(classOf[MinhashArray].getName, "minhash_array"),
+      (exprs: Seq[Expression]) => MinhashArray(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("token_window_hashes"),
+      new ExpressionInfo(classOf[TokenWindowHashes].getName,
+        "token_window_hashes"),
+      (exprs: Seq[Expression]) => TokenWindowHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("remove_token_spans"),
+      new ExpressionInfo(classOf[RemoveTokenSpans].getName,
+        "remove_token_spans"),
+      (exprs: Seq[Expression]) => RemoveTokenSpans(exprs.head, exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

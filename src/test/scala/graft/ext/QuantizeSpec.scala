@@ -174,6 +174,15 @@ class QuantizeSpec extends SparkSpec {
     (0L until 5L).foreach(q => rer should contain((q, q)))
   }
 
+  test("quantized_dot is SQL-reachable after registration") {
+    graft.functions.QuantizedDot.register(spark)
+    val out = spark.sql(
+      """SELECT quantized_dot(CAST(array(1, -2, 127) AS array<tinyint>),
+        |                     CAST(array(3, 4, -127) AS array<tinyint>)) AS d"""
+        .stripMargin).collect().head
+    out.getAs[Long]("d") shouldBe (3L - 8L - 16129L)
+  }
+
   test("preQuantized search over a persisted int8 corpus equals in-scan coding") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("quantized_corpus").toString
