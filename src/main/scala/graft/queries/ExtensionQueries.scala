@@ -2359,6 +2359,126 @@ object ExtensionQueries {
       |       AND r_stopwords AND r_no_brace AND r_no_lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
       |FROM fl GROUP BY source ORDER BY source""".stripMargin
 
+  /** ✚ IVF × int8 — the quantized family's full production
+    * composition, oracle-gated: float centroid probe ranking (q35's
+    * exact assignment/probe dataflow, 8 centroids, nprobe=2) over the
+    * QUANTIZED assigned corpus, candidates ranked by exact integer
+    * dots. The oracle composes q35's assignment CTEs with q124's
+    * quantization CTEs — every stage (float argmax assignment, probe
+    * selection, int8 codes, integer dot, cosine ranking) replayed
+    * bit-for-bit, so the hash pins the COMPOSITION seam (a quantized
+    * corpus row ranked in the wrong probed cluster, or re-coded
+    * differently from its float twin, breaks it).
+    */
+  def q127QuantizedIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val centroids = e.filter(col("vec_id") < 8)
+    val queries = e.filter(col("vec_id") < 3)
+    val assignedQ = Quantize.quantize(
+      Similarity.assignToCentroids(e, centroids))
+    Quantize.ivfKnnQuantized(assignedQ, centroids, queries,
+        k = 5, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q127Sql: String =
+    """WITH cos AS (
+      |  SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+      |    list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |                           CAST(c.embedding AS DOUBLE[])) AS c_cos
+      |  FROM embeddings v CROSS JOIN embeddings c WHERE c.vec_id < 8),
+      |assigned AS (
+      |  SELECT vec_id AS neighbor_id, centroid_id FROM (
+      |    SELECT vec_id, centroid_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY c_cos DESC, centroid_id) AS rn
+      |    FROM cos) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, centroid_id FROM (
+      |    SELECT vec_id, centroid_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY c_cos DESC, centroid_id) AS rn
+      |    FROM cos WHERE vec_id < 3) t WHERE rn <= 2),
+      |s AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(emb, x -> CASE WHEN scale <= 0 THEN 0.0
+      |      ELSE least(greatest(floor(x / scale + 0.5), -127.0), 127.0) END) AS qvd
+      |  FROM s),
+      |n AS (
+      |  SELECT vec_id, qvd,
+      |    CAST(list_dot_product(qvd, qvd) AS BIGINT) AS qnorm FROM q),
+      |scored AS (
+      |  SELECT p.query_id, a.neighbor_id,
+      |    CAST(list_dot_product(nq.qvd, nc.qvd) AS BIGINT) AS qdot,
+      |    nq.qnorm AS qn, nc.qnorm AS cn
+      |  FROM probes p
+      |  JOIN assigned a ON p.centroid_id = a.centroid_id
+      |  JOIN n nq ON nq.vec_id = p.query_id
+      |  JOIN n nc ON nc.vec_id = a.neighbor_id),
+      |sc AS (
+      |  SELECT query_id, neighbor_id, qdot,
+      |    CASE WHEN qn = 0 OR cn = 0 THEN NULL
+      |         ELSE least(greatest(CAST(qdot AS DOUBLE)
+      |                / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))),
+      |              -1.0), 1.0) END AS qcos
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, qdot, qcos FROM (
+      |  SELECT query_id, neighbor_id, qdot, qcos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY qcos DESC, neighbor_id) AS rank
+      |  FROM sc) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** ✚ bigram LM quality scoring — q94's unigram dataflow upgraded to
+    * the bigram model (the stronger classic LM-filtering proxy: a doc
+    * whose ADJACENT-PAIR distribution diverges from the corpus is
+    * gibberish even when its unigrams are common — word-salad passes a
+    * unigram filter, not this). Same bit-portable rational form as
+    * q94: top-V corpus bigram vocabulary (count desc, gram asc — the
+    * boundary tie is deterministic), broadcast to the bigram stream,
+    * per-doc OOV-bigram rate + mean matched-bigram corpus frequency —
+    * integer sums, one final division. Bigrams come from the native
+    * `word_ngrams` expression ('_'-joined windows; the oracle rebuilds
+    * them with a position comprehension).
+    *
+    * Scale shape: identical to q94 — two bounded shuffles (vocab
+    * group-by, per-doc agg) + one broadcast; the corpus bigram stream
+    * never shuffles for scoring.
+    */
+  def q128BigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bgs = docs.select(col("doc_id"),
+      explode(TextStats.ngrams(col("text"), 2)).as("bg"))
+    val vocab = bgs.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("bg")).limit(500)
+    bgs.join(broadcast(vocab), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("cnt").isNull, 1)).as("n_oov_bg"),
+        round(sum(coalesce(col("cnt"), lit(0L))).cast("double")
+          / count(lit(1)), 4).as("mean_bg_freq"))
+      .filter(col("doc_id") < 200)
+      .orderBy(col("doc_id"))
+  }
+
+  val q128Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest([w[i] || '_' || w[i + 1] for i in range(1, len(w))]) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |v0 AS (SELECT bg, count(*) AS cnt FROM t GROUP BY bg),
+      |v AS (SELECT bg, cnt FROM v0 ORDER BY cnt DESC, bg LIMIT 500)
+      |SELECT t.doc_id AS doc_id, count(*) AS n_bigrams,
+      |  count(*) FILTER (v.bg IS NULL) AS n_oov_bg,
+      |  round(CAST(sum(coalesce(v.cnt, 0)) AS DOUBLE) / count(*), 4) AS mean_bg_freq
+      |FROM t LEFT JOIN v ON t.bg = v.bg
+      |WHERE t.doc_id < 200
+      |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
   val q101Sql: String =
     """WITH o AS (
       |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 5 <> 0),

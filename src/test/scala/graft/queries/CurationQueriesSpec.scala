@@ -48,6 +48,31 @@ class CurationQueriesSpec extends SparkSpec {
       org.apache.spark.sql.execution.TakeOrderedAndProjectExec]) shouldBe true
   }
 
+  test("q128 bigram scoring: consistent accounting + the same broadcast" +
+    " + TakeOrdered plan shape as q94") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = ExtensionQueries.q128BigramQuality(spark, sf)
+    val rows = df.collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (nBg, nOov, meanFreq) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      nOov should be <= nBg
+      nBg should be > 0L
+      meanFreq should be >= (nBg - nOov).toDouble / nBg - 5e-5
+    }
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec        => q +: nodes(q.plan)
+      case n => n +: n.children.flatMap(nodes)
+    }
+    val all = nodes(df.queryExecution.executedPlan)
+    all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) shouldBe true
+    all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.TakeOrderedAndProjectExec]) shouldBe true
+  }
+
   test("q96 packing respects the token budget and keeps packs contiguous") {
     val rows = ExtensionQueries.q96SequencePacking(spark, sf)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
