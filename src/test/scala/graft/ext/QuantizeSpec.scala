@@ -174,6 +174,30 @@ class QuantizeSpec extends SparkSpec {
     (0L until 5L).foreach(q => rer should contain((q, q)))
   }
 
+  test("kNN tails plan as two-stage partial top-k (float and int8): " +
+    "the scored cross product never reaches an exchange") {
+    // pins the r17 rework (BASELINE §"Int8 quantized ANN"): the
+    // ranking runs as TopKPerKeyExec(partial) -> exchange -> final,
+    // so a regression back to a full-cross-product window exchange
+    // fails here, not in a bench round
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+      case q: QueryStageExec        => q +: nodes(q.plan)
+      case n => n +: n.children.flatMap(nodes)
+    }
+    for (df <- Seq(
+        Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 3), k = 5),
+        Quantize.bruteForceKnnQuantized(emb, emb.filter(col("vec_id") < 3),
+          k = 5))) {
+      df.collect()
+      val topks = nodes(df.queryExecution.executedPlan)
+        .collect { case t: graft.plans.TopKPerKeyExec => t }
+      topks.map(_.partial).sorted shouldBe Seq(false, true)
+    }
+  }
+
   test("quantized_dot is SQL-reachable after registration") {
     graft.functions.QuantizedDot.register(spark)
     val out = spark.sql(
