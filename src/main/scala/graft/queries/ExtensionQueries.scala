@@ -2479,6 +2479,112 @@ object ExtensionQueries {
       |WHERE t.doc_id < 200
       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
+  /** ✚ URL canonicalization + URL-keyed dedup ([[graft.ext.UrlOps]])
+    * — the pass that precedes content dedup in web-corpus pipelines:
+    * the same page arriving as http/https, with/without `www.`, with
+    * tracking params, trailing slashes and fragments must collapse to
+    * ONE normalized key. URLs are synthesized deterministically from
+    * documents with every variant class injected (scheme by %2, www
+    * by %3, tracking-param mixes by %5/%4, trailing slash by %7,
+    * fragment by %11; the host's TLD alternates .com/.co.uk so the
+    * suffix-aware registered-domain rule exercises both branches).
+    * The oracle replays construction, the full normalization (regex
+    * strips, host lowercase, param filter + SORT, slash trim) and the
+    * registered-domain extraction; `norm_fp`/`dom_fp` fold an
+    * md5-prefix of every normalized string into the hash, so the gate
+    * pins the exact canonical keys, not just their counts.
+    */
+  def q129UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.UrlOps
+    val page = (col("doc_id") % 50).cast("string")
+    val url = concat(
+      when(col("doc_id") % 2 === 0, "https").otherwise("http"),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+      lit("host-"), col("source"),
+      // %3, not %2: doc_ids stride by the source count (even), so a
+      // %2 branch would be CONSTANT within every source and the
+      // registered-domain rule would never see both TLDs per group
+      when(col("doc_id") % 3 === 1, ".example.co.uk")
+        .otherwise(".example.com"),
+      lit("/docs/"), page,
+      when(col("doc_id") % 7 === 0, "/").otherwise(""),
+      when(col("doc_id") % 5 === 0, concat(lit("?utm_source=feed&id="), page))
+        .when(col("doc_id") % 4 === 0,
+          concat(lit("?id="), page, lit("&utm_medium=x")))
+        .otherwise(""),
+      when(col("doc_id") % 11 === 0, "#sec").otherwise(""))
+    Tables(spark, dir, "documents")
+      .select(col("source"), url.as("url"))
+      .withColumn("norm", UrlOps.normalizeUrl(col("url")))
+      .withColumn("dom", UrlOps.registeredDomain(col("url")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("norm")).as("n_unique"),
+        countDistinct(col("dom")).as("n_domains"),
+        sum(conv(substring(md5(col("norm")), 1, 6), 16, 10)
+          .cast("long")).as("norm_fp"),
+        sum(conv(substring(md5(col("dom")), 1, 6), 16, 10)
+          .cast("long")).as("dom_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q129Sql: String =
+    """WITH u AS (
+      |  SELECT source,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+      |    'host-' || source ||
+      |    (CASE WHEN doc_id % 3 = 1 THEN '.example.co.uk' ELSE '.example.com' END) ||
+      |    '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+      |          WHEN doc_id % 4 = 0 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_medium=x'
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
+      |  FROM documents),
+      |n AS (
+      |  SELECT source, regexp_replace(regexp_replace(regexp_replace(url,
+      |    '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^www\.', '') AS noww
+      |  FROM u),
+      |parts AS (
+      |  SELECT source, lower(regexp_extract(noww, '^[^/?]*')) AS host,
+      |    regexp_replace(noww, '^[^/?]*', '') AS rest
+      |  FROM n),
+      |pq AS (
+      |  SELECT source, host,
+      |    CASE WHEN regexp_replace(rest, '\?.*$', '') = '/' THEN ''
+      |         ELSE regexp_replace(regexp_replace(rest, '\?.*$', ''), '/$', '') END AS path,
+      |    CASE WHEN contains(rest, '?') THEN regexp_replace(rest, '^[^?]*\?', '')
+      |         ELSE '' END AS query
+      |  FROM parts),
+      |norm AS (
+      |  SELECT source, host,
+      |    host || path ||
+      |      CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+      |           ELSE '' END AS norm
+      |  FROM (
+      |    SELECT *, list_sort(list_filter(string_split(query, '&'),
+      |      p -> p <> '' AND NOT (p LIKE 'utm\_%' ESCAPE '\'
+      |        OR p LIKE 'fbclid=%' OR p LIKE 'gclid=%' OR p LIKE 'ref=%'
+      |        OR p = 'fbclid' OR p = 'gclid' OR p = 'ref'))) AS kept
+      |    FROM pq)),
+      |dom AS (
+      |  SELECT source, norm,
+      |    CASE WHEN len(hp) <= 2 THEN host
+      |         WHEN (hp[-2] || '.' || hp[-1]) IN ('co.uk','org.uk','ac.uk',
+      |             'com.au','net.au','co.jp','co.nz','com.br','co.in')
+      |             AND len(hp) >= 3
+      |           THEN hp[-3] || '.' || hp[-2] || '.' || hp[-1]
+      |         ELSE hp[-2] || '.' || hp[-1] END AS dom
+      |  FROM (SELECT source, norm, host, string_split(host, '.') AS hp FROM norm))
+      |SELECT source, count(*) AS n_urls,
+      |  count(DISTINCT norm) AS n_unique,
+      |  count(DISTINCT dom) AS n_domains,
+      |  CAST(sum(CAST('0x' || substr(md5(norm), 1, 6) AS BIGINT)) AS BIGINT) AS norm_fp,
+      |  CAST(sum(CAST('0x' || substr(md5(dom), 1, 6) AS BIGINT)) AS BIGINT) AS dom_fp
+      |FROM dom GROUP BY source ORDER BY source""".stripMargin
+
   val q101Sql: String =
     """WITH o AS (
       |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 5 <> 0),
