@@ -31,9 +31,15 @@ import org.apache.spark.sql.functions._
   * quantized search needs no float payload at all; the scale column
   * is only needed to [[dequantize]] back to approximate floats.
   *
-  * All operators here are MAP-SIDE (quantization is a scan); the only
-  * shuffle in [[bruteForceKnnQuantized]] is the per-query top-k
-  * window, same as the float path.
+  * All operators here are MAP-SIDE (quantization is a scan); the
+  * ranking tails run the same partial top-k as the float path.
+  *
+  * Input contract: vector elements must be FINITE. A NaN element
+  * makes the scale NaN and poisons that vector's codes (both engines
+  * propagate NaN identically through the formula, so oracle parity
+  * still holds — but the codes are meaningless); embeddings from any
+  * real encoder are finite, and the float family shares the same
+  * assumption ([[Similarity.cosine]] folds NaN through too).
   */
 object Quantize {
 

@@ -30,8 +30,10 @@ object UrlOps {
       p.startsWith("gclid=") || p.startsWith("ref=") ||
       p === "fbclid" || p === "gclid" || p === "ref"
 
-  /** Canonical form: scheme stripped, leading `www.` stripped, host
-    * lowercased, fragment dropped, tracking params dropped, surviving
+  /** Canonical form: scheme stripped, userinfo dropped, leading
+    * `www.` stripped, host lowercased, default ports (:80/:443)
+    * collapsed (a non-default port is a different endpoint and
+    * stays), fragment dropped, tracking params dropped, surviving
     * params SORTED (order-insensitive key), trailing path slash
     * trimmed, bare-root path collapsed. Deterministic and
     * engine-portable end to end.
@@ -39,8 +41,14 @@ object UrlOps {
   def normalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val noScheme = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    val noWww = regexp_replace(noScheme, "^www\\.", "")
-    val host = lower(regexp_extract(noWww, "^[^/?]*", 0))
+    // userinfo is dropped (fetchers treat user@host as host) and the
+    // DEFAULT ports collapse (:80/:443 — the scheme is already gone,
+    // so both defaults strip; a non-default port is a DIFFERENT
+    // endpoint and stays)
+    val noUser = regexp_replace(noScheme, "^[^/?@]*@", "")
+    val noWww = regexp_replace(noUser, "^www\\.", "")
+    val host = regexp_replace(
+      lower(regexp_extract(noWww, "^[^/?]*", 0)), ":(80|443)$", "")
     val rest = regexp_replace(noWww, "^[^/?]*", "")
     val path0 = regexp_replace(rest, "\\?.*$", "")
     val path = when(path0 === "/", lit(""))
@@ -71,8 +79,10 @@ object UrlOps {
   def registeredDomain(url: Column): Column = {
     val noScheme = regexp_replace(url,
       "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
-    val host = lower(regexp_extract(
-      regexp_replace(noScheme, "^www\\.", ""), "^[^/?#]*", 0))
+    val noUser = regexp_replace(noScheme, "^[^/?#@]*@", "")
+    val host = regexp_replace(lower(regexp_extract(
+      regexp_replace(noUser, "^www\\.", ""), "^[^/?#]*", 0)),
+      ":[0-9]+$", "")
     val parts = split(host, "\\.")
     val n = size(parts)
     val last2 = concat(element_at(parts, -2), lit("."),

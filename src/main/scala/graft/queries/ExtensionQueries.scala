@@ -2544,11 +2544,15 @@ object ExtensionQueries {
       |    (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
       |  FROM documents),
       |n AS (
-      |  SELECT source, regexp_replace(regexp_replace(regexp_replace(url,
-      |    '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^www\.', '') AS noww
+      |  SELECT source, regexp_replace(regexp_replace(regexp_replace(
+      |    regexp_replace(url,
+      |    '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+      |    '^[^/?@]*@', ''), '^www\.', '') AS noww
       |  FROM u),
       |parts AS (
-      |  SELECT source, lower(regexp_extract(noww, '^[^/?]*')) AS host,
+      |  SELECT source,
+      |    regexp_replace(lower(regexp_extract(noww, '^[^/?]*')),
+      |      ':(80|443)$', '') AS host,
       |    regexp_replace(noww, '^[^/?]*', '') AS rest
       |  FROM n),
       |pq AS (

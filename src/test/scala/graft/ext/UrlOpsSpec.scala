@@ -37,6 +37,14 @@ class UrlOpsSpec extends SparkSpec {
     out.distinct shouldBe Seq("example.com/p?id=7&lang=en")
   }
 
+  test("userinfo and default ports collapse; non-default ports stay") {
+    norm("https://user:pw@example.com:443/a",
+         "http://example.com:80/a",
+         "https://example.com/a").distinct shouldBe Seq("example.com/a")
+    norm("https://example.com:8443/a").head shouldBe "example.com:8443/a"
+    dom("https://user@news.example.com:8080/x") shouldBe Seq("example.com")
+  }
+
   test("all-tracking query collapses to no query; bare root path drops") {
     norm("https://example.com/p?utm_source=a&utm_medium=b")
       .head shouldBe "example.com/p"
