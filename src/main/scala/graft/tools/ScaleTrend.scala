@@ -211,8 +211,8 @@ object ScaleTrend {
     // `ivf,brute`) never pays for the families it skips
     val needLi = Seq("q1_agg", "q5_join", "q88_sketch").exists(shapeFilter)
     val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
-      "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull", "subdedup")
-      .exists(shapeFilter)
+      "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull", "subdedup",
+      "q125_battery", "urlnorm").exists(shapeFilter)
     val needVecs = Seq("ivf", "ivfsearch", "brute", "qbuild", "qbrute",
       "srpidx_build", "srpinc", "srpfull").exists(shapeFilter)
 
@@ -608,6 +608,40 @@ object ScaleTrend {
         .head().getLong(0)
     }
 
+    // quality-rule battery (q125's operator): the full nine-rule scan
+    // — one pass, no shuffle; the count forces every flag per doc
+    def q125Shape(path: String): Long =
+      graft.ext.QualityRules.battery(spark.read.parquet(path))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)))
+        .head.getLong(0)
+
+    // URL canonicalization (q129's operator): the gate's variant
+    // construction at corpus scale, normalize + registered domain +
+    // the dedup group-by on the canonical key
+    def urlnormShape(path: String): Long = {
+      val page = (col("doc_id") % 100000).cast("string")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, "https").otherwise("http"),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+        lit("host-"), (col("doc_id") % 500).cast("string"),
+        when(col("doc_id") % 3 === 1, ".example.co.uk")
+          .otherwise(".example.com"),
+        lit("/docs/"), page,
+        when(col("doc_id") % 7 === 0, "/").otherwise(""),
+        when(col("doc_id") % 5 === 0, concat(lit("?utm_source=feed&id="), page))
+          .when(col("doc_id") % 4 === 0,
+            concat(lit("?id="), page, lit("&utm_medium=x")))
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0, "#sec").otherwise(""))
+      spark.read.parquet(path).select(url.as("url"))
+        .select(graft.ext.UrlOps.normalizeUrl(col("url")).as("n"),
+          graft.ext.UrlOps.registeredDomain(col("url")).as("d"))
+        .groupBy(col("n")).agg(count(lit(1)).as("c"),
+          countDistinct(col("d")).as("nd"))
+        .count()
+    }
+
     // ---- run: twice per (shape, scale), report the second -----------
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
     def run(shape: String, scale: String, rows: Long)(f: => Long): Unit =
@@ -646,6 +680,10 @@ object ScaleTrend {
     run("q96_pack", "big", docsBigN)(q96Shape(docsBig))
     run("subdedup", "small", docsSmallN)(subdedupShape(docsSmall))
     run("subdedup", "big", docsBigN)(subdedupShape(docsBig))
+    run("q125_battery", "small", docsSmallN)(q125Shape(docsSmall))
+    run("q125_battery", "big", docsBigN)(q125Shape(docsBig))
+    run("urlnorm", "small", docsSmallN)(urlnormShape(docsSmall))
+    run("urlnorm", "big", docsBigN)(urlnormShape(docsBig))
     run("ivf", "small", docsSmallN)(ivfShape(vecsSmall))
     run("ivf", "big", docsBigN)(ivfShape(vecsBig))
     run("ivfsearch", "small", docsSmallN)(ivfSearchShape(vecsSmall))
