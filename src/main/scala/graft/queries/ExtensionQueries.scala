@@ -2604,4 +2604,178 @@ object ExtensionQueries {
       |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
       |SELECT status, count(*) AS n_docs FROM j
       |GROUP BY status ORDER BY status""".stripMargin
+
+  /** ✚ bloom-filter decontamination ([[graft.ext.BloomDecontam]]) —
+    * the BROADCAST-BITS shape of the eval-overlap check (q55 is the
+    * exact-join shape; this is what a 100 TB run actually deploys:
+    * fold the benchmark's n-grams into a bloom once, broadcast the
+    * bit array, flag documents in the text scan map-side — zero
+    * joins). Reference set = every doc_id % 31 document's distinct
+    * 5-grams; the filter is deliberately sized (32768 bits, k=3) so
+    * false POSITIVES occur and their accounting is in the hash, while
+    * `d_missed` pins the zero-false-NEGATIVE guarantee executably on
+    * both engines. The oracle replays membership exactly — a bloom
+    * bitset IS the distinct position set of the reference grams, so
+    * SQL needs no bit arithmetic: gram positive ⇔ all 3 of its md5
+    * lane positions (8-hex slices at offsets 1/9/17, mod 32768) join
+    * the reference position set.
+    */
+  def q130BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.BloomDecontam
+    val docs = Tables(spark, dir, "documents")
+    val grams5 = array_distinct(TextStats.ngrams(col("text"), 5))
+    val ref = docs.filter(col("doc_id") % 31 === 0)
+      .select(explode(grams5).as("gram")).distinct()
+    val bloom = BloomDecontam.build(ref, "gram", mBits = 32768, k = 3)
+    val g = docs
+      .select(col("doc_id"), col("source"), explode(grams5).as("gram"))
+      .withColumn("bloom_hit", BloomDecontam.contains(bloom)(col("gram")))
+    val perDoc = g
+      .join(broadcast(ref.withColumn("exact_hit", lit(true))),
+        Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom"),
+        sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_bloom") > 0, 1L).otherwise(0L)).as("d_bloom"),
+        sum(when(col("n_exact") > 0, 1L).otherwise(0L)).as("d_exact"),
+        sum(when(col("n_exact") > 0 && col("n_bloom") === 0, 1L)
+          .otherwise(0L)).as("d_missed"),
+        sum(col("n_bloom")).as("g_bloom"),
+        sum(col("n_exact")).as("g_exact"))
+      .orderBy(col("source"))
+  }
+
+  val q130Sql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, source, gram FROM (
+      |        SELECT doc_id, source,
+      |          unnest([w[i]||'_'||w[i+1]||'_'||w[i+2]||'_'||w[i+3]||'_'||w[i+4]
+      |                  for i in range(1, len(w) - 3)]) AS gram
+      |        FROM w)),
+      |r AS (SELECT DISTINCT gram FROM g WHERE doc_id % 31 = 0),
+      |lanes AS (SELECT unnest([1, 9, 17]) AS off),
+      |rp AS (SELECT DISTINCT (CAST('0x' || substr(md5(gram), off, 8) AS BIGINT) % 32768) AS p
+      |       FROM r CROSS JOIN lanes),
+      |cp AS (SELECT g.doc_id, g.source, g.gram,
+      |         (CAST('0x' || substr(md5(g.gram), off, 8) AS BIGINT) % 32768) AS p
+      |       FROM g CROSS JOIN lanes),
+      |bh AS (SELECT doc_id, source, gram, (count(rp.p) = 3) AS bloom_hit
+      |       FROM cp LEFT JOIN rp ON cp.p = rp.p
+      |       GROUP BY doc_id, source, gram),
+      |ex AS (SELECT gram, TRUE AS exact_hit FROM r),
+      |pd AS (SELECT b.doc_id, b.source,
+      |         sum(CASE WHEN b.bloom_hit THEN 1 ELSE 0 END) AS n_bloom,
+      |         sum(CASE WHEN e.exact_hit THEN 1 ELSE 0 END) AS n_exact
+      |       FROM bh b LEFT JOIN ex e ON b.gram = e.gram
+      |       GROUP BY b.doc_id, b.source)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_bloom > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_bloom,
+      |  CAST(sum(CASE WHEN n_exact > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_exact,
+      |  CAST(sum(CASE WHEN n_exact > 0 AND n_bloom = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_missed,
+      |  CAST(sum(n_bloom) AS BIGINT) AS g_bloom,
+      |  CAST(sum(n_exact) AS BIGINT) AS g_exact
+      |FROM pd GROUP BY source ORDER BY source""".stripMargin
+
+  /** ✚ per-document salient-term extraction ([[graft.ext.Keywords]])
+    * — tf·idf keyword tagging with the score in EXACT fixed-point
+    * integer form (`(tf × 10^9) div df` — raw-frequency idf, the N
+    * constant dropped as per-doc-rank-invariant), so the oracle
+    * replays the ranking bit-for-bit with integer division. The
+    * per-doc top-3 runs through the custom
+    * [[graft.plans.TopKPerKey]] operator (map-side partial top-k —
+    * the scored term stream reaches the exchange at ≤ k rows per doc
+    * per partition); the oracle is the equivalent window-function
+    * formulation, so the gate also pins TopKPerKey ≡ row_number on a
+    * live corpus beyond TopKPerKeySpec's fixtures.
+    */
+  def q131TfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Keywords.tfidfTopK(
+        Tables(spark, dir, "documents"), "text", "doc_id", k = 3)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_q"))
+      .orderBy(col("doc_id"), col("term"))
+
+  val q131Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |s AS (SELECT doc_id, tf.term AS term, tf, df,
+      |        (tf * 1000000000) // df AS score_q
+      |      FROM tf JOIN dfreq ON tf.term = dfreq.term)
+      |SELECT doc_id, term, tf, df, score_q FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score_q DESC, term) AS rn
+      |  FROM s WHERE doc_id < 300) z
+      |WHERE rn <= 3 ORDER BY doc_id, term""".stripMargin
+
+  /** ✚ paragraph-level exact dedup ([[graft.ext.ParagraphDedup]]) —
+    * the blank-line-block granularity between q28's document level
+    * and q123's token-window level: shared boilerplate paragraphs
+    * (license block on doc_id % 4, subscribe prompt prepended on % 6,
+    * per-source footer on % 9 — so election crosses sources AND stays
+    * within them) are scrubbed from every document except the
+    * minimum-id owner. The oracle replays the split (position
+    * comprehension), the md5 keep-first election, and the in-order
+    * reassembly, down to `clean_fp` folding an md5-prefix of every
+    * document's reconstructed text — the exact cleaned corpus is in
+    * the hash. The un-injected corpus contributes organic exact-dup
+    * paragraphs wherever whole texts repeat.
+    */
+  def q132ParagraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sub = "Subscribe to our newsletter for updates."
+    val lic = "This work is licensed under the corpus license."
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 6 === 0, lit(sub + "\n\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 4 === 0, lit("\n\n" + lic)).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            concat(lit("\n\nfooter for "), col("source")))
+            .otherwise(lit(""))).as("text"))
+    graft.ext.ParagraphDedup.dedup(docs, "text", "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_paras")).as("n_paras"),
+        sum(col("removed_paras")).as("removed_paras"),
+        sum(when(col("removed_paras") > 0, 1L).otherwise(0L))
+          .as("n_docs_touched"),
+        sum(conv(substring(md5(col("clean_text")), 1, 6), 16, 10)
+          .cast("long")).as("clean_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q132Sql: String =
+    """WITH d0 AS (SELECT doc_id, source,
+      |    (CASE WHEN doc_id % 6 = 0 THEN 'Subscribe to our newsletter for updates.' || chr(10) || chr(10) ELSE '' END)
+      |    || text
+      |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || chr(10) || 'This work is licensed under the corpus license.' ELSE '' END)
+      |    || (CASE WHEN doc_id % 9 = 0 THEN chr(10) || chr(10) || 'footer for ' || source ELSE '' END) AS text
+      |  FROM documents),
+      |sp AS (SELECT doc_id, source, string_split(text, chr(10) || chr(10)) AS ps FROM d0),
+      |p AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+      |        SELECT doc_id,
+      |          unnest([{'pos': i - 1, 'para': ps[i]} for i in range(1, len(ps) + 1)]) AS u
+      |        FROM sp)),
+      |el AS (SELECT doc_id, pos, md5(para) AS ph FROM p WHERE para <> ''),
+      |own AS (SELECT ph, min(doc_id) AS owner FROM el GROUP BY ph),
+      |rem AS (SELECT e.doc_id, list_sort(list(e.pos)) AS dp
+      |        FROM el e JOIN own o ON e.ph = o.ph WHERE e.doc_id <> o.owner
+      |        GROUP BY e.doc_id),
+      |cl AS (SELECT s.doc_id, s.source, len(s.ps) AS n_paras,
+      |         coalesce(len(r.dp), 0) AS removed_paras,
+      |         coalesce(array_to_string([s.ps[i] for i in range(1, len(s.ps) + 1)
+      |            if NOT list_contains(coalesce(r.dp, []), i - 1)],
+      |           chr(10) || chr(10)), '') AS clean_text
+      |       FROM sp s LEFT JOIN rem r USING (doc_id))
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_paras) AS BIGINT) AS n_paras,
+      |  CAST(sum(removed_paras) AS BIGINT) AS removed_paras,
+      |  CAST(sum(CASE WHEN removed_paras > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+      |  CAST(sum(CAST('0x' || substr(md5(clean_text), 1, 6) AS BIGINT)) AS BIGINT) AS clean_fp
+      |FROM cl GROUP BY source ORDER BY source""".stripMargin
 }
