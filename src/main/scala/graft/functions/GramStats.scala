@@ -94,6 +94,56 @@ object GramOps {
     }
     new GenericInternalRow(Array[Any](m.toLong, seen.size.toLong))
   }
+
+  /** (total_grams, distinct_grams, top_gram_chars, dup_gram_chars) in
+    * ONE tokenize+count pass — the Gopher repetition-rule signals
+    * ([[graft.ext.RepetitionRules]]):
+    *
+    *   - `top_gram_chars` = characters covered by the most frequent
+    *     n-gram = maxCount × len(gram). Count ties resolve to the
+    *     LONGEST tied gram — the returned product is then unique, so
+    *     no further tie-break is needed (the value, not the winning
+    *     gram, is the signal).
+    *   - `dup_gram_chars` = Σ over grams occurring ≥ 2 times of
+    *     count × len(gram) — the published occurrence-count coverage
+    *     form (positional-union coverage would need per-position
+    *     bookkeeping; the occurrence form is what the public
+    *     reimplementations compute and is exactly SQL-replayable).
+    *
+    * Lengths are code POINTS (DuckDB `length()` semantics), and the
+    * '_'-joined gram is char-for-char as long as the space-joined
+    * text window it came from, so the fractions match the published
+    * "fraction of characters" intent.
+    */
+  def repStats(s: UTF8String, n: Int): InternalRow = {
+    val toks = tokenize(s)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L, 0L))
+    val counts =
+      new java.util.HashMap[String, Integer](math.min(m * 2, 1 << 16))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      val g = gram(toks, i, n, sb)
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1 else prev.intValue + 1)
+      i += 1
+    }
+    var maxCount = 0
+    var top = 0L
+    var dup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue
+      val g = e.getKey
+      val chars = c.toLong * g.codePointCount(0, g.length)
+      if (c > maxCount) { maxCount = c; top = chars }
+      else if (c == maxCount && chars > top) top = chars
+      if (c >= 2) dup += chars
+    }
+    new GenericInternalRow(Array[Any](m.toLong, counts.size.toLong, top, dup))
+  }
 }
 
 private[functions] trait GramExpr extends UnaryExpression {
@@ -142,6 +192,28 @@ case class GramStats(child: Expression, n: Int) extends GramExpr {
     copy(child = newChild)
 }
 
+/** `gram_rep_stats(text, n)` → struct(total_grams, distinct_grams,
+  * top_gram_chars, dup_gram_chars) — the Gopher repetition signals in
+  * one tokenize+count pass, no gram array built.
+  */
+case class GramRepStats(child: Expression, n: Int) extends GramExpr {
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_grams", LongType, nullable = false),
+    StructField("distinct_grams", LongType, nullable = false),
+    StructField("top_gram_chars", LongType, nullable = false),
+    StructField("dup_gram_chars", LongType, nullable = false)))
+  override def prettyName: String = "gram_rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramOps.repStats(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramOps.repStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramRepStats =
+    copy(child = newChild)
+}
+
 object GramFunctions {
 
   /** Column-level entry points (no registry needed). */
@@ -150,6 +222,9 @@ object GramFunctions {
 
   def gramStats(text: Column, n: Int): Column =
     GraftSql.column(GramStats(GraftSql.expression(text), n))
+
+  def gramRepStats(text: Column, n: Int): Column =
+    GraftSql.column(GramRepStats(GraftSql.expression(text), n))
 
   private def litInt(e: Expression): Int = e.eval() match {
     case i: Int  => i
@@ -163,5 +238,7 @@ object GramFunctions {
       "word_ngrams", exprs => WordNGrams(exprs.head, litInt(exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_stats", exprs => GramStats(exprs.head, litInt(exprs(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_rep_stats", exprs => GramRepStats(exprs.head, litInt(exprs(1))), "built-in")
   }
 }

@@ -88,6 +88,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) =>
         GramStats(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("gram_rep_stats"),
+      new ExpressionInfo(classOf[GramRepStats].getName, "gram_rep_stats"),
+      (exprs: Seq[Expression]) =>
+        GramRepStats(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))

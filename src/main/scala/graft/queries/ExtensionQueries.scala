@@ -2778,4 +2778,238 @@ object ExtensionQueries {
       |  CAST(sum(CASE WHEN removed_paras > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
       |  CAST(sum(CAST('0x' || substr(md5(clean_text), 1, 6) AS BIGINT)) AS BIGINT) AS clean_fp
       |FROM cl GROUP BY source ORDER BY source""".stripMargin
+
+  /** ✚ SemDeDup-style semantic dedup ([[graft.ext.SemDedup]]) — the
+    * LEARNED-partition member of the embedding near-dup family (q33
+    * is exact-quadratic, q69 is sign-bucketed): k-means-cluster the
+    * corpus (q62's exact training pipeline, 16 seeds × 2 Lloyd
+    * rounds), compare pairs ONLY within a cluster, cosine-verify at
+    * the threshold, and elect one survivor (min id) per semantic
+    * duplicate component. The output is one row per vector —
+    * assignment, component representative, and keep flag all in the
+    * hash — so a vector assigned to the wrong cluster, a pair
+    * compared across clusters (SemDeDup's published miss semantics
+    * forbid it), or a mis-elected representative each breaks the
+    * gate. The oracle unrolls the same two training rounds (q62's
+    * CTEs restricted to the gate slice), generates candidates with
+    * the same cluster-equality join, and elects via the recursive-CC
+    * reach (q47's formulation).
+    */
+  def q133SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.SemDedup
+    val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 400)
+    val centroids = Similarity.kmeansTrain(
+      e, e.filter(col("vec_id") < 16), iters = 2, dims = 64)
+    val (surv, census) = SemDedup.assignedSurvivorsWithStats(
+      e, centroids, threshold = 0.35)
+    require(!census.anyDropped,
+      "q133: gate fixture must not hit the cluster cap")
+    surv.select(col("id").as("vec_id"),
+        col("centroid_id").cast("long").as("cid"),
+        col("rep").cast("long").as("rep"),
+        col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** ✚ Gopher repetition-rule battery
+    * ([[graft.ext.RepetitionRules]]) — the within-document repetition
+    * twin of q125's content battery: duplicate line/paragraph
+    * fractions (count + character mass), top-n-gram character
+    * coverage (n = 2–4), duplicated-n-gram character coverage
+    * (n = 5–10), each flag its own failure count so the hash pins all
+    * thirteen rules per source. Repetition dirt is injected
+    * deterministically on disjoint residue classes (%13 duplicated
+    * lines, %17 duplicated paragraphs, %19 a dominant bigram run,
+    * %23 a twice-repeated 12-token sentence over a clipped head, CASE
+    * order resolving overlaps); the un-clipped corpus contributes
+    * organic repetition on every rule. Three raw signal sums
+    * (dup-line chars, top-4-gram chars, dup-10-gram chars) ride along
+    * so the exact integer arithmetic — not just the flags — is in the
+    * hash. The oracle rebuilds all nine gram families with
+    * unnest+group-by and the line/paragraph masses with the same
+    * separator identities.
+    */
+  def q134RepetitionRules(spark: SparkSession, dir: String): DataFrame = {
+    val dupLine = "\nthe same line" * 7
+    val dupPara = "\n\nsame paragraph block" * 5
+    val bigramRun = " alpha beta" * 30
+    val sentence = " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 0,
+          concat(substring(col("text"), 1, 40), lit(dupLine)))
+          .when(col("doc_id") % 17 === 0,
+            concat(substring(col("text"), 1, 60), lit(dupPara)))
+          .when(col("doc_id") % 19 === 0,
+            concat(substring(col("text"), 1, 80), lit(bigramRun)))
+          .when(col("doc_id") % 23 === 0,
+            concat(substring(col("text"), 1, 200), lit(sentence * 2)))
+          .otherwise(col("text")).as("text"))
+    val battery = graft.ext.RepetitionRules.battery(docs)
+    val failCounts = graft.ext.RepetitionRules.RuleCols.map(r =>
+      sum(when(!col(r), 1L).otherwise(0L)).as(s"f_${r.stripPrefix("r_")}"))
+    val aggs = (count(lit(1)).as("n_docs") +: failCounts) ++ Seq(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      sum(col("rep_dup_line_chars")).as("s_dup_line_chars"),
+      sum(col("rep_top4_chars")).as("s_top4_chars"),
+      sum(col("rep_dup10_chars")).as("s_dup10_chars"))
+    battery.groupBy(col("source"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("source"))
+  }
+
+  val q134Sql: String = {
+    // one unnest+count family per n; top coverage = max over the
+    // max-count grams of count*len (rank window), dup coverage =
+    // Σ count*len over grams occurring ≥ 2 times
+    def gramFamily(n: Int): String =
+      s"""g$n AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(w[i:i+${n - 1}], '_')
+         |            for i in range(1, len(w) - ${n - 2})]) AS g
+         |  FROM w),
+         |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g),""".stripMargin
+    def topCte(n: Int): String =
+      s"""t$n AS (
+         |  SELECT doc_id, max(c * length(g)) AS v FROM (
+         |    SELECT doc_id, g, c,
+         |      rank() OVER (PARTITION BY doc_id ORDER BY c DESC) AS rk
+         |    FROM c$n) z WHERE rk = 1 GROUP BY doc_id),""".stripMargin
+    def dupCte(n: Int): String =
+      s"""d$n AS (
+         |  SELECT doc_id,
+         |    coalesce(sum(c * length(g)) FILTER (WHERE c >= 2), 0) AS v
+         |  FROM c$n GROUP BY doc_id),""".stripMargin
+    val families = (2 to 10).map(gramFamily).mkString("\n") + "\n" +
+      (2 to 4).map(topCte).mkString("\n") + "\n" +
+      (5 to 10).map(dupCte).mkString("\n")
+    val joins =
+      (2 to 4).map(n => s"LEFT JOIN t$n ON t$n.doc_id = ln.doc_id")
+        .mkString(" ") + " " +
+      (5 to 10).map(n => s"LEFT JOIN d$n ON d$n.doc_id = ln.doc_id")
+        .mkString(" ")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 13 = 0 THEN substring(text, 1, 40) ||
+       |           repeat(chr(10) || 'the same line', 7)
+       |         WHEN doc_id % 17 = 0 THEN substring(text, 1, 60) ||
+       |           repeat(chr(10) || chr(10) || 'same paragraph block', 5)
+       |         WHEN doc_id % 19 = 0 THEN substring(text, 1, 80) ||
+       |           repeat(' alpha beta', 30)
+       |         WHEN doc_id % 23 = 0 THEN substring(text, 1, 200) ||
+       |           repeat(' zeta eta theta iota kappa lambda mu nu xi omicron pi rho', 2)
+       |         ELSE text END AS text
+       |  FROM documents),
+       |w AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+       |        length(text) AS chars,
+       |        string_split(text, chr(10)) AS ls,
+       |        string_split(text, chr(10) || chr(10)) AS ps
+       |      FROM d0),
+       |ln AS (
+       |  SELECT doc_id, source, chars,
+       |    len(ls) AS n_lines,
+       |    len(ls) - len(list_distinct(ls)) AS dup_lines,
+       |    (chars - (len(ls) - 1))
+       |      - length(array_to_string(list_distinct(ls), '')) AS dup_line_chars,
+       |    len(ps) AS n_paras,
+       |    len(ps) - len(list_distinct(ps)) AS dup_paras,
+       |    (chars - (len(ps) - 1) * 2)
+       |      - length(array_to_string(list_distinct(ps), '')) AS dup_para_chars
+       |  FROM w),
+       |$families
+       |sig AS (
+       |  SELECT ln.source, ln.chars, ln.n_lines, ln.dup_lines,
+       |    ln.dup_line_chars, ln.n_paras, ln.dup_paras, ln.dup_para_chars,
+       |    coalesce(t2.v, 0) AS top2, coalesce(t3.v, 0) AS top3,
+       |    coalesce(t4.v, 0) AS top4, coalesce(d5.v, 0) AS dup5,
+       |    coalesce(d6.v, 0) AS dup6, coalesce(d7.v, 0) AS dup7,
+       |    coalesce(d8.v, 0) AS dup8, coalesce(d9.v, 0) AS dup9,
+       |    coalesce(d10.v, 0) AS dup10
+       |  FROM ln $joins),
+       |fl AS (
+       |  SELECT source, dup_line_chars, top4, dup10,
+       |    (dup_lines * 10 <= n_lines * 3) AS r_dup_lines,
+       |    (dup_paras * 10 <= n_paras * 3) AS r_dup_paras,
+       |    (dup_line_chars * 5 <= chars) AS r_dup_line_chars,
+       |    (dup_para_chars * 5 <= chars) AS r_dup_para_chars,
+       |    (top2 * 5 <= chars * 1) AS r_top2gram,
+       |    (top3 * 50 <= chars * 9) AS r_top3gram,
+       |    (top4 * 25 <= chars * 4) AS r_top4gram,
+       |    (dup5 * 20 <= chars * 3) AS r_dup5gram,
+       |    (dup6 * 50 <= chars * 7) AS r_dup6gram,
+       |    (dup7 * 100 <= chars * 13) AS r_dup7gram,
+       |    (dup8 * 25 <= chars * 3) AS r_dup8gram,
+       |    (dup9 * 100 <= chars * 11) AS r_dup9gram,
+       |    (dup10 * 10 <= chars * 1) AS r_dup10gram
+       |  FROM sig)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN NOT r_dup_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_dup_lines,
+       |  CAST(sum(CASE WHEN NOT r_dup_paras THEN 1 ELSE 0 END) AS BIGINT) AS f_dup_paras,
+       |  CAST(sum(CASE WHEN NOT r_dup_line_chars THEN 1 ELSE 0 END) AS BIGINT) AS f_dup_line_chars,
+       |  CAST(sum(CASE WHEN NOT r_dup_para_chars THEN 1 ELSE 0 END) AS BIGINT) AS f_dup_para_chars,
+       |  CAST(sum(CASE WHEN NOT r_top2gram THEN 1 ELSE 0 END) AS BIGINT) AS f_top2gram,
+       |  CAST(sum(CASE WHEN NOT r_top3gram THEN 1 ELSE 0 END) AS BIGINT) AS f_top3gram,
+       |  CAST(sum(CASE WHEN NOT r_top4gram THEN 1 ELSE 0 END) AS BIGINT) AS f_top4gram,
+       |  CAST(sum(CASE WHEN NOT r_dup5gram THEN 1 ELSE 0 END) AS BIGINT) AS f_dup5gram,
+       |  CAST(sum(CASE WHEN NOT r_dup6gram THEN 1 ELSE 0 END) AS BIGINT) AS f_dup6gram,
+       |  CAST(sum(CASE WHEN NOT r_dup7gram THEN 1 ELSE 0 END) AS BIGINT) AS f_dup7gram,
+       |  CAST(sum(CASE WHEN NOT r_dup8gram THEN 1 ELSE 0 END) AS BIGINT) AS f_dup8gram,
+       |  CAST(sum(CASE WHEN NOT r_dup9gram THEN 1 ELSE 0 END) AS BIGINT) AS f_dup9gram,
+       |  CAST(sum(CASE WHEN NOT r_dup10gram THEN 1 ELSE 0 END) AS BIGINT) AS f_dup10gram,
+       |  CAST(sum(CASE WHEN r_dup_lines AND r_dup_paras AND r_dup_line_chars
+       |    AND r_dup_para_chars AND r_top2gram AND r_top3gram AND r_top4gram
+       |    AND r_dup5gram AND r_dup6gram AND r_dup7gram AND r_dup8gram
+       |    AND r_dup9gram AND r_dup10gram THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(dup_line_chars) AS BIGINT) AS s_dup_line_chars,
+       |  CAST(sum(top4) AS BIGINT) AS s_top4_chars,
+       |  CAST(sum(dup10) AS BIGINT) AS s_dup10_chars
+       |FROM fl GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val q133Sql: String =
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE vec_id < 400),
+      |c0 AS (SELECT vec_id AS cid, e AS cvec FROM v WHERE vec_id < 16),
+      |a1 AS (
+      |  SELECT vec_id, e, cid FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_cosine_similarity(v.e, c.cvec) DESC, c.cid) AS rn
+      |    FROM v CROSS JOIN c0 c) t WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cid, i, round(avg(e[i]), 6) AS m
+      |  FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+      |c1 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY cid),
+      |a2 AS (
+      |  SELECT vec_id, e, cid FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_cosine_similarity(v.e, c.cvec) DESC, c.cid) AS rn
+      |    FROM v CROSS JOIN c1 c) t WHERE rn = 1),
+      |m2 AS (
+      |  SELECT cid, i, round(avg(e[i]), 6) AS m
+      |  FROM a2, range(1, 65) t(i) GROUP BY cid, i),
+      |c2 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m2 GROUP BY cid),
+      |assigned AS (
+      |  SELECT vec_id, e, cid FROM (
+      |    SELECT v.vec_id, v.e, c.cid,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_cosine_similarity(v.e, c.cvec) DESC, c.cid) AS rn
+      |    FROM v CROSS JOIN c2 c) t WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS s, b.vec_id AS t
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.e, b.e) >= 0.35),
+      |edges AS (SELECT s, t FROM pairs UNION ALL SELECT t, s FROM pairs),
+      |reach(node, label) AS (
+      |  SELECT vec_id, vec_id FROM v
+      |  UNION
+      |  SELECT g.t, r.label FROM reach r JOIN edges g ON g.s = r.node),
+      |comp AS (SELECT node, min(label) AS rep FROM reach GROUP BY node)
+      |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+      |  CAST(c.rep AS BIGINT) AS rep, a.vec_id = c.rep AS keep
+      |FROM assigned a JOIN comp c ON c.node = a.vec_id
+      |ORDER BY vec_id""".stripMargin
 }

@@ -212,9 +212,10 @@ object ScaleTrend {
     val needLi = Seq("q1_agg", "q5_join", "q88_sketch").exists(shapeFilter)
     val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
       "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull", "subdedup",
-      "q125_battery", "urlnorm").exists(shapeFilter)
+      "q125_battery", "urlnorm", "repbattery", "bloomdecon", "keywords",
+      "paradedup").exists(shapeFilter)
     val needVecs = Seq("ivf", "ivfsearch", "brute", "qbuild", "qbrute",
-      "srpidx_build", "srpinc", "srpfull").exists(shapeFilter)
+      "srpidx_build", "srpinc", "srpfull", "semdedup").exists(shapeFilter)
 
     val liBig = s"$out/lineitem_x$rep"
     if (needLi) ensure(liBig) {
@@ -642,6 +643,72 @@ object ScaleTrend {
         .count()
     }
 
+    // Gopher repetition battery (q134's operator): the thirteen-rule
+    // scan — nine codegen'd gram passes + line/paragraph masses, one
+    // pass, no shuffle; %10 docs get injected duplicate lines so the
+    // line rules have real mass to elect
+    def repbatteryShape(path: String): Long =
+      graft.ext.RepetitionRules.battery(
+        spark.read.parquet(path).select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"),
+              lit("\nthe same line\nthe same line\nthe same line")))
+            .otherwise(col("text")).as("text")))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)))
+        .head.getLong(0)
+
+    // bloom decontamination (q130's operator): build the filter once
+    // from a ~0.1% benchmark slice (driver-side fold, tiny), then the
+    // broadcast map-side flag scan over the corpus
+    def bloomdeconShape(path: String): Long = {
+      val docs = spark.read.parquet(path)
+      val ref = docs.filter(col("doc_id") % 997 === 0)
+        .select(explode(array_distinct(
+          graft.ext.TextStats.ngrams(col("text"), 5))).as("gram"))
+        .distinct()
+      val bloom = graft.ext.BloomDecontam.build(ref, "gram",
+        mBits = 1 << 22, k = 3)
+      graft.ext.BloomDecontam.flagDocs(docs, "text", 5, bloom)
+        .agg(sum(when(col("contaminated"), 1L).otherwise(0L)))
+        .head.getLong(0)
+    }
+
+    // tf-idf keywords (q131's operator): per-doc top-3 salient terms —
+    // the (doc, term) tf group-by, the df group-by, and the partial
+    // top-k; count forces the full ranking
+    def keywordsShape(path: String): Long =
+      graft.ext.Keywords.tfidfTopK(
+        spark.read.parquet(path), "text", "doc_id", k = 3).count()
+
+    // paragraph dedup (q132's operator): %100 docs share an injected
+    // boilerplate block; hash election + reassembly, text shuffles
+    // only at the final id-keyed join
+    def paradedupShape(path: String): Long = {
+      val boiler = "\n\nshared license paragraph for the scale probe"
+      val docs = spark.read.parquet(path).select(col("doc_id"),
+        when(col("doc_id") % 100 === 0, concat(col("text"), lit(boiler)))
+          .otherwise(col("text")).as("text"))
+      graft.ext.ParagraphDedup.dedup(docs, "text", "doc_id")
+        .agg(sum(col("removed_paras")).as("rp"),
+             sum(length(col("clean_text"))).as("b"))
+        .head().getLong(0)
+    }
+
+    // SemDeDup (q133's operator): seeded-partition assignment (the
+    // kmeans training cost is the ivf family's row), within-cluster
+    // candidate pairs + cosine verify + survivor election. K scales
+    // with n (the paper's practice — constant cluster density) but is
+    // capped at 8192: NearestCentroid's flat scan prices assignment at
+    // O(K·dims) per row, the documented CPU bound of this path.
+    def semdedupShape(path: String, n: Long): Long = {
+      val vecs = spark.read.parquet(path)
+      val k = math.min(8192L, math.max(16L, n / 256L))
+      val (surv, census) = graft.ext.SemDedup.assignedSurvivorsWithStats(
+        vecs, vecs.filter(col("vec_id") < k), threshold = 0.999)
+      require(!census.anyDropped, "semdedup trend: cluster cap hit")
+      surv.agg(sum(when(col("keep"), 1L).otherwise(0L))).head.getLong(0)
+    }
+
     // ---- run: twice per (shape, scale), report the second -----------
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
     def run(shape: String, scale: String, rows: Long)(f: => Long): Unit =
@@ -684,6 +751,16 @@ object ScaleTrend {
     run("q125_battery", "big", docsBigN)(q125Shape(docsBig))
     run("urlnorm", "small", docsSmallN)(urlnormShape(docsSmall))
     run("urlnorm", "big", docsBigN)(urlnormShape(docsBig))
+    run("repbattery", "small", docsSmallN)(repbatteryShape(docsSmall))
+    run("repbattery", "big", docsBigN)(repbatteryShape(docsBig))
+    run("bloomdecon", "small", docsSmallN)(bloomdeconShape(docsSmall))
+    run("bloomdecon", "big", docsBigN)(bloomdeconShape(docsBig))
+    run("keywords", "small", docsSmallN)(keywordsShape(docsSmall))
+    run("keywords", "big", docsBigN)(keywordsShape(docsBig))
+    run("paradedup", "small", docsSmallN)(paradedupShape(docsSmall))
+    run("paradedup", "big", docsBigN)(paradedupShape(docsBig))
+    run("semdedup", "small", docsSmallN)(semdedupShape(vecsSmall, docsSmallN))
+    run("semdedup", "big", docsBigN)(semdedupShape(vecsBig, docsBigN))
     run("ivf", "small", docsSmallN)(ivfShape(vecsSmall))
     run("ivf", "big", docsBigN)(ivfShape(vecsBig))
     run("ivfsearch", "small", docsSmallN)(ivfSearchShape(vecsSmall))
