@@ -29,6 +29,24 @@ final case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
+object TopKPerKeyExec {
+  /** Tracked-key bound for the PARTIAL pass. The partial heap map was
+    * originally unbounded in KEY cardinality, which is fine for the
+    * kNN family (keys = a handful of queries) but OOM'd the executor
+    * on per-DOCUMENT top-k at 8 M keys (found by the keywords trend
+    * row at 8 M docs: the upstream join partitions by term, so every
+    * partition sees nearly every doc key — ~8 M heaps per partition).
+    * Past the bound, rows of keys not already tracked PASS THROUGH to
+    * the exchange unreduced — the partial pass is a shuffle-shrinking
+    * optimization, never a correctness requirement, so the fallback
+    * is exactly partial hash aggregation's: state stays O(bound),
+    * results identical, the exchange just shrinks less. 2^17 keys ×
+    * (key row + ≤ k small rows) keeps per-task state in the tens of
+    * MB at any k the engine uses.
+    */
+  val MaxPartialKeys: Int = 1 << 17
+}
+
 final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
                                 k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
@@ -47,23 +65,55 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val maxKeys =
+      if (partial) TopKPerKeyExec.MaxPartialKeys else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ord = RowOrdering.create(sortOrder, childOutput)
       // heap root = worst retained row (PriorityQueue dequeues max,
-      // and `ord` sorts better rows first)
+      // and `ord` sorts better rows first). The final pass tracks
+      // every key of its (clustered) partition — keys-per-reducer is
+      // the sizing knob there, via shuffle partitions; the partial
+      // pass caps tracked keys and passes overflow keys through (see
+      // MaxPartialKeys). A key is either tracked from first sight or
+      // never — so a tracked key's heap sees ALL its partition-local
+      // rows and eviction stays safe.
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          new mutable.PriorityQueue[InternalRow]()(ord))
-        if (heap.size < limit) heap += row.copy()
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap += row.copy()
+      new Iterator[InternalRow] {
+        private var passThrough: InternalRow = null
+        private var drain: Iterator[InternalRow] = null
+        private def advance(): Unit = {
+          while (passThrough == null && drain == null) {
+            if (!iter.hasNext) {
+              drain = heaps.valuesIterator.flatMap(_.iterator)
+            } else {
+              val row = iter.next()
+              val key = keyProj(row)
+              var heap = heaps.getOrElse(key, null)
+              if (heap == null && heaps.size < maxKeys) {
+                heap = new mutable.PriorityQueue[InternalRow]()(ord)
+                heaps.put(key.copy(), heap)
+              }
+              if (heap == null) passThrough = row // overflow key
+              else if (heap.size < limit) heap += row.copy()
+              else if (ord.compare(row, heap.head) < 0) {
+                heap.dequeue()
+                heap += row.copy()
+              }
+            }
+          }
+        }
+        override def hasNext: Boolean = {
+          if (passThrough == null && drain == null) advance()
+          passThrough != null || drain.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          if (passThrough != null) {
+            val r = passThrough; passThrough = null; r
+          } else drain.next()
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 

@@ -2858,36 +2858,97 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
-  val q134Sql: String = {
-    // one unnest+count family per n; top coverage = max over the
-    // max-count grams of count*len (rank window), dup coverage =
-    // Σ count*len over grams occurring ≥ 2 times
-    def gramFamily(n: Int): String =
-      s"""g$n AS (
-         |  SELECT doc_id,
-         |    unnest([array_to_string(w[i:i+${n - 1}], '_')
-         |            for i in range(1, len(w) - ${n - 2})]) AS g
-         |  FROM w),
-         |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g),""".stripMargin
-    def topCte(n: Int): String =
-      s"""t$n AS (
-         |  SELECT doc_id, max(c * length(g)) AS v FROM (
-         |    SELECT doc_id, g, c,
-         |      rank() OVER (PARTITION BY doc_id ORDER BY c DESC) AS rk
-         |    FROM c$n) z WHERE rk = 1 GROUP BY doc_id),""".stripMargin
-    def dupCte(n: Int): String =
-      s"""d$n AS (
-         |  SELECT doc_id,
-         |    coalesce(sum(c * length(g)) FILTER (WHERE c >= 2), 0) AS v
-         |  FROM c$n GROUP BY doc_id),""".stripMargin
-    val families = (2 to 10).map(gramFamily).mkString("\n") + "\n" +
-      (2 to 4).map(topCte).mkString("\n") + "\n" +
-      (5 to 10).map(dupCte).mkString("\n")
-    val joins =
-      (2 to 4).map(n => s"LEFT JOIN t$n ON t$n.doc_id = ln.doc_id")
-        .mkString(" ") + " " +
+  // q134's oracle CTE builders, shared with the q136 pipeline
+  // capstone so both oracles provably run the SAME repetition
+  // arithmetic: one unnest+count family per n over a `w`-shaped CTE
+  // (doc_id, w token list); top coverage = max over the max-count
+  // grams of count*len (rank window), dup coverage = Σ count*len
+  // over grams occurring ≥ 2 times
+  private[queries] def repGramFamilyCte(n: Int, from: String): String =
+    s"""g$n AS (
+       |  SELECT doc_id,
+       |    unnest([array_to_string(w[i:i+${n - 1}], '_')
+       |            for i in range(1, len(w) - ${n - 2})]) AS g
+       |  FROM $from),
+       |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g),""".stripMargin
+  private[queries] def repTopCte(n: Int): String =
+    s"""t$n AS (
+       |  SELECT doc_id, max(c * length(g)) AS v FROM (
+       |    SELECT doc_id, g, c,
+       |      rank() OVER (PARTITION BY doc_id ORDER BY c DESC) AS rk
+       |    FROM c$n) z WHERE rk = 1 GROUP BY doc_id),""".stripMargin
+  private[queries] def repDupCte(n: Int): String =
+    s"""d$n AS (
+       |  SELECT doc_id,
+       |    coalesce(sum(c * length(g)) FILTER (WHERE c >= 2), 0) AS v
+       |  FROM c$n GROUP BY doc_id),""".stripMargin
+
+  /** All nine gram families + coverage CTEs over a `w`-shaped CTE. */
+  private[queries] def repFamiliesCtes(from: String): String =
+    (2 to 10).map(repGramFamilyCte(_, from)).mkString("\n") + "\n" +
+      (2 to 4).map(repTopCte).mkString("\n") + "\n" +
+      (5 to 10).map(repDupCte).mkString("\n")
+
+  /** The LEFT JOIN tail stitching the nine families onto a per-doc
+    * relation aliased `ln`.
+    */
+  private[queries] val repFamilyJoins: String =
+    (2 to 4).map(n => s"LEFT JOIN t$n ON t$n.doc_id = ln.doc_id")
+      .mkString(" ") + " " +
       (5 to 10).map(n => s"LEFT JOIN d$n ON d$n.doc_id = ln.doc_id")
         .mkString(" ")
+
+  /** The thirteen repetition flags from the signal columns — the one
+    * definition of the threshold arithmetic on the oracle side.
+    */
+  private[queries] val repFlagSql: String =
+    """    (dup_lines * 10 <= n_lines * 3) AS r_dup_lines,
+      |    (dup_paras * 10 <= n_paras * 3) AS r_dup_paras,
+      |    (dup_line_chars * 5 <= chars) AS r_dup_line_chars,
+      |    (dup_para_chars * 5 <= chars) AS r_dup_para_chars,
+      |    (top2 * 5 <= chars * 1) AS r_top2gram,
+      |    (top3 * 50 <= chars * 9) AS r_top3gram,
+      |    (top4 * 25 <= chars * 4) AS r_top4gram,
+      |    (dup5 * 20 <= chars * 3) AS r_dup5gram,
+      |    (dup6 * 50 <= chars * 7) AS r_dup6gram,
+      |    (dup7 * 100 <= chars * 13) AS r_dup7gram,
+      |    (dup8 * 25 <= chars * 3) AS r_dup8gram,
+      |    (dup9 * 100 <= chars * 11) AS r_dup9gram,
+      |    (dup10 * 10 <= chars * 1) AS r_dup10gram""".stripMargin
+
+  /** Line/paragraph mass signals over a `w`-shaped CTE (needs ls/ps
+    * split lists and chars beside the token list).
+    */
+  private[queries] def repLineCte(from: String): String =
+    s"""ln AS (
+       |  SELECT doc_id, source, chars,
+       |    len(ls) AS n_lines,
+       |    len(ls) - len(list_distinct(ls)) AS dup_lines,
+       |    (chars - (len(ls) - 1))
+       |      - length(array_to_string(list_distinct(ls), '')) AS dup_line_chars,
+       |    len(ps) AS n_paras,
+       |    len(ps) - len(list_distinct(ps)) AS dup_paras,
+       |    (chars - (len(ps) - 1) * 2)
+       |      - length(array_to_string(list_distinct(ps), '')) AS dup_para_chars
+       |  FROM $from),""".stripMargin
+
+  /** The per-doc repetition signal join (`sig` CTE) — families
+    * stitched onto the line/para masses.
+    */
+  private[queries] val repSigCte: String =
+    s"""sig AS (
+       |  SELECT ln.doc_id, ln.source, ln.chars, ln.n_lines, ln.dup_lines,
+       |    ln.dup_line_chars, ln.n_paras, ln.dup_paras, ln.dup_para_chars,
+       |    coalesce(t2.v, 0) AS top2, coalesce(t3.v, 0) AS top3,
+       |    coalesce(t4.v, 0) AS top4, coalesce(d5.v, 0) AS dup5,
+       |    coalesce(d6.v, 0) AS dup6, coalesce(d7.v, 0) AS dup7,
+       |    coalesce(d8.v, 0) AS dup8, coalesce(d9.v, 0) AS dup9,
+       |    coalesce(d10.v, 0) AS dup10
+       |  FROM ln $repFamilyJoins)""".stripMargin
+
+  val q134Sql: String = {
+    val families = repFamiliesCtes("w")
+    val joins = repFamilyJoins
     s"""WITH d0 AS (
        |  SELECT doc_id, source,
        |    CASE WHEN doc_id % 13 = 0 THEN substring(text, 1, 40) ||
@@ -2965,6 +3026,53 @@ object ExtensionQueries {
        |  CAST(sum(dup10) AS BIGINT) AS s_dup10_chars
        |FROM fl GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** ✚ hashed-linear classifier scoring
+    * ([[graft.ext.TextClassifier]]) — the fastText-style model-based
+    * quality filter's DEPLOYMENT scan: unigram+bigram features hash
+    * to buckets (q130's md5 lane arithmetic), a 4096-bucket integer
+    * weight vector rides the plan as one literal, per-doc score =
+    * Σ weight[bucket] with an integer mean-weight keep threshold.
+    * The gate's weights are formula-derived
+    * (`(i·2654435761) mod 1000003 − 500001` — a Knuth-multiplier
+    * spread), so the oracle needs NO array literal: it recomputes
+    * each feature's weight from its bucket and replays score, count,
+    * and decision bit-for-bit. Per-source score/feature/keep sums in
+    * the hash.
+    */
+  def q135TextClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 4096
+    val weights = (0 until dim).map(i =>
+      (i.toLong * 2654435761L) % 1000003L - 500001L)
+    graft.ext.TextClassifier.score(
+        Tables(spark, dir, "documents"), "text", weights,
+        thrNum = 0L, thrDen = 1L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("clf_sum")).as("sum_score"),
+        sum(col("clf_n")).as("sum_feats"),
+        sum(when(col("clf_keep"), 1L).otherwise(0L)).as("n_keep"))
+      .orderBy(col("source"))
+  }
+
+  val q135Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |f AS (
+      |  SELECT doc_id, source,
+      |    unnest(w || [w[i] || '_' || w[i+1] for i in range(1, len(w))]) AS g
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, source,
+      |    sum(((CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096)
+      |         * 2654435761) % 1000003 - 500001) AS clf_sum,
+      |    count(*) AS clf_n
+      |  FROM f GROUP BY doc_id, source)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(clf_sum) AS BIGINT) AS sum_score,
+      |  CAST(sum(clf_n) AS BIGINT) AS sum_feats,
+      |  CAST(sum(CASE WHEN clf_sum >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
 
   val q133Sql: String =
     """WITH RECURSIVE v AS (

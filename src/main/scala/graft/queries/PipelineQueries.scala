@@ -1176,4 +1176,355 @@ object PipelineQueries {
       |    'meta', 1, -1)
       |SELECT entry_key, kind, v, sum_chars FROM rows_all
       |ORDER BY entry_key""".stripMargin
+
+  /** ✚ batch web-curation pipeline capstone — the published
+    * RefinedWeb/C4-style sequence run end-to-end as ONE dataflow, each
+    * stage a named engine operator:
+    *
+    *   1. URL-keyed dedup ([[graft.ext.UrlOps]], q129's variant
+    *      construction): one normalized key per page, min doc_id
+    *      survives — one group-by + one semi join;
+    *   2. the FUSED per-document filter stack — quality battery
+    *      ([[graft.ext.QualityRules]]) ∧ repetition battery
+    *      ([[graft.ext.RepetitionRules]]) ∧ hashed-linear classifier
+    *      ([[graft.ext.TextClassifier]]) — all three are map-side
+    *      scans, so the whole stack costs ONE pass over the text (the
+    *      100 TB point of this gate: the per-doc filter stage of the
+    *      published pipelines needs no shuffle at all). The flag
+    *      frame is checkpointed narrow (booleans, no text) and the
+    *      kept set re-joins the source scan by id;
+    *   3. paragraph-level boilerplate scrub
+    *      ([[graft.ext.ParagraphDedup]], organic cross-doc blocks);
+    *   4. exact dedup on the CLEANED text (md5 group-by, min id — the
+    *      scrub can only merge docs INTO exact equality, so this runs
+    *      after it, as the published order does);
+    *   5. q100's hash split + per-source rollup.
+    *
+    * Per-source drop counts at every stage, final split counts, token
+    * mass and a clean-text fingerprint fold are all in the hash. The
+    * oracle composes the stage arithmetic from the SAME CTE builders
+    * as the per-operator gates (repetition families shared verbatim
+    * via [[ExtensionQueries.repFamiliesCtes]]; URL chain, quality
+    * rules, classifier formula, paragraph election and split
+    * arithmetic replayed in their gate forms), so a drift in ANY
+    * stage seam breaks the hash.
+    *
+    * Production note: at corpus scale each numbered stage would
+    * materialize to storage between runs (the snapshot/exporter
+    * faces); in-gate the frames flow in one job with the narrow flag
+    * checkpoint as the only materialization.
+    */
+  /** Template for the exact-dup injection (%10 = 3): 55 plain words
+    * engineered to pass all three filter batteries, suffixed with the
+    * source so exact dups stay within a source group. The boilerplate
+    * paragraph (%6 = 0) gives the scrub stage real mass; the two
+    * residue classes are disjoint (10k+3 ≡ 0 mod 6 has no solution).
+    */
+  private val PipeTemplate: String =
+    "the kept item that data with weekly book record steady reader " +
+    "remain unit sure that list page agree page that list group group " +
+    "panel be review view agree item review case form steady data kept " +
+    "review goal goal panel be the list item have note panel remain " +
+    "record archive be detail archive page for source"
+  private val PipeBoiler: String =
+    "\n\nshared boilerplate paragraph for the pipeline gate"
+
+  def q136WebPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{ParagraphDedup, QualityRules, RepetitionRules, TextClassifier, UrlOps}
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 10 === 3,
+            concat(lit(PipeTemplate + " "), col("source")))
+            .otherwise(col("text")),
+          when(col("doc_id") % 6 === 0, lit(PipeBoiler)).otherwise(lit("")))
+          .as("text"))
+    // -- 1. URL-keyed dedup (q129's construction, min doc_id wins) --
+    val page = (col("doc_id") % 50).cast("string")
+    val url = concat(
+      when(col("doc_id") % 2 === 0, "https").otherwise("http"),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, "www.").otherwise(""),
+      lit("host-"), col("source"),
+      when(col("doc_id") % 3 === 1, ".example.co.uk")
+        .otherwise(".example.com"),
+      lit("/docs/"), page,
+      when(col("doc_id") % 7 === 0, "/").otherwise(""),
+      when(col("doc_id") % 5 === 0, concat(lit("?utm_source=feed&id="), page))
+        .when(col("doc_id") % 4 === 0,
+          concat(lit("?id="), page, lit("&utm_medium=x")))
+        .otherwise(""),
+      when(col("doc_id") % 11 === 0, "#sec").otherwise(""))
+    val withNorm = docs.withColumn("norm", UrlOps.normalizeUrl(url))
+    val urlWinners = withNorm.groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s1 = docs.join(urlWinners, Seq("doc_id"), "left_semi")
+    // -- 2. fused filter stack: ONE map-side pass, narrow checkpoint --
+    val weights = (0 until 4096).map(i =>
+      (i.toLong * 2654435761L) % 1000003L - 500001L)
+    val flags = TextClassifier.score(
+        RepetitionRules.battery(
+          QualityRules.battery(s1).withColumnRenamed("keep", "q_keep"))
+          .withColumnRenamed("keep", "rep_keep"),
+        "text", weights, thrNum = 0L, thrDen = 1L)
+      .select(col("doc_id"), col("source"), col("q_keep"),
+        col("rep_keep"), col("clf_keep"),
+        (col("q_keep") && col("rep_keep") && col("clf_keep")).as("f_keep"))
+      .localCheckpoint(true)
+    val s2 = s1.join(flags.filter(col("f_keep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // -- 3. paragraph scrub (organic boilerplate only) ---------------
+    val scrubbed = ParagraphDedup.dedup(s2, "text", "doc_id")
+      .select(col("doc_id"), col("source"), col("removed_paras"),
+        col("clean_text"))
+    // -- 4. exact dedup on the cleaned text --------------------------
+    val exactWinners = scrubbed.groupBy(md5(col("clean_text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val s3 = scrubbed.join(exactWinners, Seq("doc_id"), "left_semi")
+    // -- 5. split + rollup -------------------------------------------
+    val bucket = pmod(graft.ext.Dedup.hexHash(
+      col("doc_id").cast("string"), "sp#"), lit(100L))
+    val fin = s3
+      .withColumn("split", when(bucket < 90, "train")
+        .when(bucket < 95, "val").otherwise("test"))
+      .withColumn("n_toks", size(split(col("clean_text"), " ")).cast("long"))
+      .withColumn("fp",
+        conv(substring(md5(col("clean_text")), 1, 6), 16, 10).cast("long"))
+    val a = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val b = s1.groupBy(col("source")).agg(count(lit(1)).as("n_url_kept"))
+    val c = flags.groupBy(col("source")).agg(
+      sum(when(!col("q_keep"), 1L).otherwise(0L)).as("n_q_fail"),
+      sum(when(!col("rep_keep"), 1L).otherwise(0L)).as("n_rep_fail"),
+      sum(when(!col("clf_keep"), 1L).otherwise(0L)).as("n_clf_fail"),
+      sum(when(col("f_keep"), 1L).otherwise(0L)).as("n_kept"))
+    val d = scrubbed.groupBy(col("source"))
+      .agg(sum(col("removed_paras")).cast("long").as("scrub_paras"))
+    val e = fin.groupBy(col("source")).agg(
+      count(lit(1)).as("n_final"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+      sum(col("n_toks")).as("tokens_final"),
+      sum(col("fp")).as("clean_fp"))
+    a.join(b, Seq("source"), "left")
+      .join(c, Seq("source"), "left")
+      .join(d, Seq("source"), "left")
+      .join(e, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - coalesce(col("n_url_kept"), lit(0L)))
+          .as("n_url_dup"),
+        coalesce(col("n_q_fail"), lit(0L)).as("n_q_fail"),
+        coalesce(col("n_rep_fail"), lit(0L)).as("n_rep_fail"),
+        coalesce(col("n_clf_fail"), lit(0L)).as("n_clf_fail"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("scrub_paras"), lit(0L)).as("scrub_paras"),
+        (coalesce(col("n_kept"), lit(0L))
+          - coalesce(col("n_final"), lit(0L))).as("n_exact_dup"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_val"), lit(0L)).as("n_val"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("tokens_final"), lit(0L)).as("tokens_final"),
+        coalesce(col("clean_fp"), lit(0L)).as("clean_fp"))
+      .orderBy(col("source"))
+  }
+
+  lazy val q136Sql: String = {
+    val docs0 =
+      s"""docs0 AS (
+         |  SELECT doc_id, source,
+         |    (CASE WHEN doc_id % 10 = 3
+         |          THEN '$PipeTemplate ' || source
+         |          ELSE text END) ||
+         |    (CASE WHEN doc_id % 6 = 0
+         |          THEN chr(10) || chr(10) || 'shared boilerplate paragraph for the pipeline gate'
+         |          ELSE '' END) AS text
+         |  FROM documents),""".stripMargin
+    val urlChain =
+      """u AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |    'host-' || source ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN '.example.co.uk' ELSE '.example.com' END) ||
+        |    '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+        |          WHEN doc_id % 4 = 0 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_medium=x'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM docs0),
+        |nw AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(url,
+        |    '#.*$', ''), '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+        |    '^[^/?@]*@', ''), '^www\.', '') AS noww
+        |  FROM u),
+        |parts AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(noww, '^[^/?]*')),
+        |      ':(80|443)$', '') AS host,
+        |    regexp_replace(noww, '^[^/?]*', '') AS rest
+        |  FROM nw),
+        |pq AS (
+        |  SELECT doc_id, host,
+        |    CASE WHEN regexp_replace(rest, '\?.*$', '') = '/' THEN ''
+        |         ELSE regexp_replace(regexp_replace(rest, '\?.*$', ''), '/$', '') END AS path,
+        |    CASE WHEN contains(rest, '?') THEN regexp_replace(rest, '^[^?]*\?', '')
+        |         ELSE '' END AS query
+        |  FROM parts),
+        |nrm AS (
+        |  SELECT doc_id,
+        |    host || path ||
+        |      CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |           ELSE '' END AS norm
+        |  FROM (
+        |    SELECT *, list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT (p LIKE 'utm\_%' ESCAPE '\'
+        |        OR p LIKE 'fbclid=%' OR p LIKE 'gclid=%' OR p LIKE 'ref=%'
+        |        OR p = 'fbclid' OR p = 'gclid' OR p = 'ref'))) AS kept
+        |    FROM pq)),
+        |win AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY norm),
+        |s1 AS (
+        |  SELECT d.doc_id, d.source, d.text FROM docs0 d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM win)),""".stripMargin
+    val qualityChain =
+      """qsig AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(replace(replace(text, ' ', ''), chr(10), '')) AS n_word_chars,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |        l -> l LIKE '- %' OR l LIKE '* %' OR l = '-' OR l = '*')) AS n_bullet,
+        |    len(list_filter(string_split(text, chr(10)),
+        |        l -> l LIKE '%...')) AS n_ellipsis,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS n_stop,
+        |    (contains(text, '{') OR contains(text, '}')) AS has_brace,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem
+        |  FROM s1),
+        |qfl AS (
+        |  SELECT doc_id,
+        |    ((n_words >= 50 AND n_words <= 100000)
+        |     AND (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10)
+        |     AND (n_symbols * 10 <= n_words)
+        |     AND (n_bullet * 10 <= n_lines * 9)
+        |     AND (n_ellipsis * 10 <= n_lines * 3)
+        |     AND (n_alpha * 5 >= n_words * 4)
+        |     AND (n_stop >= 2)
+        |     AND (NOT has_brace) AND (NOT has_lorem)) AS q_keep
+        |  FROM qsig),""".stripMargin
+    val repChain =
+      """w AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+        |        length(text) AS chars,
+        |        string_split(text, chr(10)) AS ls,
+        |        string_split(text, chr(10) || chr(10)) AS ps
+        |      FROM s1),
+        |""".stripMargin +
+        ExtensionQueries.repLineCte("w") + "\n" +
+        ExtensionQueries.repFamiliesCtes("w") + "\n" +
+        ExtensionQueries.repSigCte + ",\n" +
+        s"""repfl AS (
+           |  SELECT doc_id,
+           |${ExtensionQueries.repFlagSql}
+           |  FROM sig),
+           |repk AS (
+           |  SELECT doc_id,
+           |    (r_dup_lines AND r_dup_paras AND r_dup_line_chars
+           |     AND r_dup_para_chars AND r_top2gram AND r_top3gram
+           |     AND r_top4gram AND r_dup5gram AND r_dup6gram AND r_dup7gram
+           |     AND r_dup8gram AND r_dup9gram AND r_dup10gram) AS rep_keep
+           |  FROM repfl),""".stripMargin
+    val clfChain =
+      """cf AS (
+        |  SELECT doc_id,
+        |    unnest(w || [w[i] || '_' || w[i+1] for i in range(1, len(w))]) AS g
+        |  FROM w),
+        |cs AS (
+        |  SELECT doc_id,
+        |    sum(((CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096)
+        |         * 2654435761) % 1000003 - 500001) AS clf_sum
+        |  FROM cf GROUP BY doc_id),
+        |keepj AS (
+        |  SELECT s1.doc_id, s1.source, s1.text, q.q_keep, r.rep_keep,
+        |    (cs.clf_sum >= 0) AS clf_keep,
+        |    (q.q_keep AND r.rep_keep AND cs.clf_sum >= 0) AS f_keep
+        |  FROM s1
+        |  JOIN qfl q ON q.doc_id = s1.doc_id
+        |  JOIN repk r ON r.doc_id = s1.doc_id
+        |  JOIN cs ON cs.doc_id = s1.doc_id),
+        |s2 AS (SELECT doc_id, source, text FROM keepj WHERE f_keep),""".stripMargin
+    val scrubChain =
+      """sp AS (SELECT doc_id, source,
+        |         string_split(text, chr(10) || chr(10)) AS ps FROM s2),
+        |p AS (SELECT doc_id, u2.pos AS pos, u2.para AS para FROM (
+        |        SELECT doc_id,
+        |          unnest([{'pos': i - 1, 'para': ps[i]} for i in range(1, len(ps) + 1)]) AS u2
+        |        FROM sp)),
+        |el AS (SELECT doc_id, pos, md5(para) AS ph FROM p WHERE para <> ''),
+        |own AS (SELECT ph, min(doc_id) AS owner FROM el GROUP BY ph),
+        |rem AS (SELECT e2.doc_id, list_sort(list(e2.pos)) AS dp
+        |        FROM el e2 JOIN own o ON e2.ph = o.ph WHERE e2.doc_id <> o.owner
+        |        GROUP BY e2.doc_id),
+        |cl AS (SELECT s.doc_id, s.source,
+        |         coalesce(len(r.dp), 0) AS removed_paras,
+        |         coalesce(array_to_string([s.ps[i] for i in range(1, len(s.ps) + 1)
+        |            if NOT list_contains(coalesce(r.dp, []), i - 1)],
+        |           chr(10) || chr(10)), '') AS clean_text
+        |       FROM sp s LEFT JOIN rem r USING (doc_id)),
+        |exw AS (SELECT min(doc_id) AS doc_id FROM cl GROUP BY md5(clean_text)),
+        |s3 AS (SELECT * FROM cl WHERE doc_id IN (SELECT doc_id FROM exw)),
+        |fin AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN CAST('0x'||substr(md5('sp#'||CAST(doc_id AS VARCHAR)),1,13) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST('0x'||substr(md5('sp#'||CAST(doc_id AS VARCHAR)),1,13) AS BIGINT) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST('0x' || substr(md5(clean_text), 1, 6) AS BIGINT) AS fp
+        |  FROM s3),""".stripMargin
+    val rollup =
+      """agg_a AS (SELECT source, count(*) AS n_docs FROM docs0 GROUP BY source),
+        |agg_b AS (SELECT source, count(*) AS n_url_kept FROM s1 GROUP BY source),
+        |agg_c AS (SELECT source,
+        |    sum(CASE WHEN NOT q_keep THEN 1 ELSE 0 END) AS n_q_fail,
+        |    sum(CASE WHEN NOT rep_keep THEN 1 ELSE 0 END) AS n_rep_fail,
+        |    sum(CASE WHEN NOT clf_keep THEN 1 ELSE 0 END) AS n_clf_fail,
+        |    sum(CASE WHEN f_keep THEN 1 ELSE 0 END) AS n_kept
+        |  FROM keepj GROUP BY source),
+        |agg_d AS (SELECT source, sum(removed_paras) AS scrub_paras
+        |  FROM cl GROUP BY source),
+        |agg_e AS (SELECT source, count(*) AS n_final,
+        |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+        |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+        |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test,
+        |    sum(n_toks) AS tokens_final, sum(fp) AS clean_fp
+        |  FROM fin GROUP BY source)
+        |SELECT a.source, a.n_docs,
+        |  CAST(a.n_docs - coalesce(b.n_url_kept, 0) AS BIGINT) AS n_url_dup,
+        |  CAST(coalesce(c.n_q_fail, 0) AS BIGINT) AS n_q_fail,
+        |  CAST(coalesce(c.n_rep_fail, 0) AS BIGINT) AS n_rep_fail,
+        |  CAST(coalesce(c.n_clf_fail, 0) AS BIGINT) AS n_clf_fail,
+        |  CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(d.scrub_paras, 0) AS BIGINT) AS scrub_paras,
+        |  CAST(coalesce(c.n_kept, 0) - coalesce(e.n_final, 0) AS BIGINT) AS n_exact_dup,
+        |  CAST(coalesce(e.n_final, 0) AS BIGINT) AS n_final,
+        |  CAST(coalesce(e.n_train, 0) AS BIGINT) AS n_train,
+        |  CAST(coalesce(e.n_val, 0) AS BIGINT) AS n_val,
+        |  CAST(coalesce(e.n_test, 0) AS BIGINT) AS n_test,
+        |  CAST(coalesce(e.tokens_final, 0) AS BIGINT) AS tokens_final,
+        |  CAST(coalesce(e.clean_fp, 0) AS BIGINT) AS clean_fp
+        |FROM agg_a a
+        |LEFT JOIN agg_b b USING (source)
+        |LEFT JOIN agg_c c USING (source)
+        |LEFT JOIN agg_d d USING (source)
+        |LEFT JOIN agg_e e USING (source)
+        |ORDER BY source""".stripMargin
+    "WITH " + docs0 + "\n" + urlChain + "\n" + qualityChain + "\n" +
+      repChain + "\n" + clfChain + "\n" + scrubChain + "\n" + rollup
+  }
 }

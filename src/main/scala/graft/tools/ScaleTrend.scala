@@ -646,14 +646,24 @@ object ScaleTrend {
     // Gopher repetition battery (q134's operator): the thirteen-rule
     // scan — nine codegen'd gram passes + line/paragraph masses, one
     // pass, no shuffle; %10 docs get injected duplicate lines so the
-    // line rules have real mass to elect
+    // line rules have real mass to elect. Text is re-synthesized at
+    // 60 tokens from the fixture ids: on the 20-token fixture docs a
+    // SINGLETON 4-gram already covers > 16% of characters, so the
+    // paper-faithful top-4-gram rule rejects every document and the
+    // keep count degenerates to 0 (the battery targets web-length
+    // docs; its companion word-count rule would gate these first)
     def repbatteryShape(path: String): Long =
       graft.ext.RepetitionRules.battery(
         spark.read.parquet(path).select(col("doc_id"),
           when(col("doc_id") % 10 === 0,
-            concat(col("text"),
+            concat(concat_ws(" ", transform(sequence(lit(1), lit(60)),
+              i => concat(lit("w"),
+                pmod(xxhash64(col("doc_id") * 60 + i), lit(50000L))))),
               lit("\nthe same line\nthe same line\nthe same line")))
-            .otherwise(col("text")).as("text")))
+            .otherwise(concat_ws(" ", transform(sequence(lit(1), lit(60)),
+              i => concat(lit("w"),
+                pmod(xxhash64(col("doc_id") * 60 + i), lit(50000L))))))
+            .as("text")))
         .agg(sum(when(col("keep"), 1L).otherwise(0L)))
         .head.getLong(0)
 
