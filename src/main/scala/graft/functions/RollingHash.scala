@@ -93,6 +93,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) =>
         GramRepStats(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("hashed_count_vector"),
+      new ExpressionInfo(classOf[HashedCountVector].getName, "hashed_count_vector"),
+      (exprs: Seq[Expression]) =>
+        HashedCountVector(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))

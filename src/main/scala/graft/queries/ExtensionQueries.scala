@@ -3074,6 +3074,107 @@ object ExtensionQueries {
       |  CAST(sum(CASE WHEN clf_sum >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
+  /** ✚ corpus topic clustering + cluster-balanced sampling — the
+    * published DIVERSITY-balancing pattern (SemDeDup's clustering
+    * sibling: there the clusters scope dedup, here they scope
+    * sampling): documents embed as one-pass hashed token-count
+    * vectors ([[graft.functions.HashedCountVector]], 16 buckets —
+    * training-free, so the whole embedding is a codegen'd scan),
+    * k-means clusters the corpus into topics (q62's exact training
+    * pipeline over the derived vectors, 8 seeds × 2 Lloyd rounds),
+    * and a deterministic md5-ticket election keeps the 5
+    * smallest-ticket documents per cluster (through the
+    * [[graft.plans.TopKPerKey]] operator — ascending order this
+    * time). Output is one row per document — cluster AND sample
+    * election both in the hash. The oracle rebuilds the count
+    * vectors relationally (unnest → bucket → dense 16-dim grid),
+    * unrolls the same two Lloyd rounds, and replays the ticket
+    * election as a window.
+    */
+  def q137TopicCluster(spark: SparkSession, dir: String): DataFrame = {
+    // cast to array<float>: the similarity family's corpus element
+    // type; token counts are small integers, so the cast is exact and
+    // the double-typed oracle replays identically
+    val vecs = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"),
+        graft.functions.DocVectorFunctions
+          .hashedCountVector(col("text"), 16)
+          .cast("array<float>").as("embedding"))
+    val centroids = Similarity.kmeansTrain(
+      vecs, vecs.filter(col("vec_id") < 8), iters = 2, dims = 16)
+    val assigned = Similarity.assignToCentroids(vecs, centroids)
+    val picked = graft.plans.TopK.topKPerKey(
+        assigned.select(col("centroid_id"), col("vec_id"))
+          .withColumn("ticket",
+            Dedup.hexHash(col("vec_id").cast("string"), "bal#")),
+        Seq("centroid_id"), "ticket", k = 5, desc = false,
+        tiebreak = Seq("vec_id"))
+      .select(col("vec_id"), lit(true).as("picked"))
+    assigned
+      .select(col("vec_id"), col("centroid_id").cast("long").as("cid"))
+      .join(picked, Seq("vec_id"), "left")
+      .select(col("vec_id").as("doc_id"), col("cid"),
+        coalesce(col("picked"), lit(false)).as("picked"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q137Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tb AS (
+      |  SELECT doc_id,
+      |    (CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16) AS b
+      |  FROM tok),
+      |cnt AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b),
+      |grid AS (
+      |  SELECT d.doc_id, r.d
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  CROSS JOIN range(0, 16) r(d)),
+      |v AS (
+      |  SELECT g.doc_id, list(CAST(coalesce(c.c, 0) AS DOUBLE) ORDER BY g.d) AS e
+      |  FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.b = g.d
+      |  GROUP BY g.doc_id),
+      |c0 AS (SELECT doc_id AS cid, e AS cvec FROM v WHERE doc_id < 8),
+      |a1 AS (
+      |  SELECT doc_id, e, cid FROM (
+      |    SELECT v.doc_id, v.e, c.cid,
+      |      row_number() OVER (PARTITION BY v.doc_id ORDER BY
+      |        list_cosine_similarity(v.e, c.cvec) DESC, c.cid) AS rn
+      |    FROM v CROSS JOIN c0 c) t WHERE rn = 1),
+      |m1 AS (
+      |  SELECT cid, i, round(avg(e[i]), 6) AS m
+      |  FROM a1, range(1, 17) t(i) GROUP BY cid, i),
+      |c1 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY cid),
+      |a2 AS (
+      |  SELECT doc_id, e, cid FROM (
+      |    SELECT v.doc_id, v.e, c.cid,
+      |      row_number() OVER (PARTITION BY v.doc_id ORDER BY
+      |        list_cosine_similarity(v.e, c.cvec) DESC, c.cid) AS rn
+      |    FROM v CROSS JOIN c1 c) t WHERE rn = 1),
+      |m2 AS (
+      |  SELECT cid, i, round(avg(e[i]), 6) AS m
+      |  FROM a2, range(1, 17) t(i) GROUP BY cid, i),
+      |c2 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m2 GROUP BY cid),
+      |assigned AS (
+      |  SELECT doc_id, cid FROM (
+      |    SELECT v.doc_id, c.cid,
+      |      row_number() OVER (PARTITION BY v.doc_id ORDER BY
+      |        list_cosine_similarity(v.e, c.cvec) DESC, c.cid) AS rn
+      |    FROM v CROSS JOIN c2 c) t WHERE rn = 1),
+      |tick AS (
+      |  SELECT doc_id, cid,
+      |    CAST('0x' || substr(md5('bal#' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS ticket
+      |  FROM assigned),
+      |pick AS (
+      |  SELECT doc_id, TRUE AS picked FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (PARTITION BY cid ORDER BY ticket, doc_id) AS rn
+      |    FROM tick) z WHERE rn <= 5)
+      |SELECT a.doc_id, CAST(a.cid AS BIGINT) AS cid,
+      |  coalesce(p.picked, FALSE) AS picked
+      |FROM assigned a LEFT JOIN pick p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val q133Sql: String =
     """WITH RECURSIVE v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
