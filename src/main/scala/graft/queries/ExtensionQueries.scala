@@ -3175,6 +3175,56 @@ object ExtensionQueries {
       |FROM assigned a LEFT JOIN pick p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** ✚ count-min heavy hitters ([[graft.ext.CountMin]]) — the
+    * bounded-memory frequency sketch over the corpus bigram stream:
+    * build (one ≤ d·w-row aggregation, 3×256 counters here —
+    * deliberately small so collisions OCCUR and their accounting is
+    * in the hash), then the map-side candidate scan at a relative
+    * threshold (est·512 ≥ total). Every candidate row carries the
+    * sketch estimate AND the exact count, so the gate pins the
+    * overestimate-only contract (est ≥ exact, both hashed) and the
+    * exact lane arithmetic. The oracle rebuilds the (lane, pos)
+    * count matrix, takes the min over lanes per distinct bigram, and
+    * replays the threshold.
+    */
+  def q138HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.CountMin
+    val grams = Tables(spark, dir, "documents")
+      .select(explode(TextStats.ngrams(col("text"), 2)).as("gram"))
+    val sk = CountMin.build(grams, "gram", width = 256, depth = 3)
+    val cand = CountMin.heavyHitterCandidates(grams, "gram", sk,
+      thrNum = 1L, thrDen = 512L)
+    val exact = grams.groupBy(col("gram")).agg(count(lit(1)).as("exact"))
+    cand.join(exact, Seq("gram"))
+      .select(col("gram"), col("est"), col("exact"))
+      .orderBy(col("gram"))
+  }
+
+  val q138Sql: String =
+    """WITH g AS (
+      |  SELECT unnest([w[i] || '_' || w[i+1] for i in range(1, len(w))]) AS g
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+      |lanes AS (SELECT unnest([0, 1, 2]) AS lane),
+      |p AS (
+      |  SELECT g.g, l.lane,
+      |    (CAST('0x' || substr(md5(g.g), 1 + 8 * l.lane, 8) AS BIGINT) % 256) AS pos
+      |  FROM g CROSS JOIN lanes l),
+      |cms AS (SELECT lane, pos, count(*) AS c FROM p GROUP BY lane, pos),
+      |tot AS (SELECT sum(c) AS total FROM cms WHERE lane = 0),
+      |est AS (
+      |  SELECT dg.g, min(cms.c) AS est
+      |  FROM (SELECT DISTINCT g FROM g) dg
+      |  CROSS JOIN lanes l
+      |  JOIN cms ON cms.lane = l.lane AND cms.pos =
+      |    (CAST('0x' || substr(md5(dg.g), 1 + 8 * l.lane, 8) AS BIGINT) % 256)
+      |  GROUP BY dg.g),
+      |ex AS (SELECT g, count(*) AS exact FROM g GROUP BY g)
+      |SELECT e.g AS gram, CAST(e.est AS BIGINT) AS est,
+      |  CAST(x.exact AS BIGINT) AS exact
+      |FROM est e JOIN ex x ON x.g = e.g CROSS JOIN tot
+      |WHERE e.est * 512 >= tot.total
+      |ORDER BY gram""".stripMargin
+
   val q133Sql: String =
     """WITH RECURSIVE v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

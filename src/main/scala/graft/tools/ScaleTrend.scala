@@ -213,7 +213,7 @@ object ScaleTrend {
     val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
       "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull", "subdedup",
       "q125_battery", "urlnorm", "repbattery", "bloomdecon", "keywords",
-      "paradedup").exists(shapeFilter)
+      "paradedup", "cms", "fusedstack").exists(shapeFilter)
     val needVecs = Seq("ivf", "ivfsearch", "brute", "qbuild", "qbrute",
       "srpidx_build", "srpinc", "srpfull", "semdedup").exists(shapeFilter)
 
@@ -704,6 +704,43 @@ object ScaleTrend {
         .head().getLong(0)
     }
 
+    // the FUSED per-doc filter stack (q136's stage 2): quality ∧
+    // repetition ∧ classifier in ONE pass — prices the claim that
+    // stacking the three map-side batteries costs one scan, not
+    // three (compare against the repbattery/q125 rows; the classifier
+    // uses the gate's 4096 formula weights)
+    def fusedstackShape(path: String): Long = {
+      val weights = (0 until 4096).map(i =>
+        (i.toLong * 2654435761L) % 1000003L - 500001L)
+      // stopwords appended so the quality battery's stop-word floor
+      // has real mass to pass (the synthetic vocabulary has none)
+      val docs = spark.read.parquet(path).select(col("doc_id"),
+        concat(concat_ws(" ", transform(sequence(lit(1), lit(60)),
+          i => concat(lit("w"),
+            pmod(xxhash64(col("doc_id") * 60 + i), lit(50000L))))),
+          lit(" the of and to be with")).as("text"))
+      graft.ext.TextClassifier.score(
+          graft.ext.RepetitionRules.battery(
+            graft.ext.QualityRules.battery(docs)
+              .withColumnRenamed("keep", "q_keep"))
+            .withColumnRenamed("keep", "rep_keep"),
+          "text", weights, thrNum = 0L, thrDen = 1L)
+        .agg(sum(when(col("q_keep") && col("rep_keep") && col("clf_keep"),
+          1L).otherwise(0L)))
+        .head.getLong(0)
+    }
+
+    // count-min heavy hitters (q138's operator): the bounded sketch
+    // build (one <= d*w-row aggregation over the bigram stream) plus
+    // the map-side candidate scan at 1/512 of total
+    def cmsShape(path: String): Long = {
+      val grams = spark.read.parquet(path)
+        .select(explode(graft.ext.TextStats.ngrams(col("text"), 2)).as("g"))
+      val sk = graft.ext.CountMin.build(grams, "g", width = 4096, depth = 3)
+      graft.ext.CountMin.heavyHitterCandidates(grams, "g", sk, 1L, 512L)
+        .count()
+    }
+
     // SemDeDup (q133's operator): seeded-partition assignment (the
     // kmeans training cost is the ivf family's row), within-cluster
     // candidate pairs + cosine verify + survivor election. K scales
@@ -769,6 +806,10 @@ object ScaleTrend {
     run("keywords", "big", docsBigN)(keywordsShape(docsBig))
     run("paradedup", "small", docsSmallN)(paradedupShape(docsSmall))
     run("paradedup", "big", docsBigN)(paradedupShape(docsBig))
+    run("cms", "small", docsSmallN)(cmsShape(docsSmall))
+    run("cms", "big", docsBigN)(cmsShape(docsBig))
+    run("fusedstack", "small", docsSmallN)(fusedstackShape(docsSmall))
+    run("fusedstack", "big", docsBigN)(fusedstackShape(docsBig))
     run("semdedup", "small", docsSmallN)(semdedupShape(vecsSmall, docsSmallN))
     run("semdedup", "big", docsBigN)(semdedupShape(vecsBig, docsBigN))
     run("ivf", "small", docsSmallN)(ivfShape(vecsSmall))
