@@ -90,6 +90,31 @@ object CountMin {
     least(ests: _*)
   }
 
+  /** Merge two sketches built with the SAME (width, depth): counter-
+    * wise integer addition — exact, associative and commutative, so
+    * per-batch sketches folded in ANY order (a stream's micro-batches,
+    * a partitioned backfill) equal the one-shot build bit-for-bit
+    * (q139 gates the streaming composition against q138's oracle).
+    */
+  def merge(x: Sketch, y: Sketch): Sketch = {
+    require(x.width == y.width && x.depth == y.depth,
+      s"CountMin.merge: shape mismatch (${x.width}×${x.depth} vs " +
+        s"${y.width}×${y.depth}) — sketches only merge with identical " +
+        "lane arithmetic")
+    val out = new Array[Long](x.counts.size)
+    var i = 0
+    while (i < out.length) {
+      out(i) = x.counts(i) + y.counts(i); i += 1
+    }
+    Sketch(out.toIndexedSeq, x.width, x.depth)
+  }
+
+  /** The all-zeros sketch — [[merge]]'s identity (streaming folds
+    * start here).
+    */
+  def empty(width: Int = 1024, depth: Int = 3): Sketch =
+    Sketch(Vector.fill(width * depth)(0L), width, depth)
+
   /** Distinct items whose estimate clears `thrNum/thrDen` of the
     * sketch's total (integer cross-multiplication:
     * `est · thrDen ≥ total · thrNum`) — the heavy-hitter candidate

@@ -3225,6 +3225,133 @@ object ExtensionQueries {
       |WHERE e.est * 512 >= tot.total
       |ORDER BY gram""".stripMargin
 
+  /** ✚ streaming count-min fold-in — the sketch family's lifecycle
+    * face: the corpus arrives as micro-batches (a real
+    * AvailableNow stream over batch files), each batch builds its
+    * own bounded sketch, and [[graft.ext.CountMin.merge]] folds
+    * them in arrival order. Counter-wise integer addition is exact,
+    * associative and commutative, so the folded sketch must equal
+    * the one-shot build BIT-FOR-BIT — THE ORACLE IS q138's SQL
+    * UNCHANGED: the hash passes only if streaming fold-in ≡ batch
+    * rebuild (the q109/q111 equivalence pattern, here for the
+    * frequency sketch). The gate requires ≥ 2 real micro-batches so
+    * the merge path genuinely runs.
+    */
+  def q139StreamingCms(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.CountMin
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q139_")
+      .toString
+    val batchDir = s"$tmp/batches"
+    Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .repartition(4).write.parquet(batchDir)
+    val folded = new java.util.concurrent.atomic.AtomicReference(
+      CountMin.empty(width = 256, depth = 3))
+    val batches = new java.util.concurrent.atomic.AtomicLong()
+    val foldBatch: (DataFrame, Long) => Unit = (b, _) => {
+      val grams = b.select(explode(TextStats.ngrams(col("text"), 2))
+        .as("gram"))
+      val sk = CountMin.build(grams, "gram", width = 256, depth = 3)
+      folded.updateAndGet(CountMin.merge(_, sk))
+      batches.incrementAndGet()
+      ()
+    }
+    val q = spark.readStream
+      .schema(spark.read.parquet(batchDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(batchDir)
+      .writeStream
+      .foreachBatch(foldBatch)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    require(batches.get() >= 2,
+      s"q139: the fold must span multiple micro-batches, got ${batches.get()}")
+    val sk = folded.get()
+    val grams = Tables(spark, dir, "documents")
+      .select(explode(TextStats.ngrams(col("text"), 2)).as("gram"))
+    val exact = grams.groupBy(col("gram")).agg(count(lit(1)).as("exact"))
+    SourceQueries.materializeThenDelete(
+      CountMin.heavyHitterCandidates(grams, "gram", sk, 1L, 512L)
+        .join(exact, Seq("gram"))
+        .select(col("gram"), col("est"), col("exact"))
+        .orderBy(col("gram")), tmp)
+  }
+
+  /** q138's SQL verbatim — the equivalence IS the gate. */
+  lazy val q139Sql: String = q138Sql
+
+  /** The q140 merge table — consistent by construction (each side a
+    * single char or an earlier output; [[graft.ext.BpeTokenizer]]
+    * validates), chosen so the corpus vocabulary exercises
+    * multi-level merges: "scan" collapses to ONE token through
+    * s+c → sc, a+n → an, sc+an → scan; "hash" segments h+a → ha,
+    * ha+s → has, leaving [has, h].
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "a" -> "n", "e" -> "r", "s" -> "c", "sc" -> "an", "o" -> "r",
+    "t" -> "a", "r" -> "o", "h" -> "a", "ha" -> "s")
+
+  /** ✚ BPE tokenization apply ([[graft.ext.BpeTokenizer]]) — real
+    * ranked-merge byte-pair segmentation (the merge table is an
+    * input, like the classifier's weights; q54's pair counts are its
+    * training iteration), replacing the "BPE-ish regex" counting
+    * approximation where an exact subword budget matters. Output per
+    * source: doc count, token count computed BOTH ways (the exploded
+    * token stream and the count-only scan — the oracle computes one
+    * number for both columns, so the two faces are pinned equal),
+    * subword vocabulary size, and a token-multiset fingerprint. The
+    * oracle chains the same k literal replaces over char-spaced
+    * words — literal replace is leftmost-first non-overlapping in
+    * both engines, which IS BPE's merge semantics.
+    */
+  def q140BpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.BpeTokenizer
+    val docs = Tables(spark, dir, "documents")
+    val toks = docs.select(col("source"),
+      explode(BpeTokenizer.tokens(col("text"), BpeMerges)).as("tok"))
+    val perSource = toks.groupBy(col("source")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_subwords"),
+      sum(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"))
+        .as("tok_fp"))
+    val counted = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(BpeTokenizer.tokenCount(col("text"), BpeMerges))
+        .as("n_tokens_cnt"))
+    counted.join(perSource, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_tokens_cnt"), col("n_subwords"), col("tok_fp"))
+      .orderBy(col("source"))
+  }
+
+  val q140Sql: String = {
+    val spaced = "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
+    val seg = BpeMerges.foldLeft(spaced) { case (s, (l, r)) =>
+      s"replace($s, '$l $r', '$l$r')"
+    }
+    s"""WITH w AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |  FROM documents),
+       |seg AS (SELECT source, $seg AS s FROM w),
+       |tk AS (SELECT source, unnest(string_split(s, ' ')) AS tok FROM seg),
+       |per_source AS (
+       |  SELECT source, count(*) AS n_tokens,
+       |    count(DISTINCT tok) AS n_subwords,
+       |    sum(CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT)) AS tok_fp
+       |  FROM tk GROUP BY source),
+       |counted AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT c.source, c.n_docs,
+       |  CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(p.n_tokens AS BIGINT) AS n_tokens_cnt,
+       |  CAST(p.n_subwords AS BIGINT) AS n_subwords,
+       |  CAST(p.tok_fp AS BIGINT) AS tok_fp
+       |FROM counted c JOIN per_source p ON p.source = c.source
+       |ORDER BY c.source""".stripMargin
+  }
+
   val q133Sql: String =
     """WITH RECURSIVE v AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

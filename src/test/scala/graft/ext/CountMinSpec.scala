@@ -68,6 +68,25 @@ class CountMinSpec extends SparkSpec {
     sk.counts.sum shouldBe 2000L * 2 // each occurrence once per lane
   }
 
+  test("merge is exact counter addition: split builds equal the " +
+    "one-shot build, empty is the identity") {
+    val items = (1 to 300).map(i => s"m${i % 40}")
+    val (a, b) = items.splitAt(117)
+    val whole = CountMin.build(itemsDf(items), "item", width = 64, depth = 3)
+    val skA = CountMin.build(itemsDf(a), "item", width = 64, depth = 3)
+    val skB = CountMin.build(itemsDf(b), "item", width = 64, depth = 3)
+    CountMin.merge(skA, skB).counts shouldBe whole.counts
+    CountMin.merge(skB, skA).counts shouldBe whole.counts // commutative
+    CountMin.merge(CountMin.empty(64, 3), whole).counts shouldBe whole.counts
+  }
+
+  test("merge refuses shape mismatches") {
+    an[IllegalArgumentException] should be thrownBy
+      CountMin.merge(CountMin.empty(64, 3), CountMin.empty(128, 3))
+    an[IllegalArgumentException] should be thrownBy
+      CountMin.merge(CountMin.empty(64, 3), CountMin.empty(64, 2))
+  }
+
   test("parameter guards") {
     val df = itemsDf(Seq("a"))
     an[IllegalArgumentException] should be thrownBy
