@@ -147,6 +147,33 @@ class AqePlanSpec extends SparkSpec {
     }
   }
 
+  test("SemDedup candidate pairs under AQE: cluster-keyed equi-join, " +
+    "no cartesian, no broadcast arm") {
+    withAqe {
+      val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 200)
+      val cents = vecs.filter(col("vec_id") < 8)
+      val (pairs, caches, _) = graft.ext.SemDedup.semanticDupPairsLazy(
+        vecs, cents, 0.35, "vec_id", "embedding",
+        graft.ext.LshSkew.NoCap)
+      try {
+        val ops = finalOperators(pairs)
+        assertNoRuntimeCartesian(ops)
+        val got = shapeOf(ops)
+        withClue("SemDedup adaptive pair plan drifted: ") {
+          // two stages shuffle the cached assignment on centroid_id
+          // (the self-join's sides — same table-cache boundary story
+          // as q30's banded join: AQE materializes each side as its
+          // own stage, reuse does not fire across the cache)
+          got.realShuffles shouldBe 2
+          got.realBroadcasts shouldBe 0
+          got.bhj shouldBe 0
+          got.smj shouldBe 1
+        }
+      } finally caches.foreach(_.unpersist())
+    }
+  }
+
   test("q47 largeStar round under AQE: still exactly 3 real shuffles") {
     withAqe {
       import spark.implicits._
