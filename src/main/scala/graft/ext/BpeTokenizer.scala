@@ -84,16 +84,15 @@ object BpeTokenizer {
       w => split(segmentWord(w, merges), " ")))
   }
 
-  /** Per-document subword token COUNT without materializing the token
-    * array: Σ over words of (spaces in the segmented word + 1).
+  /** Per-document subword token COUNT without materializing a
+    * per-DOCUMENT token array: Σ over words of the segmented word's
+    * token count (one segmentation evaluation per word).
     */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column = {
     validateMerges(merges)
     aggregate(
       F.filter(split(text, " "), w => w =!= ""),
       lit(0L),
-      (acc, w) => acc +
-        (length(segmentWord(w, merges)) -
-          length(F.replace(segmentWord(w, merges), lit(" "), lit("")))) + 1L)
+      (acc, w) => acc + size(split(segmentWord(w, merges), " ")))
   }
 }
