@@ -1830,14 +1830,25 @@ object ExtensionQueries {
     * shard in memory. Deterministic in (shard, doc_id), so the DuckDB
     * oracle replays the exact assignment with a recursive CTE.
     */
-  def q96SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+  def q96SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    packingAssignment(spark, dir,
+      size(split(col("text"), " ")).cast("long"))
+
+  /** The packing dataflow, parameterized by the per-doc token-count
+    * expression — ONE definition drives q96 (whitespace tokens) and
+    * q141 (real BPE subword tokens), so the two budgets provably run
+    * the identical assignment machinery.
+    */
+  private def packingAssignment(spark: SparkSession, dir: String,
+                                tokenCount: org.apache.spark.sql.Column)
+      : DataFrame = {
     import spark.implicits._
     val budget = 512L
     val shards = 8
     Tables(spark, dir, "documents")
       .select(pmod(col("doc_id"), lit(shards)).cast("int").as("shard"),
         col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        tokenCount.as("n_tokens"))
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .as[(Int, Long, Long)]
@@ -1855,6 +1866,19 @@ object ExtensionQueries {
       .toDF("shard", "doc_id", "n_tokens", "pack_id")
       .orderBy(col("shard"), col("doc_id"))
   }
+
+  /** ✚ packing under the REAL tokenizer's budget — q96's exact
+    * assignment dataflow (shared body) with the per-doc count coming
+    * from [[graft.ext.BpeTokenizer.tokenCount]] under q140's merge
+    * table: the packing budget a training run actually enforces is
+    * SUBWORDS, not whitespace words, and with the engine's real BPE
+    * face the budget needs no second tokenizer outside the engine.
+    * The oracle splices the same per-word segmentation chain into
+    * q96's recursive packing CTE.
+    */
+  def q141BpePacking(spark: SparkSession, dir: String): DataFrame =
+    packingAssignment(spark, dir,
+      graft.ext.BpeTokenizer.tokenCount(col("text"), BpeMerges))
 
   val q96Sql: String =
     """WITH RECURSIVE d AS (
@@ -3325,11 +3349,18 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
-  val q140Sql: String = {
-    val spaced = "trim(regexp_replace(word, '(.)', '\\1 ', 'g'))"
-    val seg = BpeMerges.foldLeft(spaced) { case (s, (l, r)) =>
-      s"replace($s, '$l $r', '$l$r')"
+  /** The BPE segmentation chain over SQL variable `varName` — shared
+    * by q140's token gate and q141's packing oracle (one definition
+    * of the replace chain on both engines).
+    */
+  private def bpeSegSql(varName: String): String =
+    BpeMerges.foldLeft(
+      s"trim(regexp_replace($varName, '(.)', '\\1 ', 'g'))") {
+      case (s, (l, r)) => s"replace($s, '$l $r', '$l$r')"
     }
+
+  val q140Sql: String = {
+    val seg = bpeSegSql("word")
     s"""WITH w AS (
        |  SELECT source,
        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
@@ -3351,6 +3382,28 @@ object ExtensionQueries {
        |FROM counted c JOIN per_source p ON p.source = c.source
        |ORDER BY c.source""".stripMargin
   }
+
+  val q141Sql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
+       |    CAST(coalesce(list_aggregate(list_transform(
+       |      list_filter(string_split(text, ' '), x -> x <> ''),
+       |      w -> len(string_split(${bpeSegSql("w")}, ' '))), 'sum'), 0)
+       |      AS BIGINT) AS n_tokens,
+       |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |p(shard, doc_id, n_tokens, rn, pack_id, acc) AS (
+       |  SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT), n_tokens
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.doc_id, d.n_tokens, d.rn,
+       |    CASE WHEN p.acc + d.n_tokens > 512 THEN p.pack_id + 1
+       |         ELSE p.pack_id END,
+       |    CASE WHEN p.acc + d.n_tokens > 512 THEN d.n_tokens
+       |         ELSE p.acc + d.n_tokens END
+       |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |SELECT shard, doc_id, n_tokens, pack_id FROM p
+       |ORDER BY shard, doc_id""".stripMargin
 
   val q133Sql: String =
     """WITH RECURSIVE v AS (
