@@ -3325,9 +3325,11 @@ object ExtensionQueries {
     * token stream and the count-only scan — the oracle computes one
     * number for both columns, so the two faces are pinned equal),
     * subword vocabulary size, and a token-multiset fingerprint. The
-    * oracle chains the same k literal replaces over char-spaced
-    * words — literal replace is leftmost-first non-overlapping in
-    * both engines, which IS BPE's merge semantics.
+    * oracle chains the same k literal replaces over sentinel-wrapped
+    * words ([[bpeSegSql]]) — literal replace is leftmost-first
+    * non-overlapping in both engines, which IS BPE's
+    * merge-all-occurrences sweep, and the wrapped pattern can only
+    * match at token boundaries.
     */
   def q140BpeTokens(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.BpeTokenizer
@@ -3349,15 +3351,30 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
-  /** The BPE segmentation chain over SQL variable `varName` — shared
-    * by q140's token gate and q141's packing oracle (one definition
-    * of the replace chain on both engines).
+  /** The boundary-wrapped BPE segmentation chain over SQL variable
+    * `varName` — shared by q140's token gate and q141's packing
+    * oracle (one definition of the replace chain on both engines).
+    * chr(1)/chr(2) are [[graft.ext.BpeTokenizer.Open]]/Close: every
+    * token rides as `\x01tok\x02`, so a merge's literal pattern
+    * carries BOTH boundaries of BOTH tokens and can only match two
+    * complete adjacent tokens (the r17 boundary-bug fix — the
+    * single-space separator let `t a` match the prefix of `t an`).
     */
   private def bpeSegSql(varName: String): String =
     BpeMerges.foldLeft(
-      s"trim(regexp_replace($varName, '(.)', '\\1 ', 'g'))") {
-      case (s, (l, r)) => s"replace($s, '$l $r', '$l$r')"
+      s"regexp_replace($varName, '(.)', chr(1) || '\\1' || chr(2), 'g')") {
+      case (s, (l, r)) =>
+        s"replace($s, chr(1)||'$l'||chr(2)||chr(1)||'$r'||chr(2), " +
+          s"chr(1)||'$l$r'||chr(2))"
     }
+
+  /** Segmented string → token LIST: strip the outermost sentinels,
+    * split on the close+open boundary (mirrors BpeTokenizer's
+    * wordTokens; `\x01`/`\x02` are RE2 byte escapes).
+    */
+  private def bpeTokenListSql(segExpr: String): String =
+    s"string_split(regexp_replace($segExpr, '^\\x01|\\x02$$', '', 'g'), " +
+      "chr(2) || chr(1))"
 
   val q140Sql: String = {
     val seg = bpeSegSql("word")
@@ -3366,7 +3383,7 @@ object ExtensionQueries {
        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
        |  FROM documents),
        |seg AS (SELECT source, $seg AS s FROM w),
-       |tk AS (SELECT source, unnest(string_split(s, ' ')) AS tok FROM seg),
+       |tk AS (SELECT source, unnest(${bpeTokenListSql("s")}) AS tok FROM seg),
        |per_source AS (
        |  SELECT source, count(*) AS n_tokens,
        |    count(DISTINCT tok) AS n_subwords,
@@ -3388,7 +3405,7 @@ object ExtensionQueries {
        |  SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id,
        |    CAST(coalesce(list_aggregate(list_transform(
        |      list_filter(string_split(text, ' '), x -> x <> ''),
-       |      w -> len(string_split(${bpeSegSql("w")}, ' '))), 'sum'), 0)
+       |      w -> len(${bpeTokenListSql(bpeSegSql("w"))})), 'sum'), 0)
        |      AS BIGINT) AS n_tokens,
        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
        |  FROM documents),
@@ -3440,7 +3457,13 @@ object ExtensionQueries {
       |  SELECT a.vec_id AS s, b.vec_id AS t
       |  FROM assigned a JOIN assigned b
       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
-      |  WHERE list_cosine_similarity(a.e, b.e) >= 0.35),
+      |  -- zero-magnitude guard: Spark's cosine is NULL there (never
+      |  -- passes the threshold), but DuckDB returns NaN and orders
+      |  -- NaN above every double, so 'NaN >= 0.35' would be true —
+      |  -- pin both engines to dropping such pairs
+      |  WHERE list_dot_product(a.e, a.e) > 0
+      |    AND list_dot_product(b.e, b.e) > 0
+      |    AND list_cosine_similarity(a.e, b.e) >= 0.35),
       |edges AS (SELECT s, t FROM pairs UNION ALL SELECT t, s FROM pairs),
       |reach(node, label) AS (
       |  SELECT vec_id, vec_id FROM v

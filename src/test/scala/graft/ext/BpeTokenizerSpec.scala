@@ -34,6 +34,19 @@ class BpeTokenizerSpec extends SparkSpec {
     toks("dup") shouldBe Seq("d", "u", "p")
   }
 
+  test("merges never cross token boundaries (the r17 bug class)") {
+    // tan: (a,n) r0 fires → [t, an]; (t,a) r5 must NOT match the
+    // prefix of token "an" — the old single-space separator let
+    // 't a' match 't an' and emitted ["tan"]
+    toks("tan") shouldBe Seq("t", "an")
+    toks("than") shouldBe Seq("t", "h", "an")
+    toks("stan") shouldBe Seq("s", "t", "an")
+    toks("chan") shouldBe Seq("c", "h", "an")
+    // han: (a,n) r0 beats (h,a) r7 — and once "an" exists, (h,a)
+    // has no bare "a" left to bind
+    toks("han") shouldBe Seq("h", "an")
+  }
+
   test("leftmost-first non-overlapping merge of repeated pairs") {
     // aaa with (a,a): leftmost pair merges, third a survives
     toks("aaa", Seq("a" -> "a")) shouldBe Seq("aa", "a")
@@ -53,9 +66,14 @@ class BpeTokenizerSpec extends SparkSpec {
     // "xy" is not a single char and no earlier merge produced it
     an[IllegalArgumentException] should be thrownBy
       BpeTokenizer.validateMerges(Seq("xy" -> "z"))
-    // space inside a symbol breaks the working separator
+    // space inside a symbol breaks the word pretokenizer
     an[IllegalArgumentException] should be thrownBy
       BpeTokenizer.validateMerges(Seq("a " -> "b"))
+    // boundary sentinels inside a symbol break the working string
+    an[IllegalArgumentException] should be thrownBy
+      BpeTokenizer.validateMerges(Seq(("a" + BpeTokenizer.Open) -> "b"))
+    an[IllegalArgumentException] should be thrownBy
+      BpeTokenizer.validateMerges(Seq("a" -> (BpeTokenizer.Close + "b")))
     an[IllegalArgumentException] should be thrownBy
       BpeTokenizer.validateMerges(Seq.empty)
     // the gate's table IS consistent
