@@ -598,6 +598,87 @@ object SourceQueries {
       |  TRUE AS pruned_source, TRUE AS pruned_chars
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** S-WARC — web-archive ingest ([[graft.sources.Warc]]): document
+    * texts are written as a real .warc.gz (warcinfo record, one HTTP
+    * response record per doc with status line + Content-Type headers,
+    * then a deliberately TRUNCATED record), read back through the
+    * streaming record splitter, and projected to the fields q129's
+    * URL normalization / q136's curation pipeline consume. The oracle
+    * recomputes every row relationally from `documents` — record
+    * indices via row_number, HTTP fields from the construction rule,
+    * body md5 over the same UTF-8 bytes — plus literal rows for the
+    * warcinfo record and the fail-soft error row (whose message pins
+    * the exact truncation position).
+    */
+  def q142WarcRead(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 40)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+    val root = java.nio.file.Files.createTempDirectory("graft_q142_").toString
+    val file = root + "/crawl.warc.gz"
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(file))
+    def rec(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
+      val sb = new StringBuilder("WARC/1.0\r\n")
+      headers.foreach { case (k, v) =>
+        sb.append(k).append(": ").append(v).append("\r\n") }
+      sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+      out.write(sb.toString.getBytes(UTF_8))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes(UTF_8))
+    }
+    rec(Seq("WARC-Type" -> "warcinfo",
+      "WARC-Date" -> "2024-01-01T00:00:00Z",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft\r\n".getBytes(UTF_8))
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val mime = if (id % 2 == 0) "text/plain" else "text/html"
+      val payload = s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n\r\n"
+        .getBytes(UTF_8) ++ r.getString(1).getBytes(UTF_8)
+      rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> s"http://example.com/doc/$id",
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http;msgtype=response"), payload)
+    }
+    // truncated final record: Content-Length far past EOF → fail-soft
+    out.write("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999999\r\n\r\nxx"
+      .getBytes(UTF_8))
+    out.close()
+    materializeThenDelete(
+      graft.sources.Warc.read(spark, file)
+        .select(col("rec_idx"), col("rec_type"), col("url"),
+          col("http_status"), col("http_content_type").as("mime"),
+          length(col("body")).cast("long").as("n_bytes"),
+          md5(col("body")).as("body_md5"), col("ok"), col("err"))
+        .orderBy(col("rec_idx")),
+      root)
+  }
+
+  val q142Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text,
+      |    CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rn
+      |  FROM documents WHERE doc_id < 40),
+      |info AS (SELECT 'software: graft' || chr(13) || chr(10) AS payload)
+      |SELECT rn AS rec_idx, 'response' AS rec_type,
+      |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |  CAST(200 AS INT) AS http_status,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'text/plain' ELSE 'text/html' END AS mime,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS body_md5, TRUE AS ok, CAST(NULL AS VARCHAR) AS err
+      |FROM docs
+      |UNION ALL
+      |SELECT 0, 'warcinfo', NULL, NULL, NULL,
+      |  CAST(strlen(payload) AS BIGINT), md5(payload), TRUE, NULL
+      |FROM info
+      |UNION ALL
+      |SELECT (SELECT CAST(count(*) + 1 AS INT) FROM docs), NULL, NULL,
+      |  NULL, NULL, CAST(0 AS BIGINT), md5(''), FALSE,
+      |  'record ' || CAST((SELECT count(*) + 1 FROM docs) AS VARCHAR) ||
+      |    ': truncated payload: expected 999999 bytes, got 2'
+      |ORDER BY rec_idx""".stripMargin
+
   val q85Sql: String =
     """WITH docs AS (
       |  SELECT source, lang, doc_id, strlen(text) AS n_bytes, n_chars
