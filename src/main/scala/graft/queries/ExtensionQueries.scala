@@ -3351,6 +3351,104 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
+  /** The q143 byte-level merge table, built over the GPT-2 byte↔char
+    * bijection's MAPPED symbols ([[graft.functions.BpeModel.byteToChar]]):
+    * the three UTF-8 bytes of 你 and of 好 each collapse to one token
+    * (multi-byte CJK reassembly), the mapped space merges with 't'
+    * (GPT-2 space-attachment), and (t,h)/(e,r) exercise plain ASCII —
+    * with (Ġ,t) outranking (t,h) so the min-rank order is observable.
+    * Consistent by construction (each side a single mapped char or an
+    * earlier output).
+    */
+  private lazy val ByteBpeMerges: Seq[(String, String)] = {
+    def mb(b: Int): String = graft.functions.BpeModel.byteStr(b)
+    def bytesOf(s: String): Array[Int] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8).map(_ & 0xff)
+    val ni = bytesOf("你")
+    val ho = bytesOf("好")
+    Seq(
+      mb(ni(0)) -> mb(ni(1)),
+      (mb(ni(0)) + mb(ni(1))) -> mb(ni(2)),
+      mb(ho(0)) -> mb(ho(1)),
+      (mb(ho(0)) + mb(ho(1))) -> mb(ho(2)),
+      mb(' ') -> mb('t'),
+      mb('t') -> mb('h'),
+      mb('e') -> mb('r'))
+  }
+
+  /** ✚ BYTE-LEVEL BPE over mixed-script text
+    * ([[graft.functions.BpeSegment]], `byteLevel = true`) — the
+    * GPT-2-family production shape: words are `' ?[^ ]+'` matches
+    * (each carries its preceding space), the base alphabet is UTF-8
+    * BYTES through the printable byte↔char bijection, so CJK/emoji/
+    * no-whitespace text segments into byte-level subwords instead of
+    * one opaque code-point "word". The gate text appends a Chinese
+    * suffix to every document (the reference's own fixtures are
+    * partly Chinese — process_blade_load.py:414 multi-level keys),
+    * and the oracle replays EVERYTHING relationally: hex-expands each
+    * word's UTF-8 bytes, maps them through the same 256-entry
+    * bijection carried as a SQL list literal, then runs the identical
+    * sentinel-wrapped merge chain.
+    */
+  def q143ByteBpe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BpeSegment
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 120)
+      .select(col("source"),
+        concat(col("text"), lit(" 你好 你好世界")).as("txt"))
+    val toks = docs.select(col("source"),
+      explode(BpeSegment.tokens(col("txt"), ByteBpeMerges,
+        byteLevel = true)).as("tok"))
+    val perSource = toks.groupBy(col("source")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_subwords"),
+      sum(conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long"))
+        .as("tok_fp"))
+    val counted = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(BpeSegment.tokenCount(col("txt"), ByteBpeMerges,
+        byteLevel = true)).as("n_tokens_cnt"))
+    counted.join(perSource, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_tokens_cnt"), col("n_subwords"), col("tok_fp"))
+      .orderBy(col("source"))
+  }
+
+  lazy val q143Sql: String = {
+    val bytemap = graft.functions.BpeModel.byteToChar
+      .map(c => "'" + c.toString.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    val seg = bpeSegSqlFor("mw", ByteBpeMerges)
+    s"""WITH bm AS (SELECT $bytemap AS m),
+       |d AS (
+       |  SELECT source, text || ' 你好 你好世界' AS txt
+       |  FROM documents WHERE doc_id < 120),
+       |w AS (
+       |  SELECT source, unnest(regexp_extract_all(txt, ' ?[^ ]+')) AS word
+       |  FROM d),
+       |mapped AS (
+       |  SELECT source, array_to_string(list_transform(
+       |    range(1, CAST(octet_length(encode(word)) AS INT) + 1),
+       |    i -> m[CAST('0x' || substr(hex(encode(word)),
+       |                 CAST(2*i-1 AS INT), 2) AS INT) + 1]), '') AS mw
+       |  FROM w CROSS JOIN bm),
+       |seg AS (SELECT source, $seg AS s FROM mapped),
+       |tk AS (SELECT source, unnest(${bpeTokenListSql("s")}) AS tok FROM seg),
+       |per_source AS (
+       |  SELECT source, count(*) AS n_tokens,
+       |    count(DISTINCT tok) AS n_subwords,
+       |    sum(CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT)) AS tok_fp
+       |  FROM tk GROUP BY source),
+       |counted AS (
+       |  SELECT source, count(*) AS n_docs FROM d GROUP BY source)
+       |SELECT c.source, c.n_docs,
+       |  CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(p.n_tokens AS BIGINT) AS n_tokens_cnt,
+       |  CAST(p.n_subwords AS BIGINT) AS n_subwords,
+       |  CAST(p.tok_fp AS BIGINT) AS tok_fp
+       |FROM counted c JOIN per_source p ON p.source = c.source
+       |ORDER BY c.source""".stripMargin
+  }
+
   /** The boundary-wrapped BPE segmentation chain over SQL variable
     * `varName` — shared by q140's token gate and q141's packing
     * oracle (one definition of the replace chain on both engines).
@@ -3361,12 +3459,22 @@ object ExtensionQueries {
     * single-space separator let `t a` match the prefix of `t an`).
     */
   private def bpeSegSql(varName: String): String =
-    BpeMerges.foldLeft(
+    bpeSegSqlFor(varName, BpeMerges)
+
+  /** The same wrapped replace chain for an arbitrary merge table
+    * (q143's byte-level table reuses it over mapped-byte symbols;
+    * single quotes in symbols are SQL-escaped).
+    */
+  private def bpeSegSqlFor(varName: String,
+                           merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    merges.foldLeft(
       s"regexp_replace($varName, '(.)', chr(1) || '\\1' || chr(2), 'g')") {
       case (s, (l, r)) =>
-        s"replace($s, chr(1)||'$l'||chr(2)||chr(1)||'$r'||chr(2), " +
-          s"chr(1)||'$l$r'||chr(2))"
+        s"replace($s, chr(1)||'${esc(l)}'||chr(2)||chr(1)||'${esc(r)}'||chr(2), " +
+          s"chr(1)||'${esc(l + r)}'||chr(2))"
     }
+  }
 
   /** Segmented string → token LIST: strip the outermost sentinels,
     * split on the close+open boundary (mirrors BpeTokenizer's
