@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ext.{BoundedPairs, CentroidAggregator, Dedup, DupClusters, Multimodal, Quantize, Similarity, TextStats}
+import graft.ext.{BoundedPairs, CentroidAggregator, Dedup, DupClusters, Multimodal, Pq, Quantize, Similarity, TextStats}
 import graft.functions.RollingHash
 
 /** North-star ✚ queries: text analysis, dedup, similarity search over
@@ -3447,6 +3447,110 @@ object ExtensionQueries {
        |  CAST(p.tok_fp AS BIGINT) AS tok_fp
        |FROM counted c JOIN per_source p ON p.source = c.source
        |ORDER BY c.source""".stripMargin
+  }
+
+  /** ✚ product quantization + ADC search ([[graft.ext.Pq]],
+    * [[graft.functions.PqAdc]]) — the ANN memory ladder's next rung
+    * after int8 (q124): m=8 per-subspace codebooks trained with the
+    * SAME Lloyd loop the IVF gates replay (cosine assignment,
+    * 2 iterations, 6-dp rounded means, seeds = the 16 lowest
+    * vec_ids' subvectors), vectors encoded to 8 codes in one
+    * map-side scan, queries scored by ADC — per-subspace dot tables,
+    * ascending-j left-associated sum, so the oracle replays the
+    * EXACT double. Output: per query the ADC top-10 (rank, neighbor,
+    * 6-dp score) plus recall@10 against the exact-inner-product
+    * brute ranking — codebook training, assignment, ADC arithmetic
+    * and the recall join all inside the hash.
+    */
+  def q144PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 400)
+    val seeds = e.filter(col("vec_id") < 16)
+    val cbs = Pq.trainCodebooks(e, seeds, m = 8, dims = 64, iters = 2)
+    val encoded = Pq.encode(e, cbs, dims = 64)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val adc = Pq.adcKnn(encoded, cbs, queries, k = 10)
+    val truth = Pq.bruteDotKnn(e, queries, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val recall = adc.select(col("query_id"), col("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    adc.join(broadcast(recall), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc_dot"), 6).as("adc_dot"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0, 2)
+          .as("recall10"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q144Sql: String = {
+    // one Lloyd assignment round against codebook CTE `cb`, emitting
+    // (j, vec_id, sv, cid) — subspace j rides as data, so ONE set of
+    // CTEs covers all 8 codebooks
+    def assign(cb: String) =
+      s"""SELECT j, vec_id, sv, cid FROM (
+         |  SELECT s.j, s.vec_id, s.sv, c.cid,
+         |    row_number() OVER (PARTITION BY s.j, s.vec_id
+         |      ORDER BY list_cosine_similarity(s.sv, c.cv) DESC, c.cid) AS rn
+         |  FROM sub s JOIN $cb c ON c.j = s.j) t WHERE rn = 1""".stripMargin
+    // ascending-j left-associated ADC sum (PqAdc's exact order)
+    val adcSum = (0 until 8)
+      .map(j => s"max(CASE WHEN j = $j THEN d END)").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE vec_id < 400),
+       |sub AS (
+       |  SELECT vec_id, CAST(j AS INT) AS j,
+       |    e[(j*8+1):(j*8+8)] AS sv
+       |  FROM v, range(0, 8) t(j)),
+       |c0 AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+       |a1 AS (${assign("c0")}),
+       |m1 AS (SELECT j, cid, i, round(avg(sv[i]), 6) AS mv
+       |       FROM a1, range(1, 9) t(i) GROUP BY j, cid, i),
+       |c1 AS (SELECT j, cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY j, cid),
+       |a2 AS (${assign("c1")}),
+       |m2 AS (SELECT j, cid, i, round(avg(sv[i]), 6) AS mv
+       |       FROM a2, range(1, 9) t(i) GROUP BY j, cid, i),
+       |c2 AS (SELECT j, cid, list(mv ORDER BY i) AS cv FROM m2 GROUP BY j, cid),
+       |codes AS (${assign("c2")}),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+       |qsub AS (
+       |  SELECT query_id, CAST(j AS INT) AS j, qe[(j*8+1):(j*8+8)] AS qv
+       |  FROM q, range(0, 8) t(j)),
+       |adcp AS (
+       |  SELECT qs.query_id, cd.vec_id AS neighbor_id, qs.j,
+       |    list_dot_product(qs.qv, c.cv) AS d
+       |  FROM codes cd
+       |  JOIN c2 c ON c.j = cd.j AND c.cid = cd.cid
+       |  JOIN qsub qs ON qs.j = cd.j),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, $adcSum AS adc_dot
+       |  FROM adcp GROUP BY query_id, neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_dot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dot DESC, neighbor_id) AS rank
+       |  FROM adc),
+       |top AS (SELECT * FROM ranked WHERE rank <= 10),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, v.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(q.qe, v.e) DESC, v.vec_id) AS rn
+       |    FROM q CROSS JOIN v) t WHERE rn <= 10),
+       |rec AS (
+       |  SELECT t.query_id, count(*) AS n_hits
+       |  FROM top t JOIN truth u
+       |    ON u.query_id = t.query_id AND u.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT t.query_id, CAST(t.rank AS INT) AS rank, t.neighbor_id,
+       |  round(t.adc_dot, 6) AS adc_dot,
+       |  round(coalesce(r.n_hits, 0) / 10.0, 2) AS recall10
+       |FROM top t LEFT JOIN rec r ON r.query_id = t.query_id
+       |ORDER BY t.query_id, t.rank""".stripMargin
   }
 
   /** The boundary-wrapped BPE segmentation chain over SQL variable
