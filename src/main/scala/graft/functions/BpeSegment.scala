@@ -48,7 +48,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class BpeModel(val merges: Seq[(String, String)],
                      val byteLevel: Boolean) extends Serializable {
-  require(merges.nonEmpty, "BpeModel: empty merge table")
+  // An EMPTY table is legal (unlike the Column fold): segmentation is
+  // then the bare base alphabet — the trainer's iteration-0 state.
   require(merges.size <= BpeModel.MaxMerges,
     s"BpeModel: ${merges.size} merges exceeds ${BpeModel.MaxMerges}")
 
@@ -178,6 +179,24 @@ final class BpeModel(val merges: Seq[(String, String)],
     out.toArray
   }
 
+  /** Pretokenized words in the model's WORKING alphabet: raw words in
+    * code-point mode; byte-mapped strings in byte mode (so a trainer
+    * vocabulary built from these re-segments in plain word mode).
+    */
+  def wordsOf(text: String): Array[String] = {
+    val ws = preTokenize(text)
+    if (!byteLevel) ws
+    else ws.map { w =>
+      val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val sb = new java.lang.StringBuilder(bs.length)
+      var i = 0
+      while (i < bs.length) {
+        sb.append(BpeModel.byteToChar(bs(i) & 0xff)); i += 1
+      }
+      sb.toString
+    }
+  }
+
   def countOf(text: String): Long = {
     val words = preTokenize(text)
     var acc = 0L
@@ -278,6 +297,44 @@ case class BpeSegment(child: Expression, model: BpeModel)
     copy(child = newChild)
 }
 
+/** `bpe_words(text)` → array<string>: the model's pretokenized words
+  * in its working alphabet (raw words / byte-mapped strings) — the
+  * trainer's vocabulary unit. Null text → null.
+  */
+case class BpeWords(child: Expression, model: BpeModel)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_words"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_words needs string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    wordsData(input.asInstanceOf[UTF8String])
+
+  /** Shared by eval and codegen. */
+  def wordsData(text: UTF8String): GenericArrayData = {
+    val ws = model.wordsOf(text.toString)
+    val arr = new Array[AnyRef](ws.length)
+    var i = 0
+    while (i < ws.length) { arr(i) = UTF8String.fromString(ws(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeWords", this,
+      classOf[BpeWords].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.wordsData($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeWords =
+    copy(child = newChild)
+}
+
 /** `bpe_token_count(text)` → long: the token count without
   * materializing the array (the budgeting hot path). Null text → null.
   */
@@ -325,4 +382,9 @@ object BpeSegment {
                  byteLevel: Boolean = false): Column =
     GraftSql.column(BpeTokenCount(GraftSql.expression(text),
       new BpeModel(merges, byteLevel)))
+
+  /** Pretokenized words in the working alphabet (trainer vocab). */
+  def words(text: Column, byteLevel: Boolean = false): Column =
+    GraftSql.column(BpeWords(GraftSql.expression(text),
+      new BpeModel(Nil, byteLevel)))
 }

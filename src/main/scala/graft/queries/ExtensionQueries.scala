@@ -3553,6 +3553,63 @@ object ExtensionQueries {
        |ORDER BY t.query_id, t.rank""".stripMargin
   }
 
+  /** ✚ BPE TRAINING ([[graft.ext.BpeTrainer]]) — the loop that mints
+    * merge tables, closing the learn → apply → budget seam (q54's
+    * pair count is iteration 0; q140/q141/q143 apply external
+    * tables). Three iterations over the full `documents` word
+    * vocabulary: segment under merges-so-far (codegen'd min-rank
+    * expression), explode adjacent pairs weighted by word count, one
+    * pair-count shuffle, argmax with the (count desc, lhs, rhs)
+    * deterministic tie. The oracle unrolls the three iterations as
+    * CTEs, carrying each found merge as DATA into the next round's
+    * sentinel-wrapped replace — legal because trained tables are
+    * consistent by construction, so the min-rank loop and the
+    * rank-sequential sweep agree (BpeTokenizer's proof).
+    */
+  def q145BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = graft.ext.BpeTrainer.train(
+      Tables(spark, dir, "documents"), "text", nMerges = 3)
+    merges.zipWithIndex
+      .map { case (m, i) => (i, m.lhs, m.rhs, m.pairCount) }
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  val q145Sql: String = {
+    def pairs(sCte: String, i: Int): String =
+      s"""p$i AS (
+         |  SELECT lhs, rhs, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest(t[1:len(t)-1]) AS lhs,
+         |           unnest(t[2:len(t)]) AS rhs
+         |    FROM (SELECT cnt, ${bpeTokenListSql("s")} AS t FROM $sCte)
+         |    WHERE len(t) >= 2)
+         |  GROUP BY lhs, rhs),
+         |m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1)""".stripMargin
+    def sweep(prev: String, i: Int): String =
+      s"""s$i AS (
+         |  SELECT word, cnt,
+         |    replace(s, chr(1)||m.lhs||chr(2)||chr(1)||m.rhs||chr(2),
+         |            chr(1)||m.lhs||m.rhs||chr(2)) AS s
+         |  FROM $prev, m$i m)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |    FROM documents) GROUP BY word),
+       |s0 AS (SELECT word, cnt,
+       |  regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+       |  FROM w),
+       |${pairs("s0", 1)},
+       |${sweep("s0", 1)},
+       |${pairs("s1", 2)},
+       |${sweep("s1", 2)},
+       |${pairs("s2", 3)}
+       |SELECT CAST(0 AS INT) AS rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM m1
+       |UNION ALL SELECT 1, lhs, rhs, CAST(c AS BIGINT) FROM m2
+       |UNION ALL SELECT 2, lhs, rhs, CAST(c AS BIGINT) FROM m3
+       |ORDER BY rank""".stripMargin
+  }
+
   /** The boundary-wrapped BPE segmentation chain over SQL variable
     * `varName` — shared by q140's token gate and q141's packing
     * oracle (one definition of the replace chain on both engines).
