@@ -68,6 +68,54 @@ object TextClassifier {
       "clf_n" -> (size(uni) + size(bi)).cast("long"))
   }
 
+  /** MULTICLASS head (fastText-style langid/topic/register filters
+    * run per-class weight vectors, not one): per-class integer scores
+    * over the SAME hashed features, argmax with ties to the EARLIER
+    * class, and the best-vs-runner-up margin (the confidence dial a
+    * curation flow thresholds on). Adds `clf_class` (winner's name),
+    * `clf_best`, `clf_margin`, `clf_n`.
+    *
+    * One md5 per feature TOTAL, not per class: buckets are
+    * materialized once per row, then each class sums its weight
+    * lookups over the bucket array — n_classes plan literals, still a
+    * pure map-side scan.
+    */
+  def scoreMulti(df: DataFrame, textCol: String,
+                 classes: Seq[(String, Seq[Long])]): DataFrame = {
+    require(classes.size >= 2, "scoreMulti: need >= 2 classes")
+    val dim = classes.head._2.size
+    require(dim >= 1 && dim <= MaxDim,
+      s"scoreMulti: weight dim must be in [1, $MaxDim], got $dim")
+    require(classes.forall(_._2.size == dim),
+      "scoreMulti: all classes must share one weight dimension")
+    require(classes.map(_._1).distinct.size == classes.size,
+      "scoreMulti: duplicate class names")
+    val grams = concat(TextStats.ngrams(col(textCol), 1),
+      TextStats.ngrams(col(textCol), 2))
+    val names = typedlit(classes.map(_._1))
+    val bCol = "__clf_buckets"
+    // (score, -classIdx) structs: sort_array desc orders score desc
+    // then -idx desc = idx ASC, so element 1 is the argmax with the
+    // earlier class winning ties and element 2 the runner-up
+    val scoreArr = sort_array(array(classes.zipWithIndex.map {
+      case ((_, w), ci) =>
+        struct(
+          aggregate(col(bCol), lit(0L), (acc, b) =>
+            acc + element_at(typedlit(w), (b + 1).cast("int"))).as("s"),
+          lit(-ci).as("ni"))
+    }: _*), asc = false)
+    df.withColumn(bCol, transform(grams, g => bucket(g, dim)))
+      .withColumn("__clf_sorted", scoreArr)
+      .withColumn("clf_class",
+        element_at(names, (-element_at(col("__clf_sorted"), 1)("ni") + 1)
+          .cast("int")))
+      .withColumn("clf_best", element_at(col("__clf_sorted"), 1)("s"))
+      .withColumn("clf_margin", element_at(col("__clf_sorted"), 1)("s")
+        - element_at(col("__clf_sorted"), 2)("s"))
+      .withColumn("clf_n", size(col(bCol)).cast("long"))
+      .drop(bCol, "__clf_sorted")
+  }
+
   /** Run the scoring scan: input columns + `clf_sum`, `clf_n`, and
     * `clf_keep` — keep iff the MEAN feature weight clears `threshold`
     * = `thrNum/thrDen` (integer cross-multiplication:

@@ -3610,6 +3610,62 @@ object ExtensionQueries {
        |ORDER BY rank""".stripMargin
   }
 
+  /** ✚ MULTICLASS classifier scoring
+    * ([[graft.ext.TextClassifier.scoreMulti]]) — q135's binary head
+    * generalized to the fastText-style per-class form (langid /
+    * topic / register filters): three 4096-bucket weight vectors
+    * derived from a per-class Knuth-spread formula
+    * (`((i + c·7919)·2654435761) mod 1000003 − 500001`), per-doc
+    * argmax with ties to the earlier class, and the best-vs-runner-up
+    * margin. Per (source, class): doc count, Σ best score, Σ margin —
+    * argmax, tie direction and margin arithmetic all in the hash. The
+    * oracle recomputes each feature's per-class weight from its
+    * bucket (no literals) and replays the argmax as a window.
+    */
+  def q146MulticlassClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 4096
+    val classes = Seq("news", "web", "code").zipWithIndex.map {
+      case (name, c) =>
+        name -> (0 until dim).map(i =>
+          ((i.toLong + c * 7919L) * 2654435761L) % 1000003L - 500001L)
+    }
+    graft.ext.TextClassifier.scoreMulti(
+        Tables(spark, dir, "documents"), "text", classes)
+      .groupBy(col("source"), col("clf_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("clf_best")).as("sum_best"),
+        sum(col("clf_margin")).as("sum_margin"))
+      .orderBy(col("source"), col("clf_class"))
+  }
+
+  val q146Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |f AS (
+      |  SELECT doc_id, source,
+      |    unnest(w || [w[i] || '_' || w[i+1] for i in range(1, len(w))]) AS g
+      |  FROM d),
+      |s AS (
+      |  SELECT doc_id, source, c,
+      |    sum((((CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096)
+      |          + c * 7919) * 2654435761) % 1000003 - 500001) AS score
+      |  FROM f, range(0, 3) t(c) GROUP BY doc_id, source, c),
+      |r AS (
+      |  SELECT doc_id, source, c, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+      |  FROM s),
+      |best AS (
+      |  SELECT b.doc_id, b.source,
+      |    (['news', 'web', 'code'])[CAST(b.c AS INT) + 1] AS clf_class,
+      |    b.score AS best, b.score - u.score AS margin
+      |  FROM r b JOIN r u ON u.doc_id = b.doc_id AND u.rn = 2
+      |  WHERE b.rn = 1)
+      |SELECT source, clf_class, count(*) AS n_docs,
+      |  CAST(sum(best) AS BIGINT) AS sum_best,
+      |  CAST(sum(margin) AS BIGINT) AS sum_margin
+      |FROM best GROUP BY source, clf_class
+      |ORDER BY source, clf_class""".stripMargin
+
   /** The boundary-wrapped BPE segmentation chain over SQL variable
     * `varName` — shared by q140's token gate and q141's packing
     * oracle (one definition of the replace chain on both engines).

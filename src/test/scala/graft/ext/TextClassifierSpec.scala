@@ -70,4 +70,63 @@ class TextClassifierSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should not include "Exchange"
   }
+
+  test("multiclass argmax, earlier-class ties, and margin") {
+    // dim = 1: every feature lands in bucket 0, so a doc with n
+    // features scores n * w_c[0] for class c — argmax and margin are
+    // hand-computable regardless of hashing
+    val classes = Seq("a" -> Seq(1L), "b" -> Seq(3L), "c" -> Seq(3L))
+    val got = TextClassifier.scoreMulti(
+        Seq((1L, "x y z")).toDF("doc_id", "text"), "text", classes)
+      .select(col("clf_class"), col("clf_best"), col("clf_margin"),
+        col("clf_n"))
+      .as[(String, Long, Long, Long)].head()
+    // "x y z" = 3 unigrams + 2 bigrams = 5 features; b and c tie at
+    // 15 -> earlier class b wins with margin 0; runner-up is c
+    got shouldBe (("b", 15L, 0L, 5L))
+  }
+
+  test("multiclass agrees with the binary head run per class") {
+    val dim = 64
+    val classes = Seq(
+      "neg" -> (0 until dim).map(i => -(i.toLong % 7) - 1),
+      "pos" -> (0 until dim).map(i => i.toLong % 5 + 1))
+    val docs = Seq((1L, "the quick brown fox"), (2L, ""),
+      (3L, "lorem ipsum dolor sit amet")).toDF("doc_id", "text")
+    val multi = TextClassifier.scoreMulti(docs, "text", classes)
+      .select(col("doc_id"), col("clf_class"), col("clf_best"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val perClass = classes.map { case (name, w) =>
+      name -> TextClassifier.score(docs, "text", w, 0L, 1L)
+        .select(col("doc_id"), col("clf_sum"))
+        .as[(Long, Long)].collect().toMap
+    }
+    multi.foreach { case (id, cls, best) =>
+      val scores = perClass.map { case (n, m) => (n, m(id)) }
+      // tie impossible here (neg weights negative, pos positive)
+      val expect = scores.maxBy(_._2)
+      cls shouldBe expect._1
+      best shouldBe expect._2
+    }
+  }
+
+  test("multiclass input contracts are enforced") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      TextClassifier.scoreMulti(df, "text", Seq("only" -> Seq(1L)))
+    an[IllegalArgumentException] should be thrownBy
+      TextClassifier.scoreMulti(df, "text",
+        Seq("a" -> Seq(1L), "b" -> Seq(1L, 2L)))
+    an[IllegalArgumentException] should be thrownBy
+      TextClassifier.scoreMulti(df, "text",
+        Seq("a" -> Seq(1L), "a" -> Seq(2L)))
+  }
+
+  test("the multiclass scan is map-side — no exchange in the plan") {
+    val plan = TextClassifier.scoreMulti(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "text",
+        Seq("x" -> Seq(1L, 2L), "y" -> Seq(3L, 4L)))
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
 }
