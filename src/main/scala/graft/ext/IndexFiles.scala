@@ -199,6 +199,58 @@ private[graft] object IndexFiles {
     finally in.close()
   }
 
+  /** ATOMIC meta publish: write-to-temp + rename (the LabelStore
+    * discipline, shared with the index family). A direct create() is
+    * truncate-then-write, and a concurrent reader opening the file
+    * between the two reads EMPTY meta and reports the index corrupt
+    * (the index-family soak's second seam — IvfIndex hit it on the
+    * first racing append). Writers hold the lease and delete the meta
+    * first (the completeness-marker protocol), so the rename target
+    * is normally absent; the defensive delete keeps the rename
+    * overwrite-free on every Hadoop fs, and the tiny extra absence
+    * window is exactly what [[readMetaFile]]'s live-lock diagnosis
+    * covers.
+    */
+  def publishMetaFile(spark: SparkSession, path: String, text: String): Unit = {
+    val tmp = s"$path.tmp"
+    writeTextFile(spark, tmp, text)
+    val p = new Path(path)
+    val fs = fsFor(spark, p)
+    fs.delete(p, false)
+    require(fs.rename(new Path(tmp), p),
+      s"meta rename failed at $path — left meta-less (incomplete) for " +
+        "loud recovery, never half-written")
+  }
+
+  /** Read an index META file; when it is ABSENT, distinguish a
+    * concurrent writer's mid-transaction window (live lock →
+    * RETRYABLE refusal naming `_writer_lock`) from a genuinely
+    * missing/crashed index (→ `missingMsg`, rebuild). The meta
+    * delete IS the torn-write crash marker every index mutation
+    * relies on, so absence alone cannot tell the two apart — the
+    * lock's heartbeat liveness can (the LabelStore reader discipline
+    * via [[lockAgeMs]], shared; the index-family concurrent soak
+    * caught readers mis-diagnosing the swap window as a missing
+    * index).
+    */
+  def readMetaFile(spark: SparkSession, dir: String, fileName: String,
+                   missingMsg: => String,
+                   staleMs: Long = DefaultLeaseStaleMs): String = {
+    val p = new Path(s"$dir/$fileName")
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) {
+      if (lockAgeMs(spark, dir).exists(_ <= staleMs))
+        throw new IllegalArgumentException(
+          s"index at $dir: $fileName absent while a concurrent writer " +
+            "holds a live _writer_lock — a mutation's meta swap is in " +
+            "flight; retry once it finishes")
+      require(fs.exists(p), missingMsg)
+    }
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   /** Age of the writer lock at `dir`, if one exists: milliseconds
     * since its heartbeat timestamp (modification time when the
     * timestamp is mid-rewrite — the [[withWriterLease]] read

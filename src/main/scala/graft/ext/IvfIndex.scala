@@ -598,7 +598,8 @@ object IvfIndex {
       s""","trainN":${d.trainN},"trainDistSum":${d.trainDistSum}""" +
         s""","appendN":${d.appendN},"appendDistSum":${d.appendDistSum}"""
     }.getOrElse("")
-    IndexFiles.writeTextFile(spark, path,
+    // atomic write-to-temp + rename — IndexFiles.publishMetaFile
+    IndexFiles.publishMetaFile(spark, path,
       s"""{"version":${m.version},"idCol":"${m.idCol}","vecCol":"${m.vecCol}","hasAssignments":${m.hasAssignments}$driftFields}""")
   }
 
@@ -608,14 +609,12 @@ object IvfIndex {
         "writer?) — the index is incomplete; loadOrTrain retrains over " +
         "it, or delete the index directory"))
 
+  // missing-vs-mid-transaction diagnosis shared with the other
+  // indexes — see IndexFiles.readMetaFile
   private def readMetaText(spark: SparkSession, path: String): String = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"no IVF index at ${p.getParent}: missing/incomplete (no _ivf_meta.json)")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    val dir = new Path(path).getParent
+    IndexFiles.readMetaFile(spark, dir.toString, "_ivf_meta.json",
+      s"no IVF index at $dir: missing/incomplete (no _ivf_meta.json)")
   }
 
   /** None on ANY missing/malformed REQUIRED field — a truncated meta

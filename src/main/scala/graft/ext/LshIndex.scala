@@ -692,31 +692,24 @@ object LshIndex {
 
   // hand-rolled flat JSON, same shape/discipline as IvfIndex's meta:
   // fixed fields, no nesting; parse failure = incomplete index
-  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(
-      (s"""{"version":${m.version},"idCol":"${m.idCol}",""" +
+  // atomic write-to-temp + rename — IndexFiles.publishMetaFile
+  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit =
+    IndexFiles.publishMetaFile(spark, path,
+      s"""{"version":${m.version},"idCol":"${m.idCol}",""" +
         s""""shingleWidth":${m.shingleWidth},"numHashes":${m.numHashes},""" +
         s""""numBands":${m.numBands},"payload":"${m.payload}"}""")
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
 
   private def readMeta(spark: SparkSession, path: String): Meta =
     parseMeta(readMetaText(spark, path)).getOrElse(sys.error(
       s"LshIndex meta at $path exists but is truncated/corrupt (killed " +
         "writer?) — the index is incomplete; rebuild it"))
 
+  // missing-vs-mid-transaction diagnosis shared with the other
+  // indexes — see IndexFiles.readMetaFile
   private def readMetaText(spark: SparkSession, path: String): String = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"no LSH index at ${p.getParent}: missing/incomplete (no _lsh_meta.json)")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    val dir = new Path(path).getParent
+    IndexFiles.readMetaFile(spark, dir.toString, "_lsh_meta.json",
+      s"no LSH index at $dir: missing/incomplete (no _lsh_meta.json)")
   }
 
   private def parseMeta(text: String): Option[Meta] = {

@@ -474,14 +474,17 @@ object SrpIndex {
       }
     }
 
+  // atomic write-to-temp + rename — IndexFiles.publishMetaFile
   private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit =
-    IndexFiles.writeTextFile(spark, s"$path/_srp_meta.json",
+    IndexFiles.publishMetaFile(spark, s"$path/_srp_meta.json",
       s"""{"version":${m.version},"idCol":"${m.idCol}",""" +
         s""""numBands":${m.numBands},"planesPerBand":${m.planesPerBand},""" +
         s""""dims":${m.dims}}""")
 
+  // missing-vs-mid-transaction diagnosis shared with the other
+  // indexes — see IndexFiles.readMetaFile
   private def readMeta(spark: SparkSession, path: String): Meta =
-    parseMeta(IndexFiles.readTextFile(spark, s"$path/_srp_meta.json",
+    parseMeta(IndexFiles.readMetaFile(spark, path, "_srp_meta.json",
       s"no SRP index at $path: missing/incomplete (no _srp_meta.json)"))
       .getOrElse(sys.error(
         s"SrpIndex meta at $path exists but is truncated/corrupt (killed " +

@@ -213,9 +213,11 @@ object ScaleTrend {
     val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
       "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull", "subdedup",
       "q125_battery", "urlnorm", "repbattery", "bloomdecon", "keywords",
-      "paradedup", "cms", "fusedstack").exists(shapeFilter)
+      "paradedup", "cms", "fusedstack",
+      "bpecol", "bpenat", "bpenat10k", "bpetrain").exists(shapeFilter)
     val needVecs = Seq("ivf", "ivfsearch", "brute", "qbuild", "qbrute",
-      "srpidx_build", "srpinc", "srpfull", "semdedup").exists(shapeFilter)
+      "srpidx_build", "srpinc", "srpfull", "semdedup",
+      "pqbuild", "pqadc", "brutedot", "pqrerank").exists(shapeFilter)
 
     val liBig = s"$out/lineitem_x$rep"
     if (needLi) ensure(liBig) {
@@ -837,6 +839,143 @@ object ScaleTrend {
           println(f"int8 footprint @$n%d: float ${fb / 1e6}%.1f MB -> " +
             f"int8 ${qb / 1e6}%.1f MB (${fb.toDouble / qb}%.2fx smaller)")
       }
+    // ---- product-quantization family (round 18) ---------------------
+    // `pqbuild` prices the one-time train(m=8 codebooks, 2 Lloyd
+    // rounds each)+encode+write; `pqadc` prices ADC top-k over the
+    // PERSISTED codes (the 32×-narrower scan — 8 longs vs 64 floats
+    // before parquet encoding), graded against `brutedot` (exact
+    // INNER-PRODUCT brute, PQ's metric — distinct from `brute`'s
+    // cosine floor); `pqrerank` is the deployment shape: a wide
+    // (10×k) ADC pass + exact float re-rank of just the candidates.
+    // Codebook training is deterministic (rounded Lloyd), so a fresh
+    // session retrains bit-identical codebooks for a cached codes
+    // fixture.
+    val pqM = 8
+    def vecQuerySeq(path: String): Seq[(Long, Array[Double])] =
+      vecQueries(path)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val pqCbCache = scala.collection.mutable.Map.empty[String, graft.ext.Pq.Codebooks]
+    def pqTrain(vpath: String): graft.ext.Pq.Codebooks =
+      pqCbCache.getOrElseUpdate(vpath, {
+        val corpus = spark.read.parquet(vpath)
+        graft.ext.Pq.trainCodebooks(corpus,
+          corpus.filter(col("vec_id") < 16L), m = pqM, dims = VecDims,
+          iters = 2)
+      })
+    def pqCodesFixture(vpath: String, n: Long): String = {
+      val dst = s"$out/pqcodes_${n}_m${pqM}_$VecGenVersion"
+      ensure(dst) {
+        graft.ext.Pq.encode(spark.read.parquet(vpath), pqTrain(vpath),
+            VecDims)
+          .select(col("vec_id"), col("pq_codes"))
+          .repartition(64).write.mode("overwrite").parquet(dst)
+      }
+      dst
+    }
+    def pqbuildShape(vpath: String, n: Long): Long = {
+      val dst = s"$out/pqcodes_tmp_$n"
+      val corpus = spark.read.parquet(vpath)
+      val cbs = graft.ext.Pq.trainCodebooks(corpus,
+        corpus.filter(col("vec_id") < 16L), m = pqM, dims = VecDims,
+        iters = 2)
+      graft.ext.Pq.encode(corpus, cbs, VecDims)
+        .select(col("vec_id"), col("pq_codes"))
+        .repartition(64).write.mode("overwrite").parquet(dst)
+      spark.read.parquet(dst).count()
+    }
+    def brutedotShape(vpath: String): Long =
+      stash("brutedot", vpath, graft.ext.Pq.bruteDotKnn(
+        spark.read.parquet(vpath), vecQuerySeq(vpath), k = vecK))
+    def pqadcShape(vpath: String, n: Long): Long = {
+      val codes = spark.read.parquet(pqCodesFixture(vpath, n))
+      stash("pqadc", vpath, graft.ext.Pq.adcKnn(codes, pqTrain(vpath),
+        vecQuerySeq(vpath), k = vecK))
+    }
+    def pqrerankShape(vpath: String, n: Long): Long = {
+      val codes = spark.read.parquet(pqCodesFixture(vpath, n))
+      stash("pqrerank", vpath, graft.ext.Pq.rerankKnn(codes,
+        spark.read.parquet(vpath), pqTrain(vpath), vecQuerySeq(vpath),
+        k = vecK, candidates = 10 * vecK))
+    }
+    run("pqbuild", "small", docsSmallN)(pqbuildShape(vecsSmall, docsSmallN))
+    run("pqbuild", "big", docsBigN)(pqbuildShape(vecsBig, docsBigN))
+    run("brutedot", "small", docsSmallN)(brutedotShape(vecsSmall))
+    run("brutedot", "big", docsBigN)(brutedotShape(vecsBig))
+    run("pqadc", "small", docsSmallN)(pqadcShape(vecsSmall, docsSmallN))
+    run("pqadc", "big", docsBigN)(pqadcShape(vecsBig, docsBigN))
+    run("pqrerank", "small", docsSmallN)(pqrerankShape(vecsSmall, docsSmallN))
+    run("pqrerank", "big", docsBigN)(pqrerankShape(vecsBig, docsBigN))
+    if (shapeFilter("pqadc"))
+      for ((vpath, n) <- Seq((vecsSmall, docsSmallN), (vecsBig, docsBigN))
+           if vpath.nonEmpty) {
+        val fb = dirBytes(vpath)
+        val qb = dirBytes(s"$out/qvecs_${n}_$VecGenVersion")
+        val pb = dirBytes(s"$out/pqcodes_${n}_m${pqM}_$VecGenVersion")
+        if (fb > 0 && pb > 0)
+          println(f"pq footprint @$n%d: float ${fb / 1e6}%.1f MB -> " +
+            (if (qb > 0) f"int8 ${qb / 1e6}%.1f MB -> " else "") +
+            f"pq ${pb / 1e6}%.1f MB (${fb.toDouble / pb}%.2fx smaller than float)")
+      }
+    def pqRecall(shape: String, vpath: String): Option[Double] =
+      for {
+        got <- knnResults.get((shape, vpath))
+        truth <- knnResults.get(("brutedot", vpath))
+      } yield got.intersect(truth).size.toDouble / truth.size
+    for {
+      shape <- Seq("pqadc", "pqrerank")
+      rSmall <- pqRecall(shape, vecsSmall)
+      rBig <- pqRecall(shape, vecsBig)
+    } println(f"$shape%s recall@$vecK vs brutedot floor: " +
+      f"small $rSmall%.3f  big $rBig%.3f")
+
+    // ---- BPE tokenizer family (round 18) ----------------------------
+    // the Column fold (`bpecol`, one nested replace per merge — the
+    // ≤256-merge oracle-replayable face) vs the native min-rank
+    // expression (`bpenat`, plan-attached rank map + per-thread word
+    // memo) on the SAME 9-merge table, plus the production point the
+    // fold cannot run at all: a 10k-merge table (`bpenat10k`).
+    // `bpetrain` prices 3 training iterations (1 corpus scan + 3
+    // vocab-only rounds).
+    val bpe9: Seq[(String, String)] = Seq(
+      "a" -> "n", "e" -> "r", "s" -> "c", "sc" -> "an", "o" -> "r",
+      "t" -> "a", "r" -> "o", "h" -> "a", "ha" -> "s")
+    def bpe10k: Seq[(String, String)] = {
+      val rnd = new scala.util.Random(7L)
+      val produced = scala.collection.mutable.ArrayBuffer(
+        "a", "b", "c", "d", "e", "f")
+      val seen = scala.collection.mutable.Set.empty[(String, String)]
+      val outB = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (outB.size < 10000) {
+        val l = produced(rnd.nextInt(produced.size))
+        val r = produced(rnd.nextInt(produced.size))
+        if (l.length + r.length <= 6 && seen.add((l, r))) {
+          outB += ((l, r)); produced += (l + r)
+        }
+      }
+      outB.toSeq
+    }
+    def bpecolShape(path: String): Long =
+      spark.read.parquet(path)
+        .agg(sum(graft.ext.BpeTokenizer.tokenCount(col("text"), bpe9)))
+        .head.getLong(0)
+    def bpenatShape(path: String, table: Seq[(String, String)]): Long =
+      spark.read.parquet(path)
+        .agg(sum(graft.functions.BpeSegment.tokenCount(col("text"), table)))
+        .head.getLong(0)
+    def bpetrainShape(path: String): Long =
+      graft.ext.BpeTrainer.train(
+        spark.read.parquet(path), "text", nMerges = 3).size.toLong
+    run("bpecol", "small", docsSmallN)(bpecolShape(docsSmall))
+    run("bpecol", "big", docsBigN)(bpecolShape(docsBig))
+    run("bpenat", "small", docsSmallN)(bpenatShape(docsSmall, bpe9))
+    run("bpenat", "big", docsBigN)(bpenatShape(docsBig, bpe9))
+    run("bpenat10k", "small", docsSmallN)(bpenatShape(docsSmall, bpe10k))
+    run("bpenat10k", "big", docsBigN)(bpenatShape(docsBig, bpe10k))
+    run("bpetrain", "small", docsSmallN)(bpetrainShape(docsSmall))
+    run("bpetrain", "big", docsBigN)(bpetrainShape(docsBig))
+
     run("srpidx_build", "small", docsSmallN)(srpIdxBuildShape(vecsSmall, docsSmallN))
     run("srpidx_build", "big", docsBigN)(srpIdxBuildShape(vecsBig, docsBigN))
     run("srpinc", "small", docsSmallN)(srpIncShape(vecsSmall, docsSmallN))
