@@ -123,6 +123,64 @@ object Pq {
       "query_id", k, "dot")
   }
 
+  /** IVF × PQ — the full production ANN composition (FAISS's IVF-PQ
+    * shape, assembled from the engine's own parts): float centroid
+    * PROBE ranking (the q35/q127 probe dataflow — centroids are tiny,
+    * probe ranking costs nothing) over a corpus stored as PQ CODES,
+    * so the corpus-sized part of the search scans m codes per vector
+    * (32× fewer bytes than floats here) and scores by ADC inside the
+    * probed clusters only.
+    *
+    * Probe sets are computed WITH the column cosine (crossJoin over
+    * the broadcast centroid frame + window rank — the exact dataflow
+    * the IVF oracles replay) and collected: queries are a driver-side
+    * handful, so the probe table is queries × nprobe rows. The search
+    * itself is ONE map-side scan of the coded corpus: per query, ADC
+    * scores gated on probed-cluster membership, then the family's
+    * partial top-k tail.
+    *
+    * @param encodedAssigned (idCol, pq_codes, centroid_id) — [[encode]]
+    *                        over an assigned corpus (or a loaded
+    *                        [[IvfIndex]] assignments frame re-encoded)
+    */
+  def ivfAdcKnn(encodedAssigned: DataFrame, centroids: DataFrame,
+                codebooks: Codebooks, queries: Seq[(Long, Array[Double])],
+                k: Int, nprobe: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                codesCol: String = "pq_codes"): DataFrame = {
+    require(queries.nonEmpty, "pq ivfAdcKnn: no queries")
+    val spark = encodedAssigned.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qdf = queries.map { case (id, v) => (id, v.toSeq) }
+      .toDF("query_id", "q_vec")
+    val c = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).cast("array<double>").as("cent_vec"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc_cos").desc, col("centroid_id"))
+    val probeRows = qdf.crossJoin(broadcast(c))
+      .withColumn("qc_cos", Similarity.cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("qc_rank", row_number().over(qw))
+      .filter(col("qc_rank") <= nprobe)
+      .select(col("query_id"), col("centroid_id")).collect()
+    val probes: Map[Long, Set[Long]] = probeRows.toSeq
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        (q, rs.map(_.getLong(1)).toSet) }
+    val qids = array(queries.map(q => lit(q._1)): _*)
+    val scores = array(queries.map { case (qid, qv) =>
+      val probed = probes.getOrElse(qid, Set.empty[Long])
+      if (probed.isEmpty) lit(null).cast("double")
+      else when(col("centroid_id").isInCollection(probed),
+        graft.functions.PqAdc.score(col(codesCol), codebooks, qv))
+    }: _*)
+    val scored = encodedAssigned
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(scores).as(Seq("qi", "adc_dot")))
+      .filter(col("adc_dot").isNotNull)
+      .withColumn("query_id", element_at(qids, col("qi") + 1))
+    Similarity.rankTopK(scored, "query_id", k, "adc_dot")
+  }
+
   /** Two-stage rerank (the q124 rerankKnn pattern at the PQ rung): a
     * WIDE ADC pass over the codes, then an exact float dot re-rank of
     * just the candidates. With `candidates ≥ |corpus|` it EQUALS the

@@ -3486,20 +3486,28 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val q144Sql: String = {
-    // one Lloyd assignment round against codebook CTE `cb`, emitting
-    // (j, vec_id, sv, cid) — subspace j rides as data, so ONE set of
-    // CTEs covers all 8 codebooks
-    def assign(cb: String) =
-      s"""SELECT j, vec_id, sv, cid FROM (
-         |  SELECT s.j, s.vec_id, s.sv, c.cid,
-         |    row_number() OVER (PARTITION BY s.j, s.vec_id
-         |      ORDER BY list_cosine_similarity(s.sv, c.cv) DESC, c.cid) AS rn
-         |  FROM sub s JOIN $cb c ON c.j = s.j) t WHERE rn = 1""".stripMargin
-    // ascending-j left-associated ADC sum (PqAdc's exact order)
-    val adcSum = (0 until 8)
-      .map(j => s"max(CASE WHEN j = $j THEN d END)").mkString(" + ")
-    s"""WITH v AS (
+  /** One Lloyd assignment round against codebook CTE `cb`, emitting
+    * (j, vec_id, sv, cid) — subspace j rides as data, so ONE set of
+    * CTEs covers all 8 codebooks. Shared by q144 and q147.
+    */
+  private def pqAssignSql(cb: String): String =
+    s"""SELECT j, vec_id, sv, cid FROM (
+       |  SELECT s.j, s.vec_id, s.sv, c.cid,
+       |    row_number() OVER (PARTITION BY s.j, s.vec_id
+       |      ORDER BY list_cosine_similarity(s.sv, c.cv) DESC, c.cid) AS rn
+       |  FROM sub s JOIN $cb c ON c.j = s.j) t WHERE rn = 1""".stripMargin
+
+  /** Ascending-j left-associated ADC sum (PqAdc's exact order). */
+  private val pqAdcSumSql: String = (0 until 8)
+    .map(j => s"max(CASE WHEN j = $j THEN d END)").mkString(" + ")
+
+  /** The shared PQ CTE prefix: 400-vector slice, 8 subspaces, 16-seed
+    * codebooks through 2 unrolled Lloyd rounds, final code
+    * assignment, query subvectors — q144 and q147 build on it
+    * verbatim (one definition of the training/encoding replay).
+    */
+  private lazy val pqCtesSql: String =
+    s"""v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
        |  FROM embeddings WHERE vec_id < 400),
        |sub AS (
@@ -3507,19 +3515,23 @@ object ExtensionQueries {
        |    e[(j*8+1):(j*8+8)] AS sv
        |  FROM v, range(0, 8) t(j)),
        |c0 AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
-       |a1 AS (${assign("c0")}),
+       |a1 AS (${pqAssignSql("c0")}),
        |m1 AS (SELECT j, cid, i, round(avg(sv[i]), 6) AS mv
        |       FROM a1, range(1, 9) t(i) GROUP BY j, cid, i),
        |c1 AS (SELECT j, cid, list(mv ORDER BY i) AS cv FROM m1 GROUP BY j, cid),
-       |a2 AS (${assign("c1")}),
+       |a2 AS (${pqAssignSql("c1")}),
        |m2 AS (SELECT j, cid, i, round(avg(sv[i]), 6) AS mv
        |       FROM a2, range(1, 9) t(i) GROUP BY j, cid, i),
        |c2 AS (SELECT j, cid, list(mv ORDER BY i) AS cv FROM m2 GROUP BY j, cid),
-       |codes AS (${assign("c2")}),
+       |codes AS (${pqAssignSql("c2")}),
        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
        |qsub AS (
        |  SELECT query_id, CAST(j AS INT) AS j, qe[(j*8+1):(j*8+8)] AS qv
-       |  FROM q, range(0, 8) t(j)),
+       |  FROM q, range(0, 8) t(j))""".stripMargin
+
+  val q144Sql: String = {
+    val adcSum = pqAdcSumSql
+    s"""WITH $pqCtesSql,
        |adcp AS (
        |  SELECT qs.query_id, cd.vec_id AS neighbor_id, qs.j,
        |    list_dot_product(qs.qv, c.cv) AS d
@@ -3552,6 +3564,71 @@ object ExtensionQueries {
        |FROM top t LEFT JOIN rec r ON r.query_id = t.query_id
        |ORDER BY t.query_id, t.rank""".stripMargin
   }
+
+  /** ✚ IVF × PQ — the full production ANN composition
+    * ([[graft.ext.Pq.ivfAdcKnn]]; FAISS's IVF-PQ shape from the
+    * engine's own parts), oracle-gated like q127 did for IVF × int8:
+    * float centroid probe ranking (q127's exact probe dataflow, 8
+    * centroids, nprobe=2) over the corpus stored as PQ CODES, ADC
+    * scoring inside the probed clusters only. The oracle composes
+    * q127's assignment/probe CTEs with q144's training/encoding CTEs
+    * (shared [[pqCtesSql]] — ONE definition) — the hash pins the
+    * COMPOSITION seam: a coded row scored in an un-probed cluster, or
+    * re-coded differently from its q144 twin, breaks it.
+    */
+  def q147IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 400)
+    val seeds = e.filter(col("vec_id") < 16)
+    val cbs = Pq.trainCodebooks(e, seeds, m = 8, dims = 64, iters = 2)
+    val centroids = e.filter(col("vec_id") < 8)
+    val encodedAssigned = Pq.encode(
+      Similarity.assignToCentroids(e, centroids), cbs, dims = 64)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    Pq.ivfAdcKnn(encodedAssigned, centroids, cbs, queries,
+        k = 5, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc_dot"), 6).as("adc_dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q147Sql: String =
+    s"""WITH $pqCtesSql,
+       |ivfc AS (SELECT vec_id AS centroid_id, e AS cv FROM v WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT w.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY w.vec_id
+       |        ORDER BY list_cosine_similarity(w.e, c.cv) DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM v w CROSS JOIN ivfc c) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.qe, c.cv) DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM q CROSS JOIN ivfc c) t WHERE rn <= 2),
+       |adcp AS (
+       |  SELECT qs.query_id, cd.vec_id AS neighbor_id, qs.j,
+       |    list_dot_product(qs.qv, c.cv) AS d
+       |  FROM codes cd
+       |  JOIN c2 c ON c.j = cd.j AND c.cid = cd.cid
+       |  JOIN assigned a ON a.vec_id = cd.vec_id
+       |  JOIN probes p ON p.centroid_id = a.centroid_id
+       |  JOIN qsub qs ON qs.j = cd.j AND qs.query_id = p.query_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, $pqAdcSumSql AS adc_dot
+       |  FROM adcp GROUP BY query_id, neighbor_id)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       |  round(adc_dot, 6) AS adc_dot FROM (
+       |  SELECT query_id, neighbor_id, adc_dot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dot DESC, neighbor_id) AS rank
+       |  FROM adc) t
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** ✚ BPE TRAINING ([[graft.ext.BpeTrainer]]) — the loop that mints
     * merge tables, closing the learn → apply → budget seam (q54's

@@ -610,6 +610,22 @@ object SourceQueries {
     * warcinfo record and the fail-soft error row (whose message pins
     * the exact truncation position).
     */
+  /** One WARC record (version line, headers, Content-Length, payload,
+    * CRLF CRLF) onto `out` — shared by the q142/q148 fixture writers.
+    */
+  private def writeWarcRecord(out: java.io.OutputStream,
+                              headers: Seq[(String, String)],
+                              payload: Array[Byte]): Unit = {
+    val UTF_8 = java.nio.charset.StandardCharsets.UTF_8
+    val sb = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) =>
+      sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    out.write(sb.toString.getBytes(UTF_8))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(UTF_8))
+  }
+
   def q142WarcRead(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.charset.StandardCharsets.UTF_8
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 40)
@@ -618,15 +634,8 @@ object SourceQueries {
     val file = root + "/crawl.warc.gz"
     val out = new java.util.zip.GZIPOutputStream(
       new java.io.FileOutputStream(file))
-    def rec(headers: Seq[(String, String)], payload: Array[Byte]): Unit = {
-      val sb = new StringBuilder("WARC/1.0\r\n")
-      headers.foreach { case (k, v) =>
-        sb.append(k).append(": ").append(v).append("\r\n") }
-      sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
-      out.write(sb.toString.getBytes(UTF_8))
-      out.write(payload)
-      out.write("\r\n\r\n".getBytes(UTF_8))
-    }
+    def rec(headers: Seq[(String, String)], payload: Array[Byte]): Unit =
+      writeWarcRecord(out, headers, payload)
     rec(Seq("WARC-Type" -> "warcinfo",
       "WARC-Date" -> "2024-01-01T00:00:00Z",
       "Content-Type" -> "application/warc-fields"),
@@ -654,6 +663,120 @@ object SourceQueries {
         .orderBy(col("rec_idx")),
       root)
   }
+
+  /** ✚ WARC → curation composition — the crawl-side seam of the q136
+    * family sealed end-to-end: a .warc.gz whose response records
+    * carry URL VARIANTS (scheme/www/case/trailing-slash/fragment/
+    * tracking-param noise over a 40-key path space; full doc_id rides
+    * in a dropped `utm_id` so raw urls stay distinct) and REPEATED
+    * bodies (`text(doc_id % 25)`), plus one truncated record. The
+    * engine runs: WARC read → ok/response filter → URL normalization
+    * ([[graft.ext.UrlOps.normalizeUrl]]) → URL-keyed dedup (min raw
+    * url per normalized key) → length quality filter → exact text
+    * dedup (min normalized url per body md5). Output: per-stage
+    * (count, kept-set fingerprint) rows including the fail-soft bad
+    * count — every stage seam in one hash. The oracle rebuilds the
+    * construction relationally from `documents` and replays
+    * normalization by its RESULT (the construction rule makes the
+    * normalized key `example.com/d/<doc_id % 40>` by q129's pinned
+    * semantics), both elections as windows, and the fingerprints.
+    */
+  def q148WarcCuration(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+    val textOf = docs.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft_q148_").toString
+    val file = root + "/crawl.warc.gz"
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(file))
+    docs.foreach { r =>
+      val id = r.getLong(0)
+      val g = id % 40
+      val rawUrl = (id % 4) match {
+        case 0 => s"http://example.com/d/$g?utm_id=$id"
+        case 1 => s"https://www.example.com/d/$g?utm_id=$id"
+        case 2 => s"http://example.com/d/$g/?utm_id=$id#frag"
+        case _ => s"http://EXAMPLE.com/d/$g?utm_source=x&utm_id=$id"
+      }
+      val body = textOf(id % 25)
+      val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+        .getBytes(UTF_8) ++ body.getBytes(UTF_8)
+      writeWarcRecord(out, Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> rawUrl,
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http;msgtype=response"), payload)
+    }
+    out.write("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999999\r\n\r\nxx"
+      .getBytes(UTF_8))
+    out.close()
+
+    val parsed = graft.sources.Warc.read(spark, file)
+    val resp = parsed.filter(col("ok") && col("rec_type") === "response")
+      .select(col("url"), col("body").cast("string").as("body"))
+      .withColumn("nurl", graft.ext.UrlOps.normalizeUrl(col("url")))
+      .withColumn("bmd5", md5(col("body")))
+    val fpCol = conv(substring(
+      md5(concat(col("nurl"), lit("#"), col("bmd5"))), 1, 6), 16, 10)
+      .cast("long")
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+          coalesce(sum(fpCol), lit(0L)).as("fp"))
+        .select(lit(name).as("stage"), col("n"), col("fp"))
+    val urlKept = resp.withColumn("rn", row_number().over(
+        Window.partitionBy(col("nurl")).orderBy(col("url"))))
+      .filter(col("rn") === 1).drop("rn")
+    val quality = urlKept.filter(length(col("body")) >= 150)
+    val textKept = quality.withColumn("rn", row_number().over(
+        Window.partitionBy(col("bmd5")).orderBy(col("nurl"))))
+      .filter(col("rn") === 1).drop("rn")
+    val bad = parsed.filter(!col("ok"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("0_bad").as("stage"), col("n"), lit(0L).as("fp"))
+    materializeThenDelete(
+      bad.unionAll(stage(resp, "1_parsed"))
+        .unionAll(stage(urlKept, "2_url_dedup"))
+        .unionAll(stage(quality, "3_quality"))
+        .unionAll(stage(textKept, "4_text_dedup"))
+        .orderBy(col("stage")),
+      root)
+  }
+
+  val q148Sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |r AS (
+      |  SELECT a.doc_id,
+      |    'example.com/d/' || CAST(a.doc_id % 40 AS VARCHAR) AS nurl,
+      |    CASE CAST(a.doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'http://example.com/d/' || CAST(a.doc_id % 40 AS VARCHAR)
+      |        || '?utm_id=' || CAST(a.doc_id AS VARCHAR)
+      |      WHEN 1 THEN 'https://www.example.com/d/' || CAST(a.doc_id % 40 AS VARCHAR)
+      |        || '?utm_id=' || CAST(a.doc_id AS VARCHAR)
+      |      WHEN 2 THEN 'http://example.com/d/' || CAST(a.doc_id % 40 AS VARCHAR)
+      |        || '/?utm_id=' || CAST(a.doc_id AS VARCHAR) || '#frag'
+      |      ELSE 'http://EXAMPLE.com/d/' || CAST(a.doc_id % 40 AS VARCHAR)
+      |        || '?utm_source=x&utm_id=' || CAST(a.doc_id AS VARCHAR)
+      |    END AS url,
+      |    t.text AS body, md5(t.text) AS bmd5
+      |  FROM d a JOIN d t ON t.doc_id = a.doc_id % 25),
+      |f AS (
+      |  SELECT *, CAST('0x' || substr(md5(nurl || '#' || bmd5), 1, 6)
+      |    AS BIGINT) AS fp
+      |  FROM r),
+      |u AS (SELECT * FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY nurl ORDER BY url) AS rn
+      |  FROM f) t WHERE rn = 1),
+      |ql AS (SELECT * FROM u WHERE length(body) >= 150),
+      |td AS (SELECT * FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY bmd5 ORDER BY nurl) AS rn2
+      |  FROM ql) t WHERE rn2 = 1)
+      |SELECT '0_bad' AS stage, CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS fp
+      |UNION ALL SELECT '1_parsed', count(*), CAST(sum(fp) AS BIGINT) FROM f
+      |UNION ALL SELECT '2_url_dedup', count(*), CAST(sum(fp) AS BIGINT) FROM u
+      |UNION ALL SELECT '3_quality', count(*), CAST(sum(fp) AS BIGINT) FROM ql
+      |UNION ALL SELECT '4_text_dedup', count(*), CAST(sum(fp) AS BIGINT) FROM td
+      |ORDER BY stage""".stripMargin
 
   val q142Sql: String =
     """WITH docs AS (
