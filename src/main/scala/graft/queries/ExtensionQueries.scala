@@ -3465,8 +3465,7 @@ object ExtensionQueries {
   def q144PqAdc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 400)
-    val seeds = e.filter(col("vec_id") < 16)
-    val cbs = Pq.trainCodebooks(e, seeds, m = 8, dims = 64, iters = 2)
+    val cbs = GateFixtures.pqCodebooks(spark, dir)
     val encoded = Pq.encode(e, cbs, dims = 64)
     val queries = e.filter(col("vec_id") < 3)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -3578,8 +3577,7 @@ object ExtensionQueries {
     */
   def q147IvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 400)
-    val seeds = e.filter(col("vec_id") < 16)
-    val cbs = Pq.trainCodebooks(e, seeds, m = 8, dims = 64, iters = 2)
+    val cbs = GateFixtures.pqCodebooks(spark, dir)
     val centroids = e.filter(col("vec_id") < 8)
     val encodedAssigned = Pq.encode(
       Similarity.assignToCentroids(e, centroids), cbs, dims = 64)

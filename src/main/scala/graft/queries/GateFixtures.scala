@@ -130,6 +130,24 @@ private[queries] object GateFixtures {
     })
   }
 
+  private val pqCbs = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.ext.Pq.Codebooks]()
+
+  /** Session-shared PQ codebooks over the embeddings slice
+    * (vec_id < 400, m=8, 16 seeds, 2 Lloyd rounds) — q144 and q147
+    * train the IDENTICAL (deterministic, rounded-Lloyd) codebooks, so
+    * building them twice per session was pure duplicate work; sharing
+    * preserves hash-exact gates by the same determinism argument as
+    * [[lshDocsIndex]].
+    */
+  def pqCodebooks(spark: SparkSession, dir: String): graft.ext.Pq.Codebooks =
+    pqCbs.computeIfAbsent(s"pq_${Integer.toHexString(dir.hashCode)}", _ => {
+      val e = graft.Tables(spark, dir, "embeddings")
+        .filter(col("vec_id") < 400)
+      graft.ext.Pq.trainCodebooks(e, e.filter(col("vec_id") < 16),
+        m = 8, dims = 64, iters = 2)
+    })
+
   /** Private MUTABLE copy of the shared index — an FS copy of the
     * built frames, bit-identical to a fresh build (the q107 parquet
     * round-trip argument). The caller owns and deletes it.
