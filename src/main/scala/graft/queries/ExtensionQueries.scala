@@ -3651,22 +3651,26 @@ object ExtensionQueries {
       .orderBy(col("rank"))
   }
 
-  val q145Sql: String = {
-    def pairs(sCte: String, i: Int): String =
-      s"""p$i AS (
-         |  SELECT lhs, rhs, sum(cnt) AS c FROM (
-         |    SELECT cnt, unnest(t[1:len(t)-1]) AS lhs,
-         |           unnest(t[2:len(t)]) AS rhs
-         |    FROM (SELECT cnt, ${bpeTokenListSql("s")} AS t FROM $sCte)
-         |    WHERE len(t) >= 2)
-         |  GROUP BY lhs, rhs),
-         |m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1)""".stripMargin
-    def sweep(prev: String, i: Int): String =
-      s"""s$i AS (
-         |  SELECT word, cnt,
-         |    replace(s, chr(1)||m.lhs||chr(2)||chr(1)||m.rhs||chr(2),
-         |            chr(1)||m.lhs||m.rhs||chr(2)) AS s
-         |  FROM $prev, m$i m)""".stripMargin
+  /** One training iteration's pair-count + argmax CTEs (q145/q149). */
+  private def bpeTrainPairsSql(sCte: String, i: Int): String =
+    s"""p$i AS (
+       |  SELECT lhs, rhs, sum(cnt) AS c FROM (
+       |    SELECT cnt, unnest(t[1:len(t)-1]) AS lhs,
+       |           unnest(t[2:len(t)]) AS rhs
+       |    FROM (SELECT cnt, ${bpeTokenListSql("s")} AS t FROM $sCte)
+       |    WHERE len(t) >= 2)
+       |  GROUP BY lhs, rhs),
+       |m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1)""".stripMargin
+
+  /** One training iteration's merge sweep, the found merge as DATA. */
+  private def bpeTrainSweepSql(prev: String, i: Int): String =
+    s"""s$i AS (
+       |  SELECT word, cnt,
+       |    replace(s, chr(1)||m.lhs||chr(2)||chr(1)||m.rhs||chr(2),
+       |            chr(1)||m.lhs||m.rhs||chr(2)) AS s
+       |  FROM $prev, m$i m)""".stripMargin
+
+  val q145Sql: String =
     s"""WITH w AS (
        |  SELECT word, count(*) AS cnt FROM (
        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
@@ -3674,14 +3678,64 @@ object ExtensionQueries {
        |s0 AS (SELECT word, cnt,
        |  regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
        |  FROM w),
-       |${pairs("s0", 1)},
-       |${sweep("s0", 1)},
-       |${pairs("s1", 2)},
-       |${sweep("s1", 2)},
-       |${pairs("s2", 3)}
+       |${bpeTrainPairsSql("s0", 1)},
+       |${bpeTrainSweepSql("s0", 1)},
+       |${bpeTrainPairsSql("s1", 2)},
+       |${bpeTrainSweepSql("s1", 2)},
+       |${bpeTrainPairsSql("s2", 3)}
        |SELECT CAST(0 AS INT) AS rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM m1
        |UNION ALL SELECT 1, lhs, rhs, CAST(c AS BIGINT) FROM m2
        |UNION ALL SELECT 2, lhs, rhs, CAST(c AS BIGINT) FROM m3
+       |ORDER BY rank""".stripMargin
+
+  /** ✚ byte-level BPE TRAINING ([[graft.ext.BpeTrainer]],
+    * `byteLevel = true`) — completes the train/apply × word/byte
+    * matrix (q145 trains word-mode, q143 applies byte-mode): words
+    * are `' ?[^ ]+'` matches mapped into the printable byte alphabet,
+    * so the learned merges are byte-level symbols (the GPT-2 training
+    * shape). Mixed-script text via the q143 suffix makes multi-byte
+    * reassembly competitive with ASCII pairs in the counts. The
+    * oracle maps each word's UTF-8 bytes through the 256-entry
+    * bijection (q143's list-literal replay) and unrolls two
+    * iterations carrying each found merge as data (q145's CTEs).
+    */
+  def q149ByteBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 500)
+      .select(concat(col("text"), lit(" 你好 你好世界")).as("text"))
+    val merges = graft.ext.BpeTrainer.train(docs, "text", nMerges = 2,
+      byteLevel = true)
+    merges.zipWithIndex
+      .map { case (m, i) => (i, m.lhs, m.rhs, m.pairCount) }
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  lazy val q149Sql: String = {
+    val bytemap = graft.functions.BpeModel.byteToChar
+      .map(c => "'" + c.toString.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+    s"""WITH bm AS (SELECT $bytemap AS m),
+       |d AS (
+       |  SELECT text || ' 你好 你好世界' AS txt
+       |  FROM documents WHERE doc_id < 500),
+       |rw AS (
+       |  SELECT unnest(regexp_extract_all(txt, ' ?[^ ]+')) AS raw FROM d),
+       |w AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT array_to_string(list_transform(
+       |      range(1, CAST(octet_length(encode(raw)) AS INT) + 1),
+       |      i -> m[CAST('0x' || substr(hex(encode(raw)),
+       |                   CAST(2*i-1 AS INT), 2) AS INT) + 1]), '') AS word
+       |    FROM rw CROSS JOIN bm) GROUP BY word),
+       |s0 AS (SELECT word, cnt,
+       |  regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+       |  FROM w),
+       |${bpeTrainPairsSql("s0", 1)},
+       |${bpeTrainSweepSql("s0", 1)},
+       |${bpeTrainPairsSql("s1", 2)}
+       |SELECT CAST(0 AS INT) AS rank, lhs, rhs, CAST(c AS BIGINT) AS pair_count FROM m1
+       |UNION ALL SELECT 1, lhs, rhs, CAST(c AS BIGINT) FROM m2
        |ORDER BY rank""".stripMargin
   }
 
