@@ -83,4 +83,41 @@ object BpeTrainer {
   /** The learned table in the shape the appliers take. */
   def mergeTable(merges: Seq[Merge]): Seq[(String, String)] =
     merges.map(m => (m.lhs, m.rhs))
+
+  /** Persist a trained table (rank, lhs, rhs, pair_count) — a trained
+    * tokenizer is a deployment ARTIFACT like the index family's
+    * centroids: train once, apply from every later session. One
+    * parquet file; rank order IS the ranking, re-validated on load.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String,
+           merges: Seq[Merge]): Unit = {
+    require(merges.nonEmpty, "BpeTrainer.save: empty merge table")
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i, m.lhs, m.rhs, m.pairCount) }
+      .toDF("rank", "lhs", "rhs", "pair_count")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Load a persisted table in rank order. Throws on a rank gap /
+    * duplicate (a torn or hand-edited artifact) — the appliers'
+    * semantics depend on the EXACT ranking, so a silently reordered
+    * table would segment differently.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): Seq[Merge] = {
+    val rows = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("lhs"), col("rhs"),
+        col("pair_count").cast("long"))
+      .collect()
+      .sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"BpeTrainer.load: empty merge table at $path")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i,
+        s"BpeTrainer.load: rank gap/duplicate at $path — expected rank " +
+          s"$i, found ${r.getInt(0)}; the artifact is torn or edited")
+    }
+    rows.toSeq.map(r => Merge(r.getString(1), r.getString(2), r.getLong(3)))
+  }
 }

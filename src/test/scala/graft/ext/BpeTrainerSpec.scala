@@ -48,6 +48,22 @@ class BpeTrainerSpec extends SparkSpec {
     m.map(x => (x.lhs, x.rhs)) shouldBe Seq("a" -> "b")
   }
 
+  test("trained tables round-trip through the persisted artifact") {
+    val docs = Seq("low low low lower lower newest newest").toDF("text")
+    val trained = BpeTrainer.train(docs, "text", nMerges = 3)
+    val p = java.nio.file.Files.createTempDirectory("bpe_store_").toString + "/table"
+    BpeTrainer.save(spark, p, trained)
+    val loaded = BpeTrainer.load(spark, p)
+    loaded shouldBe trained
+    // torn artifact: a rank gap refuses loudly
+    val torn = spark.read.parquet(p).filter(col("rank") =!= 1)
+    torn.write.mode("overwrite").parquet(p + "_torn")
+    an[IllegalArgumentException] should be thrownBy
+      BpeTrainer.load(spark, p + "_torn")
+    an[IllegalArgumentException] should be thrownBy
+      BpeTrainer.save(spark, p + "_e", Seq.empty)
+  }
+
   test("byte-level training learns merges over the mapped alphabet") {
     val sp = BpeModel.byteStr(' '.toInt)
     val docs = Seq("你你 你你 你你").toDF("text")
