@@ -47,7 +47,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * once per occurrence.
   */
 final class BpeModel(val merges: Seq[(String, String)],
-                     val byteLevel: Boolean) extends Serializable {
+                     val byteLevel: Boolean,
+                     val pretokenRegex: Option[String] = None)
+  extends Serializable {
   // An EMPTY table is legal (unlike the Column fold): segmentation is
   // then the bare base alphabet — the trainer's iteration-0 state.
   require(merges.size <= BpeModel.MaxMerges,
@@ -154,17 +156,33 @@ final class BpeModel(val merges: Seq[(String, String)],
     }
   }
 
+  // custom pretokenizer, compiled once per deserialized model.
+  // RESTRICTED to the java.regex ∩ RE2 subset by convention (the q98
+  // portability rule): an oracle replays the same pattern through
+  // regexp_extract_all, so no lookaround/backreferences.
+  @transient private lazy val pretokenPattern
+      : Option[java.util.regex.Pattern] =
+    pretokenRegex.map(java.util.regex.Pattern.compile)
+
   /** Pretokenize a document into words (mode-dependent, see class
-    * doc). Pure JVM mirror of the Column path's
+    * doc; an explicit `pretokenRegex` — e.g.
+    * [[BpeModel.Gpt2ishPretokenizer]] — overrides both defaults).
+    * Pure JVM mirror of the Column path's
     * `filter(split(text, " "), _ =!= "")` in word mode.
     */
-  def preTokenize(text: String): Array[String] =
-    if (byteLevel) {
+  def preTokenize(text: String): Array[String] = pretokenPattern match {
+    case Some(p) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val mt = p.matcher(text)
+      while (mt.find()) out += mt.group()
+      out.toArray
+    case None if byteLevel =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val mt = BpeModel.ByteLevelWord.matcher(text)
       while (mt.find()) out += mt.group()
       out.toArray
-    } else text.split(" ", -1).filter(_.nonEmpty)
+    case None => text.split(" ", -1).filter(_.nonEmpty)
+  }
 
   def tokensOf(text: String): Array[String] = {
     val words = preTokenize(text)
@@ -208,10 +226,12 @@ final class BpeModel(val merges: Seq[(String, String)],
   // Value equality on the model definition (expression trees compare
   // by case-class equality; the transient lookups don't participate).
   override def equals(other: Any): Boolean = other match {
-    case o: BpeModel => o.merges == merges && o.byteLevel == byteLevel
+    case o: BpeModel => o.merges == merges && o.byteLevel == byteLevel &&
+      o.pretokenRegex == pretokenRegex
     case _ => false
   }
-  override def hashCode(): Int = (merges, byteLevel).hashCode()
+  override def hashCode(): Int =
+    (merges, byteLevel, pretokenRegex).hashCode()
 }
 
 object BpeModel {
@@ -256,6 +276,20 @@ object BpeModel {
     */
   private[functions] val ByteLevelWord =
     java.util.regex.Pattern.compile(" ?[^ ]+")
+
+  /** GPT-2's published pretokenizer, restricted to the
+    * java.regex ∩ RE2 subset: English contractions split off, then
+    * space-attached letter runs / digit runs / other runs, then
+    * whitespace runs. ONE documented deviation from the original —
+    * the `\s+(?!\S)` lookahead (keep the last space of a gap with the
+    * following word) is dropped because RE2 has no lookaround, so a
+    * multi-space gap stays one whitespace token instead of splitting;
+    * every match class else is verbatim. Total-coverage: the four
+    * classes partition any text, so token bytes reassemble the
+    * document exactly.
+    */
+  val Gpt2ishPretokenizer: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 }
 
 /** `bpe_tokens(text)` → array<string>: per-document subword tokens
@@ -374,17 +408,20 @@ object BpeSegment {
     * byte-alphabet mode.
     */
   def tokens(text: Column, merges: Seq[(String, String)],
-             byteLevel: Boolean = false): Column =
+             byteLevel: Boolean = false,
+             pretokenRegex: Option[String] = None): Column =
     GraftSql.column(BpeSegment(GraftSql.expression(text),
-      new BpeModel(merges, byteLevel)))
+      new BpeModel(merges, byteLevel, pretokenRegex)))
 
   def tokenCount(text: Column, merges: Seq[(String, String)],
-                 byteLevel: Boolean = false): Column =
+                 byteLevel: Boolean = false,
+                 pretokenRegex: Option[String] = None): Column =
     GraftSql.column(BpeTokenCount(GraftSql.expression(text),
-      new BpeModel(merges, byteLevel)))
+      new BpeModel(merges, byteLevel, pretokenRegex)))
 
   /** Pretokenized words in the working alphabet (trainer vocab). */
-  def words(text: Column, byteLevel: Boolean = false): Column =
+  def words(text: Column, byteLevel: Boolean = false,
+            pretokenRegex: Option[String] = None): Column =
     GraftSql.column(BpeWords(GraftSql.expression(text),
-      new BpeModel(Nil, byteLevel)))
+      new BpeModel(Nil, byteLevel, pretokenRegex)))
 }

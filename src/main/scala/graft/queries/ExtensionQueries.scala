@@ -3390,14 +3390,21 @@ object ExtensionQueries {
     * bijection carried as a SQL list literal, then runs the identical
     * sentinel-wrapped merge chain.
     */
-  def q143ByteBpe(spark: SparkSession, dir: String): DataFrame = {
+  /** The byte-level BPE per-source gate body, shared by q143 (default
+    * space-boundary pretokenizer) and q150 (the GPT-2-style
+    * pretokenizer): suffix-extended docs, token stream + count-only
+    * faces pinned to one oracle value, vocab + multiset fingerprint.
+    */
+  private def byteBpePerSource(spark: SparkSession, dir: String,
+                               suffix: String,
+                               merges: Seq[(String, String)],
+                               pretokenRegex: Option[String]): DataFrame = {
     import graft.functions.BpeSegment
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 120)
-      .select(col("source"),
-        concat(col("text"), lit(" 你好 你好世界")).as("txt"))
+      .select(col("source"), concat(col("text"), lit(suffix)).as("txt"))
     val toks = docs.select(col("source"),
-      explode(BpeSegment.tokens(col("txt"), ByteBpeMerges,
-        byteLevel = true)).as("tok"))
+      explode(BpeSegment.tokens(col("txt"), merges,
+        byteLevel = true, pretokenRegex = pretokenRegex)).as("tok"))
     val perSource = toks.groupBy(col("source")).agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("tok")).as("n_subwords"),
@@ -3405,25 +3412,35 @@ object ExtensionQueries {
         .as("tok_fp"))
     val counted = docs.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
-      sum(BpeSegment.tokenCount(col("txt"), ByteBpeMerges,
-        byteLevel = true)).as("n_tokens_cnt"))
+      sum(BpeSegment.tokenCount(col("txt"), merges,
+        byteLevel = true, pretokenRegex = pretokenRegex)).as("n_tokens_cnt"))
     counted.join(perSource, Seq("source"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         col("n_tokens_cnt"), col("n_subwords"), col("tok_fp"))
       .orderBy(col("source"))
   }
 
-  lazy val q143Sql: String = {
+  def q143ByteBpe(spark: SparkSession, dir: String): DataFrame =
+    byteBpePerSource(spark, dir, " 你好 你好世界", ByteBpeMerges,
+      pretokenRegex = None)
+
+  /** The q143/q150 oracle body, parameterized by suffix, pretokenizer
+    * pattern and merge table (SQL literals pre-escaped by the
+    * caller): byte-expand each word through the 256-entry bijection,
+    * run the wrapped merge chain, aggregate per source.
+    */
+  private def byteBpeSqlFor(suffixLit: String, patternLit: String,
+                            merges: Seq[(String, String)]): String = {
     val bytemap = graft.functions.BpeModel.byteToChar
       .map(c => "'" + c.toString.replace("'", "''") + "'")
       .mkString("[", ", ", "]")
-    val seg = bpeSegSqlFor("mw", ByteBpeMerges)
+    val seg = bpeSegSqlFor("mw", merges)
     s"""WITH bm AS (SELECT $bytemap AS m),
        |d AS (
-       |  SELECT source, text || ' 你好 你好世界' AS txt
+       |  SELECT source, text || '$suffixLit' AS txt
        |  FROM documents WHERE doc_id < 120),
        |w AS (
-       |  SELECT source, unnest(regexp_extract_all(txt, ' ?[^ ]+')) AS word
+       |  SELECT source, unnest(regexp_extract_all(txt, '$patternLit')) AS word
        |  FROM d),
        |mapped AS (
        |  SELECT source, array_to_string(list_transform(
@@ -3448,6 +3465,40 @@ object ExtensionQueries {
        |FROM counted c JOIN per_source p ON p.source = c.source
        |ORDER BY c.source""".stripMargin
   }
+
+  lazy val q143Sql: String =
+    byteBpeSqlFor(" 你好 你好世界", " ?[^ ]+", ByteBpeMerges)
+
+  /** q150's merge table: q143's plus a chained digit pair (2,0) →
+    * (20,2), firing inside the injected "2024" digit run.
+    */
+  private lazy val ByteBpeMergesQ150: Seq[(String, String)] = {
+    def mb(b: Int): String = graft.functions.BpeModel.byteStr(b)
+    ByteBpeMerges ++ Seq(mb('2') -> mb('0'), (mb('2') + mb('0')) -> mb('2'))
+  }
+
+  /** ✚ GPT-2-style PRETOKENIZER over byte-level BPE
+    * ([[graft.functions.BpeModel.Gpt2ishPretokenizer]]) — the
+    * published pattern restricted to the java.regex ∩ RE2 subset
+    * (contractions split off, space-attached letter/digit/other runs,
+    * whitespace runs; the `\\s+(?!\\S)` lookahead dropped — RE2 has
+    * no lookaround — so a multi-space gap stays one token). The
+    * injected suffix exercises every match class the ASCII fixture
+    * text lacks: a contraction, a digit run (with a chained digit
+    * merge firing inside it), a punctuation run splitting a hyphened
+    * pair, and CJK letters. The oracle replays the SAME pattern
+    * through regexp_extract_all plus the q143 byte-mapping and merge
+    * machinery (shared builders on both sides).
+    */
+  def q150Gpt2Pretokenizer(spark: SparkSession, dir: String): DataFrame =
+    byteBpePerSource(spark, dir, " don't 2024 ab-cd! 你好",
+      ByteBpeMergesQ150,
+      pretokenRegex = Some(graft.functions.BpeModel.Gpt2ishPretokenizer))
+
+  lazy val q150Sql: String =
+    byteBpeSqlFor(" don''t 2024 ab-cd! 你好",
+      graft.functions.BpeModel.Gpt2ishPretokenizer.replace("'", "''"),
+      ByteBpeMergesQ150)
 
   /** ✚ product quantization + ADC search ([[graft.ext.Pq]],
     * [[graft.functions.PqAdc]]) — the ANN memory ladder's next rung

@@ -139,6 +139,22 @@ class BpeSegmentSpec extends SparkSpec {
     cjk shouldBe bytes.toSeq
   }
 
+  test("GPT-2-style pretokenizer: contractions, runs, whitespace classes") {
+    val m = new BpeModel(Nil, byteLevel = true,
+      Some(BpeModel.Gpt2ishPretokenizer))
+    // contraction splits off; letter/digit/other runs carry their
+    // space; the multi-space gap is ONE whitespace token (the
+    // documented lookahead deviation); total coverage — words
+    // reassemble the text byte-for-byte
+    val text = "don't pay  42 ab-cd!"
+    val words = m.preTokenize(text).toSeq
+    words shouldBe Seq("don", "'t", " pay", "  ", "42", " ab", "-", "cd", "!")
+    words.mkString shouldBe text
+    // mapped words (trainer vocab unit) cover the same bytes
+    m.wordsOf(text).map(_.length).sum shouldBe
+      text.getBytes("UTF-8").length
+  }
+
   test("null text → null; empty text → zero tokens") {
     val df = Seq[Option[String]](None, Some(""), Some("tan")).toDF("t")
       .select(BpeSegment.tokens(col("t"), merges).as("tk"),
