@@ -97,7 +97,12 @@ object BpeTokenizer {
     */
   private def segmentWord(word: Column,
                           merges: Seq[(String, String)]): Column = {
-    val wrapped = regexp_replace(word, "(.)", Open + "$1" + Close)
+    // [\s\S] (not `.`): matches EVERY char -- line terminators
+    // included -- identically in java.regex and RE2, so a \n or \r
+    // inside a word is wrapped like any other char on both the Spark
+    // and the DuckDB oracle face (java `.` skips \r, U+0085, U+2028,
+    // U+2029; RE2 `.` skips only \n -- a `.` wrap diverges on \r).
+    val wrapped = regexp_replace(word, "([\\s\\S])", Open + "$1" + Close)
     merges.foldLeft(wrapped) { case (s, (l, r)) =>
       F.replace(s, lit(Open + l + Close + Open + r + Close),
         lit(Open + l + r + Close))
@@ -105,10 +110,10 @@ object BpeTokenizer {
   }
 
   /** The segmented word as a token ARRAY: strip the outermost
-    * sentinels, split on the Close+Open boundary. (A word char the
-    * wrap regex skips — `.` excludes line terminators in both
-    * engines — stays unwrapped and inert, identically on both
-    * sides.)
+    * sentinels, split on the Close+Open boundary. Every char is
+    * wrapped (the `[\s\S]` class covers line terminators), so the
+    * array equals [[graft.functions.BpeSegment]]'s JVM char loop
+    * even for words containing \n or \r.
     */
   private def wordTokens(word: Column,
                          merges: Seq[(String, String)]): Column =

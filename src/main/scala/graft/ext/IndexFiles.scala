@@ -238,15 +238,22 @@ private[graft] object IndexFiles {
                    staleMs: Long = DefaultLeaseStaleMs): String = {
     val p = new Path(s"$dir/$fileName")
     val fs = fsFor(spark, p)
-    if (!fs.exists(p)) {
+    def diagnoseAbsent(): Nothing = {
       if (lockAgeMs(spark, dir).exists(_ <= staleMs))
         throw new IllegalArgumentException(
           s"index at $dir: $fileName absent while a concurrent writer " +
             "holds a live _writer_lock — a mutation's meta swap is in " +
             "flight; retry once it finishes")
-      require(fs.exists(p), missingMsg)
+      throw new IllegalArgumentException(missingMsg)
     }
-    val in = fs.open(p)
+    if (!fs.exists(p)) diagnoseAbsent()
+    // TOCTOU: the meta can pass the exists probe and be deleted by a
+    // concurrent writer's delete-before-rename publish before open —
+    // re-run the same absence diagnosis instead of leaking the raw
+    // FileNotFoundException (soak seam: the exists check alone isn't
+    // atomic with the read).
+    val in = try fs.open(p)
+             catch { case _: java.io.FileNotFoundException => diagnoseAbsent() }
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
   }

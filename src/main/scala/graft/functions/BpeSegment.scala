@@ -287,9 +287,17 @@ object BpeModel {
     * every match class else is verbatim. Total-coverage: the four
     * classes partition any text, so token bytes reassemble the
     * document exactly.
+    *
+    * Whitespace is the EXPLICIT class `[ \t\n\x0B\f\r]` — exactly
+    * java.regex's `\s` — rather than the `\s` shorthand, because
+    * RE2's `\s` omits \x0B (vertical tab): the shorthand would make
+    * the Spark face and the DuckDB oracle replay diverge on text
+    * containing \x0B (the q98 portability rule: spell out any class
+    * whose shorthand differs between the engines).
     */
   val Gpt2ishPretokenizer: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
 }
 
 /** `bpe_tokens(text)` → array<string>: per-document subword tokens

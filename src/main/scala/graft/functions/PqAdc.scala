@@ -87,6 +87,29 @@ case class PqAdc(child: Expression, cids: Array[Array[Long]],
 
   override protected def withNewChildInternal(newChild: Expression): PqAdc =
     copy(child = newChild)
+
+  // Case-class equality over Array fields is reference-based, which
+  // would make catalyst canonicalization / semanticEquals /
+  // subexpression elimination miss two semantically identical PqAdc
+  // instances (the BpeModel value-equality discipline). Compare and
+  // hash the table CONTENTS.
+  override def equals(other: Any): Boolean = other match {
+    case that: PqAdc =>
+      child == that.child && cids.length == that.cids.length &&
+        cids.indices.forall(j =>
+          java.util.Arrays.equals(cids(j), that.cids(j)) &&
+            java.util.Arrays.equals(dots(j), that.dots(j)))
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    cids.indices.foreach { j =>
+      h = 31 * h + java.util.Arrays.hashCode(cids(j))
+      h = 31 * h + java.util.Arrays.hashCode(dots(j))
+    }
+    h
+  }
 }
 
 object PqAdc {

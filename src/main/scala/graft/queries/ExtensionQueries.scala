@@ -3727,7 +3727,7 @@ object ExtensionQueries {
        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
        |    FROM documents) GROUP BY word),
        |s0 AS (SELECT word, cnt,
-       |  regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+       |  regexp_replace(word, '([\\s\\S])', chr(1) || '\\1' || chr(2), 'g') AS s
        |  FROM w),
        |${bpeTrainPairsSql("s0", 1)},
        |${bpeTrainSweepSql("s0", 1)},
@@ -3780,7 +3780,7 @@ object ExtensionQueries {
        |                   CAST(2*i-1 AS INT), 2) AS INT) + 1]), '') AS word
        |    FROM rw CROSS JOIN bm) GROUP BY word),
        |s0 AS (SELECT word, cnt,
-       |  regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s
+       |  regexp_replace(word, '([\\s\\S])', chr(1) || '\\1' || chr(2), 'g') AS s
        |  FROM w),
        |${bpeTrainPairsSql("s0", 1)},
        |${bpeTrainSweepSql("s0", 1)},
@@ -3866,7 +3866,7 @@ object ExtensionQueries {
                            merges: Seq[(String, String)]): String = {
     def esc(s: String) = s.replace("'", "''")
     merges.foldLeft(
-      s"regexp_replace($varName, '(.)', chr(1) || '\\1' || chr(2), 'g')") {
+      s"regexp_replace($varName, '([\\s\\S])', chr(1) || '\\1' || chr(2), 'g')") {
       case (s, (l, r)) =>
         s"replace($s, chr(1)||'${esc(l)}'||chr(2)||chr(1)||'${esc(r)}'||chr(2), " +
           s"chr(1)||'${esc(l + r)}'||chr(2))"

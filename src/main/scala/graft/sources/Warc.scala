@@ -65,6 +65,13 @@ object Warc {
       .flatMap { case (file, pds) =>
         val raw = new BufferedInputStream(pds.open())
         val in = if (isGzip(raw)) new GZIPInputStream(raw) else raw
+        // records() closes `in` at EOF / first malformed record, but a
+        // consumer that abandons the iterator early (limit/take) never
+        // reaches either — close at task completion so the stream can't
+        // outlive the task.
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: Exception => } })
         records(file, in)
       }
       .toDF()

@@ -83,4 +83,22 @@ class PqSpec extends SparkSpec {
       Pq.rerankKnn(corpus, corpus, IndexedSeq.empty, Seq((0L, new Array[Double](64))),
         k = 10, candidates = 5)
   }
+
+  test("PqAdc has value equality over its tables (canonicalization seam)") {
+    import graft.functions.PqAdc
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    def mk() = PqAdc(
+      BoundReference(0, ArrayType(LongType), nullable = true),
+      Array(Array(0L, 1L), Array(0L, 1L)),
+      Array(Array(0.5, 1.5), Array(-2.0, 3.0)))
+    // two independently-built instances with equal table CONTENTS must
+    // be equal and hash equal — reference-based Array equality would
+    // defeat semanticEquals / subexpression elimination
+    mk() shouldBe mk()
+    mk().hashCode() shouldBe mk().hashCode()
+    mk().semanticEquals(mk()) shouldBe true
+    val other = mk().copy(dots = Array(Array(0.5, 1.5), Array(-2.0, 9.0)))
+    (mk() == other) shouldBe false
+  }
 }

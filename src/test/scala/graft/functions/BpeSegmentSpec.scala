@@ -155,6 +155,24 @@ class BpeSegmentSpec extends SparkSpec {
       text.getBytes("UTF-8").length
   }
 
+  test("line terminators inside a word: native ≡ column fold ≡ reference") {
+    // the r18 ADVICE seam: a `.`-based wrap skips \n (and, java-only,
+    // \r) so "a\nb" kept raw sentinels on the Column face while the
+    // JVM loop yielded ["a","\n","b"]; the [\s\S] wrap closes it
+    Seq("a\nb", "a\rb", "x\r\ny", "\nan", "an\r").foreach { w =>
+      val expected = refSegment(chars(w), merges)
+      withClue(s"word ${w.map(c => f"\\u${c.toInt}%04x").mkString}: ") {
+        nativeToks(w, merges) shouldBe expected
+        columnToks(w, merges) shouldBe expected
+      }
+    }
+    // and \n never leaks a sentinel: every token is sentinel-free
+    columnToks("a\nb", merges).foreach { t =>
+      t should not include BpeTokenizer.Open
+      t should not include BpeTokenizer.Close
+    }
+  }
+
   test("null text → null; empty text → zero tokens") {
     val df = Seq[Option[String]](None, Some(""), Some("tan")).toDF("t")
       .select(BpeSegment.tokens(col("t"), merges).as("tk"),
