@@ -3979,4 +3979,61 @@ object ExtensionQueries {
       |  CAST(c.rep AS BIGINT) AS rep, a.vec_id = c.rep AS keep
       |FROM assigned a JOIN comp c ON c.node = a.vec_id
       |ORDER BY vec_id""".stripMargin
+
+  /** ✚ HTML → TEXT extraction ([[graft.functions.HtmlText]]) — the
+    * crawl seam's missing link (r18 verdict #1): C4/RefinedWeb-class
+    * pipelines strip tags/scripts/styles and decode entities BEFORE
+    * any quality signal. Each document's text is entity-escaped and
+    * wrapped in a deterministic full-page template exercising every
+    * lexer rule — doctype, elided script (with `<p>` traps and
+    * unescaped `<`/`>` inside), elided style, a comment carrying
+    * markup, a block headline with a named entity, the escaped text
+    * in a `<p>`, and a tail div with numeric/hex references, a
+    * quote-aware `href="q?a>b"` attribute, an inline anchor and a
+    * `<br>` boundary. The engine runs the codegen'd single-pass
+    * extractor; the oracle states the expected extraction RELATIONALLY
+    * from the source column (block lines joined by chr(10), the text
+    * whitespace-collapsed with the portable `[ \t\n\x0B\f\r]`
+    * class) — entity round-trip, elision, block segmentation and
+    * whitespace collapsing all inside the md5.
+    */
+  def q151HtmlText(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    def esc(c: org.apache.spark.sql.Column) =
+      F.replace(F.replace(F.replace(c, lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), id,
+      lit("</title><script type=\"text/javascript\">" +
+        "var s = \"<p>trap</p>\"; if (a<b && b>c) {}</script>" +
+        "<style>p > a { color: #fff; }</style></head><body><!-- id="), id,
+      lit(" <p>trap</p> --><h1>Doc &amp; "), id,
+      lit("</h1><p>"), esc(col("text")),
+      lit("</p><div>tail &#65;&#x42; <a href=\"q?a>b\">link</a>" +
+        "<br>end</div></body></html>"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.HtmlToTextFunctions.htmlToText(html).as("txt"))
+      .select(col("doc_id"), md5(col("txt")).as("t_md5"),
+        length(col("txt")).cast("long").as("n_out"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q151Sql: String =
+    """WITH e AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'),
+      |         ' ') AS coll
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+      |    'Doc & ' || CAST(doc_id AS VARCHAR) ||
+      |    CASE WHEN coll = '' THEN '' ELSE chr(10) || coll END ||
+      |    chr(10) || 'tail AB link' || chr(10) || 'end' AS txt
+      |  FROM e)
+      |SELECT doc_id, md5(txt) AS t_md5,
+      |  CAST(length(txt) AS BIGINT) AS n_out
+      |FROM x ORDER BY doc_id""".stripMargin
 }

@@ -664,22 +664,32 @@ object SourceQueries {
       root)
   }
 
-  /** ✚ WARC → curation composition — the crawl-side seam of the q136
-    * family sealed end-to-end: a .warc.gz whose response records
-    * carry URL VARIANTS (scheme/www/case/trailing-slash/fragment/
-    * tracking-param noise over a 40-key path space; full doc_id rides
-    * in a dropped `utm_id` so raw urls stay distinct) and REPEATED
-    * bodies (`text(doc_id % 25)`), plus one truncated record. The
-    * engine runs: WARC read → ok/response filter → URL normalization
+  /** ✚ WARC → HTML→text → curation composition — the crawl-side seam
+    * of the q136 family sealed end-to-end ON MARKUP, the way published
+    * pipelines (C4, RefinedWeb) actually run: a .warc.gz whose
+    * response records carry URL VARIANTS (scheme/www/case/
+    * trailing-slash/fragment/tracking-param noise over a 40-key path
+    * space; full doc_id rides in a dropped `utm_id` so raw urls stay
+    * distinct) and HTML BODIES — each `text(doc_id % 25)` escaped and
+    * wrapped in a page template whose `<script>` carries the FULL
+    * doc_id (`var id=N;`), so raw bodies are ALL DISTINCT and exact
+    * dedup only collapses after [[graft.functions.HtmlText]] strips
+    * the boilerplate — markup noise defeating raw-byte dedup is
+    * precisely why extraction precedes every published dedup stage.
+    * Plus one truncated record. The engine runs: WARC read →
+    * ok/response filter → html→text extraction → URL normalization
     * ([[graft.ext.UrlOps.normalizeUrl]]) → URL-keyed dedup (min raw
-    * url per normalized key) → length quality filter → exact text
-    * dedup (min normalized url per body md5). Output: per-stage
-    * (count, kept-set fingerprint) rows including the fail-soft bad
-    * count — every stage seam in one hash. The oracle rebuilds the
-    * construction relationally from `documents` and replays
-    * normalization by its RESULT (the construction rule makes the
-    * normalized key `example.com/d/<doc_id % 40>` by q129's pinned
-    * semantics), both elections as windows, and the fingerprints.
+    * url per normalized key) → length quality filter ON THE EXTRACTED
+    * TEXT → exact extracted-text dedup (min normalized url per md5).
+    * Output: per-stage (count, kept-set fingerprint) rows including
+    * the fail-soft bad count — every stage seam in one hash. The
+    * oracle rebuilds the construction relationally from `documents`,
+    * replays normalization by its RESULT (the construction rule makes
+    * the normalized key `example.com/d/<doc_id % 40>` by q129's
+    * pinned semantics), states the expected extraction from the
+    * template (q151's relational-replay discipline: block lines
+    * joined by chr(10), text whitespace-collapsed with the portable
+    * class), and runs both elections as windows.
     */
   def q148WarcCuration(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.charset.StandardCharsets.UTF_8
@@ -700,8 +710,12 @@ object SourceQueries {
         case 2 => s"http://example.com/d/$g/?utm_id=$id#frag"
         case _ => s"http://EXAMPLE.com/d/$g?utm_source=x&utm_id=$id"
       }
-      val body = textOf(id % 25)
-      val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+      val esc = textOf(id % 25).replace("&", "&amp;")
+        .replace("<", "&lt;").replace(">", "&gt;")
+      val body = s"<html><head><title>Page</title>" +
+        s"<script>var id=$id;</script></head>" +
+        s"<body><h1>Doc</h1><p>$esc</p></body></html>"
+      val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
         .getBytes(UTF_8) ++ body.getBytes(UTF_8)
       writeWarcRecord(out, Seq("WARC-Type" -> "response",
         "WARC-Target-URI" -> rawUrl,
@@ -714,7 +728,9 @@ object SourceQueries {
 
     val parsed = graft.sources.Warc.read(spark, file)
     val resp = parsed.filter(col("ok") && col("rec_type") === "response")
-      .select(col("url"), col("body").cast("string").as("body"))
+      .select(col("url"),
+        graft.functions.HtmlToTextFunctions.htmlToText(
+          col("body").cast("string")).as("body"))
       .withColumn("nurl", graft.ext.UrlOps.normalizeUrl(col("url")))
       .withColumn("bmd5", md5(col("body")))
     val fpCol = conv(substring(
@@ -758,8 +774,21 @@ object SourceQueries {
       |      ELSE 'http://EXAMPLE.com/d/' || CAST(a.doc_id % 40 AS VARCHAR)
       |        || '?utm_source=x&utm_id=' || CAST(a.doc_id AS VARCHAR)
       |    END AS url,
-      |    t.text AS body, md5(t.text) AS bmd5
-      |  FROM d a JOIN d t ON t.doc_id = a.doc_id % 25),
+      |    -- expected HTML->text extraction of the page template
+      |    -- (q151's relational replay): title line, h1 line, then the
+      |    -- whitespace-collapsed text; the per-id <script> is elided,
+      |    -- which is what makes bodies collapse at id % 25 again
+      |    'Page' || chr(10) || 'Doc' ||
+      |      CASE WHEN t.coll = '' THEN '' ELSE chr(10) || t.coll END
+      |      AS body,
+      |    md5('Page' || chr(10) || 'Doc' ||
+      |      CASE WHEN t.coll = '' THEN '' ELSE chr(10) || t.coll END)
+      |      AS bmd5
+      |  FROM d a JOIN (
+      |    SELECT doc_id,
+      |      trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g'),
+      |           ' ') AS coll
+      |    FROM d) t ON t.doc_id = a.doc_id % 25),
       |f AS (
       |  SELECT *, CAST('0x' || substr(md5(nurl || '#' || bmd5), 1, 6)
       |    AS BIGINT) AS fp
