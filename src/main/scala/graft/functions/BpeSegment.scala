@@ -298,6 +298,22 @@ object BpeModel {
   val Gpt2ishPretokenizer: String =
     "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+" +
       "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
+
+  /** GPT-2's published pretokenizer EXACT mode — the `\s+(?!\S)`
+    * lookahead restored (keep the LAST space of a multi-space gap
+    * attached to the following word; "a  b" → ["a", " ", " b"] where
+    * the portable mode yields ["a", "  ", "b"]). java.regex supports
+    * the lookahead; RE2 does not, so this preset is NATIVE-ONLY — no
+    * SQL oracle can replay it (BpeSegmentSpec pins it against a
+    * hand-computed battery instead; q150 keeps gating the portable
+    * face). Whitespace stays the explicit java-\s class, same as the
+    * portable preset.
+    */
+  val Gpt2ExactPretokenizer: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+" +
+      "|[ \\t\\n\\x0B\\f\\r]+(?![^ \\t\\n\\x0B\\f\\r])" +
+      "|[ \\t\\n\\x0B\\f\\r]+"
 }
 
 /** `bpe_tokens(text)` → array<string>: per-document subword tokens

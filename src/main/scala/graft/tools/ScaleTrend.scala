@@ -214,7 +214,8 @@ object ScaleTrend {
       "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull", "subdedup",
       "q125_battery", "urlnorm", "repbattery", "bloomdecon", "keywords",
       "paradedup", "cms", "fusedstack",
-      "bpecol", "bpenat", "bpenat10k", "bpetrain").exists(shapeFilter)
+      "bpecol", "bpenat", "bpenat10k", "bpetrain",
+      "bpetrainfast").exists(shapeFilter)
     val needVecs = Seq("ivf", "ivfsearch", "brute", "qbuild", "qbrute",
       "srpidx_build", "srpinc", "srpfull", "semdedup",
       "pqbuild", "pqadc", "brutedot", "pqrerank").exists(shapeFilter)
@@ -991,6 +992,12 @@ object ScaleTrend {
     def bpetrainShape(path: String): Long =
       graft.ext.BpeTrainer.train(
         spark.read.parquet(path), "text", nMerges = 3).size.toLong
+    // production merge count through the INCREMENTAL trainer (r19):
+    // one corpus scan + one vocab collect + driver-side pair-count
+    // deltas — 1024 merges in one job where train() would run 1024
+    def bpetrainfastShape(path: String): Long =
+      graft.ext.BpeTrainer.trainFast(
+        spark.read.parquet(path), "text", nMerges = 1024).size.toLong
     run("bpecol", "small", docsSmallN)(bpecolShape(docsSmall))
     run("bpecol", "big", docsBigN)(bpecolShape(docsBig))
     run("bpenat", "small", docsSmallN)(bpenatShape(docsSmall, bpe9))
@@ -999,6 +1006,8 @@ object ScaleTrend {
     run("bpenat10k", "big", docsBigN)(bpenatShape(docsBig, bpe10k))
     run("bpetrain", "small", docsSmallN)(bpetrainShape(docsSmall))
     run("bpetrain", "big", docsBigN)(bpetrainShape(docsBig))
+    run("bpetrainfast", "small", docsSmallN)(bpetrainfastShape(docsSmall))
+    run("bpetrainfast", "big", docsBigN)(bpetrainfastShape(docsBig))
 
     run("srpidx_build", "small", docsSmallN)(srpIdxBuildShape(vecsSmall, docsSmallN))
     run("srpidx_build", "big", docsBigN)(srpIdxBuildShape(vecsBig, docsBigN))

@@ -173,6 +173,30 @@ class BpeSegmentSpec extends SparkSpec {
     }
   }
 
+  test("GPT-2 EXACT pretokenizer: \\s+(?!\\S) lookahead restored (native-only)") {
+    val m = new BpeModel(Nil, byteLevel = true,
+      Some(BpeModel.Gpt2ExactPretokenizer))
+    // hand-computed against the published pattern's semantics: the
+    // last space of a multi-space gap stays with the following word
+    m.preTokenize("a  b").toSeq shouldBe Seq("a", " ", " b")
+    m.preTokenize("a   b").toSeq shouldBe Seq("a", "  ", " b")
+    m.preTokenize("a b").toSeq shouldBe Seq("a", " b")
+    m.preTokenize("don't  go").toSeq shouldBe Seq("don", "'t", " ", " go")
+    m.preTokenize("x   ").toSeq shouldBe Seq("x", "   ")
+    m.preTokenize("a \n b").toSeq shouldBe Seq("a", " \n", " b")
+    m.preTokenize("  42").toSeq shouldBe Seq(" ", " 42")
+    // total coverage still holds — tokens reassemble the text
+    Seq("a  b", "don't  go", "x   ", "a \n b", " hi  there ").foreach { t =>
+      m.preTokenize(t).mkString shouldBe t
+    }
+    // and the ONLY divergence from the portable preset is multi-space
+    // gaps: single-space text pretokenizes identically
+    val ish = new BpeModel(Nil, byteLevel = true,
+      Some(BpeModel.Gpt2ishPretokenizer))
+    val single = "don't pay 42 ab-cd!"
+    m.preTokenize(single).toSeq shouldBe ish.preTokenize(single).toSeq
+  }
+
   test("null text → null; empty text → zero tokens") {
     val df = Seq[Option[String]](None, Some(""), Some("tan")).toDF("t")
       .select(BpeSegment.tokens(col("t"), merges).as("tk"),
