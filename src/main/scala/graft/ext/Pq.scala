@@ -181,6 +181,106 @@ object Pq {
     Similarity.rankTopK(scored, "query_id", k, "adc_dot")
   }
 
+  /** RESIDUAL frame (FAISS IVF-PQ's actual encoding): each assigned
+    * vector becomes x − centroid(x), cast back to the corpus element
+    * type (float) so the shared trainer/encoder consume it verbatim.
+    * Residuals concentrate around 0 with far smaller spread than raw
+    * vectors, which is what preserves recall at production
+    * compression — codebooks spend their 2^bits cells on the
+    * within-cluster geometry instead of re-describing the coarse
+    * structure the IVF assignment already captured.
+    *
+    * Arithmetic contract (oracle-replayable): per element,
+    * `CAST(x_i − c_i AS FLOAT)` — one IEEE double subtract then one
+    * round-to-float, identical in Spark and DuckDB. One broadcast
+    * join against the tiny centroid frame; map-side otherwise.
+    */
+  def residuals(assigned: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                centIdCol: String = "centroid_id"): DataFrame = {
+    val c = centroids.select(col(idCol).as(centIdCol),
+      col(vecCol).cast("array<double>").as("_cent_vec"))
+    assigned.join(broadcast(c), Seq(centIdCol))
+      .withColumn(vecCol,
+        zip_with(col(vecCol).cast("array<double>"), col("_cent_vec"),
+          (x, y) => x - y).cast("array<float>"))
+      .drop("_cent_vec")
+  }
+
+  /** IVF × PQ over RESIDUAL codebooks — [[ivfAdcKnn]] with the score
+    * decomposed as `dot(q, x̂) = dot(q, c) + dot(q, r̂)` (linearity:
+    * x̂ = centroid + reconstructed residual): the per-candidate ADC
+    * lookup runs against residual codebooks, and the per-cluster
+    * constant `dot(q, centroid)` — a queries × centroids handful —
+    * is added as a driver-built CASE over the probed clusters. The
+    * addition order is `qc_dot + (ascending-j ADC sum)`, so a SQL
+    * oracle replays the exact double.
+    *
+    * @param encodedAssigned (idCol, codesCol, centIdCol) — [[encode]]
+    *                        over [[residuals]] of an assigned corpus
+    * @param resCodebooks    codebooks TRAINED ON RESIDUALS
+    */
+  def ivfResidualAdcKnn(encodedAssigned: DataFrame, centroids: DataFrame,
+                        resCodebooks: Codebooks,
+                        queries: Seq[(Long, Array[Double])], k: Int,
+                        nprobe: Int, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        codesCol: String = "pq_codes",
+                        centIdCol: String = "centroid_id"): DataFrame = {
+    require(queries.nonEmpty, "pq ivfResidualAdcKnn: no queries")
+    val spark = encodedAssigned.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val qdf = queries.map { case (id, v) => (id, v.toSeq) }
+      .toDF("query_id", "q_vec")
+    val centRows = centroids.select(col(idCol).as(centIdCol),
+        col(vecCol).cast("array<double>").as("cent_vec"))
+      .orderBy(col(centIdCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val c = centroids.select(col(idCol).as(centIdCol),
+      col(vecCol).cast("array<double>").as("cent_vec"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qc_cos").desc, col(centIdCol))
+    val probeRows = qdf.crossJoin(broadcast(c))
+      .withColumn("qc_cos", Similarity.cosine(col("q_vec"), col("cent_vec")))
+      .withColumn("qc_rank", row_number().over(qw))
+      .filter(col("qc_rank") <= nprobe)
+      .select(col("query_id"), col(centIdCol)).collect()
+    val probes: Map[Long, Set[Long]] = probeRows.toSeq
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        (q, rs.map(_.getLong(1)).toSet) }
+    // ascending-index driver dot — the same fold list_dot_product runs
+    def dotAsc(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val qids = array(queries.map(q => lit(q._1)): _*)
+    val scores = array(queries.map { case (qid, qv) =>
+      val probed = probes.getOrElse(qid, Set.empty[Long])
+      if (probed.isEmpty) lit(null).cast("double")
+      else {
+        // per-probed-cluster constant dot(q, centroid), as a CASE
+        val qcDot = probed.toSeq.sorted.map { cid =>
+          val cv = centRows.find(_._1 == cid).getOrElse(
+            throw new IllegalArgumentException(
+              s"pq ivfResidualAdcKnn: probed centroid $cid not in frame"))._2
+          when(col(centIdCol) === cid, lit(dotAsc(qv, cv)))
+        }.reduceRight((a, b) => a.otherwise(b))
+        when(col(centIdCol).isInCollection(probed),
+          qcDot + graft.functions.PqAdc.score(col(codesCol),
+            resCodebooks, qv))
+      }
+    }: _*)
+    val scored = encodedAssigned
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(scores).as(Seq("qi", "adc_dot")))
+      .filter(col("adc_dot").isNotNull)
+      .withColumn("query_id", element_at(qids, col("qi") + 1))
+    Similarity.rankTopK(scored, "query_id", k, "adc_dot")
+  }
+
   /** Two-stage rerank (the q124 rerankKnn pattern at the PQ rung): a
     * WIDE ADC pass over the codes, then an exact float dot re-rank of
     * just the candidates. With `candidates ≥ |corpus|` it EQUALS the

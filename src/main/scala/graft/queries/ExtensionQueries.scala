@@ -3556,15 +3556,21 @@ object ExtensionQueries {
     * assignment, query subvectors — q144 and q147 build on it
     * verbatim (one definition of the training/encoding replay).
     */
-  private lazy val pqCtesSql: String =
-    s"""v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-       |  FROM embeddings WHERE vec_id < 400),
-       |sub AS (
+  /** The training/encoding CTE chain over vector CTE `src` (must
+    * expose vec_id, e): 8 subspaces → seed codebooks → two unrolled
+    * Lloyd rounds → final code assignment. Parameterized so q152 can
+    * run the SAME chain over a residual frame (with a seed predicate
+    * avoiding the zero-residual centroid-member vectors, whose
+    * zero-magnitude cosines would otherwise make every assignment a
+    * NaN-vs-null engine seam).
+    */
+  private def pqTrainCtesSql(src: String,
+                             seedPred: String = "vec_id < 16"): String =
+    s"""sub AS (
        |  SELECT vec_id, CAST(j AS INT) AS j,
        |    e[(j*8+1):(j*8+8)] AS sv
-       |  FROM v, range(0, 8) t(j)),
-       |c0 AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+       |  FROM $src, range(0, 8) t(j)),
+       |c0 AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE $seedPred),
        |a1 AS (${pqAssignSql("c0")}),
        |m1 AS (SELECT j, cid, i, round(avg(sv[i]), 6) AS mv
        |       FROM a1, range(1, 9) t(i) GROUP BY j, cid, i),
@@ -3573,7 +3579,13 @@ object ExtensionQueries {
        |m2 AS (SELECT j, cid, i, round(avg(sv[i]), 6) AS mv
        |       FROM a2, range(1, 9) t(i) GROUP BY j, cid, i),
        |c2 AS (SELECT j, cid, list(mv ORDER BY i) AS cv FROM m2 GROUP BY j, cid),
-       |codes AS (${pqAssignSql("c2")}),
+       |codes AS (${pqAssignSql("c2")})""".stripMargin
+
+  private lazy val pqCtesSql: String =
+    s"""v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE vec_id < 400),
+       |${pqTrainCtesSql("v")},
        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
        |qsub AS (
        |  SELECT query_id, CAST(j AS INT) AS j, qe[(j*8+1):(j*8+8)] AS qv
@@ -4036,4 +4048,119 @@ object ExtensionQueries {
       |SELECT doc_id, md5(txt) AS t_md5,
       |  CAST(length(txt) AS BIGINT) AS n_out
       |FROM x ORDER BY doc_id""".stripMargin
+
+  /** ✚ RESIDUAL IVF-PQ ([[graft.ext.Pq.residuals]],
+    * [[graft.ext.Pq.ivfResidualAdcKnn]]) — the true FAISS shape on
+    * top of q147's raw-vector composition: vectors are IVF-assigned,
+    * the PQ codebooks are trained on RESIDUALS x − centroid(x)
+    * (element-wise double subtract, one round-to-float — both
+    * replayed exactly), codes encode residuals, and the ADC score
+    * decomposes as dot(q, c) + dot(q, r̂) — the per-cluster constant
+    * added OUTSIDE the ascending-j ADC sum, with explicit parens in
+    * the oracle so both engines add in the same order. Residual
+    * seeds come from vec_ids [8, 24): the 8 coarse centroids' own
+    * residuals are exactly ZERO, and a zero-magnitude seed centroid
+    * would turn every assignment cosine into the NaN-vs-null engine
+    * seam (zero-magnitude CORPUS rows are fine: all-null cosines
+    * fall back to the smallest cid in Spark, and DuckDB's all-NaN
+    * tie breaks to the same cid). Output: per query the residual
+    * IVF-PQ top-10 plus recall@10 against the exact float brute
+    * ranking — residual arithmetic, training, probe gating, score
+    * decomposition and recall all inside the hash.
+    */
+  def q152ResidualPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 400)
+    val centroids = e.filter(col("vec_id") < 8)
+    val assigned = Similarity.assignToCentroids(e, centroids)
+    val res = Pq.residuals(assigned, centroids)
+    val seeds = res.filter(col("vec_id") >= 8 && col("vec_id") < 24)
+    val resCbs = Pq.trainCodebooks(res, seeds, m = 8, dims = 64, iters = 2)
+    val encodedAssigned = Pq.encode(res, resCbs, dims = 64)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val knn = Pq.ivfResidualAdcKnn(encodedAssigned, centroids, resCbs,
+      queries, k = 10, nprobe = 2)
+    val truth = Pq.bruteDotKnn(e, queries, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val recall = knn.select(col("query_id"), col("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    knn.join(broadcast(recall), Seq("query_id"), "left")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adc_dot"), 6).as("adc_dot"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0, 2)
+          .as("recall10"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q152Sql: String = {
+    val adcSum = pqAdcSumSql
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE vec_id < 400),
+       |ivfc AS (SELECT vec_id AS centroid_id, e AS cv FROM v WHERE vec_id < 8),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT w.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY w.vec_id
+       |        ORDER BY list_cosine_similarity(w.e, c.cv) DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM v w CROSS JOIN ivfc c) t WHERE rn = 1),
+       |rv AS (
+       |  SELECT w.vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(CAST(w.e[i] - c.cv[i] AS FLOAT) AS DOUBLE)) AS e
+       |  FROM v w
+       |  JOIN assigned a ON a.vec_id = w.vec_id
+       |  JOIN ivfc c ON c.centroid_id = a.centroid_id),
+       |${pqTrainCtesSql("rv", "vec_id >= 8 AND vec_id < 24")},
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+       |qsub AS (
+       |  SELECT query_id, CAST(j AS INT) AS j, qe[(j*8+1):(j*8+8)] AS qv
+       |  FROM q, range(0, 8) t(j)),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.query_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.qe, c.cv) DESC,
+       |                 c.centroid_id) AS rn
+       |    FROM q CROSS JOIN ivfc c) t WHERE rn <= 2),
+       |adcp AS (
+       |  SELECT qs.query_id, cd.vec_id AS neighbor_id, qs.j,
+       |    list_dot_product(qs.qv, c.cv) AS d,
+       |    list_dot_product(q.qe, ic.cv) AS qc
+       |  FROM codes cd
+       |  JOIN c2 c ON c.j = cd.j AND c.cid = cd.cid
+       |  JOIN assigned a ON a.vec_id = cd.vec_id
+       |  JOIN probes p ON p.centroid_id = a.centroid_id
+       |  JOIN ivfc ic ON ic.centroid_id = a.centroid_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN qsub qs ON qs.j = cd.j AND qs.query_id = p.query_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, max(qc) + ($adcSum) AS adc_dot
+       |  FROM adcp GROUP BY query_id, neighbor_id),
+       |top AS (
+       |  SELECT query_id, neighbor_id, adc_dot,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dot DESC, neighbor_id) AS rank
+       |  FROM adc QUALIFY rank <= 10),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, v.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(q.qe, v.e) DESC, v.vec_id) AS rn
+       |    FROM q CROSS JOIN v) t WHERE rn <= 10),
+       |rec AS (
+       |  SELECT t.query_id, count(*) AS n_hits
+       |  FROM top t JOIN truth u
+       |    ON u.query_id = t.query_id AND u.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT t.query_id, CAST(t.rank AS INT) AS rank, t.neighbor_id,
+       |  round(t.adc_dot, 6) AS adc_dot,
+       |  round(coalesce(r.n_hits, 0) / 10.0, 2) AS recall10
+       |FROM top t LEFT JOIN rec r ON r.query_id = t.query_id
+       |ORDER BY t.query_id, t.rank""".stripMargin
+  }
 }
