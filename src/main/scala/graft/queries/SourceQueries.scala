@@ -692,17 +692,33 @@ object SourceQueries {
     * class), and runs both elections as windows.
     */
   def q148WarcCuration(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.charset.StandardCharsets.UTF_8
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
       .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
     val textOf = docs.map(r => r.getLong(0) -> r.getString(1)).toMap
     val root = java.nio.file.Files.createTempDirectory("graft_q148_").toString
     val file = root + "/crawl.warc.gz"
+    writeCrawlArchive(file, 0L until 200L, textOf, truncated = true)
+    val parsed = graft.sources.Warc.read(spark, file)
+      .select(col("rec_type"), col("url"), col("ok"),
+        graft.functions.HtmlToTextFunctions.htmlToText(
+          col("body").cast("string")).as("body"))
+    materializeThenDelete(warcCurationStages(parsed), root)
+  }
+
+  /** The q148/q153 fixture archive: one HTML response record per id
+    * (URL variants over `id % 40`, page template whose `<script>`
+    * carries the full id, escaped `text(id % 25)` body), optionally
+    * ending in the truncated fail-soft record. One definition — the
+    * streaming gate's two archives must carry byte-identical records
+    * to the one-shot's single archive.
+    */
+  private def writeCrawlArchive(file: String, ids: Seq[Long],
+                                textOf: Map[Long, String],
+                                truncated: Boolean): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
     val out = new java.util.zip.GZIPOutputStream(
       new java.io.FileOutputStream(file))
-    docs.foreach { r =>
-      val id = r.getLong(0)
+    ids.foreach { id =>
       val g = id % 40
       val rawUrl = (id % 4) match {
         case 0 => s"http://example.com/d/$g?utm_id=$id"
@@ -722,15 +738,21 @@ object SourceQueries {
         "WARC-Date" -> "2024-01-01T00:00:00Z",
         "Content-Type" -> "application/http;msgtype=response"), payload)
     }
-    out.write("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999999\r\n\r\nxx"
-      .getBytes(UTF_8))
+    if (truncated)
+      out.write("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999999\r\n\r\nxx"
+        .getBytes(UTF_8))
     out.close()
+  }
 
-    val parsed = graft.sources.Warc.read(spark, file)
+  /** q148's curation tail over a parsed+extracted frame
+    * (rec_type, url, ok, body = EXTRACTED text) — shared verbatim by
+    * the one-shot and the streaming composition, so the two gates can
+    * only differ through their ingest.
+    */
+  private def warcCurationStages(parsed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val resp = parsed.filter(col("ok") && col("rec_type") === "response")
-      .select(col("url"),
-        graft.functions.HtmlToTextFunctions.htmlToText(
-          col("body").cast("string")).as("body"))
+      .select(col("url"), col("body"))
       .withColumn("nurl", graft.ext.UrlOps.normalizeUrl(col("url")))
       .withColumn("bmd5", md5(col("body")))
     val fpCol = conv(substring(
@@ -750,14 +772,72 @@ object SourceQueries {
     val bad = parsed.filter(!col("ok"))
       .agg(count(lit(1)).as("n"))
       .select(lit("0_bad").as("stage"), col("n"), lit(0L).as("fp"))
-    materializeThenDelete(
-      bad.unionAll(stage(resp, "1_parsed"))
-        .unionAll(stage(urlKept, "2_url_dedup"))
-        .unionAll(stage(quality, "3_quality"))
-        .unionAll(stage(textKept, "4_text_dedup"))
-        .orderBy(col("stage")),
-      root)
+    bad.unionAll(stage(resp, "1_parsed"))
+      .unionAll(stage(urlKept, "2_url_dedup"))
+      .unionAll(stage(quality, "3_quality"))
+      .unionAll(stage(textKept, "4_text_dedup"))
+      .orderBy(col("stage"))
   }
+
+  /** ✚ STREAMING WARC → curation — q148's composition driven by
+    * archives ARRIVING AS A STREAM (the crawl-side deployment: a
+    * fetcher lands .warc.gz files and appends their paths to a
+    * manifest; curation follows the manifest, never re-reading an
+    * archive). The same 201 records ride TWO archives; a one-line
+    * manifest file per archive is streamed with maxFilesPerTrigger=1,
+    * so each micro-batch parses + HTML-extracts EXACTLY ONE archive
+    * (via [[graft.sources.Warc.read]] — archive-unit parallelism and
+    * O(record) memory preserved; the binaryFile streaming source
+    * would materialize whole archives as rows) and appends the
+    * extracted rows to a landing zone. The curation stages then run
+    * over the landed union. THE ORACLE IS q148's: the hash passes
+    * only if two-micro-batch ingest ≡ the one-shot read — ordering,
+    * append semantics, per-batch extraction and the fail-soft row
+    * landing in the SECOND batch all inside the equality (the
+    * q110/q139 stream≡batch pattern).
+    */
+  def q153StreamWarcCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+    val textOf = docs.map(r => r.getLong(0) -> r.getString(1)).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft_q153_").toString
+    writeCrawlArchive(s"$root/a0.warc.gz", 0L until 100L, textOf,
+      truncated = false)
+    writeCrawlArchive(s"$root/a1.warc.gz", 100L until 200L, textOf,
+      truncated = true)
+    val man = s"$root/manifest"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(man))
+    Seq("a0", "a1").foreach { a =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$man/$a.txt"),
+        s"$root/$a.warc.gz\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val landing = s"$root/landing"
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(man)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val paths = b.collect().map(_.getString(0)).filter(_.nonEmpty)
+        if (paths.nonEmpty)
+          graft.sources.Warc.read(spark, paths.mkString(","))
+            .select(col("rec_type"), col("url"), col("ok"),
+              graft.functions.HtmlToTextFunctions.htmlToText(
+                col("body").cast("string")).as("body"))
+            .write.mode("append").parquet(landing)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    materializeThenDelete(
+      warcCurationStages(spark.read.parquet(landing)), root)
+  }
+
+  // q148's oracle IS this gate's oracle — stream≡batch is the claim
+  lazy val q153Sql: String = q148Sql
 
   val q148Sql: String =
     """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
