@@ -3511,11 +3511,14 @@ object ExtensionQueries {
     * EXACT double. Output: per query the ADC top-10 (rank, neighbor,
     * 6-dp score) plus recall@10 against the exact-inner-product
     * brute ranking — codebook training, assignment, ADC arithmetic
-    * and the recall join all inside the hash.
+    * and the recall join all inside the hash. Corpus = the
+    * [[clusteredVecs]] clustered+noise fixture (r19), so the recall
+    * column has real dynamic range instead of the raw fixture's
+    * tie-saturation.
     */
   def q144PqAdc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 400)
+    val e = clusteredVecs(spark, dir)
     val cbs = GateFixtures.pqCodebooks(spark, dir)
     val encoded = Pq.encode(e, cbs, dims = 64)
     val queries = e.filter(col("vec_id") < 3)
@@ -3540,6 +3543,47 @@ object ExtensionQueries {
     * (j, vec_id, sv, cid) — subspace j rides as data, so ONE set of
     * CTEs covers all 8 codebooks. Shared by q144 and q147.
     */
+  /** CLUSTERED+NOISE ANN fixture (r19): the raw synthetic embeddings
+    * are near-uniform, so exact top-k inner products are nearly tied
+    * and id-recall is tie-saturated (adjudicated in the r18 ledger —
+    * approximate methods look arbitrarily bad/good depending on which
+    * of many near-equal neighbors they return). Derive
+    * `v_i = center(i % 8) + NoiseScale · e_i` (center = raw e_{i%8},
+    * one float rounding — both replayed exactly): 8 REAL clusters
+    * with within-cluster noise, so ground-truth neighbor sets are
+    * distinct, recall@10 has dynamic range, and the IVF coarse
+    * centroids fall out as the derived ids 0..7 (v_i = 1.15·e_i for
+    * i < 8 — parallel to the true centers; cosine assignment is
+    * scale-invariant). Shared by the PQ family (q144/q147/q152).
+    */
+  private[queries] val AnnNoiseScale: Double = 0.15
+
+  private[queries] def clusteredVecs(spark: SparkSession,
+                                     dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 400)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("ve").as("ce"))
+    e.join(broadcast(c), pmod(col("vec_id"), lit(8)) === col("cid"))
+      .select(col("vec_id"),
+        zip_with(col("ce"), col("ve"),
+          (x, y) => x + lit(AnnNoiseScale) * y).cast("array<float>")
+          .as("embedding"))
+  }
+
+  /** The fixture's SQL face — every PQ-family oracle's `v`. */
+  private lazy val pqVSql: String =
+    s"""v AS (
+       |  SELECT w.vec_id,
+       |    list_transform(range(1, 65),
+       |      k -> CAST(CAST(c.e[k] + $AnnNoiseScale * w.e[k] AS FLOAT)
+       |           AS DOUBLE)) AS e
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |        FROM embeddings WHERE vec_id < 400) w
+       |  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |        FROM embeddings WHERE vec_id < 8) c
+       |    ON c.vec_id = w.vec_id % 8)""".stripMargin
+
   private def pqAssignSql(cb: String): String =
     s"""SELECT j, vec_id, sv, cid FROM (
        |  SELECT s.j, s.vec_id, s.sv, c.cid,
@@ -3582,9 +3626,7 @@ object ExtensionQueries {
        |codes AS (${pqAssignSql("c2")})""".stripMargin
 
   private lazy val pqCtesSql: String =
-    s"""v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-       |  FROM embeddings WHERE vec_id < 400),
+    s"""$pqVSql,
        |${pqTrainCtesSql("v")},
        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
        |qsub AS (
@@ -3639,7 +3681,7 @@ object ExtensionQueries {
     * re-coded differently from its q144 twin, breaks it.
     */
   def q147IvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 400)
+    val e = clusteredVecs(spark, dir)
     val cbs = GateFixtures.pqCodebooks(spark, dir)
     val centroids = e.filter(col("vec_id") < 8)
     val encodedAssigned = Pq.encode(
@@ -3648,10 +3690,18 @@ object ExtensionQueries {
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-    Pq.ivfAdcKnn(encodedAssigned, centroids, cbs, queries,
-        k = 5, nprobe = 2)
+    val knn = Pq.ivfAdcKnn(encodedAssigned, centroids, cbs, queries,
+      k = 5, nprobe = 2)
+    val truth = Pq.bruteDotKnn(e, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val recall = knn.select(col("query_id"), col("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    knn.join(broadcast(recall), Seq("query_id"), "left")
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("adc_dot"), 6).as("adc_dot"))
+        round(col("adc_dot"), 6).as("adc_dot"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / 5.0, 2)
+          .as("recall5"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -3682,14 +3732,29 @@ object ExtensionQueries {
        |  JOIN qsub qs ON qs.j = cd.j AND qs.query_id = p.query_id),
        |adc AS (
        |  SELECT query_id, neighbor_id, $pqAdcSumSql AS adc_dot
-       |  FROM adcp GROUP BY query_id, neighbor_id)
-       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
-       |  round(adc_dot, 6) AS adc_dot FROM (
-       |  SELECT query_id, neighbor_id, adc_dot,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY adc_dot DESC, neighbor_id) AS rank
-       |  FROM adc) t
-       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |  FROM adcp GROUP BY query_id, neighbor_id),
+       |top AS (
+       |  SELECT query_id, neighbor_id, adc_dot, rank FROM (
+       |    SELECT query_id, neighbor_id, adc_dot,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dot DESC, neighbor_id) AS rank
+       |    FROM adc) t WHERE rank <= 5),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, v.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_dot_product(q.qe, v.e) DESC, v.vec_id) AS rn
+       |    FROM q CROSS JOIN v) t WHERE rn <= 5),
+       |rec AS (
+       |  SELECT t.query_id, count(*) AS n_hits
+       |  FROM top t JOIN truth u
+       |    ON u.query_id = t.query_id AND u.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT t.query_id, CAST(t.rank AS INT) AS rank, t.neighbor_id,
+       |  round(t.adc_dot, 6) AS adc_dot,
+       |  round(coalesce(r.n_hits, 0) / 5.0, 2) AS recall5
+       |FROM top t LEFT JOIN rec r ON r.query_id = t.query_id
+       |ORDER BY t.query_id, t.rank""".stripMargin
 
   /** ✚ BPE TRAINING ([[graft.ext.BpeTrainer]]) — the loop that mints
     * merge tables, closing the learn → apply → budget seam (q54's
@@ -4069,7 +4134,7 @@ object ExtensionQueries {
     * decomposition and recall all inside the hash.
     */
   def q152ResidualPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir, "embeddings").filter(col("vec_id") < 400)
+    val e = clusteredVecs(spark, dir)
     val centroids = e.filter(col("vec_id") < 8)
     val assigned = Similarity.assignToCentroids(e, centroids)
     val res = Pq.residuals(assigned, centroids)
@@ -4097,9 +4162,7 @@ object ExtensionQueries {
 
   val q152Sql: String = {
     val adcSum = pqAdcSumSql
-    s"""WITH v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-       |  FROM embeddings WHERE vec_id < 400),
+    s"""WITH $pqVSql,
        |ivfc AS (SELECT vec_id AS centroid_id, e AS cv FROM v WHERE vec_id < 8),
        |assigned AS (
        |  SELECT vec_id, centroid_id FROM (

@@ -142,8 +142,8 @@ private[queries] object GateFixtures {
     */
   def pqCodebooks(spark: SparkSession, dir: String): graft.ext.Pq.Codebooks =
     pqCbs.computeIfAbsent(s"pq_${Integer.toHexString(dir.hashCode)}", _ => {
-      val e = graft.Tables(spark, dir, "embeddings")
-        .filter(col("vec_id") < 400)
+      // the clustered+noise fixture (r19) — the PQ family's corpus
+      val e = ExtensionQueries.clusteredVecs(spark, dir)
       graft.ext.Pq.trainCodebooks(e, e.filter(col("vec_id") < 16),
         m = 8, dims = 64, iters = 2)
     })
