@@ -132,4 +132,32 @@ object CountMin {
       .filter(col("est") * thrDen >= sk.total * thrNum)
       .distinct()
   }
+
+  /** Bounded end-to-end heavy-hitter REPORT (itemCol, est, exact) —
+    * the sketch probe COMPOSED with the exact verification count in
+    * one aggregation: the estimate filter runs MAP-SIDE before any
+    * shuffle (the sketch is a plan literal, and CMS never
+    * underestimates, so no true heavy hitter is lost — a gram's
+    * occurrences all carry the same est, so its exact count over the
+    * survivors equals its exact count over the corpus). The exchange
+    * therefore carries only CANDIDATE grams, partial-aggregated: at
+    * most |candidates| rows per partition — threshold-bounded
+    * (≤ thrDen/thrNum heavy positions per lane, times collisions) —
+    * instead of every distinct gram in the corpus. At 100 TB the
+    * difference is the whole report: the corpus-wide exact group-by
+    * this replaces shuffles the full vocabulary.
+    *
+    * The q138 gate asserts the plan shape executably: ONE exchange,
+    * with the est filter and the partial aggregate BELOW it.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, sk: Sketch,
+                   thrNum: Long, thrDen: Long): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0,
+      s"CountMin: threshold $thrNum/$thrDen invalid")
+    items
+      .select(col(itemCol), estimate(sk)(col(itemCol)).as("est"))
+      .filter(col("est") * thrDen >= sk.total * thrNum)
+      .groupBy(col(itemCol), col("est"))
+      .agg(count(lit(1)).as("exact"))
+  }
 }

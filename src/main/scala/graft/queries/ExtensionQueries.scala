@@ -3216,12 +3216,28 @@ object ExtensionQueries {
     val grams = Tables(spark, dir, "documents")
       .select(explode(TextStats.ngrams(col("text"), 2)).as("gram"))
     val sk = CountMin.build(grams, "gram", width = 256, depth = 3)
-    val cand = CountMin.heavyHitterCandidates(grams, "gram", sk,
+    // one bounded pass (r19): estimate filter map-side, exact count
+    // only over candidates — replaces the corpus-wide exact group-by
+    // + join composition (same rows: CMS never underestimates and
+    // every occurrence of a gram carries the same est)
+    val rep = CountMin.heavyHitters(grams, "gram", sk,
       thrNum = 1L, thrDen = 512L)
-    val exact = grams.groupBy(col("gram")).agg(count(lit(1)).as("exact"))
-    cand.join(exact, Seq("gram"))
-      .select(col("gram"), col("est"), col("exact"))
-      .orderBy(col("gram"))
+    // executable plan shape: exactly ONE shuffle, and both the est
+    // filter and the partial aggregate sit BELOW it (the printed tree
+    // is top-down, so "below the exchange" = printed after it) — the
+    // exchange carries candidate grams only, partial-aggregated
+    val plan = rep.queryExecution.executedPlan.toString
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    require(exIdx >= 0 &&
+        plan.indexOf("Exchange hashpartitioning", exIdx + 1) < 0,
+      s"q138: expected exactly one shuffle in the heavy-hitter plan")
+    require(plan.indexOf("partial_count", exIdx) > 0,
+      "q138: partial aggregation must run below the exchange")
+    require(plan.indexOf("Filter", exIdx) > 0 &&
+        plan.indexOf("least(", exIdx) > 0,
+      "q138: the min-lane estimate filter must run map-side, below " +
+        "the exchange — the exact count may only shuffle candidates")
+    rep.orderBy(col("gram"))
   }
 
   val q138Sql: String =
@@ -3294,11 +3310,8 @@ object ExtensionQueries {
     val sk = folded.get()
     val grams = Tables(spark, dir, "documents")
       .select(explode(TextStats.ngrams(col("text"), 2)).as("gram"))
-    val exact = grams.groupBy(col("gram")).agg(count(lit(1)).as("exact"))
     SourceQueries.materializeThenDelete(
-      CountMin.heavyHitterCandidates(grams, "gram", sk, 1L, 512L)
-        .join(exact, Seq("gram"))
-        .select(col("gram"), col("est"), col("exact"))
+      CountMin.heavyHitters(grams, "gram", sk, 1L, 512L)
         .orderBy(col("gram")), tmp)
   }
 

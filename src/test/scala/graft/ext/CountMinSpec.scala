@@ -61,6 +61,38 @@ class CountMinSpec extends SparkSpec {
     cand("dominant") should be >= 60L
   }
 
+  test("heavyHitters ≡ candidates + corpus-wide exact join, in ONE " +
+      "bounded pass (filter below the single exchange)") {
+    val heavy = Seq.fill(60)("dominant") ++ Seq.fill(45)("second")
+    val noise = (1 to 120).map(i => s"n$i")
+    // a REAL scan (parquet, not a local Seq): a LocalTableScan would
+    // let Catalyst constant-fold the estimate filter away and the
+    // plan-shape assertions below would be vacuous
+    val p = java.nio.file.Files.createTempDirectory("cms_hh_").toString +
+      "/items"
+    itemsDf(heavy ++ noise).write.parquet(p)
+    val df = spark.read.parquet(p)
+    val sk = CountMin.build(df, "item", width = 128, depth = 3)
+    val rep = CountMin.heavyHitters(df, "item", sk, 1L, 8L)
+    // plan shape BEFORE execution (AQE finalization rewrites the
+    // string): ONE shuffle; the min-lane estimate filter and the
+    // partial aggregate both run BELOW it (map-side) — the exchange
+    // only ever carries candidate items
+    val plan = rep.queryExecution.executedPlan.toString
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
+    exIdx should be >= 0
+    plan.indexOf("Exchange hashpartitioning", exIdx + 1) should be < 0
+    plan.indexOf("partial_count", exIdx) should be > 0
+    plan.indexOf("Filter", exIdx) should be > 0
+    plan.indexOf("least(", exIdx) should be > 0
+    // row-for-row equality with the two-pass composition it replaces
+    val exact = df.groupBy(col("item")).agg(count(lit(1)).as("exact"))
+    val old = CountMin.heavyHitterCandidates(df, "item", sk, 1L, 8L)
+      .join(exact, Seq("item"))
+      .select(col("item"), col("est"), col("exact"))
+    rep.collect().toSeq should contain theSameElementsAs old.collect().toSeq
+  }
+
   test("the build aggregation is bounded by the sketch, not the corpus") {
     val df = itemsDf((1 to 2000).map(i => s"x$i"))
     val sk = CountMin.build(df, "item", width = 64, depth = 2)
