@@ -213,12 +213,13 @@ object ScaleTrend {
     val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
       "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull", "subdedup",
       "q125_battery", "urlnorm", "repbattery", "bloomdecon", "keywords",
-      "paradedup", "cms", "fusedstack",
+      "paradedup", "cms", "fusedstack", "htmltext",
       "bpecol", "bpenat", "bpenat10k", "bpetrain",
       "bpetrainfast").exists(shapeFilter)
     val needVecs = Seq("ivf", "ivfsearch", "brute", "qbuild", "qbrute",
       "srpidx_build", "srpinc", "srpfull", "semdedup",
-      "pqbuild", "pqadc", "brutedot", "pqrerank").exists(shapeFilter)
+      "pqbuild", "pqadc", "brutedot", "pqrerank",
+      "pqresbuild", "pqresadc").exists(shapeFilter)
 
     val liBig = s"$out/lineitem_x$rep"
     if (needLi) ensure(liBig) {
@@ -908,6 +909,63 @@ object ScaleTrend {
     run("pqadc", "big", docsBigN)(pqadcShape(vecsBig, docsBigN))
     run("pqrerank", "small", docsSmallN)(pqrerankShape(vecsSmall, docsSmallN))
     run("pqrerank", "big", docsBigN)(pqrerankShape(vecsBig, docsBigN))
+    // ---- residual IVF-PQ (round 19) ----------------------------------
+    // the true FAISS shape at corpus scale: coarse centroids = one
+    // corpus member per natural cluster (vec_id < 64 ≡ one per
+    // residue class), residual codebooks seeded from [64, 80) (the
+    // coarse members' own residuals are exactly zero), nprobe=4 of
+    // 64. `pqresbuild` prices assign+train+encode+write; `pqresadc`
+    // the probe-gated ADC search over persisted (codes, centroid_id).
+    val pqResCbCache = scala.collection.mutable.Map.empty[String, graft.ext.Pq.Codebooks]
+    def pqResCents(vpath: String): DataFrame =
+      spark.read.parquet(vpath).filter(col("vec_id") < 64L)
+    def pqResTrain(vpath: String): graft.ext.Pq.Codebooks =
+      pqResCbCache.getOrElseUpdate(vpath, {
+        val corpus = spark.read.parquet(vpath)
+        val cents = pqResCents(vpath)
+        val res = graft.ext.Pq.residuals(
+          graft.ext.Similarity.assignToCentroids(corpus, cents), cents)
+        graft.ext.Pq.trainCodebooks(res,
+          res.filter(col("vec_id") >= 64L && col("vec_id") < 80L),
+          m = pqM, dims = VecDims, iters = 2)
+      })
+    def pqResCodesFixture(vpath: String, n: Long): String = {
+      val dst = s"$out/pqrescodes_${n}_m${pqM}_$VecGenVersion"
+      ensure(dst) {
+        val cents = pqResCents(vpath)
+        val res = graft.ext.Pq.residuals(
+          graft.ext.Similarity.assignToCentroids(
+            spark.read.parquet(vpath), cents), cents)
+        graft.ext.Pq.encode(res, pqResTrain(vpath), VecDims)
+          .select(col("vec_id"), col("pq_codes"), col("centroid_id"))
+          .repartition(64).write.mode("overwrite").parquet(dst)
+      }
+      dst
+    }
+    def pqresbuildShape(vpath: String, n: Long): Long = {
+      val dst = s"$out/pqrescodes_tmp_$n"
+      val corpus = spark.read.parquet(vpath)
+      val cents = pqResCents(vpath)
+      val res = graft.ext.Pq.residuals(
+        graft.ext.Similarity.assignToCentroids(corpus, cents), cents)
+      val cbs = graft.ext.Pq.trainCodebooks(res,
+        res.filter(col("vec_id") >= 64L && col("vec_id") < 80L),
+        m = pqM, dims = VecDims, iters = 2)
+      graft.ext.Pq.encode(res, cbs, VecDims)
+        .select(col("vec_id"), col("pq_codes"), col("centroid_id"))
+        .repartition(64).write.mode("overwrite").parquet(dst)
+      spark.read.parquet(dst).count()
+    }
+    def pqresadcShape(vpath: String, n: Long): Long = {
+      val codes = spark.read.parquet(pqResCodesFixture(vpath, n))
+      stash("pqresadc", vpath, graft.ext.Pq.ivfResidualAdcKnn(codes,
+        pqResCents(vpath), pqResTrain(vpath), vecQuerySeq(vpath),
+        k = vecK, nprobe = 4))
+    }
+    run("pqresbuild", "small", docsSmallN)(pqresbuildShape(vecsSmall, docsSmallN))
+    run("pqresbuild", "big", docsBigN)(pqresbuildShape(vecsBig, docsBigN))
+    run("pqresadc", "small", docsSmallN)(pqresadcShape(vecsSmall, docsSmallN))
+    run("pqresadc", "big", docsBigN)(pqresadcShape(vecsBig, docsBigN))
     if (shapeFilter("pqadc"))
       for ((vpath, n) <- Seq((vecsSmall, docsSmallN), (vecsBig, docsBigN))
            if vpath.nonEmpty) {
@@ -939,13 +997,13 @@ object ScaleTrend {
           p._1 % VecCenters == p._2 % VecCenters).toDouble / pairs.size
       }
     for {
-      shape <- Seq("pqadc", "pqrerank")
+      shape <- Seq("pqadc", "pqrerank", "pqresadc")
       rSmall <- pqRecall(shape, vecsSmall)
       rBig <- pqRecall(shape, vecsBig)
     } println(f"$shape%s recall@$vecK vs brutedot floor: " +
       f"small $rSmall%.3f  big $rBig%.3f")
     for {
-      shape <- Seq("brutedot", "pqadc", "pqrerank")
+      shape <- Seq("brutedot", "pqadc", "pqrerank", "pqresadc")
       hSmall <- pqClusterHit(shape, vecsSmall)
       hBig <- pqClusterHit(shape, vecsBig)
     } println(f"$shape%s cluster-hit@$vecK: " +
@@ -998,6 +1056,24 @@ object ScaleTrend {
     def bpetrainfastShape(path: String): Long =
       graft.ext.BpeTrainer.trainFast(
         spark.read.parquet(path), "text", nMerges = 1024).size.toLong
+    // ---- HTML→text extraction (round 19) -----------------------------
+    // the crawl seam's map-side cost: every doc wrapped in the
+    // q151-style page template (script/style/comment elision, entities,
+    // quote-aware attrs, block boundaries), extracted by the codegen'd
+    // lexer in one scan, summed output length as the forcing agg
+    def htmltextShape(path: String): Long =
+      spark.read.parquet(path)
+        .select(graft.functions.HtmlToTextFunctions.htmlToText(concat(
+          lit("<html><head><title>T</title><script>var s = \"<p>t</p>\";" +
+            "</script><style>p > a {}</style></head><body>" +
+            "<!-- c --><h1>H &amp; 1</h1><p>"),
+          col("text"),
+          lit("</p><div>tail &#65; <a href=\"q?a>b\">l</a><br>e</div>" +
+            "</body></html>"))).as("t"))
+        .agg(sum(length(col("t")))).head.getLong(0)
+    run("htmltext", "small", docsSmallN)(htmltextShape(docsSmall))
+    run("htmltext", "big", docsBigN)(htmltextShape(docsBig))
+
     run("bpecol", "small", docsSmallN)(bpecolShape(docsSmall))
     run("bpecol", "big", docsBigN)(bpecolShape(docsBig))
     run("bpenat", "small", docsSmallN)(bpenatShape(docsSmall, bpe9))
