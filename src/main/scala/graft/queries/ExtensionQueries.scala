@@ -4239,4 +4239,74 @@ object ExtensionQueries {
        |FROM top t LEFT JOIN rec r ON r.query_id = t.query_id
        |ORDER BY t.query_id, t.rank""".stripMargin
   }
+
+  /** ✚ C4 LINE-level cleaning composed with HTML→text extraction
+    * ([[graft.ext.LineClean]] ∘ [[graft.functions.HtmlToText]]) — the
+    * published pipeline's actual order: extract text from markup, drop
+    * low-quality LINES (terminal punctuation, ≥ 5 words, no
+    * "javascript"), rewrite the page from the survivors, drop pages
+    * left with < 2 lines or containing code/boilerplate markers
+    * (`{`, "lorem ipsum"). Each document becomes a four-block page —
+    * one real-text line (kept iff its collapsed form has ≥ 5 words),
+    * a too-short line, a case-insensitive "JavaScript" trap, and a
+    * good line carrying doc_id-keyed `{`/"lorem ipsum" injections that
+    * flip the PAGE predicate. The oracle replays extraction (the q151
+    * relational-replay discipline) and every predicate over a SQL list
+    * of the same four lines.
+    */
+  def q154C4Lines(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    import graft.ext.LineClean
+    def esc(c: org.apache.spark.sql.Column) =
+      F.replace(F.replace(F.replace(c, lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val id = col("doc_id")
+    val brace = when(pmod(id, lit(7)) === 0, lit(" {x}")).otherwise(lit(""))
+    val lorem = when(pmod(id, lit(11)) === 0, lit(" lorem ipsum"))
+      .otherwise(lit(""))
+    val html = concat(
+      lit("<html><body><p>"), esc(col("text")), lit(".</p>"),
+      lit("<p>short line</p>"),
+      lit("<p>All about JavaScript frameworks and their many merits" +
+        " online.</p>"),
+      lit("<p>Another good line with enough words to pass muster"),
+      brace, lorem, lit(".</p></body></html>"))
+    val x = graft.functions.HtmlToTextFunctions.htmlToText(html)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(LineClean.keptLines(x)).cast("long").as("n_kept"),
+        LineClean.pageKeep(x, minLines = 2).as("page_keep"),
+        md5(LineClean.cleanedText(x)).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q154Sql: String =
+    """WITH e AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(text || '.', '[ 	
+]+', ' ', 'g'),
+      |         ' ') AS l1,
+      |    CASE WHEN doc_id % 7 = 0 THEN ' {x}' ELSE '' END AS brace,
+      |    CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END AS lorem
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    [l1, 'short line',
+      |     'All about JavaScript frameworks and their many merits online.',
+      |     'Another good line with enough words to pass muster'
+      |       || brace || lorem || '.'] AS lines
+      |  FROM e),
+      |k AS (
+      |  SELECT doc_id,
+      |    list_filter(lines, l ->
+      |      right(l, 1) IN ('.', '!', '?', '"')
+      |      AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')) AS kept,
+      |    array_to_string(lines, chr(10)) AS full_text
+      |  FROM p)
+      |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+      |  len(kept) >= 2 AND NOT contains(full_text, '{')
+      |    AND NOT contains(lower(full_text), 'lorem ipsum') AS page_keep,
+      |  md5(array_to_string(kept, chr(10))) AS clean_md5
+      |FROM k ORDER BY doc_id""".stripMargin
 }
