@@ -194,6 +194,12 @@ object Pq {
     * `CAST(x_i − c_i AS FLOAT)` — one IEEE double subtract then one
     * round-to-float, identical in Spark and DuckDB. One broadcast
     * join against the tiny centroid frame; map-side otherwise.
+    *
+    * MATERIALIZE the result (`localCheckpoint`/`persist`) before
+    * feeding it to [[trainCodebooks]]: training scans the corpus
+    * m subspaces × iters times, and re-evaluating the assignment
+    * join each scan multiplies the whole pipeline's cost (measured
+    * 4× on the q152 gate).
     */
   def residuals(assigned: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "embedding",

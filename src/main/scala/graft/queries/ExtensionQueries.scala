@@ -4150,7 +4150,10 @@ object ExtensionQueries {
     val e = clusteredVecs(spark, dir)
     val centroids = e.filter(col("vec_id") < 8)
     val assigned = Similarity.assignToCentroids(e, centroids)
-    val res = Pq.residuals(assigned, centroids)
+    // materialize the residual frame ONCE: codebook training touches
+    // the corpus 8 subspaces × 2 Lloyd rounds times, and re-evaluating
+    // the assignment join each time quadrupled the gate's wall
+    val res = Pq.residuals(assigned, centroids).localCheckpoint(true)
     val seeds = res.filter(col("vec_id") >= 8 && col("vec_id") < 24)
     val resCbs = Pq.trainCodebooks(res, seeds, m = 8, dims = 64, iters = 2)
     val encodedAssigned = Pq.encode(res, resCbs, dims = 64)

@@ -923,11 +923,16 @@ object ScaleTrend {
       pqResCbCache.getOrElseUpdate(vpath, {
         val corpus = spark.read.parquet(vpath)
         val cents = pqResCents(vpath)
+        // materialize once — training re-reads the corpus 8 subspaces
+        // × 2 rounds times, and the residual frame is a join
         val res = graft.ext.Pq.residuals(
           graft.ext.Similarity.assignToCentroids(corpus, cents), cents)
-        graft.ext.Pq.trainCodebooks(res,
+          .localCheckpoint(true)
+        val cbs = graft.ext.Pq.trainCodebooks(res,
           res.filter(col("vec_id") >= 64L && col("vec_id") < 80L),
           m = pqM, dims = VecDims, iters = 2)
+        res.unpersist()
+        cbs
       })
     def pqResCodesFixture(vpath: String, n: Long): String = {
       val dst = s"$out/pqrescodes_${n}_m${pqM}_$VecGenVersion"
@@ -948,12 +953,14 @@ object ScaleTrend {
       val cents = pqResCents(vpath)
       val res = graft.ext.Pq.residuals(
         graft.ext.Similarity.assignToCentroids(corpus, cents), cents)
+        .localCheckpoint(true)
       val cbs = graft.ext.Pq.trainCodebooks(res,
         res.filter(col("vec_id") >= 64L && col("vec_id") < 80L),
         m = pqM, dims = VecDims, iters = 2)
       graft.ext.Pq.encode(res, cbs, VecDims)
         .select(col("vec_id"), col("pq_codes"), col("centroid_id"))
         .repartition(64).write.mode("overwrite").parquet(dst)
+      res.unpersist()
       spark.read.parquet(dst).count()
     }
     def pqresadcShape(vpath: String, n: Long): Long = {
