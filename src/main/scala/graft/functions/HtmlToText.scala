@@ -78,6 +78,111 @@ object HtmlText {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9')
 
+  /** Index just past the tag's unquoted '>', or end of input. */
+  private def skipTagFrom(html: String, from: Int): Int = {
+    val n = html.length
+    var i = from
+    var quote: Char = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    n
+  }
+
+  /** Lower-cased tag name starting at `from`. */
+  private def tagNameAt(html: String, from: Int): String = {
+    val n = html.length
+    var i = from
+    val sb = new java.lang.StringBuilder
+    while (i < n && isNameChar(html.charAt(i))) {
+      sb.append(Character.toLowerCase(html.charAt(i))); i += 1
+    }
+    sb.toString
+  }
+
+  /** Index just past `</name …>` (case-insensitive), or end. */
+  private def rawTextEnd(html: String, from: Int, name: String): Int = {
+    val n = html.length
+    var i = from
+    val target = "</" + name
+    while (i < n) {
+      if (html.charAt(i) == '<' && i + target.length <= n &&
+          html.regionMatches(true, i, target, 0, target.length)) {
+        val after = i + target.length
+        if (after >= n || isWs(html.charAt(after)) ||
+            html.charAt(after) == '>' || html.charAt(after) == '/')
+          return skipTagFrom(html, after)
+      }
+      i += 1
+    }
+    n
+  }
+
+  /** Parse a character reference at `amp` (index of '&'): returns the
+    * decoded string and the index just past it, or null when invalid
+    * (caller keeps '&' literally). ONE definition of the entity
+    * grammar — the text path and the attribute decoder both use it.
+    */
+  private def parseEntity(s: String, amp: Int): (String, Int) = {
+    val n = s.length
+    var i = amp + 1
+    if (i < n && s.charAt(i) == '#') {
+      i += 1
+      val hex = i < n && (s.charAt(i) == 'x' || s.charAt(i) == 'X')
+      if (hex) i += 1
+      val start = i
+      var cp = 0L
+      while (i < n && i - start < 7 && {
+        val c = s.charAt(i)
+        if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F')
+        else c >= '0' && c <= '9'
+      }) {
+        val c = s.charAt(i)
+        val d = if (c <= '9') c - '0'
+                else (Character.toLowerCase(c) - 'a') + 10
+        cp = cp * (if (hex) 16 else 10) + d
+        i += 1
+      }
+      if (i > start && i < n && s.charAt(i) == ';' &&
+          cp >= 1 && cp <= 0x10FFFF &&
+          !(cp >= 0xD800 && cp <= 0xDFFF))
+        (new String(Character.toChars(cp.toInt)), i + 1)
+      else null
+    } else {
+      val start = i
+      while (i < n && i - start < 8 && Character.isLetter(s.charAt(i)))
+        i += 1
+      if (i > start && i < n && s.charAt(i) == ';')
+        NamedEntities.get(s.substring(start, i)) match {
+          case Some(d) => (d, i + 1)
+          case None => null
+        }
+      else null
+    }
+  }
+
+  /** Decode character references in an attribute value (same entity
+    * grammar as text; invalid references stay literal).
+    */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') parseEntity(s, i) match {
+        case null => out.append('&'); i += 1
+        case (d, next) => out.append(d); i = next
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Extract text from `html` under the contract above. */
   def extract(html: String): String = {
     val n = html.length
@@ -110,90 +215,6 @@ object HtmlText {
       pendingSpace = false
     }
 
-    /** Index just past the tag's unquoted '>', or n. */
-    def skipTag(from: Int): Int = {
-      var i = from
-      var quote: Char = 0
-      while (i < n) {
-        val c = html.charAt(i)
-        if (quote != 0) { if (c == quote) quote = 0 }
-        else if (c == '"' || c == '\'') quote = c
-        else if (c == '>') return i + 1
-        i += 1
-      }
-      n
-    }
-
-    /** Lower-cased tag name starting at `from`, with its end index. */
-    def tagName(from: Int): (String, Int) = {
-      var i = from
-      val sb = new java.lang.StringBuilder
-      while (i < n && isNameChar(html.charAt(i))) {
-        sb.append(Character.toLowerCase(html.charAt(i))); i += 1
-      }
-      (sb.toString, i)
-    }
-
-    /** Index just past `</name …>` (case-insensitive), or n. */
-    def skipRawText(from: Int, name: String): Int = {
-      var i = from
-      val target = "</" + name
-      while (i < n) {
-        if (html.charAt(i) == '<' && i + target.length <= n &&
-            html.regionMatches(true, i, target, 0, target.length)) {
-          val after = i + target.length
-          // must be followed by whitespace, '/', '>' or EOF — else it
-          // is a longer name (</scriptx>) and not our close tag
-          if (after >= n || isWs(html.charAt(after)) ||
-              html.charAt(after) == '>' || html.charAt(after) == '/')
-            return skipTag(after)
-        }
-        i += 1
-      }
-      n
-    }
-
-    /** Decode a character reference at `&` (index `amp`); returns the
-      * index just past it when valid, or -1 to treat `&` literally.
-      */
-    def entity(amp: Int): Int = {
-      var i = amp + 1
-      if (i < n && html.charAt(i) == '#') {
-        i += 1
-        val hex = i < n && (html.charAt(i) == 'x' || html.charAt(i) == 'X')
-        if (hex) i += 1
-        val start = i
-        var cp = 0L
-        while (i < n && i - start < 7 && {
-          val c = html.charAt(i)
-          if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
-            (c >= 'A' && c <= 'F')
-          else c >= '0' && c <= '9'
-        }) {
-          val c = html.charAt(i)
-          val d = if (c <= '9') c - '0'
-                  else (Character.toLowerCase(c) - 'a') + 10
-          cp = cp * (if (hex) 16 else 10) + d
-          i += 1
-        }
-        if (i > start && i < n && html.charAt(i) == ';' &&
-            cp >= 1 && cp <= 0x10FFFF &&
-            !(cp >= 0xD800 && cp <= 0xDFFF)) {
-          emitCodePoint(cp.toInt); i + 1
-        } else -1
-      } else {
-        val start = i
-        while (i < n && i - start < 8 &&
-               Character.isLetter(html.charAt(i))) i += 1
-        if (i > start && i < n && html.charAt(i) == ';')
-          NamedEntities.get(html.substring(start, i)) match {
-            case Some(s) => s.foreach(emit); i + 1
-            case None => -1
-          }
-        else -1
-      }
-    }
-
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -203,31 +224,128 @@ object HtmlText {
           if (html.regionMatches(i, "<!--", 0, 4)) {
             val end = html.indexOf("-->", i + 4)
             i = if (end < 0) n else end + 3
-          } else i = skipTag(i + 2)
-        } else if (c1 == '?') i = skipTag(i + 2)
+          } else i = skipTagFrom(html, i + 2)
+        } else if (c1 == '?') i = skipTagFrom(html, i + 2)
         else if (c1 == '/') {
           if (i + 2 < n && Character.isLetter(html.charAt(i + 2))) {
-            val (name, _) = tagName(i + 2)
-            i = skipTag(i + 2)
+            val name = tagNameAt(html, i + 2)
+            i = skipTagFrom(html, i + 2)
             if (BlockTags.contains(name)) flush()
           } else { emit('<'); i += 1 }
         } else if (Character.isLetter(c1)) {
-          val (name, _) = tagName(i + 1)
-          i = skipTag(i + 1)
-          if (RawTextTags.contains(name)) i = skipRawText(i, name)
+          val name = tagNameAt(html, i + 1)
+          i = skipTagFrom(html, i + 1)
+          if (RawTextTags.contains(name)) i = rawTextEnd(html, i, name)
           if (BlockTags.contains(name)) flush()
         } else { emit('<'); i += 1 }
       } else if (c == '&') {
-        val next = entity(i)
-        if (next < 0) { emit('&'); i += 1 } else i = next
+        parseEntity(html, i) match {
+          case null => emit('&'); i += 1
+          case (d, next) => d.foreach(emit); i = next
+        }
       } else { emit(c); i += 1 }
     }
     flush()
     out.toString
   }
 
+  /** Extracted `<a href>` targets in document order — the crawl
+    * FRONTIER seam (URL discovery): same tolerant lexer, but instead
+    * of text it captures the href attribute of every anchor OPEN tag,
+    * entity-decoded (hrefs routinely carry `&amp;`). Links inside
+    * elided regions (script/style content, comments, doctype/PI) are
+    * NOT extracted — boilerplate markup must not mint frontier URLs.
+    * Unquoted, single- and double-quoted attribute values all parse;
+    * anchors without an href contribute nothing. No URL resolution
+    * here — relative links stay relative (resolution needs the base
+    * URL, a join-side concern; [[graft.ext.UrlOps]] normalizes).
+    */
+  def links(html: String): Array[String] = {
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!') {
+          if (html.regionMatches(i, "<!--", 0, 4)) {
+            val end = html.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else i = skipTagFrom(html, i + 2)
+        } else if (c1 == '?') i = skipTagFrom(html, i + 2)
+        else if (c1 == '/') i =
+          if (i + 2 < n && Character.isLetter(html.charAt(i + 2)))
+            skipTagFrom(html, i + 2)
+          else i + 1
+        else if (Character.isLetter(c1)) {
+          val name = tagNameAt(html, i + 1)
+          if (name == "a") {
+            val (href, next) = findHref(html, i + 1 + name.length)
+            if (href != null) out += decodeEntities(href)
+            i = next
+          } else {
+            i = skipTagFrom(html, i + 1)
+            if (RawTextTags.contains(name)) i = rawTextEnd(html, i, name)
+          }
+        } else i += 1
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Scan a tag's attributes from `from` (just past the tag name) to
+    * its unquoted '>': returns (href value or null, index past tag).
+    * Quoted values may contain '>' and whitespace; bare values end at
+    * whitespace or '>'.
+    */
+  private def findHref(html: String, from: Int): (String, Int) = {
+    val n = html.length
+    var i = from
+    var href: String = null
+    while (i < n) {
+      while (i < n && isWs(html.charAt(i))) i += 1
+      if (i >= n) return (href, n)
+      val c = html.charAt(i)
+      if (c == '>') return (href, i + 1)
+      if (c == '/' || c == '=') { i += 1 }
+      else {
+        val nameStart = i
+        while (i < n && !isWs(html.charAt(i)) && html.charAt(i) != '=' &&
+               html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+        val name = html.substring(nameStart, i)
+        while (i < n && isWs(html.charAt(i))) i += 1
+        var value: String = null
+        if (i < n && html.charAt(i) == '=') {
+          i += 1
+          while (i < n && isWs(html.charAt(i))) i += 1
+          if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+            val q = html.charAt(i)
+            val vStart = i + 1
+            i += 1
+            while (i < n && html.charAt(i) != q) i += 1
+            value = html.substring(vStart, math.min(i, n))
+            if (i < n) i += 1
+          } else {
+            val vStart = i
+            while (i < n && !isWs(html.charAt(i)) && html.charAt(i) != '>')
+              i += 1
+            value = html.substring(vStart, i)
+          }
+        }
+        if (href == null && name.equalsIgnoreCase("href") && value != null)
+          href = value
+      }
+    }
+    (href, n)
+  }
+
   def extractU(html: UTF8String): UTF8String =
     UTF8String.fromString(extract(html.toString))
+
+  def linksU(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      links(html.toString).map(UTF8String.fromString): Array[Any])
 }
 
 /** `html_to_text(html)` → string: the extracted text (see
@@ -254,9 +372,37 @@ case class HtmlToText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `html_links(html)` → array<string>: href targets of anchor tags in
+  * document order (see [[HtmlText.links]]). Null html → null.
+  */
+case class HtmlLinks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "html_links"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_links needs string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlText.linksU(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlText.linksU($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+}
+
 object HtmlToTextFunctions {
 
-  /** Column-level entry point. */
+  /** Column-level entry points. */
   def htmlToText(html: Column): Column =
     GraftSql.column(HtmlToText(GraftSql.expression(html)))
+
+  def htmlLinks(html: Column): Column =
+    GraftSql.column(HtmlLinks(GraftSql.expression(html)))
 }

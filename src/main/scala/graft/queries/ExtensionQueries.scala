@@ -4287,7 +4287,8 @@ object ExtensionQueries {
     """WITH e AS (
       |  SELECT doc_id,
       |    trim(regexp_replace(text || '.', '[ 	
-]+', ' ', 'g'),
+
+]+', ' ', 'g'),
       |         ' ') AS l1,
       |    CASE WHEN doc_id % 7 = 0 THEN ' {x}' ELSE '' END AS brace,
       |    CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END AS lorem
@@ -4312,4 +4313,57 @@ object ExtensionQueries {
       |    AND NOT contains(lower(full_text), 'lorem ipsum') AS page_keep,
       |  md5(array_to_string(kept, chr(10))) AS clean_md5
       |FROM k ORDER BY doc_id""".stripMargin
+
+  /** ✚ link extraction → frontier normalization
+    * ([[graft.functions.HtmlText.links]] ∘
+    * [[graft.ext.UrlOps.normalizeUrl]]) — the crawl FRONTIER seam:
+    * URL discovery from fetched pages, the step that feeds the next
+    * crawl round. Each document becomes a page carrying four real
+    * anchors (double-quoted with an entity-encoded `&amp;` in the
+    * query, single-quoted, UNQUOTED, and upper-case `<A HREF>` with a
+    * scheme/case/fragment-noisy target) plus two traps that must mint
+    * NOTHING (an anchor inside script content, one inside a comment)
+    * and an href-less anchor. The engine extracts hrefs in document
+    * order (entity-decoded) and normalizes each into its frontier
+    * key; the oracle states all four links and their q129-pinned
+    * normal forms relationally.
+    */
+  def q155HtmlLinks(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val g5 = (col("doc_id") % 5).cast("string")
+    val g3 = (col("doc_id") % 3).cast("string")
+    val html = concat(
+      lit("<html><head><script>var s = '<a href=\"http://trap.test/x\">t" +
+        "</a>';</script></head><body>" +
+        "<!-- <a href=\"http://comment.test/\">c</a> -->" +
+        "<a href=\"http://ex.test/a?id="), id, lit("&amp;p=1\">one</a>" +
+        "<a href='http://ex.test/b/"), g5, lit("'>two</a>" +
+        "<a class=\"x\" href=http://ex.test/bare/"), g3, lit(">three</a>" +
+        "<A HREF=\"HTTP://EX.test/caps#frag\">four</A>" +
+        "<a name=\"anchor\">no href</a></body></html>"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(
+        graft.functions.HtmlToTextFunctions.htmlLinks(html))
+        .as(Seq("pos", "link")))
+      .withColumn("nurl", graft.ext.UrlOps.normalizeUrl(col("link")))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val q155Sql: String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |r AS (
+      |  SELECT doc_id, 0 AS pos,
+      |    'http://ex.test/a?id=' || CAST(doc_id AS VARCHAR) || '&p=1' AS link,
+      |    'ex.test/a?id=' || CAST(doc_id AS VARCHAR) || '&p=1' AS nurl
+      |  FROM d
+      |  UNION ALL SELECT doc_id, 1,
+      |    'http://ex.test/b/' || CAST(doc_id % 5 AS VARCHAR),
+      |    'ex.test/b/' || CAST(doc_id % 5 AS VARCHAR) FROM d
+      |  UNION ALL SELECT doc_id, 2,
+      |    'http://ex.test/bare/' || CAST(doc_id % 3 AS VARCHAR),
+      |    'ex.test/bare/' || CAST(doc_id % 3 AS VARCHAR) FROM d
+      |  UNION ALL SELECT doc_id, 3, 'HTTP://EX.test/caps#frag',
+      |    'ex.test/caps' FROM d)
+      |SELECT doc_id, CAST(pos AS INT) AS pos, link, nurl
+      |FROM r ORDER BY doc_id, pos""".stripMargin
 }

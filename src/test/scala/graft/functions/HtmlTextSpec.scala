@@ -103,6 +103,47 @@ class HtmlTextSpec extends SparkSpec {
     }
   }
 
+  private def lk(html: String): Seq[String] = HtmlText.links(html).toSeq
+
+  test("links: quoted/unquoted hrefs, attribute order, case") {
+    lk("""<a href="http://a.test/1">x</a>""") shouldBe Seq("http://a.test/1")
+    lk("""<a href='http://a.test/2'>x</a>""") shouldBe Seq("http://a.test/2")
+    lk("""<a href=http://a.test/3>x</a>""") shouldBe Seq("http://a.test/3")
+    lk("""<a class="c" id=z href="u">x</a>""") shouldBe Seq("u")
+    lk("""<A HREF="U">x</A>""") shouldBe Seq("U")
+    lk("""<a href="q?a>b">x</a>""") shouldBe Seq("q?a>b")
+    // first href wins; anchors without href contribute nothing
+    lk("""<a href="one" href="two">x</a>""") shouldBe Seq("one")
+    lk("""<a name="n">x</a><a>y</a>""") shouldBe Seq.empty
+    // document order across anchors
+    lk("""<a href="1"></a><p><a href="2"></a></p>""") shouldBe Seq("1", "2")
+    // relative links pass through unresolved
+    lk("""<a href="/rel/path">x</a>""") shouldBe Seq("/rel/path")
+  }
+
+  test("links: entity decode; elided regions mint nothing") {
+    lk("""<a href="u?a=1&amp;b=2">x</a>""") shouldBe Seq("u?a=1&b=2")
+    lk("""<a href="u?a&#61;1">x</a>""") shouldBe Seq("u?a=1")
+    lk("""<script>var s = '<a href="http://trap.test/">t</a>';</script>
+         |<!-- <a href="http://comment.test/">c</a> -->
+         |<a href="http://real.test/">r</a>""".stripMargin) shouldBe
+      Seq("http://real.test/")
+    // <abbr>/<area> etc. are not anchors; names starting with 'a' must
+    // not false-match
+    lk("""<abbr href="not-a-link">x</abbr><a href="yes">y</a>""") shouldBe
+      Seq("yes")
+  }
+
+  test("links Column face equals the JVM call; null-safe") {
+    val df = Seq(
+      """<a href="1"></a><a href="2"></a>""",
+      "<p>no links</p>",
+      null: String).toDF("h")
+      .select(HtmlToTextFunctions.htmlLinks(col("h")).as("l"))
+    df.as[Seq[String]].collect().toSeq shouldBe
+      Seq(Seq("1", "2"), Seq.empty, null)
+  }
+
   test("Column face (codegen) equals the JVM call; plan is map-side") {
     val df = Seq(
       "<p>one</p><p>two</p>",
