@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt allow/disallow ELECTION over a URL corpus — the other
+  * half of [[graft.functions.RobotsRules]]: given per-host prefix
+  * rules (one robots fetch per host, exploded to a (host, allow,
+  * prefix) frame), decide each URL by the REP rule: the LONGEST
+  * matching prefix wins, Allow wins a length tie, and a URL with no
+  * matching rule is allowed.
+  *
+  * Scale shape: the rules frame is per-host metadata (tiny next to
+  * the corpus) — ONE broadcast left join on host with the prefix
+  * match in the join condition, then one aggregation electing
+  * `max(struct(prefix_len, allow))` per URL. The corpus never
+  * shuffles on anything but its own key; rows with no matching rule
+  * survive the left join as a single null row and elect to allowed.
+  */
+object Robots {
+
+  /** Decorate `urls` with the election's verdict.
+    *
+    * @param urls  corpus frame carrying `hostCol` and `pathCol`
+    *              (plus any other columns — all preserved)
+    * @param rules (hostCol, allow boolean, prefix string) — the
+    *              agent's rules per host, e.g.
+    *              `robots_rules(txt, agent)` exploded
+    * @param keyCols the URL frame's unique key (the aggregation's
+    *                group-by; all other columns ride via `first`)
+    */
+  def withAllowed(urls: DataFrame, rules: DataFrame,
+                  keyCols: Seq[String],
+                  hostCol: String = "host", pathCol: String = "path",
+                  outCol: String = "allowed"): DataFrame = {
+    val r = broadcast(rules.select(
+      col(hostCol).as("_r_host"), col("allow").as("_r_allow"),
+      col("prefix").as("_r_prefix")))
+    val joined = urls.join(r,
+      urls(hostCol) === col("_r_host") &&
+        col(pathCol).startsWith(col("_r_prefix")), "left")
+    val others = urls.columns.filterNot(keyCols.contains)
+    val verdict = max(when(col("_r_prefix").isNotNull,
+        struct(length(col("_r_prefix")).as("l"),
+          col("_r_allow").cast("int").as("a"))))
+    joined.groupBy(keyCols.map(col): _*)
+      .agg(verdict.as("_v"),
+        others.map(c => first(col(c)).as(c)): _*)
+      // no matching rule (null verdict) ⇒ allowed; else the winning
+      // rule's allow bit — Allow wins the length tie because the
+      // struct orders (l, a) and a=1 > a=0
+      .withColumn(outCol,
+        coalesce(col("_v").getField("a") === 1, lit(true)))
+      .drop("_v", "_r_host", "_r_allow", "_r_prefix")
+  }
+}

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt parsing (REP, RFC 9309 restricted to the prefix-rule
+  * subset) — the crawl POLITENESS seam: a fetcher must not request
+  * paths the host's robots.txt disallows for its user agent. At
+  * corpus scale robots files are one PER HOST (potentially millions),
+  * so parsing is a map-side EXPRESSION over a (host, robots_txt)
+  * frame, not driver work; the allow/disallow election over URLs is
+  * a broadcast join + one aggregation ([[graft.ext.Robots]]).
+  *
+  * Grammar handled (the deployed-web subset, tolerantly):
+  *  - `field: value` lines; field names case-insensitive; `#` starts
+  *    a comment; blank/malformed lines are skipped;
+  *  - consecutive `User-agent` lines share one group; a `User-agent`
+  *    line AFTER rules starts a new group; rules before any group are
+  *    ignored (RFC: rules outside a group have no effect);
+  *  - group selection for an agent: groups whose product token
+  *    equals the agent case-insensitively (all of them — RFC says
+  *    combine); else the `*` groups; else no rules (everything
+  *    allowed);
+  *  - `Allow`/`Disallow` values are PATH PREFIXES; an empty value is
+  *    "no restriction" and contributes no rule (the traditional
+  *    `Disallow:` = allow-all reading). RFC wildcard patterns
+  *    (`*`, `$`) are a DOCUMENTED simplification — out of scope so
+  *    the election stays SQL-replayable (prefix match + length);
+  *  - decision ([[graft.ext.Robots]]): the longest matching prefix
+  *    wins; on a length tie Allow wins; no matching rule ⇒ allowed.
+  */
+object RobotsRules {
+
+  /** Parsed prefix rules of `content` for `agent`: (allow, prefix)
+    * pairs in file order.
+    */
+  def rulesFor(content: String, agent: String): Array[(Boolean, String)] = {
+    final case class Group(agents: List[String],
+                           rules: List[(Boolean, String)])
+    var groups = List.empty[Group]
+    var curAgents = List.empty[String]
+    var curRules = List.empty[(Boolean, String)]
+    var inRules = false
+    var open = false
+    def flush(): Unit = {
+      if (open) groups = Group(curAgents.reverse, curRules.reverse) :: groups
+      curAgents = Nil; curRules = Nil; inRules = false; open = false
+    }
+    content.split("\r?\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h < 0) raw else raw.substring(0, h)
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (line.nonEmpty && colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (inRules) flush()
+            open = true
+            curAgents = value.toLowerCase :: curAgents
+          case "allow" | "disallow" if open =>
+            inRules = true
+            if (value.nonEmpty)
+              curRules = (field == "allow", value) :: curRules
+          case _ => () // crawl-delay, sitemap, unknown fields: skipped
+        }
+      }
+    }
+    flush()
+    val all = groups.reverse
+    val a = agent.toLowerCase
+    val exact = all.filter(_.agents.contains(a))
+    val chosen = if (exact.nonEmpty) exact
+                 else all.filter(_.agents.contains("*"))
+    chosen.flatMap(_.rules).toArray
+  }
+
+  private[functions] def rulesArrayData(content: UTF8String,
+                                        agent: String): ArrayData =
+    new GenericArrayData(rulesFor(content.toString, agent).map {
+      case (allow, prefix) => new GenericInternalRow(
+        Array[Any](allow, UTF8String.fromString(prefix)))
+    }: Array[Any])
+}
+
+/** `robots_rules(txt)` → array<struct<allow boolean, prefix string>>:
+  * the prefix rules applying to `agent` (see [[RobotsRules]]). Null
+  * text → null.
+  */
+case class RobotsRulesExpr(child: Expression, agent: String)
+  extends UnaryExpression {
+
+  require(agent.nonEmpty && agent == agent.toLowerCase &&
+      !agent.contains(" "),
+    s"robots_rules: agent '$agent' must be a non-empty lower-case token")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("allow", BooleanType, nullable = false),
+    StructField("prefix", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "robots_rules"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"robots_rules needs string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    RobotsRules.rulesArrayData(input.asInstanceOf[UTF8String], agent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("robotsRules", this,
+      classOf[RobotsRulesExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$self.rules($c)")
+  }
+
+  /** Codegen callback. */
+  def rules(content: UTF8String): ArrayData =
+    RobotsRules.rulesArrayData(content, agent)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RobotsRulesExpr = copy(child = newChild)
+}
+
+object RobotsFunctions {
+
+  /** Column-level entry point (agent must be a lower-case token). */
+  def robotsRules(robotsTxt: Column, agent: String): Column =
+    GraftSql.column(RobotsRulesExpr(GraftSql.expression(robotsTxt), agent))
+}

@@ -4366,4 +4366,75 @@ object ExtensionQueries {
       |    'ex.test/caps' FROM d)
       |SELECT doc_id, CAST(pos AS INT) AS pos, link, nurl
       |FROM r ORDER BY doc_id, pos""".stripMargin
+
+  /** ✚ robots.txt politeness ([[graft.functions.RobotsRules]] +
+    * [[graft.ext.Robots.withAllowed]]) — the crawl seam's missing
+    * gatekeeper: REAL robots.txt TEXT is parsed per host by the
+    * map-side expression (comments, case-insensitive fields/agents,
+    * an OtherBot group and a `*` fallback group that must BOTH lose
+    * to the exact graftbot match, an even-host-only extra rule), the
+    * rules explode to a per-host frame, and every document-derived
+    * URL is decided by the REP election — longest matching prefix
+    * wins, Allow wins the length tie, no match ⇒ allowed. The oracle
+    * rebuilds the rules relationally from the template and replays
+    * the election as a window over matching rules.
+    */
+  def q156Robots(spark: SparkSession, dir: String): DataFrame = {
+    // 7 hosts, COPRIME with the 4 path variants: every path variant
+    // lands on both even- and odd-k hosts, so the even-host-only /p2
+    // rule is exercised both present (deny) and absent (default allow)
+    val hosts = spark.range(7).select(col("id").as("k"),
+      concat(lit("h"), col("id").cast("string"), lit(".test")).as("host"))
+    val txt = concat(
+      lit("# robots for graft\nUser-agent: OtherBot\nDisallow: /\n\n" +
+        "User-Agent: GraftBot\nDisallow: /private\nAllow: /private/ok\n"),
+      when(col("k") % 2 === 0, lit("Disallow: /p2\n")).otherwise(lit("")),
+      lit("\nUser-agent: *\nDisallow: /\n"))
+    val rules = hosts.select(col("host"),
+        explode(graft.functions.RobotsFunctions.robotsRules(
+          txt, "graftbot")).as("r"))
+      .select(col("host"), col("r.allow").as("allow"),
+        col("r.prefix").as("prefix"))
+    val id = col("doc_id").cast("string")
+    val urls = Tables(spark, dir, "documents").select(col("doc_id"),
+      concat(lit("h"), (col("doc_id") % 7).cast("string"), lit(".test"))
+        .as("host"),
+      when(col("doc_id") % 4 === 0, concat(lit("/private/ok/"), id))
+        .when(col("doc_id") % 4 === 1, concat(lit("/private/"), id))
+        .when(col("doc_id") % 4 === 2, concat(lit("/p2/"), id))
+        .otherwise(lit("/")).as("path"))
+    graft.ext.Robots.withAllowed(urls, rules, Seq("doc_id"))
+      .select(col("doc_id"), col("host"), col("path"), col("allowed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q156Sql: String =
+    """WITH hosts AS (
+      |  SELECT CAST(k AS BIGINT) AS k,
+      |    'h' || CAST(k AS VARCHAR) || '.test' AS host
+      |  FROM range(0, 7) t(k)),
+      |rules AS (
+      |  SELECT host, FALSE AS allow, '/private' AS prefix FROM hosts
+      |  UNION ALL SELECT host, TRUE, '/private/ok' FROM hosts
+      |  UNION ALL SELECT host, FALSE, '/p2' FROM hosts WHERE k % 2 = 0),
+      |u AS (
+      |  SELECT doc_id,
+      |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN '/p2/' || CAST(doc_id AS VARCHAR)
+      |      ELSE '/' END AS path
+      |  FROM documents),
+      |m AS (
+      |  SELECT u.doc_id, r.allow,
+      |    row_number() OVER (PARTITION BY u.doc_id
+      |      ORDER BY length(r.prefix) DESC, CAST(r.allow AS INT) DESC) AS rn
+      |  FROM u JOIN rules r
+      |    ON r.host = u.host AND starts_with(u.path, r.prefix))
+      |SELECT u.doc_id, u.host, u.path,
+      |  coalesce(m.allow, TRUE) AS allowed
+      |FROM u LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) m
+      |  ON m.doc_id = u.doc_id
+      |ORDER BY u.doc_id""".stripMargin
 }

@@ -1,0 +1,122 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.functions.RobotsRules
+import org.apache.spark.sql.functions._
+
+/** Hand-computed battery for the robots.txt parser
+  * ([[graft.functions.RobotsRules]]) and the allow/disallow election
+  * ([[Robots.withAllowed]]).
+  */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rules(txt: String, agent: String = "graftbot") =
+    RobotsRules.rulesFor(txt, agent).toSeq
+
+  test("groups, comments, case-insensitive fields and agents") {
+    val txt =
+      """# banner comment
+        |User-agent: OtherBot
+        |Disallow: /
+        |
+        |User-Agent: GraftBot  # trailing comment
+        |DISALLOW: /private
+        |allow: /private/ok
+        |
+        |User-agent: *
+        |Disallow: /fallback
+        |""".stripMargin
+    rules(txt) shouldBe Seq(false -> "/private", true -> "/private/ok")
+    // unknown agent falls back to the * group
+    rules(txt, "nobody") shouldBe Seq(false -> "/fallback")
+  }
+
+  test("consecutive UA lines share a group; UA after rules starts one") {
+    val txt =
+      """User-agent: a
+        |User-agent: graftbot
+        |Disallow: /x
+        |User-agent: b
+        |Disallow: /y
+        |""".stripMargin
+    rules(txt) shouldBe Seq(false -> "/x")
+    rules(txt, "b") shouldBe Seq(false -> "/y")
+    // 'a' shares the first group
+    rules(txt, "a") shouldBe Seq(false -> "/x")
+  }
+
+  test("multiple groups for the same agent combine (RFC)") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /x
+        |User-agent: graftbot
+        |Allow: /x/ok
+        |""".stripMargin
+    rules(txt) shouldBe Seq(false -> "/x", true -> "/x/ok")
+  }
+
+  test("empty values are no-restriction; stray rules are ignored") {
+    val txt =
+      """Disallow: /orphan
+        |User-agent: graftbot
+        |Disallow:
+        |Allow:
+        |Disallow: /real
+        |Crawl-delay: 10
+        |Sitemap: http://x/s.xml
+        |""".stripMargin
+    rules(txt) shouldBe Seq(false -> "/real")
+    // no group at all → no rules
+    rules("just text, no fields") shouldBe Seq.empty
+  }
+
+  test("election: longest prefix wins, Allow wins ties, default allow") {
+    val rulesDf = Seq(
+      ("h.test", false, "/private"),
+      ("h.test", true, "/private/ok"),
+      ("h.test", false, "/dup"),
+      ("h.test", true, "/dup"),          // length tie → Allow wins
+      ("other.test", false, "/")).toDF("host", "allow", "prefix")
+    val urls = Seq(
+      (1L, "h.test", "/private/ok/a"),   // allow (longest)
+      (2L, "h.test", "/private/x"),      // disallow
+      (3L, "h.test", "/dup/z"),          // allow (tie)
+      (4L, "h.test", "/free"),           // no match → allow
+      (5L, "other.test", "/anything"))   // disallowed by /
+      .toDF("doc_id", "host", "path")
+    val out = Robots.withAllowed(urls, rulesDf, Seq("doc_id"))
+      .select(col("doc_id"), col("allowed"))
+      .as[(Long, Boolean)].collect().toMap
+    out shouldBe Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> true, 5L -> false)
+  }
+
+  test("election preserves the URL frame's other columns") {
+    val rulesDf = Seq(("h.test", false, "/no")).toDF("host", "allow", "prefix")
+    val urls = Seq((1L, "h.test", "/no/x", "payload"))
+      .toDF("doc_id", "host", "path", "extra")
+    val row = Robots.withAllowed(urls, rulesDf, Seq("doc_id")).collect()(0)
+    row.getAs[String]("extra") shouldBe "payload"
+    row.getAs[Boolean]("allowed") shouldBe false
+  }
+
+  test("expression face: rules ride a (host, txt) frame map-side") {
+    val df = Seq(
+      ("h1", "User-agent: graftbot\nDisallow: /a\nAllow: /a/b\n"),
+      ("h2", "User-agent: *\nDisallow: /c\n"),
+      ("h3", null: String)).toDF("host", "txt")
+      .select(col("host"),
+        graft.functions.RobotsFunctions.robotsRules(col("txt"), "graftbot")
+          .as("r"))
+    val got = df.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getBoolean(0), x.getString(1))))).toMap
+    got("h1") shouldBe Seq(false -> "/a", true -> "/a/b")
+    got("h2") shouldBe Seq(false -> "/c")
+    got("h3") shouldBe null
+    // agent must be a lower-case token
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.RobotsFunctions.robotsRules(col("txt"), "GraftBot")
+  }
+}
