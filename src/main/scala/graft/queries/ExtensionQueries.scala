@@ -4437,4 +4437,114 @@ object ExtensionQueries {
       |FROM u LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) m
       |  ON m.doc_id = u.doc_id
       |ORDER BY u.doc_id""".stripMargin
+
+  /** ✚ crawl-frontier round ([[graft.functions.HtmlLinks]] →
+    * [[graft.ext.UrlOps.normalizeUrl]] → dedup-vs-seen →
+    * [[graft.ext.Robots.withAllowed]]) — one full frontier iteration
+    * of a crawler, composed from the r19 parts: extract hrefs from
+    * fetched pages (two per page: a unique deep link and a SHARED
+    * `/p2` link carrying www/tracking noise the normalizer must
+    * strip), canonicalize into frontier keys, drop URLs already
+    * fetched (the seen set = every fourth page's deep link), then
+    * gate the survivors through the per-host robots election (the
+    * q156 rules: `/p2` is disallowed on even hosts only). Output:
+    * per-stage (count, fingerprint-sum) rows — extraction volume,
+    * post-dedup size and the final polite frontier all in one hash.
+    */
+  def q157CrawlFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val k = (col("doc_id") % 7).cast("string")
+    val g = (col("doc_id") % 40).cast("string")
+    val html = concat(
+      lit("<html><body><a href=\"http://h"), k,
+      lit(".test/private/ok/"), id,
+      lit("\">x</a><a href=\"http://www.h"), k, lit(".test/p2/"), g,
+      lit("?utm_source=z\">y</a></body></html>"))
+    val docs = Tables(spark, dir, "documents")
+    val links = docs
+      .select(explode(graft.functions.HtmlToTextFunctions.htmlLinks(html))
+        .as("link"))
+      .select(graft.ext.UrlOps.normalizeUrl(col("link")).as("nurl"))
+    val seen = docs.filter(col("doc_id") % 4 === 0)
+      .select(concat(lit("h"), (col("doc_id") % 7).cast("string"),
+        lit(".test/private/ok/"), col("doc_id").cast("string")).as("nurl"))
+    val newUrls = links.select(col("nurl")).distinct()
+      .join(seen, Seq("nurl"), "left_anti")
+    val hosts = spark.range(7).select(col("id").as("k"),
+      concat(lit("h"), col("id").cast("string"), lit(".test")).as("host"))
+    val txt = concat(
+      lit("# robots for graft\nUser-agent: OtherBot\nDisallow: /\n\n" +
+        "User-Agent: GraftBot\nDisallow: /private\nAllow: /private/ok\n"),
+      when(col("k") % 2 === 0, lit("Disallow: /p2\n")).otherwise(lit("")),
+      lit("\nUser-agent: *\nDisallow: /\n"))
+    val rules = hosts.select(col("host"),
+        explode(graft.functions.RobotsFunctions.robotsRules(
+          txt, "graftbot")).as("r"))
+      .select(col("host"), col("r.allow").as("allow"),
+        col("r.prefix").as("prefix"))
+    val withHostPath = newUrls
+      .withColumn("host", substring_index(col("nurl"), "/", 1))
+      .withColumn("path",
+        col("nurl").substr(length(col("host")) + 1, length(col("nurl"))))
+    val frontier = graft.ext.Robots
+      .withAllowed(withHostPath, rules, Seq("nurl"))
+      .filter(col("allowed"))
+    val fp = conv(substring(md5(col("nurl")), 1, 6), 16, 10).cast("long")
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), coalesce(sum(fp), lit(0L)).as("fp"))
+        .select(lit(name).as("stage"), col("n"), col("fp"))
+    stage(links, "1_links")
+      .unionAll(stage(newUrls, "2_new"))
+      .unionAll(stage(frontier, "3_frontier"))
+      .orderBy(col("stage"))
+  }
+
+  val q157Sql: String =
+    """WITH hosts AS (
+      |  SELECT CAST(k AS BIGINT) AS k,
+      |    'h' || CAST(k AS VARCHAR) || '.test' AS host
+      |  FROM range(0, 7) t(k)),
+      |rules AS (
+      |  SELECT host, FALSE AS allow, '/private' AS prefix FROM hosts
+      |  UNION ALL SELECT host, TRUE, '/private/ok' FROM hosts
+      |  UNION ALL SELECT host, FALSE, '/p2' FROM hosts WHERE k % 2 = 0),
+      |l AS (
+      |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test/private/ok/'
+      |    || CAST(doc_id AS VARCHAR) AS nurl FROM documents
+      |  UNION ALL
+      |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test/p2/'
+      |    || CAST(doc_id % 40 AS VARCHAR) FROM documents),
+      |f AS (
+      |  SELECT nurl,
+      |    CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT) AS fp
+      |  FROM l),
+      |seen AS (
+      |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test/private/ok/'
+      |    || CAST(doc_id AS VARCHAR) AS nurl
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |nw AS (
+      |  SELECT DISTINCT nurl, fp FROM f
+      |  WHERE nurl NOT IN (SELECT nurl FROM seen)),
+      |hp AS (
+      |  SELECT nurl, fp,
+      |    substr(nurl, 1, strpos(nurl, '/') - 1) AS host,
+      |    substr(nurl, strpos(nurl, '/')) AS path
+      |  FROM nw),
+      |m AS (
+      |  SELECT hp.nurl, r.allow,
+      |    row_number() OVER (PARTITION BY hp.nurl
+      |      ORDER BY length(r.prefix) DESC, CAST(r.allow AS INT) DESC) AS rn
+      |  FROM hp JOIN rules r
+      |    ON r.host = hp.host AND starts_with(hp.path, r.prefix)),
+      |fr AS (
+      |  SELECT hp.nurl, hp.fp
+      |  FROM hp LEFT JOIN (SELECT nurl, allow FROM m WHERE rn = 1) m
+      |    ON m.nurl = hp.nurl
+      |  WHERE coalesce(m.allow, TRUE))
+      |SELECT '1_links' AS stage, count(*) AS n, CAST(sum(fp) AS BIGINT) AS fp
+      |FROM f
+      |UNION ALL SELECT '2_new', count(*), CAST(sum(fp) AS BIGINT) FROM nw
+      |UNION ALL SELECT '3_frontier', count(*), CAST(sum(fp) AS BIGINT)
+      |FROM fr
+      |ORDER BY stage""".stripMargin
 }
