@@ -83,6 +83,76 @@ object RobotsRules {
     chosen.flatMap(_.rules).toArray
   }
 
+  /** `Sitemap:` URLs of the file — group-independent per the REP
+    * (they seed the frontier regardless of agent).
+    */
+  def sitemaps(content: String): Array[String] =
+    content.split("\r?\n", -1).flatMap { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h < 0) raw else raw.substring(0, h)
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+
+  /** The `Crawl-delay` (whole seconds) of the group matched exactly
+    * like [[rulesFor]]'s selection — the politeness pacing knob; None
+    * when no matched group carries one (or the value is not a
+    * non-negative integer). When several matched groups carry one,
+    * the smallest wins (most conservative).
+    */
+  def crawlDelay(content: String, agent: String): Option[Long] = {
+    // a second small pass with the same group grammar as rulesFor
+    var curAgents = List.empty[String]
+    var inRules = false
+    var open = false
+    var groups = List.empty[(List[String], List[Long])]
+    var curDelays = List.empty[Long]
+    def flush(): Unit = {
+      if (open) groups = (curAgents.reverse, curDelays.reverse) :: groups
+      curAgents = Nil; curDelays = Nil; inRules = false; open = false
+    }
+    content.split("\r?\n", -1).foreach { raw =>
+      val noComment = {
+        val h = raw.indexOf('#')
+        if (h < 0) raw else raw.substring(0, h)
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (line.nonEmpty && colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (inRules) flush()
+            open = true
+            curAgents = value.toLowerCase :: curAgents
+          case "allow" | "disallow" if open => inRules = true
+          case "crawl-delay" if open =>
+            inRules = true
+            value.toLongOption.filter(_ >= 0)
+              .foreach(d => curDelays = d :: curDelays)
+          case _ => ()
+        }
+      }
+    }
+    flush()
+    val all = groups.reverse
+    val a = agent.toLowerCase
+    val exact = all.filter(_._1.contains(a))
+    val chosen = if (exact.nonEmpty) exact else all.filter(_._1.contains("*"))
+    chosen.flatMap(_._2) match {
+      case Nil => None
+      case ds => Some(ds.min)
+    }
+  }
+
   private[functions] def rulesArrayData(content: UTF8String,
                                         agent: String): ArrayData =
     new GenericArrayData(rulesFor(content.toString, agent).map {

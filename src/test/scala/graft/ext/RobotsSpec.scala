@@ -71,6 +71,32 @@ class RobotsSpec extends SparkSpec {
     rules("just text, no fields") shouldBe Seq.empty
   }
 
+  test("sitemaps are group-independent; crawl-delay follows group selection") {
+    val txt =
+      """Sitemap: http://x.test/top.xml
+        |User-agent: otherbot
+        |Crawl-delay: 1
+        |Disallow: /
+        |Sitemap: http://x.test/inner.xml
+        |User-agent: graftbot
+        |Crawl-delay: 7
+        |User-agent: graftbot
+        |Crawl-delay: 3
+        |User-agent: *
+        |Crawl-delay: 9
+        |""".stripMargin
+    RobotsRules.sitemaps(txt).toSeq shouldBe
+      Seq("http://x.test/top.xml", "http://x.test/inner.xml")
+    // both graftbot groups match; the smaller delay wins
+    RobotsRules.crawlDelay(txt, "graftbot") shouldBe Some(3L)
+    // unknown agent → the * group
+    RobotsRules.crawlDelay(txt, "nobody") shouldBe Some(9L)
+    // garbage / negative values are skipped
+    RobotsRules.crawlDelay(
+      "User-agent: graftbot\nCrawl-delay: x\n", "graftbot") shouldBe None
+    RobotsRules.crawlDelay("no groups here", "graftbot") shouldBe None
+  }
+
   test("election: longest prefix wins, Allow wins ties, default allow") {
     val rulesDf = Seq(
       ("h.test", false, "/private"),
