@@ -173,6 +173,68 @@ object Multimodal {
     ds.mapPartitions(_.map(ImageDecoder.decode))
   }
 
+  /** Perceptual difference hash (dHash, Krawetz) — the image twin of
+    * the text near-dup fingerprints: decode, grayscale to the
+    * standard 9×8 luma grid (resize only when the input is not
+    * already 9×8 — the bilinear path is JVM-deterministic but not
+    * oracle-replayable, so fixtures construct at-grid images), then
+    * 64 bits `luma(x+1, y) > luma(x, y)` packed at index `y·8 + x`
+    * (index 63 lands in the sign bit — the hash is the full signed
+    * long). Near-identical images differ in FEW bits, so Hamming
+    * distance is the dedup metric ([[ImageDedup]]). Null when the
+    * image cannot be decoded.
+    *
+    * Luma per pixel is the decoder's exact expression
+    * `0.299·R + 0.587·G + 0.114·B` (left-associated doubles), so an
+    * oracle can replay every bit from constructed pixel values.
+    */
+  def dHash(bytes: Array[Byte]): java.lang.Long = {
+    val img0 = try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))) catch { case _: Exception => None }
+    img0 match {
+      case None => null
+      case Some(src0) =>
+        val src =
+          if (src0.getWidth == 9 && src0.getHeight == 8) src0
+          else {
+            val dst = new java.awt.image.BufferedImage(9, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src0, 0, 0, 9, 8, null)
+            } finally g.dispose()
+            dst
+          }
+        def luma(x: Int, y: Int): Double = {
+          val rgb = src.getRGB(x, y)
+          0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+        }
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (luma(x + 1, y) > luma(x, y)) h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        java.lang.Long.valueOf(h)
+    }
+  }
+
+  /** (id, dhash) frame of a media corpus — undecodable rows carry a
+    * null hash (fail-soft, the decoder discipline).
+    */
+  def dHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(r => (r.id, Option(dHash(r.data)).map(_.longValue))))
+      .toDF("id", "dhash")
+  }
+
   /** REAL audio features for PCM containers (WAV/AIFF/AU), decoded
     * with the JDK's `javax.sound.sampled`. Undecodable or non-PCM-16
     * records flow through as `decode_ok = false` rows, same

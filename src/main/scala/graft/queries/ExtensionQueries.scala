@@ -4547,4 +4547,99 @@ object ExtensionQueries {
       |UNION ALL SELECT '3_frontier', count(*), CAST(sum(fp) AS BIGINT)
       |FROM fr
       |ORDER BY stage""".stripMargin
+
+  /** 9×8 grayscale PNG with hash-free deterministic pixels: base
+    * `(grp·37 + x·19 + y·11) % 256`, first `v` pixels of row 0
+    * shifted by +128 (the q158 perturbation — same construction in
+    * the oracle).
+    */
+  private def grayPng9x8(grp: Int, v: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val base = (grp * 37 + x * 19 + y * 11) % 256
+        val g = if (v > 0 && y == 0 && x < v) (base + 128) % 256 else base
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** ✚ perceptual IMAGE near-dup dedup ([[graft.ext.Multimodal.dHash]]
+    * + [[graft.ext.ImageDedup.nearDupPairs]]) — the multimodal twin of
+    * the text dedup family with a STRONGER guarantee: the 64-bit dHash
+    * banding is COMPLETE for Hamming ≤ t by pigeonhole (t+1 disjoint
+    * bands — at least one must be identical), so the gate's oracle can
+    * be plain all-pairs arithmetic and equality PROVES the banding
+    * misses nothing. Each document becomes a REAL 9×8 PNG (lossless —
+    * the decoder reads back exact pixels) whose class is
+    * (doc_id % 24, doc_id % 5): same-group variants differ only in the
+    * few row-0 pixels the perturbation shifts, landing at small
+    * Hamming distances; cross-group images land far and are filtered.
+    * The oracle replays pixels → the decoder's exact luma doubles →
+    * comparison bits → the signed 64-bit packing → per-class-pair
+    * popcounts, weighted by class sizes. Output: (hamming, n_pairs).
+    */
+  def q158ImageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 24).cast("int").as("grp"),
+        (col("doc_id") % 5).cast("int").as("v"))
+      .as[(Long, Int, Int)]
+      .map { case (id, grp, v) =>
+        Multimodal.MediaRecord(id, "img", grayPng9x8(grp, v), Map.empty) }
+    val hashes = Multimodal.dHashes(media)
+    graft.ext.ImageDedup.nearDupPairs(hashes, "id", "dhash", maxHamming = 6)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
+  val q158Sql: String =
+    """WITH cls AS (
+      |  SELECT CAST(doc_id % 24 AS INT) AS grp,
+      |    CAST(doc_id % 5 AS INT) AS v, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |px AS (
+      |  SELECT c.grp, c.v, CAST(x.x AS INT) AS x, CAST(y.y AS INT) AS y,
+      |    CAST(CASE WHEN c.v > 0 AND y.y = 0 AND x.x < c.v
+      |      THEN ((c.grp*37 + x.x*19 + y.y*11) % 256 + 128) % 256
+      |      ELSE (c.grp*37 + x.x*19 + y.y*11) % 256 END AS DOUBLE) AS g
+      |  FROM cls c, range(0, 9) x(x), range(0, 8) y(y)),
+      |lm AS (SELECT grp, v, x, y,
+      |  0.299*g + 0.587*g + 0.114*g AS luma FROM px),
+      |bits AS (
+      |  SELECT a.grp, a.v, a.y*8 + a.x AS idx, (b.luma > a.luma) AS bit
+      |  FROM lm a JOIN lm b
+      |    ON b.grp = a.grp AND b.v = a.v AND b.y = a.y AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |hs AS (
+      |  SELECT grp, v,
+      |    CAST(sum(CASE WHEN bit AND idx < 63
+      |      THEN (CAST(1 AS BIGINT) << idx) ELSE 0 END) AS BIGINT)
+      |    + CASE WHEN bool_or(bit AND idx = 63)
+      |        THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+      |        ELSE 0 END AS h
+      |  FROM bits GROUP BY grp, v),
+      |cl AS (
+      |  SELECT c.grp, c.v, c.cnt, h.h
+      |  FROM cls c JOIN hs h ON h.grp = c.grp AND h.v = c.v),
+      |pr AS (
+      |  SELECT 0 AS hamming, CAST(cnt*(cnt-1)/2 AS BIGINT) AS n
+      |  FROM cl WHERE cnt >= 2
+      |  UNION ALL
+      |  SELECT CAST(bit_count(xor(a.h, b.h)) AS INT),
+      |    CAST(a.cnt*b.cnt AS BIGINT)
+      |  FROM cl a JOIN cl b
+      |    ON (a.grp < b.grp OR (a.grp = b.grp AND a.v < b.v))
+      |  WHERE bit_count(xor(a.h, b.h)) <= 6)
+      |SELECT CAST(hamming AS INT) AS hamming,
+      |  CAST(sum(n) AS BIGINT) AS n_pairs
+      |FROM pr GROUP BY 1 ORDER BY hamming""".stripMargin
 }
