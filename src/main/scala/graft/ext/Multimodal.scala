@@ -339,6 +339,76 @@ object Multimodal {
     ds.mapPartitions(_.map(AudioDecoder.decode))
   }
 
+  /** Perceptual AUDIO fingerprint — [[dHash]]'s audio twin for the
+    * same exact-Hamming dedup machinery ([[ImageDedup]] is hash-
+    * generic): decode 16-bit signed PCM (the [[AudioDecoder]] path),
+    * take the first `65·frameLen` samples with `frameLen =
+    * n/65` (null when the clip is shorter than 65 samples), per-frame
+    * ENERGY = the integer sum of `abs(sample)` — all-integer, so an
+    * oracle replays every bit with no float-order caveats — and 64
+    * bits `energy(i+1) > energy(i)` packed at index i (index 63 in
+    * the sign bit, as dHash). Robust to volume scaling direction:
+    * energy DELTAS encode the envelope, not the level.
+    */
+  def audioHash(bytes: Array[Byte]): java.lang.Long = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val fsize = fmt.getFrameSize
+        if (frames < 0 || fsize <= 0 ||
+            frames * fsize > AudioDecoder.MaxPcmBytes ||
+            fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) null
+        else {
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          val frameLen = n / 65
+          if (frameLen == 0) null
+          else {
+            val energy = new Array[Long](65)
+            var f = 0
+            while (f < 65) {
+              var acc = 0L
+              var i = f * frameLen
+              val end = i + frameLen
+              while (i < end) {
+                val (b0, b1) =
+                  if (fmt.isBigEndian) (pcm(2 * i + 1), pcm(2 * i))
+                  else (pcm(2 * i), pcm(2 * i + 1))
+                val s = ((b1 << 8) | (b0 & 0xff)).toShort
+                acc += math.abs(s.toLong)
+                i += 1
+              }
+              energy(f) = acc
+              f += 1
+            }
+            var h = 0L
+            var i = 0
+            while (i < 64) {
+              if (energy(i + 1) > energy(i)) h |= 1L << i
+              i += 1
+            }
+            java.lang.Long.valueOf(h)
+          }
+        }
+      } finally ais.close()
+    } catch { case _: Exception => null }
+  }
+
+  /** (id, ahash) frame of an audio corpus — null for undecodable or
+    * too-short rows (fail-soft).
+    */
+  def audioHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(r =>
+      (r.id, Option(audioHash(r.data)).map(_.longValue))))
+      .toDF("id", "ahash")
+  }
+
   /** Lift a (id, kind, binary) frame into the typed media Dataset. */
   def asMedia(df: DataFrame, idCol: String, kindCol: String,
               dataCol: String): Dataset[MediaRecord] = {

@@ -4642,4 +4642,91 @@ object ExtensionQueries {
       |SELECT CAST(hamming AS INT) AS hamming,
       |  CAST(sum(n) AS BIGINT) AS n_pairs
       |FROM pr GROUP BY 1 ORDER BY hamming""".stripMargin
+
+  /** 520-sample mono PCM-16 WAV with formula samples: base
+    * `((grp·131 + t·17) % 2001) − 1000`, first `v` FRAMES (8 samples
+    * each) doubled — the q159 perturbation. Doubling scales a frame's
+    * energy, so comparisons INSIDE the doubled prefix are unchanged
+    * (2a > 2b ⟺ a > b) and only the boundary bit can flip: the
+    * envelope-hash robustness, constructed.
+    */
+  private def toneWav(grp: Int, v: Int): Array[Byte] = {
+    val samples = new Array[Short](520)
+    var t = 0
+    while (t < 520) {
+      val base = ((grp * 131 + t * 17) % 2001) - 1000
+      samples(t) = (if (t < v * 8) base * 2 else base).toShort
+      t += 1
+    }
+    Multimodal.AudioDecoder.encodeWavPcm16(samples, 8000f, 1)
+  }
+
+  /** ✚ perceptual AUDIO near-dup dedup ([[graft.ext.Multimodal.audioHash]]
+    * through the SAME exact-Hamming banding as q158 — [[graft.ext.ImageDedup]]
+    * is hash-generic) — the audio twin: every document becomes a real
+    * PCM-16 WAV (encoded and decoded through javax.sound.sampled),
+    * fingerprinted by 64 frame-energy-delta bits. Energies are
+    * INTEGER sums of |sample|, so the oracle replays every bit with
+    * no float-order caveats: samples from the construction formula →
+    * per-frame integer energies → comparison bits → the signed
+    * packing → all-pairs popcounts weighted by class sizes (the q158
+    * completeness-proof shape). Output: (hamming, n_pairs).
+    */
+  def q159AudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 24).cast("int").as("grp"),
+        (col("doc_id") % 5).cast("int").as("v"))
+      .as[(Long, Int, Int)]
+      .map { case (id, grp, v) =>
+        Multimodal.MediaRecord(id, "aud", toneWav(grp, v), Map.empty) }
+    val hashes = Multimodal.audioHashes(media)
+    graft.ext.ImageDedup.nearDupPairs(hashes, "id", "ahash", maxHamming = 6)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
+  val q159Sql: String =
+    """WITH cls AS (
+      |  SELECT CAST(doc_id % 24 AS INT) AS grp,
+      |    CAST(doc_id % 5 AS INT) AS v, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |sm AS (
+      |  SELECT c.grp, c.v, CAST(t.t AS INT) AS t,
+      |    CAST(CASE WHEN t.t < c.v * 8
+      |      THEN ((c.grp*131 + t.t*17) % 2001 - 1000) * 2
+      |      ELSE (c.grp*131 + t.t*17) % 2001 - 1000 END AS BIGINT) AS s
+      |  FROM cls c, range(0, 520) t(t)),
+      |en AS (
+      |  SELECT grp, v, t // 8 AS f, sum(abs(s)) AS e
+      |  FROM sm GROUP BY grp, v, t // 8),
+      |bits AS (
+      |  SELECT a.grp, a.v, a.f AS idx, (b.e > a.e) AS bit
+      |  FROM en a JOIN en b
+      |    ON b.grp = a.grp AND b.v = a.v AND b.f = a.f + 1
+      |  WHERE a.f < 64),
+      |hs AS (
+      |  SELECT grp, v,
+      |    CAST(sum(CASE WHEN bit AND idx < 63
+      |      THEN (CAST(1 AS BIGINT) << CAST(idx AS INT)) ELSE 0 END)
+      |      AS BIGINT)
+      |    + CASE WHEN bool_or(bit AND idx = 63)
+      |        THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+      |        ELSE 0 END AS h
+      |  FROM bits GROUP BY grp, v),
+      |cl AS (
+      |  SELECT c.grp, c.v, c.cnt, h.h
+      |  FROM cls c JOIN hs h ON h.grp = c.grp AND h.v = c.v),
+      |pr AS (
+      |  SELECT 0 AS hamming, CAST(cnt*(cnt-1)/2 AS BIGINT) AS n
+      |  FROM cl WHERE cnt >= 2
+      |  UNION ALL
+      |  SELECT CAST(bit_count(xor(a.h, b.h)) AS INT),
+      |    CAST(a.cnt*b.cnt AS BIGINT)
+      |  FROM cl a JOIN cl b
+      |    ON (a.grp < b.grp OR (a.grp = b.grp AND a.v < b.v))
+      |  WHERE bit_count(xor(a.h, b.h)) <= 6)
+      |SELECT CAST(hamming AS INT) AS hamming,
+      |  CAST(sum(n) AS BIGINT) AS n_pairs
+      |FROM pr GROUP BY 1 ORDER BY hamming""".stripMargin
 }

@@ -79,6 +79,26 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("audioHash pins: envelope bits, scaling invariance, guards") {
+    def wav(s: Int => Int, n: Int = 520): Array[Byte] =
+      Multimodal.AudioDecoder.encodeWavPcm16(
+        (0 until n).map(t => s(t).toShort).toArray, 8000f, 1)
+    // constant |sample| → equal frame energies → no bit set
+    Multimodal.audioHash(wav(_ => 100)).longValue shouldBe 0L
+    // strictly growing |sample| → every delta positive → all 64 bits
+    Multimodal.audioHash(wav(t => t + 1)).longValue shouldBe -1L
+    // volume scaling a PREFIX of frames flips at most the boundary
+    // bit: comparisons inside the scaled region are unchanged
+    val base: Int => Int = t => ((t * 17) % 2001) - 1000
+    val h0 = Multimodal.audioHash(wav(base)).longValue
+    val h2 = Multimodal.audioHash(wav(t =>
+      if (t < 16) base(t) * 2 else base(t))).longValue
+    java.lang.Long.bitCount(h0 ^ h2) should be <= 2
+    // too short (< 65 samples) and garbage → null
+    Multimodal.audioHash(wav(_ => 5, n = 64)) shouldBe null
+    Multimodal.audioHash("nope".getBytes("UTF-8")) shouldBe null
+  }
+
   test("null hashes pair with nothing; the bucket cap throws loudly") {
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(5L)))
       .toDF("id", "dhash")
