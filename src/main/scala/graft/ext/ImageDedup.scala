@@ -50,8 +50,13 @@ object ImageDedup {
       else shiftrightunsigned(h, lo)
         .bitwiseAND(lit((1L << w) - 1L))
     }
+    // materialize the (id, hash) frame ONCE: the census and both join
+    // sides scan it, and the upstream is typically a DECODE pipeline
+    // (PNG/WAV per row) that must not run three times — two longs per
+    // image, trivially driver-side-of-executor-memory sized
     val hashed = df.select(col(idCol).as("id"), col(hashCol).as("h"))
       .filter(col("h").isNotNull)
+      .localCheckpoint(true)
     val banded = hashed.select(col("id"), col("h"),
       posexplode(array((0 until nBands)
         .map(j => bandBits(col("h"), j)): _*)).as(Seq("band", "bits")))

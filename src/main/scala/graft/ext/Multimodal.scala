@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's DEFAULT stream cache is a temp FILE per read/write —
+  // disk round-trips plus registry-lock contention that serializes a
+  // 32-thread decode scan; in-memory streams are strictly better for
+  // the byte-array records this engine decodes (measured: the q158
+  // PNG encode+decode pass dropped ~4x)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed media row: bytes + metadata, the cross-modality carrier. */
   final case class MediaRecord(id: Long, kind: String, data: Array[Byte],
                                meta: Map[String, String])
