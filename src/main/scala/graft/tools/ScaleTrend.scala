@@ -219,7 +219,7 @@ object ScaleTrend {
     val needVecs = Seq("ivf", "ivfsearch", "brute", "qbuild", "qbrute",
       "srpidx_build", "srpinc", "srpfull", "semdedup",
       "pqbuild", "pqadc", "brutedot", "pqrerank",
-      "pqresbuild", "pqresadc").exists(shapeFilter)
+      "pqresbuild", "pqresadc", "imgdedup").exists(shapeFilter)
 
     val liBig = s"$out/lineitem_x$rep"
     if (needLi) ensure(liBig) {
@@ -969,6 +969,23 @@ object ScaleTrend {
         pqResCents(vpath), pqResTrain(vpath), vecQuerySeq(vpath),
         k = vecK, nprobe = 4))
     }
+    // ---- exact-Hamming perceptual dedup (round 19) --------------------
+    // the banding operator at hash level (the codec cost is per-row
+    // and embarrassingly parallel — the SCALE question is the banded
+    // self-join): clusters of 4 identical 64-bit hashes with 1-bit
+    // perturbations, nearDupPairs at t=2, COMPLETE by pigeonhole
+    def imgdedupShape(n: Long): Long = {
+      val df = spark.range(n).select(col("id"),
+        expr(s"xxhash64(cast(id % ${n / 4} as string))")
+          .bitwiseXOR(when(col("id") % 4 === 0, lit(0L))
+            .otherwise(expr("shiftleft(1L, cast(id % 13 as int))")))
+          .as("dhash"))
+      graft.ext.ImageDedup.nearDupPairs(df, "id", "dhash", maxHamming = 2)
+        .count()
+    }
+    run("imgdedup", "small", docsSmallN)(imgdedupShape(docsSmallN))
+    run("imgdedup", "big", docsBigN)(imgdedupShape(docsBigN))
+
     run("pqresbuild", "small", docsSmallN)(pqresbuildShape(vecsSmall, docsSmallN))
     run("pqresbuild", "big", docsBigN)(pqresbuildShape(vecsBig, docsBigN))
     run("pqresadc", "small", docsSmallN)(pqresadcShape(vecsSmall, docsSmallN))
