@@ -127,6 +127,52 @@ object MinHashOps {
     out
   }
 
+  /** 64-bit SimHash — [[simhash16]] widened for the exact-Hamming
+    * dedup machinery ([[graft.ext.ImageDedup]] needs 64 bits: a
+    * 16-bit hash would leave 48 constant band bits and collapse every
+    * row into one bucket). Votes come from 64 nibbles: the 32 of
+    * md5(token) then the 32 of md5("#" + token) — the salt-prefix
+    * second digest keeps the oracle replay one `substr(md5(...))`
+    * expression per bit. Bit j (0-based) lands at position 63 − j,
+    * MSB-first like simhash16; null tokens vote −1 everywhere.
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val digest = digests.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) {
+        var j = 0
+        while (j < 64) { votes(j) -= 1; j += 1 }
+      } else {
+        val tok = tokens.getUTF8String(i).getBytes
+        digest.reset()
+        val h1 = digest.digest(tok)
+        digest.reset()
+        digest.update('#'.toByte)
+        val h2 = digest.digest(tok)
+        var j = 0
+        while (j < 64) {
+          val h = if (j < 32) h1 else h2
+          val jj = j & 31
+          val b = h(jj >> 1) & 0xff
+          val nib = if ((jj & 1) == 0) b >>> 4 else b & 0xf
+          if (nib >= 8) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= 1L << (63 - j)
+      j += 1
+    }
+    out
+  }
+
   /** Weighted-sample key ([[graft.ext.Sketches.weightedKey]] hot
     * loop): min over j in 1..weight of the 52-bit hash of
     * salt ++ id ++ "#" ++ j — byte-identical to the HOF formulation
@@ -268,6 +314,27 @@ case class MarkerHits(child: Expression, markers: Seq[String])
   * aggregate(tokens, ...))` which re-folded the whole token array
   * interpreted once per bit.
   */
+/** `simhash64(tokens)` → long (see [[MinHashOps.simhash64]]). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs array<string>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashOps.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashOps.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 case class SimHash16(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "simhash16"
@@ -356,6 +423,9 @@ object MinHashFunctions {
 
   def simhash16(tokens: Column): Column =
     GraftSql.column(SimHash16(GraftSql.expression(tokens)))
+
+  def simhash64(tokens: Column): Column =
+    GraftSql.column(SimHash64(GraftSql.expression(tokens)))
 
   def markerHits(tokens: Column, markers: Seq[String]): Column =
     GraftSql.column(MarkerHits(GraftSql.expression(tokens), markers))

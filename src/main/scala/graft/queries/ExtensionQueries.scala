@@ -4734,4 +4734,72 @@ object ExtensionQueries {
       |SELECT CAST(hamming AS INT) AS hamming,
       |  CAST(sum(n) AS BIGINT) AS n_pairs
       |FROM pr GROUP BY 1 ORDER BY hamming""".stripMargin
+
+  /** ✚ SimHash × exact-Hamming dedup — the FAMILY UNIFICATION gate:
+    * the text fingerprint (q31's SimHash, widened to 64 bits —
+    * [[graft.functions.MinHashOps.simhash64]]: 32 nibble votes of
+    * md5(token) + 32 of md5("#" + token), MSB-first) flows through
+    * the SAME hash-generic exact-Hamming banding as the image/audio
+    * hashes (q158/q159) — one dedup operator, three modalities. Docs
+    * are near-dup by construction (each is a base text, doc_id % 24,
+    * plus a one-token " v<doc_id % 5>" suffix: one changed token of
+    * ~80 flips only the near-tie vote bits), and the oracle replays
+    * the 64 votes per class with q31's list-comprehension pattern,
+    * packs the signed hash, and counts class pairs by popcount —
+    * banding completeness proven against all-pairs arithmetic again.
+    */
+  def q160SimhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").filter(col("doc_id") < 300)
+    val base = d.filter(col("doc_id") < 24)
+      .select(col("doc_id").as("bid"), col("text").as("btext"))
+    val docs = d.select(col("doc_id"), (col("doc_id") % 24).as("bid"))
+      .join(broadcast(base), Seq("bid"))
+      .select(col("doc_id"),
+        concat(col("btext"), lit(" v"),
+          (col("doc_id") % 5).cast("string")).as("text"))
+    val hashes = docs.select(col("doc_id").as("id"),
+      graft.functions.MinHashFunctions.simhash64(
+        TextStats.wsTokens(col("text"))).as("sh"))
+    graft.ext.ImageDedup.nearDupPairs(hashes, "id", "sh", maxHamming = 3)
+      .groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
+  val q160Sql: String =
+    """WITH cls AS (
+      |  SELECT CAST(doc_id % 24 AS INT) AS grp,
+      |    CAST(doc_id % 5 AS INT) AS v, count(*) AS cnt
+      |  FROM documents WHERE doc_id < 300 GROUP BY 1, 2),
+      |ct AS (
+      |  SELECT c.grp, c.v, c.cnt,
+      |    string_split(b.text || ' v' || CAST(c.v AS VARCHAR), ' ') AS toks
+      |  FROM cls c JOIN documents b ON b.doc_id = c.grp),
+      |hs AS (
+      |  SELECT grp, v, cnt,
+      |    CAST(list_sum([CASE WHEN
+      |        list_sum(list_transform(toks, t ->
+      |          CASE WHEN substr(md5(CASE WHEN j <= 32 THEN t
+      |                ELSE '#' || t END), ((j-1) % 32) + 1, 1) >= '8'
+      |            THEN 1 ELSE -1 END)) > 0
+      |      THEN (CAST(1 AS BIGINT) << (64 - j)) ELSE 0 END
+      |      for j in range(2, 65)]) AS BIGINT)
+      |    + CASE WHEN
+      |        list_sum(list_transform(toks, t ->
+      |          CASE WHEN substr(md5(t), 1, 1) >= '8'
+      |            THEN 1 ELSE -1 END)) > 0
+      |      THEN (CAST(-9223372036854775807 AS BIGINT) - 1)
+      |      ELSE 0 END AS h
+      |  FROM ct),
+      |pr AS (
+      |  SELECT 0 AS hamming, CAST(cnt*(cnt-1)/2 AS BIGINT) AS n
+      |  FROM hs WHERE cnt >= 2
+      |  UNION ALL
+      |  SELECT CAST(bit_count(xor(a.h, b.h)) AS INT),
+      |    CAST(a.cnt*b.cnt AS BIGINT)
+      |  FROM hs a JOIN hs b
+      |    ON (a.grp < b.grp OR (a.grp = b.grp AND a.v < b.v))
+      |  WHERE bit_count(xor(a.h, b.h)) <= 3)
+      |SELECT CAST(hamming AS INT) AS hamming,
+      |  CAST(sum(n) AS BIGINT) AS n_pairs
+      |FROM pr GROUP BY 1 ORDER BY hamming""".stripMargin
 }

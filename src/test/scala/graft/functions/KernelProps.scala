@@ -82,4 +82,21 @@ object KernelProps extends Properties("NativeKernels") {
       }
       MinHashOps.simhash16(arr) == want
     }
+
+  property("simhash64 == per-bit majority over md5(t) ++ md5('#'+t) nibbles") =
+    Prop.forAll(Gen.listOf(word)) { words =>
+      val arr = new GenericArrayData(
+        words.map(w => UTF8String.fromString(w)).toArray[Any])
+      val want = {
+        val h1 = words.map(md5hex)
+        val h2 = words.map(w => md5hex("#" + w))
+        (0 until 64).map { j =>
+          val hexes = if (j < 32) h1 else h2
+          val vote = hexes
+            .map(h => if (h.charAt(j % 32) >= '8') 1 else -1).sum
+          if (vote > 0) 1L << (63 - j) else 0L
+        }.sum
+      }
+      MinHashOps.simhash64(arr) == want
+    }
 }
