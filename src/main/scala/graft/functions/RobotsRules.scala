@@ -135,7 +135,10 @@ object RobotsRules {
             curAgents = value.toLowerCase :: curAgents
           case "allow" | "disallow" if open => inRules = true
           case "crawl-delay" if open =>
-            inRules = true
+            // does NOT set inRules: rulesFor skips Crawl-delay via its
+            // catch-all, so a User-agent line after one JOINS the open
+            // group there — group membership must agree between the
+            // two passes (pinned in RobotsRulesSpec)
             value.toLongOption.filter(_ >= 0)
               .foreach(d => curDelays = d :: curDelays)
           case _ => ()

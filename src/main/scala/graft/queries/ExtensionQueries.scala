@@ -4286,9 +4286,7 @@ object ExtensionQueries {
   val q154Sql: String =
     """WITH e AS (
       |  SELECT doc_id,
-      |    trim(regexp_replace(text || '.', '[ 	
-
-]+', ' ', 'g'),
+      |    trim(regexp_replace(text || '.', '[ \t\n\x0B\f\r]+', ' ', 'g'),
       |         ' ') AS l1,
       |    CASE WHEN doc_id % 7 = 0 THEN ' {x}' ELSE '' END AS brace,
       |    CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END AS lorem

@@ -819,21 +819,27 @@ object SourceQueries {
       .option("maxFilesPerTrigger", 1)
       .text(man)
       .writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
         val paths = b.collect().map(_.getString(0)).filter(_.nonEmpty)
         if (paths.nonEmpty)
           graft.sources.Warc.read(spark, paths.mkString(","))
             .select(col("rec_type"), col("url"), col("ok"),
               graft.functions.HtmlToTextFunctions.htmlToText(
                 col("body").cast("string")).as("body"))
-            .write.mode("append").parquet(landing)
+            // IDEMPOTENT landing: one overwritten batchId-keyed
+            // subdirectory per micro-batch, so a batch retried after
+            // a partial write replaces its own directory instead of
+            // appending duplicates (which would silently break the
+            // stream≡batch oracle equality this gate asserts)
+            .write.mode("overwrite").parquet(s"$landing/b$batchId")
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     materializeThenDelete(
-      warcCurationStages(spark.read.parquet(landing)), root)
+      warcCurationStages(spark.read
+        .option("recursiveFileLookup", "true").parquet(landing)), root)
   }
 
   // q148's oracle IS this gate's oracle — stream≡batch is the claim

@@ -80,10 +80,13 @@ class RobotsSpec extends SparkSpec {
         |Sitemap: http://x.test/inner.xml
         |User-agent: graftbot
         |Crawl-delay: 7
+        |Disallow: /a
         |User-agent: graftbot
         |Crawl-delay: 3
+        |Disallow: /b
         |User-agent: *
         |Crawl-delay: 9
+        |Disallow: /c
         |""".stripMargin
     RobotsRules.sitemaps(txt).toSeq shouldBe
       Seq("http://x.test/top.xml", "http://x.test/inner.xml")
@@ -95,6 +98,35 @@ class RobotsSpec extends SparkSpec {
     RobotsRules.crawlDelay(
       "User-agent: graftbot\nCrawl-delay: x\n", "graftbot") shouldBe None
     RobotsRules.crawlDelay("no groups here", "graftbot") shouldBe None
+  }
+
+  test("Crawl-delay between UA lines does not split the group (shared grammar)") {
+    // the two passes (rulesFor, crawlDelay) must agree on group
+    // membership: Crawl-delay is NOT a rule line, so a User-agent
+    // after it JOINS the open group in BOTH passes
+    val txt =
+      """User-agent: aaa
+        |Crawl-delay: 5
+        |User-agent: bbb
+        |Disallow: /x
+        |""".stripMargin
+    rules(txt, "aaa") shouldBe Seq(false -> "/x")
+    rules(txt, "bbb") shouldBe Seq(false -> "/x")
+    RobotsRules.crawlDelay(txt, "aaa") shouldBe Some(5L)
+    RobotsRules.crawlDelay(txt, "bbb") shouldBe Some(5L)
+    // after rules it DOES belong to the closed group, and the next
+    // User-agent starts a new one — in both passes
+    val txt2 =
+      """User-agent: aaa
+        |Disallow: /x
+        |Crawl-delay: 4
+        |User-agent: bbb
+        |Disallow: /y
+        |""".stripMargin
+    rules(txt2, "aaa") shouldBe Seq(false -> "/x")
+    rules(txt2, "bbb") shouldBe Seq(false -> "/y")
+    RobotsRules.crawlDelay(txt2, "aaa") shouldBe Some(4L)
+    RobotsRules.crawlDelay(txt2, "bbb") shouldBe None
   }
 
   test("election: longest prefix wins, Allow wins ties, default allow") {
