@@ -4800,4 +4800,147 @@ object ExtensionQueries {
       |SELECT CAST(hamming AS INT) AS hamming,
       |  CAST(sum(n) AS BIGINT) AS n_pairs
       |FROM pr GROUP BY 1 ORDER BY hamming""".stripMargin
+
+  /** ✚ RFC 3986 relative-link resolution → frontier keys
+    * ([[graft.functions.HtmlText.links]] →
+    * [[graft.functions.UrlResolve]] → [[graft.ext.UrlOps.normalizeUrl]])
+    * — the step q155/q157 deliberately deferred: real pages link
+    * RELATIVELY, and a frontier built from unresolved hrefs mints
+    * wrong keys. Each document is a page at a doc_id-templated base
+    * URL carrying EIGHT reference classes: bare-relative, `../` up
+    * one, `../../../` OVER-POPPING past the root (absorbed per the
+    * RFC's abnormal examples), a `./`/`/./`/`/../` mixture, a
+    * network-path `//host` reference, query-only, fragment-only, and
+    * an absolute URL carrying its own dot segments. The engine
+    * resolves each against the base with the codegen'd `resolve_url`
+    * and normalizes into the q129 frontier key; the oracle replays
+    * the §5.2.2 transform relationally — reference classification,
+    * §5.2.3 path merge, query/fragment inheritance — and §5.2.4
+    * dot-segment removal as a FIXED-POINT recursive CTE (one
+    * leftmost rewrite per iteration: collapse a `/./`, absorb a
+    * root-level `/../`, or pop a `segment/../` whose segment is not
+    * itself a dot segment).
+    */
+  def q161ResolveLinks(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val k = (col("doc_id") % 7).cast("string")
+    val k2 = ((col("doc_id") + 1) % 7).cast("string")
+    val g = (col("doc_id") % 40).cast("string")
+    val html = concat(
+      lit("<html><body><a href=\"a/b_"), id, lit(".html\">1</a>" +
+        "<a href=\"../up.html\">2</a>" +
+        "<a href=\"../../../deep/"), g, lit(".html\">3</a>" +
+        "<a href=\"./c/./d/../e_"), id, lit(".html\">4</a>" +
+        "<a href=\"//h"), k2, lit(".test/net/x\">5</a>" +
+        "<a href=\"?q="), id, lit("\">6</a>" +
+        "<a href=\"#frag\">7</a>" +
+        "<a href=\"http://ext.test/x/../y/"), g, lit("\">8</a>" +
+        "</body></html>"))
+    val base = concat(lit("http://h"), k, lit(".test/sec/"), g,
+      lit("/page.html"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), base.as("base"),
+        posexplode(graft.functions.HtmlToTextFunctions.htmlLinks(html))
+          .as(Seq("pos", "link")))
+      .withColumn("resolved", graft.functions.ResolveUrlFunctions
+        .resolveUrl(col("base"), col("link")))
+      .select(col("doc_id"), col("pos"), col("link"), col("resolved"),
+        graft.ext.UrlOps.normalizeUrl(col("resolved")).as("nurl"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val q161Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS k,
+      |    CAST((doc_id + 1) % 7 AS VARCHAR) AS k2,
+      |    CAST(doc_id % 40 AS VARCHAR) AS g,
+      |    CAST(doc_id AS VARCHAR) AS i
+      |  FROM documents),
+      |refs AS (
+      |  SELECT doc_id, k, g, 0 AS pos, 'a/b_' || i || '.html' AS href FROM d
+      |  UNION ALL SELECT doc_id, k, g, 1, '../up.html' FROM d
+      |  UNION ALL SELECT doc_id, k, g, 2,
+      |    '../../../deep/' || g || '.html' FROM d
+      |  UNION ALL SELECT doc_id, k, g, 3,
+      |    './c/./d/../e_' || i || '.html' FROM d
+      |  UNION ALL SELECT doc_id, k, g, 4, '//h' || k2 || '.test/net/x' FROM d
+      |  UNION ALL SELECT doc_id, k, g, 5, '?q=' || i FROM d
+      |  UNION ALL SELECT doc_id, k, g, 6, '#frag' FROM d
+      |  UNION ALL SELECT doc_id, k, g, 7,
+      |    'http://ext.test/x/../y/' || g FROM d),
+      |hb AS (
+      |  SELECT doc_id, pos, href,
+      |    'h' || k || '.test' AS bauth,
+      |    '/sec/' || g || '/page.html' AS bpath
+      |  FROM refs),
+      |-- strip the fragment, then classify the reference (5.2.2)
+      |p1 AS (
+      |  SELECT doc_id, pos, href, bauth, bpath,
+      |    CASE WHEN strpos(href, '#') > 0
+      |         THEN substr(href, strpos(href, '#') + 1) END AS fg,
+      |    CASE WHEN strpos(href, '#') > 0
+      |         THEN left(href, strpos(href, '#') - 1) ELSE href END AS h0
+      |  FROM hb),
+      |p2 AS (
+      |  SELECT *,
+      |    (regexp_matches(h0, '^[A-Za-z][A-Za-z0-9+.-]*://')
+      |      OR h0 LIKE '//%') AS own_auth
+      |  FROM p1),
+      |p3 AS (
+      |  SELECT doc_id, pos, href, fg, bpath, own_auth,
+      |    CASE WHEN own_auth THEN regexp_extract(
+      |        regexp_replace(h0, '^[A-Za-z][A-Za-z0-9+.-]*:', ''),
+      |        '^//([^/?]*)', 1)
+      |      ELSE bauth END AS auth,
+      |    CASE WHEN own_auth THEN regexp_replace(
+      |        regexp_replace(h0, '^[A-Za-z][A-Za-z0-9+.-]*:', ''),
+      |        '^//[^/?]*', '')
+      |      ELSE h0 END AS rest
+      |  FROM p2),
+      |p4 AS (
+      |  SELECT doc_id, pos, href, fg, bpath, own_auth, auth,
+      |    CASE WHEN strpos(rest, '?') > 0
+      |         THEN substr(rest, strpos(rest, '?') + 1) END AS qy,
+      |    CASE WHEN strpos(rest, '?') > 0
+      |         THEN left(rest, strpos(rest, '?') - 1) ELSE rest END AS rp
+      |  FROM p3),
+      |-- 5.2.3 merge: empty path keeps the base path (and would keep
+      |-- its query — the fixture base has none); absolute-path and
+      |-- own-authority references keep their own
+      |m AS (
+      |  SELECT doc_id, pos, href, fg, auth, qy,
+      |    CASE WHEN rp = '' THEN bpath
+      |         WHEN own_auth OR rp LIKE '/%' THEN rp
+      |         ELSE regexp_replace(bpath, '[^/]*$', '') || rp
+      |    END AS p
+      |  FROM p4),
+      |-- 5.2.4 remove_dot_segments as a fixed point: each iteration
+      |-- applies ONE leftmost rewrite until the path stops changing
+      |rec AS (
+      |  SELECT doc_id, pos, href, fg, auth, qy, p, 0 AS it FROM m
+      |  UNION ALL
+      |  SELECT doc_id, pos, href, fg, auth, qy, np, it + 1 FROM (
+      |    SELECT doc_id, pos, href, fg, auth, qy, p, it,
+      |      CASE
+      |        WHEN regexp_matches(p, '/\.(/|$)')
+      |          THEN regexp_replace(p, '/\.(/|$)', '/')
+      |        WHEN regexp_matches(p, '^/\.\.(/|$)')
+      |          THEN regexp_replace(p, '^/\.\.(/|$)', '/')
+      |        ELSE regexp_replace(p,
+      |          '/([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)/\.\.(/|$)', '/')
+      |      END AS np
+      |    FROM rec) WHERE np <> p),
+      |fin AS (
+      |  SELECT doc_id, pos, href, fg, auth, qy, p
+      |  FROM rec
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id, pos
+      |    ORDER BY it DESC) = 1)
+      |SELECT doc_id, CAST(pos AS INT) AS pos, href AS link,
+      |  'http://' || auth || p
+      |    || CASE WHEN qy IS NOT NULL THEN '?' || qy ELSE '' END
+      |    || CASE WHEN fg IS NOT NULL THEN '#' || fg ELSE '' END
+      |    AS resolved,
+      |  auth || p
+      |    || CASE WHEN qy IS NOT NULL THEN '?' || qy ELSE '' END AS nurl
+      |FROM fin ORDER BY doc_id, pos""".stripMargin
 }
