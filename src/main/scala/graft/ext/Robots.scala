@@ -53,4 +53,37 @@ object Robots {
         coalesce(col("_v").getField("a") === 1, lit(true)))
       .drop("_v", "_r_host", "_r_allow", "_r_prefix")
   }
+
+  /** [[withAllowed]] generalized to RFC 9309 WILDCARD rules: `rules`
+    * carries (hostCol, allow, pattern) where a pattern may use `*`
+    * (any run) and a trailing `$` (end anchor) — a pattern without
+    * either is the plain prefix rule, so this face subsumes the
+    * prefix election. The match rides the broadcast-join condition as
+    * the codegen'd `robots_match` expression; specificity is the
+    * pattern's octet length (the RFC's most-octets rule), Allow wins
+    * ties, no match ⇒ allowed. Same scale shape as [[withAllowed]]:
+    * one broadcast join + one aggregation, corpus never reshuffles.
+    */
+  def withAllowedPatterns(urls: DataFrame, rules: DataFrame,
+                          keyCols: Seq[String],
+                          hostCol: String = "host", pathCol: String = "path",
+                          outCol: String = "allowed"): DataFrame = {
+    val r = broadcast(rules.select(
+      col(hostCol).as("_r_host"), col("allow").as("_r_allow"),
+      col("pattern").as("_r_pattern")))
+    val joined = urls.join(r,
+      urls(hostCol) === col("_r_host") &&
+        graft.functions.RobotsFunctions.robotsMatch(
+          urls(pathCol), col("_r_pattern")), "left")
+    val others = urls.columns.filterNot(keyCols.contains)
+    val verdict = max(when(col("_r_pattern").isNotNull,
+        struct(length(col("_r_pattern")).as("l"),
+          col("_r_allow").cast("int").as("a"))))
+    joined.groupBy(keyCols.map(col): _*)
+      .agg(verdict.as("_v"),
+        others.map(c => first(col(c)).as(c)): _*)
+      .withColumn(outCol,
+        coalesce(col("_v").getField("a") === 1, lit(true)))
+      .drop("_v", "_r_host", "_r_allow", "_r_pattern")
+  }
 }

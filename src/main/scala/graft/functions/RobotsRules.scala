@@ -26,13 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    equals the agent case-insensitively (all of them — RFC says
   *    combine); else the `*` groups; else no rules (everything
   *    allowed);
-  *  - `Allow`/`Disallow` values are PATH PREFIXES; an empty value is
+  *  - `Allow`/`Disallow` values are PATH PATTERNS; an empty value is
   *    "no restriction" and contributes no rule (the traditional
-  *    `Disallow:` = allow-all reading). RFC wildcard patterns
-  *    (`*`, `$`) are a DOCUMENTED simplification — out of scope so
-  *    the election stays SQL-replayable (prefix match + length);
-  *  - decision ([[graft.ext.Robots]]): the longest matching prefix
-  *    wins; on a length tie Allow wins; no matching rule ⇒ allowed.
+  *    `Disallow:` = allow-all reading). A pattern without `*`/`$` is
+  *    a plain path prefix; `*` matches any character run (including
+  *    empty) and a trailing `$` anchors the match to the path's end
+  *    ([[repMatches]] — the RFC 9309 wildcard grammar);
+  *  - decision ([[graft.ext.Robots]]): the most specific matching
+  *    rule wins, specificity = the pattern's OCTET LENGTH (the RFC's
+  *    most-octets rule, counting `*`/`$` — the deterministic reading
+  *    the common implementations use); on a length tie Allow wins;
+  *    no matching rule ⇒ allowed.
   */
 object RobotsRules {
 
@@ -156,6 +160,36 @@ object RobotsRules {
     }
   }
 
+  /** RFC 9309 rule match: does `pattern` match `path`? Without a
+    * trailing `$` the pattern must match a PREFIX of the path (the
+    * traditional prefix rule, generalized); with one, the match must
+    * consume the whole path. `*` matches any character run, empty
+    * included. No regex machinery — a linear scan with leftmost
+    * placement of each literal chunk (leftmost is complete for
+    * existence: a `*` absorbs anything a later placement would).
+    */
+  def repMatches(path: String, pattern: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val segs = pat.split("\\*", -1)
+    if (!path.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    if (segs.length == 1) return !anchored || pos == path.length
+    var i = 1
+    while (i < segs.length - 1) {
+      val s = segs(i)
+      if (s.nonEmpty) {
+        val idx = path.indexOf(s, pos)
+        if (idx < 0) return false
+        pos = idx + s.length
+      }
+      i += 1
+    }
+    val last = segs(segs.length - 1)
+    if (anchored) path.length - last.length >= pos && path.endsWith(last)
+    else last.isEmpty || path.indexOf(last, pos) >= 0
+  }
+
   private[functions] def rulesArrayData(content: UTF8String,
                                         agent: String): ArrayData =
     new GenericArrayData(rulesFor(content.toString, agent).map {
@@ -204,9 +238,43 @@ case class RobotsRulesExpr(child: Expression, agent: String)
       newChild: Expression): RobotsRulesExpr = copy(child = newChild)
 }
 
+/** `robots_match(path, pattern)` → boolean: RFC 9309 wildcard rule
+  * match (see [[RobotsRules.repMatches]]). Null in either → null.
+  */
+case class RobotsMatchExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "robots_match"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"robots_match needs (string, string), got $other")
+    }
+
+  override protected def nullSafeEval(path: Any, pattern: Any): Any =
+    RobotsRules.repMatches(path.asInstanceOf[UTF8String].toString,
+      pattern.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, t) =>
+      s"graft.functions.RobotsRules.repMatches($p.toString(), $t.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsMatchExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object RobotsFunctions {
 
   /** Column-level entry point (agent must be a lower-case token). */
   def robotsRules(robotsTxt: Column, agent: String): Column =
     GraftSql.column(RobotsRulesExpr(GraftSql.expression(robotsTxt), agent))
+
+  /** Column-level RFC 9309 wildcard rule match. */
+  def robotsMatch(path: Column, pattern: Column): Column =
+    GraftSql.column(RobotsMatchExpr(
+      GraftSql.expression(path), GraftSql.expression(pattern)))
 }

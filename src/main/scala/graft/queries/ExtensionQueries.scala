@@ -4943,4 +4943,100 @@ object ExtensionQueries {
       |  auth || p
       |    || CASE WHEN qy IS NOT NULL THEN '?' || qy ELSE '' END AS nurl
       |FROM fin ORDER BY doc_id, pos""".stripMargin
+
+  /** ✚ robots.txt REP WILDCARD election
+    * ([[graft.functions.RobotsRules.repMatches]] +
+    * [[graft.ext.Robots.withAllowedPatterns]]) — q156's election
+    * extended to the RFC 9309 wildcard grammar real robots.txt files
+    * use constantly: `*` (any character run) and a trailing `$` (end
+    * anchor), with specificity = the pattern's octet length and Allow
+    * winning ties. The per-host file mixes plain prefix rules with an
+    * anchored extension rule (slash-star `.php` dollar), a
+    * star-in-the-middle Allow that outweighs it (`/files/` star
+    * `/public`), an exact-path anchor (`/dl$`) and an even-host-only
+    * star rule (`/p2` star); eight URL
+    * classes (coprime with the 7 hosts) exercise every rule both
+    * firing and missing. The oracle restates each pattern with its
+    * portable-regex translation and replays the election as a window
+    * ordered by pattern length.
+    */
+  def q162RobotsWildcards(spark: SparkSession, dir: String): DataFrame = {
+    val hosts = spark.range(7).select(col("id").as("k"),
+      concat(lit("h"), col("id").cast("string"), lit(".test")).as("host"))
+    val txt = concat(
+      lit("# wildcard robots\nUser-agent: OtherBot\nDisallow: /\n\n" +
+        "User-Agent: GraftBot\nDisallow: /private\nAllow: /private/ok\n" +
+        "Disallow: /*.php$\nAllow: /files/*/public\nDisallow: /dl$\n"),
+      when(col("k") % 2 === 0, lit("Disallow: /p2*\n")).otherwise(lit("")),
+      lit("\nUser-agent: *\nDisallow: /\n"))
+    val rules = hosts.select(col("host"),
+        explode(graft.functions.RobotsFunctions.robotsRules(
+          txt, "graftbot")).as("r"))
+      .select(col("host"), col("r.allow").as("allow"),
+        col("r.prefix").as("pattern"))
+    val id = col("doc_id").cast("string")
+    val g = (col("doc_id") % 40).cast("string")
+    val urls = Tables(spark, dir, "documents").select(col("doc_id"),
+      concat(lit("h"), (col("doc_id") % 7).cast("string"), lit(".test"))
+        .as("host"),
+      when(col("doc_id") % 8 === 0, concat(lit("/files/"), g,
+          lit("/public/a.php")))
+        .when(col("doc_id") % 8 === 1, concat(lit("/x/page"), id,
+          lit(".php")))
+        .when(col("doc_id") % 8 === 2, concat(lit("/x/page"), id,
+          lit(".php5")))
+        .when(col("doc_id") % 8 === 3, lit("/dl"))
+        .when(col("doc_id") % 8 === 4, concat(lit("/dl/"), id))
+        .when(col("doc_id") % 8 === 5, concat(lit("/p2/"), id))
+        .when(col("doc_id") % 8 === 6, concat(lit("/private/"), id))
+        .otherwise(concat(lit("/private/ok/"), id)).as("path"))
+    graft.ext.Robots.withAllowedPatterns(urls, rules, Seq("doc_id"))
+      .select(col("doc_id"), col("host"), col("path"), col("allowed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q162Sql: String =
+    """WITH hosts AS (
+      |  SELECT CAST(k AS BIGINT) AS k,
+      |    'h' || CAST(k AS VARCHAR) || '.test' AS host
+      |  FROM range(0, 7) t(k)),
+      |-- each engine pattern restated with its portable-regex
+      |-- translation; specificity = raw pattern length (octets)
+      |rules AS (
+      |  SELECT host, FALSE AS allow, '/private' AS pattern,
+      |    '^/private' AS rx FROM hosts
+      |  UNION ALL SELECT host, TRUE, '/private/ok', '^/private/ok'
+      |    FROM hosts
+      |  UNION ALL SELECT host, FALSE, '/*.php$', '^/.*\.php$' FROM hosts
+      |  UNION ALL SELECT host, TRUE, '/files/*/public',
+      |    '^/files/.*/public' FROM hosts
+      |  UNION ALL SELECT host, FALSE, '/dl$', '^/dl$' FROM hosts
+      |  UNION ALL SELECT host, FALSE, '/p2*', '^/p2.*' FROM hosts
+      |    WHERE k % 2 = 0),
+      |u AS (
+      |  SELECT doc_id,
+      |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+      |    CASE CAST(doc_id % 8 AS INT)
+      |      WHEN 0 THEN '/files/' || CAST(doc_id % 40 AS VARCHAR)
+      |        || '/public/a.php'
+      |      WHEN 1 THEN '/x/page' || CAST(doc_id AS VARCHAR) || '.php'
+      |      WHEN 2 THEN '/x/page' || CAST(doc_id AS VARCHAR) || '.php5'
+      |      WHEN 3 THEN '/dl'
+      |      WHEN 4 THEN '/dl/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 5 THEN '/p2/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 6 THEN '/private/' || CAST(doc_id AS VARCHAR)
+      |      ELSE '/private/ok/' || CAST(doc_id AS VARCHAR) END AS path
+      |  FROM documents),
+      |m AS (
+      |  SELECT u.doc_id, r.allow,
+      |    row_number() OVER (PARTITION BY u.doc_id
+      |      ORDER BY length(r.pattern) DESC, CAST(r.allow AS INT) DESC)
+      |      AS rn
+      |  FROM u JOIN rules r
+      |    ON r.host = u.host AND regexp_matches(u.path, r.rx))
+      |SELECT u.doc_id, u.host, u.path,
+      |  coalesce(m.allow, TRUE) AS allowed
+      |FROM u LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) m
+      |  ON m.doc_id = u.doc_id
+      |ORDER BY u.doc_id""".stripMargin
 }

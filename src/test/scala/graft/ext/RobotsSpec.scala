@@ -150,6 +150,53 @@ class RobotsSpec extends SparkSpec {
       4L -> true, 5L -> false)
   }
 
+  test("repMatches: RFC 9309 wildcard grammar") {
+    import RobotsRules.repMatches
+    // plain patterns are prefix rules
+    repMatches("/private/x", "/private") shouldBe true
+    repMatches("/privacy", "/private") shouldBe false
+    // '*' matches any run, empty included
+    repMatches("/a/b.php", "/*.php") shouldBe true
+    repMatches("/a.php/b", "/*.php") shouldBe true     // prefix semantics
+    repMatches("/files/x/public", "/files/*/public") shouldBe true
+    repMatches("/files/public", "/files/*public") shouldBe true // empty run
+    repMatches("/files/x/private", "/files/*/public") shouldBe false
+    // trailing '$' anchors to the path end
+    repMatches("/a/b.php", "/*.php$") shouldBe true
+    repMatches("/a/b.php5", "/*.php$") shouldBe false
+    repMatches("/dl", "/dl$") shouldBe true
+    repMatches("/dl/x", "/dl$") shouldBe false
+    // multiple stars, in-order chunk placement
+    repMatches("/a/xx/b/yy/c", "/a/*/b/*/c") shouldBe true
+    repMatches("/a/xx/c/yy/b", "/a/*/b/*/c") shouldBe false
+    // '*$' anchors trivially (the star eats the tail)
+    repMatches("/p2/anything", "/p2*$") shouldBe true
+    // a lone anchored root
+    repMatches("/", "/$") shouldBe true
+    repMatches("/x", "/$") shouldBe false
+  }
+
+  test("pattern election: most octets wins, Allow wins ties, default allow") {
+    val rulesDf = Seq(
+      ("h.test", false, "/*.php$"),          // len 7
+      ("h.test", true, "/files/*/public"),   // len 15
+      ("h.test", false, "/private"),         // plain prefix, len 8
+      ("h.test", false, "/dl$")).toDF("host", "allow", "pattern")
+    val urls = Seq(
+      (1L, "h.test", "/files/9/public/a.php"), // allow 15 beats deny 7
+      (2L, "h.test", "/x/page.php"),           // denied by /*.php$
+      (3L, "h.test", "/x/page.php5"),          // anchor miss -> allowed
+      (4L, "h.test", "/dl"),                   // denied exactly
+      (5L, "h.test", "/dl/9"),                 // anchor miss -> allowed
+      (6L, "h.test", "/private/x"))            // plain prefix still works
+      .toDF("doc_id", "host", "path")
+    val out = Robots.withAllowedPatterns(urls, rulesDf, Seq("doc_id"))
+      .select(col("doc_id"), col("allowed"))
+      .as[(Long, Boolean)].collect().toMap
+    out shouldBe Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> false)
+  }
+
   test("election preserves the URL frame's other columns") {
     val rulesDf = Seq(("h.test", false, "/no")).toDF("host", "allow", "prefix")
     val urls = Seq((1L, "h.test", "/no/x", "payload"))
