@@ -249,6 +249,111 @@ object HtmlText {
     out.toString
   }
 
+  /** Per-BLOCK extraction with link-char counts — the input the
+    * boilerplate classifier ([[graft.ext.Boilerplate]]) needs: the
+    * SAME lexer and line semantics as [[extract]] (block tags are
+    * line boundaries, whitespace collapses, entities decode, raw-text
+    * elements and comments elide), but each nonempty line is emitted
+    * as `(text, link_chars)` where `link_chars` counts the characters
+    * of the line that were emitted while inside an `<a>…</a>` run
+    * (a collapsed space is attributed to the anchor state at the
+    * moment it is appended — i.e. to the character that follows it).
+    * `extract(html)` ≡ `blocks(html).map(_._1).mkString("\n")` by
+    * construction, pinned executably in HtmlTextSpec over the whole
+    * extraction battery.
+    */
+  def blocks(html: String): Array[(String, Int)] = {
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val line = new java.lang.StringBuilder
+    var linkChars = 0
+    var anchorDepth = 0
+    var pendingSpace = false
+
+    def emit(c: Char): Unit =
+      if (isWs(c)) { if (line.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) {
+          line.append(' ')
+          if (anchorDepth > 0) linkChars += 1
+          pendingSpace = false
+        }
+        line.append(c)
+        if (anchorDepth > 0) linkChars += 1
+      }
+
+    def emitCodePoint(cp: Int): Unit =
+      if (cp <= 0xFFFF) emit(cp.toChar)
+      else {
+        if (pendingSpace) {
+          line.append(' ')
+          if (anchorDepth > 0) linkChars += 1
+          pendingSpace = false
+        }
+        line.appendCodePoint(cp)
+        if (anchorDepth > 0) linkChars += Character.charCount(cp)
+      }
+
+    def flush(): Unit = {
+      if (line.length > 0) {
+        out += ((line.toString, linkChars))
+        line.setLength(0)
+      }
+      linkChars = 0
+      pendingSpace = false
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!') {
+          if (html.regionMatches(i, "<!--", 0, 4)) {
+            val end = html.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else i = skipTagFrom(html, i + 2)
+        } else if (c1 == '?') i = skipTagFrom(html, i + 2)
+        else if (c1 == '/') {
+          if (i + 2 < n && Character.isLetter(html.charAt(i + 2))) {
+            val name = tagNameAt(html, i + 2)
+            i = skipTagFrom(html, i + 2)
+            if (name == "a" && anchorDepth > 0) anchorDepth -= 1
+            if (BlockTags.contains(name)) flush()
+          } else { emit('<'); i += 1 }
+        } else if (Character.isLetter(c1)) {
+          val name = tagNameAt(html, i + 1)
+          i = skipTagFrom(html, i + 1)
+          if (name == "a") anchorDepth += 1
+          if (RawTextTags.contains(name)) i = rawTextEnd(html, i, name)
+          if (BlockTags.contains(name)) flush()
+        } else { emit('<'); i += 1 }
+      } else if (c == '&') {
+        parseEntity(html, i) match {
+          case null => emit('&'); i += 1
+          case (d, next) =>
+            var j = 0
+            while (j < d.length) {
+              val ch = d.charAt(j)
+              if (Character.isHighSurrogate(ch) && j + 1 < d.length)
+                { emitCodePoint(d.codePointAt(j)); j += 2 }
+              else { emit(ch); j += 1 }
+            }
+            i = next
+        }
+      } else { emit(c); i += 1 }
+    }
+    flush()
+    out.toArray
+  }
+
+  def blocksU(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      blocks(html.toString).map { case (text, lc) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(text), lc))
+      }: Array[Any])
+
   /** Extracted `<a href>` targets in document order — the crawl
     * FRONTIER seam (URL discovery): same tolerant lexer, but instead
     * of text it captures the href attribute of every anchor OPEN tag,
@@ -397,6 +502,38 @@ case class HtmlLinks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `html_blocks(html)` → array<struct<text string, link_chars int>>:
+  * per-block extraction with link-char counts (see
+  * [[HtmlText.blocks]]). Null html → null.
+  */
+case class HtmlBlocks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text", StringType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("link_chars",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false)
+  override def prettyName: String = "html_blocks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"html_blocks needs string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HtmlText.blocksU(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlText.blocksU($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlBlocks =
+    copy(child = newChild)
+}
+
 object HtmlToTextFunctions {
 
   /** Column-level entry points. */
@@ -405,4 +542,7 @@ object HtmlToTextFunctions {
 
   def htmlLinks(html: Column): Column =
     GraftSql.column(HtmlLinks(GraftSql.expression(html)))
+
+  def htmlBlocks(html: Column): Column =
+    GraftSql.column(HtmlBlocks(GraftSql.expression(html)))
 }
