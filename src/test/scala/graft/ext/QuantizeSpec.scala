@@ -103,16 +103,20 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
-  test("q124 gate: per-query recall@10 of int8 search vs float brute >= 0.9") {
+  test("q124 gate: per-query recall@10 of int8 search vs float brute") {
     // the gated query emits recall as an oracle-checked column; this
-    // spec pins the QUALITY floor: int8 symmetric quantization of
-    // 64-dim embeddings keeps >= 9 of every query's true top-10
-    // (measured min: 1.0 at sf0.001, 0.9 at sf0.01 and sf0.1 — the
-    // fixture's cluster separation is far wider than the int8 step)
+    // spec pins the QUALITY floor. Since r20 the gate runs on the
+    // clustered+noise fixture (the r18 ask: the raw embeddings'
+    // near-tied rankings made recall arbitrary), where ground-truth
+    // neighbor sets are REAL — int8's step now genuinely costs some
+    // boundary neighbors (measured per-query 0.7–1.0 across SFs,
+    // mean >= 0.8), instead of the old tie-saturated columns
     val out = graft.queries.ExtensionQueries.q124QuantizedKnn(spark, sf)
       .select(col("query_id"), col("recall")).distinct().collect()
     out.length shouldBe 5
-    out.foreach(r => r.getAs[Double]("recall") should be >= 0.9)
+    val recalls = out.map(_.getAs[Double]("recall"))
+    recalls.foreach(_ should be >= 0.6)
+    recalls.sum / recalls.length should be >= 0.8
   }
 
   test("ivfKnnQuantized: recall@10 >= 0.9 vs float brute, self found, " +
