@@ -40,20 +40,28 @@ object Frontier {
   private def metaPath(path: String) = s"$path/_frontier_meta.json"
 
   private def writeMetaText(spark: SparkSession, path: String,
-                            rounds: Long): Unit =
+                            rounds: Long, seenFrom: Long): Unit =
     IndexFiles.publishMetaFile(spark, metaPath(path),
-      s"""{"version":1,"rounds":$rounds}""")
+      s"""{"version":1,"rounds":$rounds,"seenFrom":$seenFrom}""")
 
-  private def readRounds(spark: SparkSession, path: String): Long = {
+  private def readMetaField(spark: SparkSession, path: String,
+                            field: String): Long = {
     val text = IndexFiles.readMetaFile(spark, path, "_frontier_meta.json",
       s"frontier at $path: _frontier_meta.json missing — the store was " +
         "never created or a mutation died mid-transaction; rebuild it")
-    "\"rounds\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text)
+    ("\"" + field + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
       .map(_.group(1).toLong)
       .getOrElse(sys.error(
         s"frontier at $path: _frontier_meta.json is corrupt ('$text') — " +
           "rebuild the store"))
   }
+
+  private def readRounds(spark: SparkSession, path: String): Long =
+    readMetaField(spark, path, "rounds")
+
+  /** Lowest live seen-delta index ([[compactSeen]] raises it). */
+  private def readSeenFrom(spark: SparkSession, path: String): Long =
+    readMetaField(spark, path, "seenFrom")
 
   /** Rounds folded so far (round 0 = the seeds). */
   def rounds(spark: SparkSession, path: String): Long =
@@ -71,10 +79,13 @@ object Frontier {
     spark.read.parquet(s"$path/frontier/r$round")
   }
 
-  /** Every URL ever enqueued or seeded (union of the delta frames). */
+  /** Every URL ever enqueued or seeded (union of the live delta
+    * frames — one merged frame plus post-compaction deltas).
+    */
   def seen(spark: SparkSession, path: String): DataFrame = {
     val r = readRounds(spark, path)
-    (0L to r).map(i => spark.read.parquet(s"$path/seen/d$i"))
+    val s0 = readSeenFrom(spark, path)
+    (s0 to r).map(i => spark.read.parquet(s"$path/seen/d$i"))
       .reduce(_ unionAll _)
   }
 
@@ -91,7 +102,7 @@ object Frontier {
       val s = seeds.select("nurl").distinct()
       s.write.parquet(s"$path/seen/d0")
       s.write.parquet(s"$path/frontier/r0")
-      writeMetaText(spark, path, 0L)
+      writeMetaText(spark, path, 0L, 0L)
     }
   }
 
@@ -131,6 +142,7 @@ object Frontier {
     IndexFiles.requireWriter(spark, path, writer)
     IndexFiles.withWriterLease(spark, path, "Frontier foldRound") {
       val r = readRounds(spark, path)
+      val s0 = readSeenFrom(spark, path)
       // materialize the anti-join ONCE, before the meta swap: the
       // plan reads the seen frames this transaction is about to
       // extend, and both the robots election and the seen delta
@@ -161,9 +173,89 @@ object Frontier {
       newUrls.write.parquet(s"$path/seen/d${r + 1}")
       batchMarker.foreach(id =>
         IndexFiles.writeMarker(spark, path, id, writer))
-      writeMetaText(spark, path, r + 1)
+      writeMetaText(spark, path, r + 1, s0)
       RoundReport(r + 1, nNew, nFrontier)
     }
+  }
+
+  /** Merge the live seen-delta frames into ONE frame keyed at the
+    * current round — a crawl runs thousands of rounds, and without
+    * compaction every [[foldRound]] anti-join unions that many
+    * parquet reads. Same transaction discipline as the index-family
+    * compactions ([[LabelStore.compact]]): merged frame written to a
+    * tmp path first, row-count parity REQUIRED before the swap, meta
+    * deleted only once the replacement is complete on disk, and the
+    * append marker untouched (compaction is maintenance, not a fold —
+    * replay classification must survive it). Frontier round artifacts
+    * are not touched either: they are the crawl's history.
+    */
+  def compactSeen(spark: SparkSession, path: String,
+                  targetFileBytes: Long = 128L * 1024 * 1024): Unit =
+    IndexFiles.withWriterLease(spark, path, "Frontier compactSeen") {
+      val r = readRounds(spark, path)
+      val s0 = readSeenFrom(spark, path)
+      if (s0 < r) {
+        val fs = new Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = s"$path/seen/compact.tmp"
+        fs.delete(new Path(tmp), true)
+        val cur = seen(spark, path)
+        val n = cur.count()
+        // ~64 bytes/URL raw; size output files to the target like the
+        // index compactions do
+        val parts = math.max(1L, n * 64L / targetFileBytes).toInt
+        cur.coalesce(parts).write.parquet(tmp)
+        val nOut = spark.read.parquet(tmp).count()
+        require(nOut == n,
+          s"Frontier.compactSeen at $path: parity check failed ($n rows " +
+            s"in, $nOut rows out) — tmp left for inspection, store " +
+            "unchanged")
+        fs.delete(new Path(metaPath(path)), false)
+        (s0 to r).foreach(i =>
+          fs.delete(new Path(s"$path/seen/d$i"), true))
+        require(fs.rename(new Path(tmp), new Path(s"$path/seen/d$r")),
+          s"Frontier.compactSeen: rename failed at $path")
+        writeMetaText(spark, path, r, r)
+      }
+    }
+
+  /** Per-host POLITENESS slice of a round's frontier — a crawler may
+    * fetch a host at most once per its Crawl-delay, so a fetch cycle
+    * of `cycleSeconds` gives each host `floor(cycle / delay)` slots
+    * (never below 1: progress is guaranteed even when delay > cycle,
+    * matching the deployed-crawler convention of one fetch per cycle
+    * minimum). URLs are ranked per host in deterministic `nurl`
+    * order; `fetch_now` marks the in-budget slice and the remainder
+    * is the deferred set the next cycle re-ranks. The verdict is the
+    * CROSS-MULTIPLIED integer predicate `rank = 1 OR rank·delay ≤
+    * cycle` — no division, so a SQL oracle replays every boundary
+    * exactly. Hosts without a Crawl-delay line get `defaultDelay`.
+    *
+    * Scale shape: one broadcast join (per-host delays are one row per
+    * host) + one exchange on `host` for the rank — the frontier round
+    * is orders of magnitude smaller than the corpus, and the rank
+    * window is the minimum any per-host budget needs.
+    */
+  def politeSlice(frontier: DataFrame, delays: DataFrame,
+                  cycleSeconds: Long, defaultDelay: Long = 1L,
+                  hostCol: String = "host"): DataFrame = {
+    require(cycleSeconds >= 1 && defaultDelay >= 1,
+      "Frontier.politeSlice: cycleSeconds and defaultDelay must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val withHost =
+      if (frontier.columns.contains(hostCol)) frontier
+      else frontier.withColumn(hostCol,
+        substring_index(col("nurl"), "/", 1))
+    val d = broadcast(delays.select(col(hostCol).as("_d_host"),
+      col("delay").cast("long").as("_d_delay")))
+    withHost.join(d, col(hostCol) === col("_d_host"), "left")
+      .withColumn("delay",
+        greatest(coalesce(col("_d_delay"), lit(defaultDelay)), lit(1L)))
+      .drop("_d_host", "_d_delay")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(hostCol)).orderBy(col("nurl"))))
+      .withColumn("fetch_now",
+        col("rank") === 1 || col("rank") * col("delay") <= lit(cycleSeconds))
   }
 
   /** The streaming face: each micro-batch drives ONE crawl round —

@@ -267,6 +267,60 @@ case class RobotsMatchExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `robots_crawl_delay(txt)` → bigint: the Crawl-delay seconds of the
+  * group matched for `agent` (see [[RobotsRules.crawlDelay]] — the
+  * smallest of the matched groups' delays). Null text, no matched
+  * group, or no delay line → null.
+  */
+case class RobotsCrawlDelayExpr(child: Expression, agent: String)
+  extends UnaryExpression {
+
+  require(agent.nonEmpty && agent == agent.toLowerCase &&
+      !agent.contains(" "),
+    s"robots_crawl_delay: agent '$agent' must be a non-empty " +
+      "lower-case token")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "robots_crawl_delay"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"robots_crawl_delay needs string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    delayOrNull(input.asInstanceOf[UTF8String])
+
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("robotsCrawlDelay", this,
+      classOf[RobotsCrawlDelayExpr].getName)
+    // the callback returns a boxed Long or null (an absent delay is a
+    // DATA outcome, not a null input), so the generated code
+    // null-checks the box — nullSafeCodeGen only covers input nulls
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = $self.delayOrNull($c);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $boxed).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  /** Codegen/eval callback: boxed Long or null. */
+  def delayOrNull(content: UTF8String): Any =
+    RobotsRules.crawlDelay(content.toString, agent) match {
+      case Some(d) => d
+      case None    => null
+    }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RobotsCrawlDelayExpr = copy(child = newChild)
+}
+
 object RobotsFunctions {
 
   /** Column-level entry point (agent must be a lower-case token). */
@@ -277,4 +331,9 @@ object RobotsFunctions {
   def robotsMatch(path: Column, pattern: Column): Column =
     GraftSql.column(RobotsMatchExpr(
       GraftSql.expression(path), GraftSql.expression(pattern)))
+
+  /** Column-level Crawl-delay extraction (nullable seconds). */
+  def robotsCrawlDelay(robotsTxt: Column, agent: String): Column =
+    GraftSql.column(RobotsCrawlDelayExpr(
+      GraftSql.expression(robotsTxt), agent))
 }

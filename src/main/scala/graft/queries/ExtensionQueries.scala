@@ -5321,4 +5321,72 @@ object ExtensionQueries {
       |  CAST(sum(CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT))
       |    AS BIGINT) FROM seen2
       |ORDER BY stage""".stripMargin
+
+  /** ✚ polite frontier scheduling ([[graft.ext.Frontier.politeSlice]]
+    * + the `robots_crawl_delay` expression) — the pacing knob real
+    * crawlers enforce: a host with `Crawl-delay: d` gets
+    * `floor(cycle/d)` fetch slots per cycle (minimum one), the rest
+    * of its round defers. Per-host robots.txt carries delay `k+1`
+    * seconds (host h6 carries NONE — the default-delay path), cycle
+    * 100 s; each host's frontier slice is ranked in nurl order and
+    * censused: frontier size, in-budget fetches, fingerprint of the
+    * fetched set. The oracle restates the parsed delays (the parse
+    * itself is spec- and q156-pinned) and replays the rank and the
+    * CROSS-MULTIPLIED budget predicate `rank=1 OR rank·delay ≤ cycle`
+    * exactly — integer arithmetic only, every boundary in the hash.
+    */
+  def q165PoliteFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val k = (col("doc_id") % 7).cast("string")
+    val frontier = docs.select(
+      concat(lit("h"), k, lit(".test/d/"), col("doc_id").cast("string"))
+        .as("nurl"))
+    val hosts = spark.range(7).select(col("id").as("hk"),
+      concat(lit("h"), col("id").cast("string"), lit(".test")).as("host"))
+    val txt = concat(lit("User-agent: GraftBot\n"),
+      when(col("hk") === 6, lit(""))
+        .otherwise(concat(lit("Crawl-delay: "),
+          (col("hk") + 1).cast("string"), lit("\n"))),
+      lit("Disallow: /private\n"))
+    val delays = hosts.select(col("host"),
+      graft.functions.RobotsFunctions.robotsCrawlDelay(txt, "graftbot")
+        .as("delay"))
+    val fp = conv(substring(md5(col("nurl")), 1, 6), 16, 10).cast("long")
+    graft.ext.Frontier.politeSlice(frontier, delays, cycleSeconds = 100L)
+      .groupBy(col("host"))
+      .agg(first(col("delay")).as("delay"),
+        count(lit(1)).as("n_frontier"),
+        sum(when(col("fetch_now"), 1L).otherwise(0L)).as("n_fetch"),
+        sum(when(col("fetch_now"), fp).otherwise(0L)).as("fp_fetch"))
+      .orderBy(col("host"))
+  }
+
+  val q165Sql: String =
+    """WITH f AS (
+      |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+      |    'h' || CAST(doc_id % 7 AS VARCHAR) || '.test/d/' ||
+      |      CAST(doc_id AS VARCHAR) AS nurl
+      |  FROM documents),
+      |-- the parsed per-host delays, restated: h6 has no Crawl-delay
+      |-- line, so it runs at the operator's default of 1 s
+      |d AS (
+      |  SELECT 'h' || CAST(k AS VARCHAR) || '.test' AS host,
+      |    CASE WHEN k = 6 THEN 1 ELSE k + 1 END AS delay
+      |  FROM range(0, 7) t(k)),
+      |r AS (
+      |  SELECT f.host, f.nurl, d.delay,
+      |    row_number() OVER (PARTITION BY f.host ORDER BY f.nurl) AS rank
+      |  FROM f JOIN d ON d.host = f.host),
+      |s AS (
+      |  SELECT host, nurl, delay,
+      |    (rank = 1 OR rank * delay <= 100) AS fetch_now
+      |  FROM r)
+      |SELECT host, CAST(max(delay) AS BIGINT) AS delay,
+      |  count(*) AS n_frontier,
+      |  CAST(sum(CASE WHEN fetch_now THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_fetch,
+      |  CAST(sum(CASE WHEN fetch_now
+      |    THEN CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT)
+      |    ELSE 0 END) AS BIGINT) AS fp_fetch
+      |FROM s GROUP BY host ORDER BY host""".stripMargin
 }

@@ -156,11 +156,16 @@ class FrontierSpec extends SparkSpec {
       urls(Frontier.seen(spark, store)) shouldBe urls(Frontier.seen(spark, ref))
 
       // kill after batch 2's fold but before its commit (the window
-      // Structured Streaming replays), then resume in a NEW session:
-      // the marker classifies the replay, nothing folds twice
+      // Structured Streaming replays); seen-set COMPACTION lands while
+      // the stream is down (the operational maintenance window), then
+      // a NEW session resumes: the marker must survive the compaction
+      // and classify the replay, nothing folds twice
       val commit2 = new org.apache.hadoop.fs.Path(s"$root/ckpt/commits/2")
       commit2.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(commit2, false) shouldBe true
+      Frontier.compactSeen(spark, store)
+      Frontier.appendedThrough(spark, store) shouldBe 2L
+      urls(Frontier.seen(spark, store)) shouldBe urls(Frontier.seen(spark, ref))
       runStream(spark.newSession(), root, store)
       Frontier.rounds(spark, store) shouldBe 3L
       Frontier.appendedThrough(spark, store) shouldBe 2L
@@ -174,6 +179,62 @@ class FrontierSpec extends SparkSpec {
       Frontier.appendedThrough(spark, store) shouldBe 3L
       urls(Frontier.frontier(spark, store, 4)) shouldBe Seq.empty
     } finally delete(root)
+  }
+
+  test("compactSeen merges the delta frames; history, folds and reloads are unchanged") {
+    val root = tmp()
+    try {
+      val store = s"$root/frontier"
+      Frontier.create(spark, store, seeds)
+      foldAll(store)
+      val seenBefore = urls(Frontier.seen(spark, store))
+      Frontier.compactSeen(spark, store)
+      // one merged frame, same content, same rounds, history intact
+      urls(Frontier.seen(spark, store)) shouldBe seenBefore
+      Frontier.rounds(spark, store) shouldBe 3L
+      urls(Frontier.frontier(spark, store, 1)) shouldBe
+        Seq("h0.test/d/1", "h1.test/private/ok/5")
+      val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      (0 to 2).foreach { i =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$store/seen/d$i")) shouldBe
+          false
+      }
+      // a second compact is a no-op; a fold after compaction dedups
+      // against the merged frame exactly as before (round 4 is empty:
+      // d/3 is a leaf)
+      Frontier.compactSeen(spark, store)
+      urls(Frontier.seen(spark, store)) shouldBe seenBefore
+      Frontier.foldRound(spark, store,
+        Frontier.discoveredLinks(pagesAt(store)), rules) shouldBe
+        Frontier.RoundReport(4, 0, 0)
+      urls(Frontier.seen(spark, store)) shouldBe seenBefore
+    } finally delete(root)
+  }
+
+  test("politeSlice: per-host crawl-delay budgets, cross-multiplied boundaries") {
+    // cycle 4 s; delays: h0 1 s (4 slots), h1 2 s (2 slots), h2 5 s
+    // (delay > cycle → the guaranteed single slot), h3 absent
+    // (defaultDelay 1 → 4 slots)
+    val frontier = (0 until 4).flatMap(h =>
+      (0 until 3).map(i => s"h$h.test/d/$i")).toDF("nurl")
+    val delays = Seq(("h0.test", 1L), ("h1.test", 2L), ("h2.test", 5L))
+      .toDF("host", "delay")
+    val out = Frontier.politeSlice(frontier, delays, cycleSeconds = 4L)
+      .orderBy("nurl")
+      .select("nurl", "delay", "rank", "fetch_now")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getBoolean(3)))
+    out.filter(_._1.startsWith("h0")).map(_._4).toSeq shouldBe
+      Seq(true, true, true)                        // 3 urls, 4 slots
+    out.filter(_._1.startsWith("h1")).map(_._4).toSeq shouldBe
+      Seq(true, true, false)                       // rank 2·2 ≤ 4, 3·2 > 4
+    out.filter(_._1.startsWith("h2")).map(_._4).toSeq shouldBe
+      Seq(true, false, false)                      // minimum-one slot
+    out.filter(_._1.startsWith("h3")).map(_._4).toSeq shouldBe
+      Seq(true, true, true)                        // default delay 1
+    out.filter(_._1.startsWith("h2")).map(_._2).toSeq shouldBe Seq(5L, 5L, 5L)
+    out.map(_._3).toSeq shouldBe Seq.fill(4)(Seq(1, 2, 3)).flatten
   }
 
   test("a fold killed mid-transaction leaves a store that refuses to load") {

@@ -224,4 +224,31 @@ class RobotsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       graft.functions.RobotsFunctions.robotsRules(col("txt"), "GraftBot")
   }
+
+  test("crawl-delay expression face equals the JVM call; absent is null") {
+    val cases = Seq(
+      ("h1", "User-agent: graftbot\nCrawl-delay: 3\nDisallow: /a\n"),
+      ("h2", "User-agent: *\nCrawl-delay: 9\n"),       // * group fallback
+      ("h3", "User-agent: graftbot\nDisallow: /a\n"),  // group, no delay
+      ("h4", "no groups here"),                        // no group at all
+      ("h5", null: String))                            // null text
+    val df = cases.toDF("host", "txt")
+      .select(col("host"),
+        graft.functions.RobotsFunctions.robotsCrawlDelay(col("txt"),
+          "graftbot").as("d"))
+    val got = df.collect().map(r => (r.getString(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    got("h1") shouldBe Some(3L)
+    got("h2") shouldBe Some(9L)
+    got("h3") shouldBe None
+    got("h4") shouldBe None
+    got("h5") shouldBe None
+    // the expression IS the JVM selection — including the shared
+    // group grammar's smallest-of-matched-groups rule
+    cases.collect { case (h, txt) if txt != null =>
+      got(h) shouldBe graft.functions.RobotsRules.crawlDelay(txt, "graftbot")
+    }
+    an[IllegalArgumentException] should be thrownBy
+      graft.functions.RobotsFunctions.robotsCrawlDelay(col("txt"), "Graft Bot")
+  }
 }
