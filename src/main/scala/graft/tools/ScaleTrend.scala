@@ -213,9 +213,10 @@ object ScaleTrend {
     val needDocs = Seq("q30_lsh", "q47_cc", "q94_vocab", "q96_pack",
       "lshidx_build", "lshinc", "lshfull", "ccinc", "ccfull", "subdedup",
       "q125_battery", "urlnorm", "repbattery", "bloomdecon", "keywords",
-      "paradedup", "cms", "fusedstack", "htmltext",
+      "paradedup", "cms", "fusedstack", "htmltext", "boilerp",
       "bpecol", "bpenat", "bpenat10k", "bpetrain",
       "bpetrainfast").exists(shapeFilter)
+    val needFrontier = Seq("frontier").exists(shapeFilter)
     val needVecs = Seq("ivf", "ivfsearch", "brute", "qbuild", "qbrute",
       "srpidx_build", "srpinc", "srpfull", "semdedup",
       "pqbuild", "pqadc", "brutedot", "pqrerank",
@@ -249,6 +250,42 @@ object ScaleTrend {
     // embedding fixtures share the docs scale points (100 k / big-N)
     val vecsSmall = if (needVecs) vecsFixture(spark, docsSmallN, out) else ""
     val vecsBig = if (needVecs) vecsFixture(spark, docsBigN, out) else ""
+
+    // frontier fixtures: a persisted store whose seen set holds N
+    // synthetic URLs over 1000 hosts (the growing side of foldRound's
+    // anti-join). urlOf is shared by the store build and the batch
+    // construction so the seen-hit half of each batch actually hits.
+    def urlOf(uid: Column): Column = concat(
+      lit("host-"), pmod(uid, lit(1000L)).cast("string"), lit(".test"),
+      when(pmod(uid, lit(4L)) === 0, concat(lit("/p2/"), uid.cast("string")))
+        .when(pmod(uid, lit(4L)) === 1,
+          concat(lit("/private/ok/"), uid.cast("string")))
+        .otherwise(concat(lit("/d/"), uid.cast("string"))))
+    def frontierFixture(n: Long): String = {
+      val p = s"$out/frontier_seen_$n"
+      ensure(s"$p/seen/d0") {
+        graft.ext.Frontier.create(spark, p,
+          spark.range(n).select(urlOf(col("id")).as("nurl")))
+      }
+      p
+    }
+    val frontSmall = if (needFrontier) frontierFixture(docsSmallN) else ""
+    val frontBig = if (needFrontier) frontierFixture(docsBigN) else ""
+    lazy val frontierRules = {
+      val hosts = spark.range(1000).select(col("id").as("hk"),
+        concat(lit("host-"), col("id").cast("string"), lit(".test"))
+          .as("host"))
+      hosts.select(col("host"), lit(false).as("allow"),
+          lit("/private").as("pattern"))
+        .unionAll(hosts.select(col("host"), lit(true),
+          lit("/private/ok")))
+        .unionAll(hosts.filter(col("hk") % 2 === 0)
+          .select(col("host"), lit(false), lit("/p2*")))
+    }
+    lazy val frontierDelays = spark.range(1000).select(
+      concat(lit("host-"), col("id").cast("string"), lit(".test"))
+        .as("host"),
+      (col("id") % 7 + 1).as("delay"))
 
     // ---- shapes -----------------------------------------------------
     def q1Shape(path: String): Long =
@@ -1097,6 +1134,54 @@ object ScaleTrend {
         .agg(sum(length(col("t")))).head.getLong(0)
     run("htmltext", "small", docsSmallN)(htmltextShape(docsSmall))
     run("htmltext", "big", docsBigN)(htmltextShape(docsBig))
+
+    // the q163 path: block extraction with link-char counts, jusText
+    // verdicts, page rewrite — all map-side, summed output length as
+    // the forcing agg (the htmltext shape's boilerplate-aware sibling)
+    def boilerpShape(path: String): Long =
+      spark.read.parquet(path)
+        .select(graft.ext.Boilerplate.contentText(
+          graft.functions.HtmlToTextFunctions.htmlBlocks(concat(
+            lit("<html><body><div><a href=\"/a\">Home</a> " +
+              "<a href=\"/b\">About</a> <a href=\"/c\">Contact</a></div><p>"),
+            col("text"),
+            lit("</p><p>Please read the <a href=\"/t\">terms</a> of this" +
+              " policy for all of the details here.</p>" +
+              "<div>Copyright 2020 <a href=\"/p\">Privacy</a></div>" +
+              "</body></html>"))),
+          stopNum = 6, stopDen = 100).as("t"))
+        .agg(sum(length(col("t")))).head.getLong(0)
+    run("boilerp", "small", docsSmallN)(boilerpShape(docsSmall))
+    run("boilerp", "big", docsBigN)(boilerpShape(docsBig))
+
+    // one frontier round's COMPUTE against the persisted seen set,
+    // non-mutating (foldRound minus the frame writes): batch of N/10
+    // links, half already seen, distinct → anti-join vs seen →
+    // wildcard robots election → politeness slice. The anti-join
+    // shuffles seen + batch (the measured cost of the un-bucketed
+    // layout — Frontier's scaladoc names nurl-bucketing as the
+    // corpus-scale layout hook that drops the seen side out)
+    def frontierShape(store: String, totalN: Long): Long = {
+      val batchN = totalN / 10
+      val uid = when(col("id") % 2 === 0, pmod(col("id") * 37, lit(totalN)))
+        .otherwise(lit(totalN) + col("id"))
+      val links = spark.range(batchN).select(urlOf(uid).as("nurl"))
+      val newUrls = links.distinct()
+        .join(graft.ext.Frontier.seen(spark, store), Seq("nurl"),
+          "left_anti")
+      val wh = newUrls
+        .withColumn("host", substring_index(col("nurl"), "/", 1))
+        .withColumn("path",
+          col("nurl").substr(length(col("host")) + 1, length(col("nurl"))))
+      val elected = graft.ext.Robots
+        .withAllowedPatterns(wh, frontierRules, Seq("nurl"))
+        .filter(col("allowed")).select("nurl")
+      graft.ext.Frontier.politeSlice(elected, frontierDelays,
+          cycleSeconds = 1000L)
+        .filter(col("fetch_now")).count()
+    }
+    run("frontier", "small", docsSmallN)(frontierShape(frontSmall, docsSmallN))
+    run("frontier", "big", docsBigN)(frontierShape(frontBig, docsBigN))
 
     run("bpecol", "small", docsSmallN)(bpecolShape(docsSmall))
     run("bpecol", "big", docsBigN)(bpecolShape(docsBig))
