@@ -43,12 +43,17 @@ case class QuantizedDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // the fold may return null (poisoned) even for non-null inputs —
-    // nullSafeCodeGen with an explicit null re-check, not defineCodeGen
+    // nullSafeCodeGen with an explicit null re-check, not defineCodeGen.
+    // freshName, NOT a fixed name: two quantized_dot calls in one
+    // generated function redefine a fixed local and kick the whole
+    // expression tree back to the interpreter (the q124 recall join
+    // evaluates the expression twice in one projection)
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("qdotBoxed")
       s"""
-         |java.lang.Long graft_qdot = graft.functions.QuantizedDot.fold($a, $b);
-         |if (graft_qdot == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = graft_qdot.longValue(); }
+         |java.lang.Long $boxed = graft.functions.QuantizedDot.fold($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
        """.stripMargin
     })
   }

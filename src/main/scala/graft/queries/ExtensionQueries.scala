@@ -5152,8 +5152,9 @@ object ExtensionQueries {
     * Allow-overrides-Disallow election q156 pins, (4) a root-relative
     * `/p2/{id%40}` denied by an even-host-only wildcard rule (q162's
     * grammar). Seeds = every tenth page; TWO trigger files → two
-    * streamed rounds. Output: per-stage (n, fp) census of
-    * the store read back AFTER the stream — seeds, both round
+    * streamed rounds. Output: per-stage (n, fp) census of the store
+    * read back AFTER the stream AND a [[graft.ext.Frontier.compactSeen]]
+    * (compaction invisibility inside the hash) — seeds, both round
     * frontiers, and the final seen set. THE ORACLE RECOMPUTES THE
     * WHOLE TWO-ROUND CRAWL RELATIONALLY (resolved link graph, per-
     * round anti-join against the growing seen set, the length-ordered
@@ -5215,6 +5216,10 @@ object ExtensionQueries {
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // maintenance between crawl and census: the merged seen frame must
+    // census identically to the delta frames — compaction invisibility
+    // rides the oracle hash, not just the spec
+    graft.ext.Frontier.compactSeen(spark, store)
 
     val fp = conv(substring(md5(col("nurl")), 1, 6), 16, 10).cast("long")
     def stage(df: DataFrame, name: String): DataFrame =

@@ -71,7 +71,14 @@ class PlanRegressionSpec extends SparkSpec {
     // 5 selector branches (s5 = the float-keyed record, r12) + the
     // metadata/meta frames: each branch is one scan + one shuffle
     "q102_record_store" -> Shape(shuffles = 9, broadcasts = 0, pushedScans = 8),
-    "q103_nested_paths" -> Shape(shuffles = 3, broadcasts = 0, pushedScans = 2))
+    "q103_nested_paths" -> Shape(shuffles = 3, broadcasts = 0, pushedScans = 2),
+    // 1 broadcast = the per-host delay frame (politeSlice's hint); 2
+    // shuffles = the host exchange feeding the rank window (whose
+    // partitioning the per-host aggregate then REUSES — a drift that
+    // adds an exchange between window and agg breaks this) + the
+    // 7-row ORDER BY
+    "q165_polite_frontier" -> Shape(shuffles = 2, broadcasts = 1,
+      pushedScans = 0))
 
   for ((name, want) <- expected.toSeq.sortBy(_._1)) {
     test(s"$name plan fingerprint") {
