@@ -150,10 +150,7 @@ object Frontier {
       val newUrls = links.select("nurl").distinct()
         .join(seen(spark, path), Seq("nurl"), "left_anti")
         .localCheckpoint(true)
-      val withHostPath = newUrls
-        .withColumn("host", substring_index(col("nurl"), "/", 1))
-        .withColumn("path",
-          col("nurl").substr(length(col("host")) + 1, length(col("nurl"))))
+      val withHostPath = UrlOps.withHostPath(newUrls)
       val elected = Robots
         .withAllowedPatterns(withHostPath, rules, Seq("nurl"))
         .filter(col("allowed")).select("nurl")
@@ -244,8 +241,7 @@ object Frontier {
     import org.apache.spark.sql.expressions.Window
     val withHost =
       if (frontier.columns.contains(hostCol)) frontier
-      else frontier.withColumn(hostCol,
-        substring_index(col("nurl"), "/", 1))
+      else frontier.withColumn(hostCol, UrlOps.hostOf(col("nurl")))
     val d = broadcast(delays.select(col(hostCol).as("_d_host"),
       col("delay").cast("long").as("_d_delay")))
     withHost.join(d, col(hostCol) === col("_d_host"), "left")

@@ -32,26 +32,38 @@ object Robots {
   def withAllowed(urls: DataFrame, rules: DataFrame,
                   keyCols: Seq[String],
                   hostCol: String = "host", pathCol: String = "path",
-                  outCol: String = "allowed"): DataFrame = {
+                  outCol: String = "allowed"): DataFrame =
+    // startsWith stays the join predicate (codegen'd builtin) — the
+    // pattern face pays robots_match only where wildcards can occur
+    elect(urls, rules, keyCols, hostCol, pathCol, "prefix", outCol,
+      (path, rule) => path.startsWith(rule))
+
+  /** The ONE election skeleton both faces share: broadcast the rules,
+    * left-join on host + the match predicate, elect
+    * `max(struct(rule_len, allow))` per key — most octets win, Allow
+    * wins the tie (a=1 > a=0 inside the struct order), no match ⇒
+    * allowed.
+    */
+  private def elect(urls: DataFrame, rules: DataFrame,
+                    keyCols: Seq[String], hostCol: String, pathCol: String,
+                    ruleCol: String, outCol: String,
+                    matches: (Column, Column) => Column): DataFrame = {
     val r = broadcast(rules.select(
       col(hostCol).as("_r_host"), col("allow").as("_r_allow"),
-      col("prefix").as("_r_prefix")))
+      col(ruleCol).as("_r_rule")))
     val joined = urls.join(r,
       urls(hostCol) === col("_r_host") &&
-        col(pathCol).startsWith(col("_r_prefix")), "left")
+        matches(urls(pathCol), col("_r_rule")), "left")
     val others = urls.columns.filterNot(keyCols.contains)
-    val verdict = max(when(col("_r_prefix").isNotNull,
-        struct(length(col("_r_prefix")).as("l"),
+    val verdict = max(when(col("_r_rule").isNotNull,
+        struct(length(col("_r_rule")).as("l"),
           col("_r_allow").cast("int").as("a"))))
     joined.groupBy(keyCols.map(col): _*)
       .agg(verdict.as("_v"),
         others.map(c => first(col(c)).as(c)): _*)
-      // no matching rule (null verdict) ⇒ allowed; else the winning
-      // rule's allow bit — Allow wins the length tie because the
-      // struct orders (l, a) and a=1 > a=0
       .withColumn(outCol,
         coalesce(col("_v").getField("a") === 1, lit(true)))
-      .drop("_v", "_r_host", "_r_allow", "_r_prefix")
+      .drop("_v", "_r_host", "_r_allow", "_r_rule")
   }
 
   /** [[withAllowed]] generalized to RFC 9309 WILDCARD rules: `rules`
@@ -67,23 +79,8 @@ object Robots {
   def withAllowedPatterns(urls: DataFrame, rules: DataFrame,
                           keyCols: Seq[String],
                           hostCol: String = "host", pathCol: String = "path",
-                          outCol: String = "allowed"): DataFrame = {
-    val r = broadcast(rules.select(
-      col(hostCol).as("_r_host"), col("allow").as("_r_allow"),
-      col("pattern").as("_r_pattern")))
-    val joined = urls.join(r,
-      urls(hostCol) === col("_r_host") &&
-        graft.functions.RobotsFunctions.robotsMatch(
-          urls(pathCol), col("_r_pattern")), "left")
-    val others = urls.columns.filterNot(keyCols.contains)
-    val verdict = max(when(col("_r_pattern").isNotNull,
-        struct(length(col("_r_pattern")).as("l"),
-          col("_r_allow").cast("int").as("a"))))
-    joined.groupBy(keyCols.map(col): _*)
-      .agg(verdict.as("_v"),
-        others.map(c => first(col(c)).as(c)): _*)
-      .withColumn(outCol,
-        coalesce(col("_v").getField("a") === 1, lit(true)))
-      .drop("_v", "_r_host", "_r_allow", "_r_pattern")
-  }
+                          outCol: String = "allowed"): DataFrame =
+    elect(urls, rules, keyCols, hostCol, pathCol, "pattern", outCol,
+      (path, rule) =>
+        graft.functions.RobotsFunctions.robotsMatch(path, rule))
 }

@@ -62,6 +62,24 @@ object UrlOps {
       when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
   }
 
+  /** Host of a normalized frontier key (everything before the first
+    * `/`; the whole key for a bare host) — ONE definition of the
+    * key's decomposition for every robots-election caller.
+    */
+  def hostOf(nurl: Column): Column = substring_index(nurl, "/", 1)
+
+  /** Path of a normalized frontier key (empty for a bare host). */
+  def pathOf(nurl: Column): Column = {
+    val host = hostOf(nurl)
+    nurl.substr(length(host) + 1, length(nurl))
+  }
+
+  /** `df` decorated with `host`/`path` columns from `nurlCol`. */
+  def withHostPath(df: org.apache.spark.sql.DataFrame,
+                   nurlCol: String = "nurl"): org.apache.spark.sql.DataFrame =
+    df.withColumn("host", hostOf(col(nurlCol)))
+      .withColumn("path", pathOf(col(nurlCol)))
+
   /** Multi-label public suffixes the naive last-2-labels rule gets
     * wrong. A real deployment loads the full public-suffix list as a
     * broadcast table; this built-in set covers the common families so

@@ -258,9 +258,13 @@ object HtmlText {
     * of the line that were emitted while inside an `<a>…</a>` run
     * (a collapsed space is attributed to the anchor state at the
     * moment it is appended — i.e. to the character that follows it).
-    * `extract(html)` ≡ `blocks(html).map(_._1).mkString("\n")` by
-    * construction, pinned executably in HtmlTextSpec over the whole
-    * extraction battery.
+    * `extract(html)` ≡ `blocks(html).map(_._1).mkString("\n")`,
+    * pinned executably over the extraction battery (BoilerplateSpec).
+    * The lexer loop is deliberately a SECOND COPY of [[extract]]'s
+    * rather than a shared callback-parameterized one: extract is the
+    * measured 0.57 G chars/s hot path (BASELINE §HTML→text) and stays
+    * allocation-free per line, while this face pays the per-block
+    * tuple; the equivalence pin is what keeps the copies honest.
     */
   def blocks(html: String): Array[(String, Int)] = {
     val n = html.length
@@ -324,7 +328,11 @@ object HtmlText {
         } else if (Character.isLetter(c1)) {
           val name = tagNameAt(html, i + 1)
           i = skipTagFrom(html, i + 1)
-          if (name == "a") anchorDepth += 1
+          // HTML5 no-nested-anchors rule: an <a> open while one is
+          // open implicitly closes it, so depth never exceeds 1 — an
+          // unclosed anchor in nav markup must not poison the rest of
+          // the document into link chars
+          if (name == "a") anchorDepth = 1
           if (RawTextTags.contains(name)) i = rawTextEnd(html, i, name)
           if (BlockTags.contains(name)) flush()
         } else { emit('<'); i += 1 }

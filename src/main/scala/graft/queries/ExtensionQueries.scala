@@ -4484,10 +4484,7 @@ object ExtensionQueries {
           txt, "graftbot")).as("r"))
       .select(col("host"), col("r.allow").as("allow"),
         col("r.prefix").as("prefix"))
-    val withHostPath = newUrls
-      .withColumn("host", substring_index(col("nurl"), "/", 1))
-      .withColumn("path",
-        col("nurl").substr(length(col("host")) + 1, length(col("nurl"))))
+    val withHostPath = graft.ext.UrlOps.withHostPath(newUrls)
     val frontier = graft.ext.Robots
       .withAllowed(withHostPath, rules, Seq("nurl"))
       .filter(col("allowed"))
@@ -4543,10 +4540,10 @@ object ExtensionQueries {
       |  FROM hp LEFT JOIN (SELECT nurl, allow FROM m WHERE rn = 1) m
       |    ON m.nurl = hp.nurl
       |  WHERE coalesce(m.allow, TRUE))
-      |SELECT '1_links' AS stage, count(*) AS n, CAST(sum(fp) AS BIGINT) AS fp
+      |SELECT '1_links' AS stage, count(*) AS n, CAST(coalesce(sum(fp), 0) AS BIGINT) AS fp
       |FROM f
-      |UNION ALL SELECT '2_new', count(*), CAST(sum(fp) AS BIGINT) FROM nw
-      |UNION ALL SELECT '3_frontier', count(*), CAST(sum(fp) AS BIGINT)
+      |UNION ALL SELECT '2_new', count(*), CAST(coalesce(sum(fp), 0) AS BIGINT) FROM nw
+      |UNION ALL SELECT '3_frontier', count(*), CAST(coalesce(sum(fp), 0) AS BIGINT)
       |FROM fr
       |ORDER BY stage""".stripMargin
 
@@ -5314,17 +5311,17 @@ object ExtensionQueries {
       |  WHERE coalesce(m.allow, TRUE)),
       |seen2 AS (SELECT nurl FROM seen1 UNION SELECT nurl FROM n2)
       |SELECT '0_seeds' AS stage, count(*) AS n,
-      |  CAST(sum(CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT))
-      |    AS BIGINT) AS fp FROM seeds
+      |  CAST(coalesce(sum(CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT)),
+      |    0) AS BIGINT) AS fp FROM seeds
       |UNION ALL SELECT '1_frontier', count(*),
-      |  CAST(sum(CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT))
-      |    AS BIGINT) FROM f1
+      |  CAST(coalesce(sum(CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT)),
+      |    0) AS BIGINT) FROM f1
       |UNION ALL SELECT '2_frontier', count(*),
-      |  CAST(sum(CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT))
-      |    AS BIGINT) FROM f2
+      |  CAST(coalesce(sum(CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT)),
+      |    0) AS BIGINT) FROM f2
       |UNION ALL SELECT '3_seen', count(*),
-      |  CAST(sum(CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT))
-      |    AS BIGINT) FROM seen2
+      |  CAST(coalesce(sum(CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT)),
+      |    0) AS BIGINT) FROM seen2
       |ORDER BY stage""".stripMargin
 
   /** ✚ polite frontier scheduling ([[graft.ext.Frontier.politeSlice]]

@@ -263,10 +263,13 @@ object ScaleTrend {
         .otherwise(concat(lit("/d/"), uid.cast("string"))))
     def frontierFixture(n: Long): String = {
       val p = s"$out/frontier_seen_$n"
-      ensure(s"$p/seen/d0") {
+      // guard on the store's OWN completeness marker (meta is written
+      // last), not a frame's _SUCCESS: a create killed between the
+      // frame commit and the meta publish must rebuild, not wedge
+      // every later run on "meta missing"
+      if (!new java.io.File(s"$p/_frontier_meta.json").exists())
         graft.ext.Frontier.create(spark, p,
           spark.range(n).select(urlOf(col("id")).as("nurl")))
-      }
       p
     }
     val frontSmall = if (needFrontier) frontierFixture(docsSmallN) else ""
@@ -1169,10 +1172,7 @@ object ScaleTrend {
       val newUrls = links.distinct()
         .join(graft.ext.Frontier.seen(spark, store), Seq("nurl"),
           "left_anti")
-      val wh = newUrls
-        .withColumn("host", substring_index(col("nurl"), "/", 1))
-        .withColumn("path",
-          col("nurl").substr(length(col("host")) + 1, length(col("nurl"))))
+      val wh = graft.ext.UrlOps.withHostPath(newUrls)
       val elected = graft.ext.Robots
         .withAllowedPatterns(wh, frontierRules, Seq("nurl"))
         .filter(col("allowed")).select("nurl")

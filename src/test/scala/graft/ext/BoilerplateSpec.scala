@@ -34,6 +34,14 @@ class BoilerplateSpec extends SparkSpec {
     HtmlText.blocks(
       "<p><script>var a = '<a>no</a>';</script>kept</p>").toSeq shouldBe
       Seq(("kept", 0))
+    // HTML5 no-nested-anchors: an <a> open while one is open
+    // implicitly closes it, so the single </a> ends the anchor run and
+    // an unclosed anchor cannot poison the rest of the document into
+    // link chars (the common malformed-nav shape)
+    HtmlText.blocks(
+      "<p><a href=\"/x\">one<a href=\"/y\">two</a> prose tail.</p>" +
+        "<p>Real prose of the and to.</p>").toSeq shouldBe
+      Seq(("onetwo prose tail.", 6), ("Real prose of the and to.", 0))
   }
 
   test("extract ≡ blocks.map(text).mkString — one lexer, pinned") {
