@@ -5391,4 +5391,90 @@ object ExtensionQueries {
       |    THEN CAST('0x' || substr(md5(nurl), 1, 6) AS BIGINT)
       |    ELSE 0 END) AS BIGINT) AS fp_fetch
       |FROM s GROUP BY host ORDER BY host""".stripMargin
+
+  /** ✚ sitemap parsing → frontier seeds ([[graft.functions.Sitemap]])
+    * — the crawl frontier's other seed source (robots.txt `Sitemap:`
+    * lines point here): parse each host's sitemap XML with the
+    * tolerant scanner, normalize every `<loc>` into the frontier key,
+    * and census per document. Four-fifths of the corpus carries a
+    * `<urlset>` exercising the real-web grammar — a www/utm-noised
+    * loc the normalizer strips, whitespace-padded element text, an
+    * `&amp;`-entity query, a CDATA loc, an XML comment inside
+    * `<lastmod>`, per-entry `<priority>`, and a loc-less entry that
+    * must drop; every fifth document is a `<sitemapindex>` (kind =
+    * sitemap — the recursion face). Output per doc: kind counts and
+    * one md5 over the ordered (kind, normalized loc, lastmod,
+    * priority) tuples — the whole parse + normalization in the hash,
+    * entirely map-side (the only exchange is the final ORDER BY).
+    * The oracle restates each entry's post-parse, post-normalization
+    * value relationally (the scanner's own grammar is SitemapSpec's
+    * battery; normalization is q129's gate).
+    */
+  def q166SitemapSeeds(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val k = (id % 7).cast("string")
+    val idS = id.cast("string")
+    val urlsetXml = concat(
+      lit("<?xml version=\"1.0\"?><urlset " +
+        "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<url><loc>http://www.h"), k, lit(".test/d/"), idS,
+      lit("?utm_source=map</loc><lastmod>2024-0"),
+      ((id % 9) + 1).cast("string"),
+      lit("-15</lastmod><priority>0."), (id % 10).cast("string"),
+      lit("</priority></url><url><loc>\n  http://h"), k,
+      lit(".test/p/"), (id % 40).cast("string"),
+      lit("\n</loc></url><url><loc>http://h"), k,
+      lit(".test/q?a=1&amp;b="), idS,
+      lit("</loc><lastmod><!-- noise -->2023-12-31</lastmod></url>" +
+        "<url><loc><![CDATA[http://h"), k, lit(".test/cd/"), idS,
+      lit("]]></loc></url><url><priority>0.5</priority></url></urlset>"))
+    val indexXml = concat(
+      lit("<sitemapindex><sitemap><loc>http://h"), k,
+      lit(".test/maps/"), idS,
+      lit("_a.xml</loc><lastmod>2024-06-01</lastmod></sitemap>" +
+        "<sitemap><loc>http://www.h"), k, lit(".test/maps/"), idS,
+      lit("_b.xml</loc></sitemap></sitemapindex>"))
+    val entries = graft.functions.SitemapFunctions.sitemapEntries(
+      when(id % 5 === 0, indexXml).otherwise(urlsetXml))
+    Tables(spark, dir, "documents")
+      .select(id,
+        size(filter(entries, e => e.getField("kind") === "url"))
+          .cast("long").as("n_url"),
+        size(filter(entries, e => e.getField("kind") === "sitemap"))
+          .cast("long").as("n_sitemap"),
+        md5(concat_ws("|", transform(entries, e => concat_ws("#",
+          e.getField("kind"),
+          graft.ext.UrlOps.normalizeUrl(e.getField("loc")),
+          e.getField("lastmod"), e.getField("priority")))))
+          .as("entry_md5"))
+      .orderBy(id)
+  }
+
+  val q166Sql: String =
+    """SELECT doc_id, CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 4 END
+      |    AS BIGINT) AS n_url,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS BIGINT)
+      |    AS n_sitemap,
+      |  CASE WHEN doc_id % 5 = 0 THEN md5(
+      |    'sitemap#h' || CAST(doc_id % 7 AS VARCHAR) || '.test/maps/'
+      |      || CAST(doc_id AS VARCHAR) || '_a.xml#2024-06-01#'
+      |    || '|' ||
+      |    'sitemap#h' || CAST(doc_id % 7 AS VARCHAR) || '.test/maps/'
+      |      || CAST(doc_id AS VARCHAR) || '_b.xml##')
+      |  ELSE md5(
+      |    'url#h' || CAST(doc_id % 7 AS VARCHAR) || '.test/d/'
+      |      || CAST(doc_id AS VARCHAR) || '#2024-0'
+      |      || CAST(doc_id % 9 + 1 AS VARCHAR) || '-15#0.'
+      |      || CAST(doc_id % 10 AS VARCHAR)
+      |    || '|' ||
+      |    'url#h' || CAST(doc_id % 7 AS VARCHAR) || '.test/p/'
+      |      || CAST(doc_id % 40 AS VARCHAR) || '##'
+      |    || '|' ||
+      |    'url#h' || CAST(doc_id % 7 AS VARCHAR) || '.test/q?a=1&b='
+      |      || CAST(doc_id AS VARCHAR) || '#2023-12-31#'
+      |    || '|' ||
+      |    'url#h' || CAST(doc_id % 7 AS VARCHAR) || '.test/cd/'
+      |      || CAST(doc_id AS VARCHAR) || '##')
+      |  END AS entry_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
 }
