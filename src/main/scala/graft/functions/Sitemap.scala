@@ -96,10 +96,21 @@ object Sitemap {
     if (colon >= 0) s.substring(colon + 1) else s
   }
 
+  /** Quote-aware tag skip (same contract as the HTML lexer's): an
+    * unescaped '>' inside a quoted attribute value is legal XML and
+    * must not terminate the tag.
+    */
   private def skipTag(xml: String, from: Int): Int = {
     var i = from
-    while (i < xml.length && xml.charAt(i) != '>') i += 1
-    if (i < xml.length) i + 1 else i
+    var quote: Char = 0
+    while (i < xml.length) {
+      val c = xml.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    i
   }
 
   /** Parse a sitemap document into its entries, document order. */
@@ -109,11 +120,20 @@ object Sitemap {
     var kind: String = null          // inside <url> / <sitemap>
     var loc, lastmod, priority = ""
     var field: String = null         // inside <loc>/<lastmod>/<priority>
+    // `text` holds the current run of ORDINARY character data (entity-
+    // decoded when the run closes); `value` the assembled element text
+    // with CDATA runs spliced in VERBATIM — decoding a CDATA section
+    // would break the one thing CDATA exists to protect
     val text = new java.lang.StringBuilder
+    val value = new java.lang.StringBuilder
+
+    def flushRun(): Unit =
+      if (text.length > 0) { value.append(decode(text.toString)); text.setLength(0) }
 
     def closeField(): Unit = {
       if (field != null) {
-        val v = decode(text.toString.trim)
+        flushRun()
+        val v = value.toString.trim
         field match {
           case "loc"      => if (loc.isEmpty) loc = v
           case "lastmod"  => if (lastmod.isEmpty) lastmod = v
@@ -122,6 +142,7 @@ object Sitemap {
       }
       field = null
       text.setLength(0)
+      value.setLength(0)
     }
     def closeEntry(): Unit = {
       closeField()
@@ -140,7 +161,7 @@ object Sitemap {
         } else if (xml.regionMatches(i, "<![CDATA[", 0, 9)) {
           val end = xml.indexOf("]]>", i + 9)
           val stop = if (end < 0) n else end
-          if (field != null) text.append(xml, i + 9, stop)
+          if (field != null) { flushRun(); value.append(xml, i + 9, stop) }
           i = if (end < 0) n else end + 3
         } else if (i + 1 < n && (xml.charAt(i + 1) == '?' ||
             xml.charAt(i + 1) == '!')) {
@@ -155,11 +176,9 @@ object Sitemap {
           }
         } else if (i + 1 < n && Character.isLetter(xml.charAt(i + 1))) {
           val name = localNameAt(xml, i + 1)
-          val selfClosing = {
-            val e = skipTag(xml, i + 1)
-            e - 2 >= i && e - 2 < n && xml.charAt(e - 2) == '/'
-          }
-          i = skipTag(xml, i + 1)
+          val e = skipTag(xml, i + 1)
+          val selfClosing = e - 2 >= i && e - 2 < n && xml.charAt(e - 2) == '/'
+          i = e
           name match {
             case "url" | "sitemap" =>
               closeEntry() // tolerate a missing close before the next open

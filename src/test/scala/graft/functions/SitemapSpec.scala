@@ -49,6 +49,17 @@ class SitemapSpec extends SparkSpec {
     // numeric refs, hex and decimal; malformed refs pass through
     locs("<urlset><url><loc>http://a.test/&#x41;&#66;&#bad;</loc></url>" +
       "</urlset>") shouldBe Seq("http://a.test/AB&#bad;")
+    // CDATA is VERBATIM even when it contains entity-shaped text —
+    // that protection is what CDATA is for; mixed ordinary runs
+    // around it still decode
+    locs("<urlset><url><loc>&#47;<![CDATA[x&amp;y]]>&#47;</loc></url>" +
+      "</urlset>") shouldBe Seq("/x&amp;y/")
+  }
+
+  test("quoted attribute values may contain '>'") {
+    locs("<urlset><url><loc foo=\"a>b\">http://a.test/1</loc></url>" +
+      "<url zz='q>r'><loc>http://a.test/2</loc></url></urlset>"
+    ) shouldBe Seq("http://a.test/1", "http://a.test/2")
   }
 
   test("namespace prefixes match by local name; unknown elements skip") {
