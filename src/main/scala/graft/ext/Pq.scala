@@ -45,25 +45,86 @@ object Pq {
   private def subVecRaw(vecCol: String, j: Int, dsub: Int): Column =
     slice(col(vecCol), j * dsub + 1, dsub)
 
-  /** Train m per-subspace codebooks with the shared Lloyd loop.
-    * `seeds` rows become initial centroids (their ids are the code
-    * ids — the caller picks deterministic seeds, e.g. the k lowest
-    * vec_ids, exactly like the IVF gates).
+  /** Train m per-subspace codebooks with the shared Lloyd recipe
+    * (cosine assignment via [[graft.functions.NearestCentroid]],
+    * per-cluster mean through [[CentroidAggregator]], 6-dp rounding
+    * per round). `seeds` rows become initial centroids (their ids are
+    * the code ids — the caller picks deterministic seeds, e.g. the k
+    * lowest vec_ids, exactly like the IVF gates).
+    *
+    * The m Lloyd loops run BATCHED: the subspaces are independent, so
+    * instead of m sequential [[Similarity.kmeansTrain]] calls (each
+    * iteration of each subspace a separate corpus scan + aggregation
+    * + collect — ~m·iters tiny jobs whose fixed scheduling cost
+    * dominates at small corpora and whose m redundant corpus scans
+    * dominate at large ones), ONE exploded (j, subvector) frame
+    * carries every subspace through a shared loop: per iteration one
+    * corpus scan (the assignment CASEs over j, each branch the same
+    * codegen'd NearestCentroid expression the per-subspace path
+    * used), one (j, cid) aggregation, one collect. Result-identical
+    * by construction: each (j, cid) group aggregates the same
+    * multiset of subvectors through the same aggregator, and the
+    * per-round 6-dp rounding absorbs summation-order drift exactly as
+    * kmeansTrain's scaladoc argues for its own shuffles (PqSpec pins
+    * batched ≡ per-subspace executably).
     */
   def trainCodebooks(corpus: DataFrame, seeds: DataFrame, m: Int, dims: Int,
                      iters: Int, idCol: String = "vec_id",
                      vecCol: String = "embedding"): Codebooks = {
     require(m > 0 && dims % m == 0, s"pq: dims $dims not divisible by m=$m")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val dsub = dims / m
-    (0 until m).map { j =>
-      def sub(df: DataFrame): DataFrame =
-        df.select(col(idCol), subVecRaw(vecCol, j, dsub).as(vecCol))
-      Similarity.kmeansTrain(sub(corpus), sub(seeds), iters, dsub,
-          idCol, vecCol)
+    // initial codebooks: the seed slices, cast to double IN the plan
+    // (same cast site as kmeansTrain's seed select) — one collect for
+    // all m subspaces
+    var cbs: IndexedSeq[Seq[(Long, Array[Double])]] = {
+      val rows = seeds.select(col(idCol).cast("long").as("id"),
+          array((0 until m).map(j => subVec(vecCol, j, dsub)): _*).as("svs"))
         .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).toSeq
+      (0 until m).map { j =>
+        rows.toSeq.map { r =>
+          require(!r.isNullAt(0),
+            "pq trainCodebooks: null seed id — every seed needs a " +
+              "non-null id (the id is the code id and tiebreak)")
+          val s = r.getSeq[scala.collection.Seq[Any]](1)(j)
+          (r.getLong(0),
+            if (s == null || s.exists(_ == null))
+              null
+            else s.map(_.asInstanceOf[Double]).toArray)
+        }.sortBy(_._1)
+      }
     }
+    val agg = CentroidAggregator(dsub).toColumn
+    for (_ <- 1 to iters) {
+      // one scan: (j, sv) exploded, assigned per subspace by a CASE
+      // whose branch j carries subspace j's centroid literal
+      val exploded = corpus.select(posexplode(
+        array((0 until m).map(j => subVecRaw(vecCol, j, dsub)): _*))
+        .as(Seq("j", "sv")))
+      val assignJ = (1 until m).foldLeft(
+        when(col("j") === 0, graft.functions.NearestCentroid.nearest(
+          col("sv").cast("array<double>"), cbs(0)))) { (acc, j) =>
+        acc.when(col("j") === j, graft.functions.NearestCentroid.nearest(
+          col("sv").cast("array<double>"), cbs(j)))
+      }
+      val next = exploded
+        .select(col("j"), assignJ.cast("long").as("cid"), col("sv"))
+        .as[(Int, Long, Seq[Float])]
+        .groupByKey(t => (t._1, t._2))
+        .mapValues(_._3)
+        .agg(agg.name("c"))
+        .toDF("jc", "c")
+        .select(col("jc._1").as("j"), col("jc._2").as("cid"),
+          transform(col("c"), v => round(v, 6)).as("cv"))
+        .collect()
+      cbs = (0 until m).map { j =>
+        next.toSeq.filter(_.getInt(0) == j)
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
+          .sortBy(_._1)
+      }
+    }
+    cbs
   }
 
   /** Encode: ONE map-side scan adding `codesCol` = the m per-subspace

@@ -190,6 +190,79 @@ object RobotsRules {
     else last.isEmpty || path.indexOf(last, pos) >= 0
   }
 
+  // byte-level pattern[s, e) occurrence search in path[from, ...) —
+  // returns the byte index or -1. Exact on UTF-8: a valid UTF-8
+  // needle can only byte-match at codepoint boundaries.
+  private def byteIndexOf(path: UTF8String, from: Int,
+                          pattern: UTF8String, s: Int, e: Int): Int = {
+    val n = e - s
+    val limit = path.numBytes - n
+    var i = from
+    while (i <= limit) {
+      var j = 0
+      while (j < n && path.getByte(i + j) == pattern.getByte(s + j)) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** [[repMatches]] over UTF8String, allocation-free — the wildcard
+    * election's join condition evaluates it O(urls × rules) times, and
+    * the String face materialized two java.lang.String copies per
+    * probe (ADVICE r20). Byte-level is exact: `*` and `$` are ASCII
+    * (never UTF-8 continuation bytes), literal-chunk byte equality ≡
+    * char equality on valid UTF-8, and all positions are compared in
+    * one consistent unit. Pinned equal to the String face by the
+    * RobotsSpec property sweep.
+    */
+  def repMatches(path: UTF8String, pattern: UTF8String): Boolean = {
+    val pn = pattern.numBytes
+    val anchored = pn > 0 && pattern.getByte(pn - 1) == '$'.toByte
+    val patEnd = if (anchored) pn - 1 else pn
+    val plen = path.numBytes
+    val star = '*'.toByte
+    // first segment: pattern[0, s1)
+    var s1 = 0
+    while (s1 < patEnd && pattern.getByte(s1) != star) s1 += 1
+    if (s1 > plen) return false
+    var k = 0
+    while (k < s1) {
+      if (path.getByte(k) != pattern.getByte(k)) return false
+      k += 1
+    }
+    var pos = s1
+    if (s1 == patEnd) return !anchored || pos == plen
+    // middle segments between stars; the segment after the LAST star
+    // is handled by the anchored/unanchored tail below
+    var segStart = s1 + 1
+    var lastStart = -1
+    while (lastStart < 0) {
+      var idx = segStart
+      while (idx < patEnd && pattern.getByte(idx) != star) idx += 1
+      if (idx == patEnd) lastStart = segStart
+      else {
+        if (idx > segStart) {
+          val i = byteIndexOf(path, pos, pattern, segStart, idx)
+          if (i < 0) return false
+          pos = i + (idx - segStart)
+        }
+        segStart = idx + 1
+      }
+    }
+    val lastLen = patEnd - lastStart
+    if (anchored) {
+      if (plen - lastLen < pos) return false
+      var j = 0
+      while (j < lastLen) {
+        if (path.getByte(plen - lastLen + j) != pattern.getByte(lastStart + j))
+          return false
+        j += 1
+      }
+      true
+    } else lastLen == 0 || byteIndexOf(path, pos, pattern, lastStart, patEnd) >= 0
+  }
+
   private[functions] def rulesArrayData(content: UTF8String,
                                         agent: String): ArrayData =
     new GenericArrayData(rulesFor(content.toString, agent).map {
@@ -255,12 +328,14 @@ case class RobotsMatchExpr(left: Expression, right: Expression)
     }
 
   override protected def nullSafeEval(path: Any, pattern: Any): Any =
-    RobotsRules.repMatches(path.asInstanceOf[UTF8String].toString,
-      pattern.asInstanceOf[UTF8String].toString)
+    RobotsRules.repMatches(path.asInstanceOf[UTF8String],
+      pattern.asInstanceOf[UTF8String])
 
+  // the UTF8String overload — allocation-free in the join-condition
+  // hot path (O(urls × rules) probes; ADVICE r20)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (p, t) =>
-      s"graft.functions.RobotsRules.repMatches($p.toString(), $t.toString())")
+      s"graft.functions.RobotsRules.repMatches($p, $t)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RobotsMatchExpr =

@@ -47,6 +47,29 @@ class PqSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("batched training equals the per-subspace kmeansTrain loop") {
+    // trainCodebooks runs all m subspaces through ONE Lloyd loop (the
+    // r21 job-count optimization); this pins it bit-identical to the
+    // m independent kmeansTrain runs it replaced
+    val c = corpus.cache()
+    val seeds = c.filter(col("vec_id") < 8)
+    val batched = Pq.trainCodebooks(c, seeds, m = 4, dims = dims, iters = 2)
+    val perSub = (0 until 4).map { j =>
+      def sub(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"),
+          slice(col("embedding"), j * 16 + 1, 16).as("embedding"))
+      Similarity.kmeansTrain(sub(c), sub(seeds), iters = 2, dims = 16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).toSeq
+    }
+    batched.size shouldBe perSub.size
+    batched.zip(perSub).foreach { case (b, p) =>
+      b.map(_._1) shouldBe p.map(_._1)
+      b.zip(p).foreach { case ((_, bv), (_, pv)) => bv.toSeq shouldBe pv.toSeq }
+    }
+    c.unpersist()
+  }
+
   test("degenerate codebooks (every vector its own centroid) make ADC exact") {
     val c = corpus.cache()
     // iters = 0 keeps the seeds verbatim: each subspace codebook IS

@@ -176,6 +176,34 @@ class RobotsSpec extends SparkSpec {
     repMatches("/x", "/$") shouldBe false
   }
 
+  test("repMatches: UTF8String face equals the String face (property sweep)") {
+    // the codegen hot path runs the allocation-free byte-level overload
+    // (r21); this pins it to the String reference implementation over a
+    // randomized grammar sweep including multi-byte UTF-8 and edge shapes
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    val atoms = Seq("/", "a", "bb", ".php", "é", "世", "p2", "x/y", "$", "")
+    def rand(maxParts: Int, starWeight: Double): String =
+      (0 until (1 + rnd.nextInt(maxParts))).map { _ =>
+        if (rnd.nextDouble() < starWeight) "*"
+        else atoms(rnd.nextInt(atoms.size))
+      }.mkString
+    val fixed = Seq(
+      ("/private/x", "/private"), ("/a/b.php", "/*.php$"),
+      ("/", "/$"), ("/x", "/$"), ("", ""), ("", "*"), ("/a", ""),
+      ("/aé世b", "/a*b$"), ("/aé世b", "/a*世*"), ("é", "é$"),
+      ("/p2/x", "/p2*$"), ("/a", "**"), ("/a", "*$"), ("", "$"))
+    val cases = fixed ++ (0 until 4000).map(_ =>
+      (rand(6, 0.0).replace("*", "x"), rand(5, 0.35)))
+    cases.foreach { case (path, pattern) =>
+      withClue(s"path='$path' pattern='$pattern': ") {
+        RobotsRules.repMatches(
+          UTF8String.fromString(path), UTF8String.fromString(pattern)) shouldBe
+          RobotsRules.repMatches(path, pattern)
+      }
+    }
+  }
+
   test("pattern election: most octets wins, Allow wins ties, default allow") {
     val rulesDf = Seq(
       ("h.test", false, "/*.php$"),          // len 7
