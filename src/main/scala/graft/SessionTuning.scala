@@ -23,13 +23,16 @@ import org.apache.spark.sql.SparkSession
   *    explicit + overridable (`SPARK_GRAFT_ADVISORY_BYTES`) because a
   *    production deployment with bigger executors wants 256m (guide
   *    §9) while the contract bench keeps the stock value.
-  *  - `preferSortMergeJoin=false` (guide §3.1/§9): let the planner
-  *    pick shuffled-hash when its size conditions hold — skips both
-  *    sort passes; sort-merge remains the fallback for oversized
-  *    build sides. `maxShuffledHashJoinLocalMapThreshold=64m` extends
-  *    the same choice to AQE's runtime SMJ→SHJ rewrite (off upstream
-  *    only because 0 is the conservative ship default; bounded by the
-  *    same per-partition memory argument as the planner rule).
+  *
+  * Deliberately NOT set (measured, then rejected this round):
+  * `preferSortMergeJoin=false` + a shuffled-hash AQE local-map
+  * threshold (guide §3.1) flipped the LSH pair joins SMJ→SHJ at small
+  * scale with NO measured local win (everything hot already
+  * broadcasts) while defeating the AQE skew split on the
+  * degenerate-bucket pair join — SkewJoinSpec's `skew=true` pin went
+  * red, i.e. the engine would have traded its skew guard (the 100 TB
+  * protection) for nothing. Sort-merge stays the default; broadcast
+  * remains the chosen strategy everywhere a side provably fits.
   */
 object SessionTuning {
 
@@ -39,9 +42,5 @@ object SessionTuning {
         env("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         env("SPARK_GRAFT_ADVISORY_BYTES", "64m"))
-      .config("spark.sql.join.preferSortMergeJoin",
-        env("SPARK_GRAFT_PREFER_SMJ", "false"))
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        env("SPARK_GRAFT_SHJ_LOCALMAP", "64m"))
   }
 }

@@ -91,12 +91,32 @@ object Frontier {
 
   /** Create the store: the distinct seeds become round 0's frontier
     * AND the initial seen set.
+    *
+    * Refuses to clobber foreign data (ADVICE r20): the target must be
+    * absent, an empty directory, or an existing (possibly incomplete —
+    * a killed create/fold leaves no meta) frontier store; anything
+    * else needs `overwrite = true`. Recognition is by entry names —
+    * every file a frontier store ever writes lives under `seen/`,
+    * `frontier/` or one of the protocol files.
     */
-  def create(spark: SparkSession, path: String, seeds: DataFrame): Unit = {
+  def create(spark: SparkSession, path: String, seeds: DataFrame,
+             overwrite: Boolean = false): Unit = {
     require(seeds.columns.contains("nurl"),
       "Frontier.create: seeds must carry a 'nurl' column")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!overwrite && fs.exists(new Path(path))) {
+      val frontierEntries =
+        Set("seen", "frontier", "_frontier_meta.json", "_writer.lock",
+          "_appended_through")
+      val foreign = fs.listStatus(new Path(path))
+        .map(_.getPath.getName).filterNot(frontierEntries)
+      require(foreign.isEmpty,
+        s"Frontier.create at $path: target contains non-frontier " +
+          s"entries (${foreign.take(3).mkString(", ")}${
+            if (foreign.length > 3) ", …" else ""}) — refusing to " +
+          "destroy them; pass overwrite = true to clobber")
+    }
     fs.delete(new Path(path), true)
     IndexFiles.withWriterLease(spark, path, "Frontier create") {
       val s = seeds.select("nurl").distinct()
@@ -119,8 +139,16 @@ object Frontier {
         concat(lit("http://"), col(urlCol)).as("_base"),
         explode(graft.functions.HtmlToTextFunctions.htmlLinks(col(htmlCol)))
           .as("_link"))
-      .select(UrlOps.normalizeUrl(graft.functions.ResolveUrlFunctions
-        .resolveUrl(col("_base"), col("_link"))).as("nurl"))
+      .select(graft.functions.ResolveUrlFunctions
+        .resolveUrl(col("_base"), col("_link")).as("_abs"))
+      // fetchable schemes only (ADVICE r20): mailto:/javascript:/tel:
+      // hrefs resolve to absolute URIs of their OWN scheme, and
+      // normalizeUrl would mint garbage frontier keys from them (e.g.
+      // the userinfo strip turns mailto:user@example.com into host
+      // example.com) that then poison the persisted seen set
+      .filter(col("_abs").startsWith("http://") ||
+        col("_abs").startsWith("https://"))
+      .select(UrlOps.normalizeUrl(col("_abs")).as("nurl"))
 
   /** Fold one crawl round: dedup the discovered links against the
     * seen set, gate the survivors through the per-host robots

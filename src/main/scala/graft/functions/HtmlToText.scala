@@ -305,6 +305,12 @@ object HtmlText {
       }
       linkChars = 0
       pendingSpace = false
+      // block boundaries are where link density is measured (the
+      // jusText contract): an anchor left open across a flush — nav
+      // markup routinely never closes its <a> — must not poison every
+      // following block's chars into link chars (ADVICE r20; the
+      // re-open cap above bounds depth, not the leak)
+      anchorDepth = 0
     }
 
     var i = 0

@@ -4,14 +4,18 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
-/** Shared local SparkSession for all specs (one JVM per `sbt test` fork). */
+/** Shared local SparkSession for all specs (one JVM per `sbt test` fork).
+  * Built through [[SessionTuning.tuned]] so every spec — the plan pins
+  * in particular — exercises the SAME session posture the runtime entry
+  * points (Bench/Verify) run with.
+  */
 object SparkSpec {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = SessionTuning.tuned(SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
+    .config("spark.ui.enabled", "false"))
     .getOrCreate()
 }
 

@@ -42,6 +42,12 @@ class BoilerplateSpec extends SparkSpec {
       "<p><a href=\"/x\">one<a href=\"/y\">two</a> prose tail.</p>" +
         "<p>Real prose of the and to.</p>").toSeq shouldBe
       Seq(("onetwo prose tail.", 6), ("Real prose of the and to.", 0))
+    // an anchor left OPEN at a block boundary resets at the flush
+    // (ADVICE r20): one unclosed nav <a> with no later </a> anywhere
+    // must not count every following block's prose as link chars
+    HtmlText.blocks(
+      "<div><a href=\"/nav\">Menu</div><p>Real prose of the and to.</p>")
+      .toSeq shouldBe Seq(("Menu", 4), ("Real prose of the and to.", 0))
   }
 
   test("extract ≡ blocks.map(text).mkString — one lexer, pinned") {

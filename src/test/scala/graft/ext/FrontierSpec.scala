@@ -80,6 +80,41 @@ class FrontierSpec extends SparkSpec {
         Frontier.discoveredLinks(pagesAt(store)), rules)
     }
 
+  test("discoveredLinks drops non-http(s) schemes before normalization") {
+    // mailto:/javascript:/tel: hrefs resolve to absolute URIs of their
+    // own scheme — normalizeUrl would mint garbage frontier keys from
+    // them (ADVICE r20); only fetchable links may enter the seen set
+    val pages = Seq(
+      ("h0.test/d/0",
+        "<html><body><a href=\"mailto:user@example.com\">m</a>" +
+          "<a href=\"javascript:void(0)\">j</a>" +
+          "<a href=\"tel:+15551234\">t</a>" +
+          "<a href=\"ftp://files.test/x\">f</a>" +
+          "<a href=\"../d/1\">ok</a>" +
+          "<a href=\"https://h1.test/d/2\">ok2</a></body></html>")
+    ).toDF("nurl", "html")
+    urls(Frontier.discoveredLinks(pages)) shouldBe
+      Seq("h0.test/d/1", "h1.test/d/2")
+  }
+
+  test("create refuses a target holding foreign data unless overwrite") {
+    val root = tmp()
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/precious.txt"), "data")
+      an[IllegalArgumentException] should be thrownBy
+        Frontier.create(spark, root, seeds)
+      // the foreign file survived the refusal
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/precious.txt")) shouldBe true
+      // explicit overwrite clobbers; an EXISTING store recreates
+      // without the flag (rebuild is maintenance, not data loss)
+      Frontier.create(spark, root, seeds, overwrite = true)
+      Frontier.create(spark, root, seeds)
+      Frontier.rounds(spark, root) shouldBe 0L
+    } finally delete(root)
+  }
+
   test("batch folds reproduce the hand-computed BFS, round by round") {
     val root = tmp()
     try {
